@@ -4,10 +4,21 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q05_join_agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.q01_pricing_summary _),
+    "q02_typed_projection" -> (Queries.q02_typed_projection _),
+    "q03_watermark_filter" -> (Queries.q03_watermark_filter _),
+    "q04_surrogate_key" -> (Queries.q04_surrogate_key _),
+    "q05_join_agg" -> (Queries.q05_join_agg _),
+    "q06_broadcast_join" -> (Queries.q06_broadcast_join _),
+    "q07_anti_join" -> (Queries.q07_anti_join _),
+    "q08_semi_join" -> (Queries.q08_semi_join _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.all
 }
