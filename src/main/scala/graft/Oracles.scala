@@ -1,10 +1,26 @@
 package graft
 
+import graft.functions.TextFunctions
+
 /** DuckDB oracle SQL for every entry in [[Queries]] (driver contract:
   * same column names, same row order, ANSI SQL runnable by DuckDB over
   * the same parquet tables registered under their bare names).
   */
 object Oracles {
+
+  /** Spark ML's default English stop words, escaped as a SQL IN-list —
+    * built from the same constant the Spark side uses so the two can
+    * never drift. */
+  private val stopwordsSqlList: String =
+    TextFunctions.englishStopWords
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString(", ")
+
+  /** DuckDB form of [[TextFunctions.cleanText]]. */
+  private val cleanedSql: String =
+    "regexp_replace(regexp_replace(regexp_replace(lower(text), '^rt ', ''), " +
+      "'(https?://)\\S+', '', 'g'), '[^a-z0-9\\s]', '', 'g')"
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -67,6 +83,85 @@ object Oracles {
         |FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_upsert_merge" ->
+      """WITH tgt AS (SELECT o_orderkey AS k, o_totalprice AS p, 1 AS v
+        |             FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+        |     src AS (SELECT o_orderkey AS k, o_totalprice + 1000.0 AS p, 2 AS v
+        |             FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |SELECT coalesce(t.k, s.k) AS k,
+        |       CASE WHEN t.k IS NULL OR (s.k IS NOT NULL AND s.v > t.v) THEN s.p ELSE t.p END AS p,
+        |       CASE WHEN t.k IS NULL OR (s.k IS NOT NULL AND s.v > t.v) THEN s.v ELSE t.v END AS v,
+        |       CASE WHEN t.k IS NULL THEN 'insert'
+        |            WHEN s.k IS NOT NULL AND s.v > t.v THEN 'update'
+        |            ELSE 'keep' END AS merge_action
+        |FROM tgt t FULL JOIN src s ON t.k = s.k
+        |ORDER BY k""".stripMargin,
+    "q10_union_all" ->
+      """SELECT src, name, acctbal FROM (
+        |  SELECT 'customer' AS src, c_name AS name, c_acctbal AS acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', s_name, s_acctbal FROM supplier
+        |) ORDER BY src, name, acctbal""".stripMargin,
+    "q11_topk" ->
+      """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_dt
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q12_latest_per_key" ->
+      """SELECT o_custkey, latest_orderkey, latest_dt FROM (
+        |  SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS latest_dt,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q13_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |WHERE length(token) > 2
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q14_clean_text" ->
+      s"SELECT doc_id, $cleanedSql AS cleaned FROM documents ORDER BY doc_id",
+    "q15_term_score" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex($cleanedSql, '\\s+')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 2 AND token NOT IN ($stopwordsSqlList))
+        |SELECT doc_id, CAST(sum(w.weight) AS BIGINT) AS score, count(*) AS n_scored_terms
+        |FROM tok
+        |JOIN (VALUES ('spark',20),('query',15),('join',12),('window',8),
+        |             ('stream',7),('data',5),('hash',9),('merge',6),
+        |             ('filter',4),('vector',11)) AS w(token, weight) USING (token)
+        |GROUP BY doc_id
+        |HAVING CAST(sum(w.weight) AS BIGINT) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q16_days_ago" ->
+      """SELECT doc_id,
+        |       CAST(nullif(regexp_extract(text, '^([0-9]+) days? ago', 1), '') AS INT) AS days_ago,
+        |       strftime(coalesce(
+        |         DATE '2024-06-01' - CAST(nullif(regexp_extract(text, '^([0-9]+) days? ago', 1), '') AS INT),
+        |         DATE '2024-06-01'), '%Y-%m-%d') AS publish_dt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_dedup_exact" ->
+      """SELECT sha256(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q18_distinct_count" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_events_day_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q20_running_window" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_dt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
+

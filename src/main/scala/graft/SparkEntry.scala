@@ -15,7 +15,19 @@ object SparkEntry {
     "q05_join_agg" -> (Queries.q05_join_agg _),
     "q06_broadcast_join" -> (Queries.q06_broadcast_join _),
     "q07_anti_join" -> (Queries.q07_anti_join _),
-    "q08_semi_join" -> (Queries.q08_semi_join _)
+    "q08_semi_join" -> (Queries.q08_semi_join _),
+    "q09_upsert_merge" -> (Queries.q09_upsert_merge _),
+    "q10_union_all" -> (Queries.q10_union_all _),
+    "q11_topk" -> (Queries.q11_topk _),
+    "q12_latest_per_key" -> (Queries.q12_latest_per_key _),
+    "q13_explode_tokens" -> (Queries.q13_explode_tokens _),
+    "q14_clean_text" -> (Queries.q14_clean_text _),
+    "q15_term_score" -> (Queries.q15_term_score _),
+    "q16_days_ago" -> (Queries.q16_days_ago _),
+    "q17_dedup_exact" -> (Queries.q17_dedup_exact _),
+    "q18_distinct_count" -> (Queries.q18_distinct_count _),
+    "q19_events_day_agg" -> (Queries.q19_events_day_agg _),
+    "q20_running_window" -> (Queries.q20_running_window _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.feature.StopWordsRemover
+
+/** Text-processing column functions — the engine's equivalent of the
+  * reference's gold-layer NLP surface, kept as pure `Column => Column`
+  * compositions so everything stays inside Catalyst codegen (the
+  * reference pays a Python-UDF serialization boundary per row;
+  * SURVEY §3 EP3).
+  */
+object TextFunctions {
+
+  /** clean_text (reference notebooks/gold_article_scoring.py:36-41):
+    * lowercase, strip a leading "rt ", strip URLs, strip
+    * non-alphanumerics. Column-expression only — no UDF.
+    */
+  def cleanText(c: Column): Column = {
+    val lowered = lower(c)
+    val noRt    = regexp_replace(lowered, "^rt ", "")
+    val noUrl   = regexp_replace(noRt, "(https?://)\\S+", "")
+    regexp_replace(noUrl, "[^a-z0-9\\s]", "")
+  }
+
+  /** Whitespace tokenizer over cleaned text (reference Tokenizer,
+    * gold_article_scoring.py:49-50 — lowercase + split on \\s+).
+    */
+  def tokenize(c: Column): Column = split(cleanText(c), "\\s+")
+
+  /** Spark ML's default English stop-word list — the exact list the
+    * reference uses via StopWordsRemover (gold_article_scoring.py:55-65).
+    */
+  val englishStopWords: Seq[String] = StopWordsRemover.loadDefaultStopWords("english").toSeq
+
+  /** Stop-word filter over an array column, preserving duplicates
+    * (StopWordsRemover semantics — `array_except` would dedup).
+    */
+  def removeStopWords(tokens: Column): Column = {
+    val stops = array(englishStopWords.map(lit): _*)
+    filter(tokens, t => !array_contains(stops, t))
+  }
+
+  /** The reference's 31-term clean-tech weight dictionary
+    * (gold_article_scoring.py:104-136), kept verbatim as the default
+    * scoring vocabulary.
+    */
+  val cleanTechTerms: Map[String, Int] = Map(
+    "climate" -> 20, "change" -> 4, "oxide" -> 1, "battery" -> 1,
+    "electricity" -> 3, "abatement" -> 1, "emission" -> 1, "kyoto" -> 8,
+    "ipcc" -> 20, "lithium" -> 15, "ion" -> 8, "photovoltaic" -> 25,
+    "renewable" -> 8, "energy" -> 10, "solar" -> 8, "carbon" -> 5,
+    "innovation" -> 20, "technology" -> 30, "clean" -> 9, "green" -> 14,
+    "kilowatt" -> 4, "megawatt" -> 4, "polysilicon" -> 30, "biofuel" -> 40,
+    "efficiency" -> 12, "fuel" -> 8, "tax" -> 4, "air" -> 2,
+    "quality" -> 7, "bio" -> 8, "biogas" -> 12
+  )
+
+  /** Intended semantics of the reference's `days_ago` UDF
+    * (silver_google_scholar.py:107-117: parse a leading "N days ago"
+    * prefix; the reference implementation is buggy — see SURVEY §2.9 U1;
+    * we implement the documented intent as a codegen-able expression).
+    * Returns a nullable int.
+    */
+  def daysAgo(c: Column): Column = {
+    val extracted = regexp_extract(c, "^(\\d+) days? ago", 1)
+    when(extracted === "", lit(null)).otherwise(extracted).cast("int")
+  }
+
+  /** Occurrence count of a literal substring — shared building block for
+    * the marker-based language-ID heuristic. Pure expression:
+    * (len(s) - len(replace(s, m))) / len(m).
+    */
+  def occurrences(c: Column, marker: String): Column =
+    ((length(c) - length(replace(c, lit(marker), lit("")))) /
+      lit(marker.length)).cast("int")
+}
