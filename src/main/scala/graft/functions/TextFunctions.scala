@@ -74,4 +74,42 @@ object TextFunctions {
   def occurrences(c: Column, marker: String): Column =
     ((length(c) - length(replace(c, lit(marker), lit("")))) /
       lit(marker.length)).cast("int")
+
+  /** Rule-based English lemmatizer over a token array (the engine's
+    * stand-in for the reference's WordNet lemmer_udf,
+    * gold_article_scoring.py:69-88 — WordNet is Python-only, so plural
+    * suffix rules approximate it; deviation documented in tests).
+    * Drops tokens of length ≤ 2 after lemmatizing, exactly like the
+    * reference. Pure expressions via transform/filter — no UDF, stays
+    * inside codegen.
+    */
+  def lemmatize(tokens: Column): Column = {
+    def lemma(t: Column): Column =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, "(?<=[a-z]{2})ies$", "y"),
+          "sses$",
+          "ss"
+        ),
+        "([^su])s$",
+        "$1"
+      )
+    filter(transform(tokens, lemma _), t => length(t) > 2)
+  }
+
+  /** Sum of term weights over the DISTINCT tokens of each row's array —
+    * faithful single-expression form of the reference's score_udf
+    * (gold_article_scoring.py:92-144 scores vector_unique). For the
+    * scalable relational form (explode + broadcast join) see
+    * Queries.q15_term_score.
+    */
+  def termScore(tokens: Column, weights: Map[String, Int]): Column = {
+    val entries = weights.toSeq.sortBy(_._1)
+    val m = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    aggregate(
+      array_distinct(tokens),
+      lit(0),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0))
+    )
+  }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import graft.pipeline.{Pipeline, Stages}
+import graft.sources.{Discovery, Warehouse}
+import java.nio.file.{Files, Path}
+
+/** End-to-end pipeline test over reference-shaped fixture JSON
+  * (FIXTURES.md §A): scholar multiline JSON, arxiv JSONL, NYT JSONL
+  * with case-duplicate keys, exercising discovery, all three bronze
+  * shapes, silver load modes (CTAS / watermark append / MERGE /
+  * anti-join), gold words union and scoring.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def write(dir: Path, name: String, content: String): Unit =
+    Files.writeString(dir.resolve(name), content)
+
+  private def mkFixtures(root: Path): (String, String, String) = {
+    val scholar = Files.createDirectories(root.resolve("scholar"))
+    val arxiv   = Files.createDirectories(root.resolve("arxiv"))
+    val nyt     = Files.createDirectories(root.resolve("nyt"))
+
+    // A1: multiline JSON, airbyte-wrapped, snippet with/without days-ago prefix
+    write(scholar, "2022_12_20_1671510000.123_scholar.jsonl",
+      """{
+        |  "_airbyte_data": {
+        |    "organic_results": [
+        |      {"position": 1, "result_id": "r1", "title": "Solar Innovation",
+        |       "link": "http://a", "snippet": "3 days ago — biofuel efficiency study", "type": "html"},
+        |      {"position": 2, "result_id": "r2", "title": "Battery Tech",
+        |       "link": "http://b", "snippet": "lithium ion climate research", "type": "html"}
+        |    ],
+        |    "search_metadata": {"id": "m1", "status": "Success"}
+        |  }
+        |}""".stripMargin)
+    // an older file for the same run date — discovery must pick the later token
+    write(scholar, "2022_12_20_1671400000.000_scholar.jsonl",
+      """{"_airbyte_data": {"organic_results": [
+        |  {"position": 9, "result_id": "stale", "title": "Stale", "link": "x", "snippet": "old", "type": "html"}],
+        |  "search_metadata": {"id": "m0", "status": "Success"}}}""".stripMargin)
+
+    // A2: arxiv JSONL — id carries version suffix; one line per object
+    write(arxiv, "2022-12-20_1671510000.123_arxiv.json",
+      """{"feed": {"entry": [
+        |{"id": "http://arxiv.org/abs/2212.01234v1", "updated": "2022-12-18T10:00:00Z", "title": "Green energy", "summary": "solar photovoltaic efficiency"},
+        |{"id": "http://arxiv.org/abs/2212.05678v2", "updated": "2022-12-19T10:00:00Z", "title": "Carbon capture", "summary": "carbon abatement technology"}
+        |]}}""".stripMargin.replaceAll("\n", " "))
+
+    // A3: NYT JSONL — duplicate keys differing only in case + multimedia to drop
+    write(nyt, "2022_12_20_1671510000.123_nyt.jsonl",
+      Seq(
+        """{"_airbyte_data": {"_id": "n1", "abstract": "Climate change policy", "lead_paragraph": "Renewable energy tax", "snippet": "green innovation", "pub_date": "2022-12-15T09:00:00+0000", "multimedia": [{"url": "u", "Url": "U"}]}}""",
+        """{"_airbyte_data": {"_id": "n2", "abstract": "Fuel quality report", "lead_paragraph": "Air quality measures", "snippet": "megawatt solar", "pub_date": "2022-12-16T09:00:00+0000", "multimedia": [{"url": "v", "Url": "V"}]}}"""
+      ).mkString("\n"))
+
+    (scholar.toString, arxiv.toString, nyt.toString)
+  }
+
+  private def freshPipeline() = {
+    val root = Files.createTempDirectory("graft_pipe")
+    val (s, a, n) = mkFixtures(root)
+    val wh = new Warehouse(spark, root.resolve("warehouse").toString)
+    (new Pipeline(spark, wh, s, a, n), wh, (s, a, n), root)
+  }
+
+  test("discovery picks the latest file by timestamp token") {
+    val root = Files.createTempDirectory("graft_disc")
+    val (s, _, _) = mkFixtures(root)
+    val files = Discovery.runDateFiles(spark, s, Stages.underscorePrefix("20221220"))
+    assert(files.size == 2)
+    assert(Discovery.latestFile(files).get.contains("1671510000.123"))
+    assert(Discovery.latestForRunDate(spark, s, Stages.underscorePrefix("20991231")).isEmpty)
+  }
+
+  test("full pipeline run: all stages green, scored articles produced") {
+    val (pipe, wh, _, _) = freshPipeline()
+    val report = pipe.run("20221220")
+    assert(report.skipped.isEmpty, s"skipped: ${report.skipped}")
+    assert(report.written("bronze_scholar").contains(2L)) // latest file only, stale one ignored
+    assert(report.written("silver_scholar").contains(2L))
+    assert(report.written("silver_arxiv").contains(2L))
+    assert(report.written("silver_nyt").contains(2L))
+    assert(report.written("gold_words").contains(6L)) // 3-way union
+
+    // scholar publish_dt: days-ago prefix honored, fallback to run_date
+    val ggl = wh.table("silver", "google_scholar")
+      .select("result_id", "publish_dt").collect()
+      .map(r => r.getString(0) -> r.getDate(1).toString).toMap
+    assert(ggl("r1") == "2022-12-17") // 3 days before run_date
+    assert(ggl("r2") == "2022-12-20") // fallback
+
+    // arxiv id/version parsed from abs URL
+    val arx = wh.table("silver", "arxiv").select("id", "version").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(arx == Map("2212.01234" -> "1", "2212.05678" -> "2"))
+
+    // NYT case-sensitive parse kept both case-variant keys; multimedia dropped
+    val nytCols = wh.table("bronze", "nytarchive").columns.toSeq
+    assert(!nytCols.contains("multimedia"))
+
+    // scoring: all 6 docs contain clean-tech terms → positive scores
+    val scored = wh.table("gold", "scored_articles")
+    assert(scored.count() == 6)
+    assert(scored.filter(org.apache.spark.sql.functions.col("article_score") <= 0).count() == 0)
+  }
+
+  test("re-run is incremental and idempotent: MERGE dedups arxiv, anti-join guards NYT, strict > guards scholar") {
+    val (pipe, wh, _, _) = freshPipeline()
+    pipe.run("20221220")
+    val arxBefore = wh.table("silver", "arxiv").count()
+    val nytBefore = wh.table("silver", "nytarchive").count()
+    val gglBefore = wh.table("silver", "google_scholar").count()
+
+    val report2 = pipe.run("20221220")
+    assert(report2.skipped.isEmpty)
+    assert(wh.table("silver", "arxiv").count() == arxBefore, "MERGE must not duplicate")
+    assert(wh.table("silver", "nytarchive").count() == nytBefore, "anti-join must not duplicate")
+    assert(wh.table("silver", "google_scholar").count() == gglBefore, "strict > watermark must not duplicate")
+
+    // ledger recorded MERGE metrics like DESCRIBE HISTORY
+    val last = wh.lastOperation("silver.arxiv").get
+    assert(last.getAs[String]("operation") == "MERGE")
+    assert(last.getAs[Long]("num_inserted") == 0L)
+  }
+
+  test("fresh load wipes silver+gold and rebuilds from bronze") {
+    val (pipe, wh, _, _) = freshPipeline()
+    pipe.run("20221220")
+    val report = pipe.run("20221220", freshLoad = true)
+    assert(report.skipped.isEmpty)
+    assert(wh.table("silver", "arxiv").count() == 2)
+    assert(wh.table("gold", "scored_articles").count() == 6)
+  }
+
+  test("upsert updates on higher arxiv version via MERGE semantics") {
+    val (pipe, wh, (_, arxivDir, _), _) = freshPipeline()
+    pipe.run("20221220")
+    // next day: same id 2212.01234 at v3 with later update date, plus a new id
+    Files.writeString(java.nio.file.Paths.get(arxivDir,
+      "2022-12-21_1671600000.456_arxiv.json"),
+      """{"feed": {"entry": [
+        |{"id": "http://arxiv.org/abs/2212.01234v3", "updated": "2022-12-21T10:00:00Z", "title": "Green energy v3", "summary": "updated solar study"},
+        |{"id": "http://arxiv.org/abs/2212.09999v1", "updated": "2022-12-21T11:00:00Z", "title": "Biogas", "summary": "biogas emission"}
+        |]}}""".stripMargin.replaceAll("\n", " "))
+    Stages.bronzeArxiv(spark, wh, arxivDir, "20221221")
+    Stages.silverArxiv(spark, wh)
+
+    val silver = wh.table("silver", "arxiv")
+    assert(silver.count() == 3)
+    val v = silver.filter(org.apache.spark.sql.functions.col("id") === "2212.01234")
+      .select("version").head().getString(0)
+    assert(v == "3", "matched row must take the higher-version src record")
+
+    val last = wh.lastOperation("silver.arxiv").get
+    assert(last.getAs[String]("operation") == "MERGE")
+    assert(last.getAs[Long]("num_inserted") == 1L)
+    assert(last.getAs[Long]("num_updated") == 1L)
+  }
+}
