@@ -21,6 +21,22 @@ object Oracles {
     "regexp_replace(regexp_replace(regexp_replace(lower(text), '^rt ', ''), " +
       "'(https?://)\\S+', '', 'g'), '[^a-z0-9\\s]', '', 'g')"
 
+
+  /** DuckDB mirror of [[graft.operators.Dedup.simhash64]] over 3-gram
+    * shingles of the documents table. */
+  private val simhashSigSql: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+      |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS ss
+      |       FROM tok WHERE len(toks) >= 3),
+      |hx AS (SELECT doc_id, list_transform(ss, t -> substring(sha256(t), 1, 16)) AS hexes FROM sh)
+      |SELECT doc_id, array_to_string(list_transform(range(64), j ->
+      |  CASE WHEN list_sum(list_transform(hexes, h ->
+      |    2 * ((CAST(instr('0123456789abcdef', substring(h, CAST(floor(j/4) AS INT)+1, 1)) AS INT) - 1)
+      |         // CAST(pow(2, 3 - (j % 4)) AS INT) % 2) - 1)) > 0
+      |  THEN '1' ELSE '0' END), '') AS sig
+      |FROM hx""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -161,7 +177,92 @@ object Oracles {
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
         |       CAST(row_number() OVER (PARTITION BY o_custkey
         |                               ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q21_lang_id" -> {
+      def occ(m: String) =
+        s"CAST((length(text) - length(replace(text, '$m', ''))) / ${m.length} AS INT)"
+      val (en, es, de, fr) = (occ(" the "), occ(" el "), occ(" der "), occ(" le "))
+      s"""SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
+        |       CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+        |            WHEN $es >= $de AND $es >= $fr THEN 'es'
+        |            WHEN $de >= $fr THEN 'de'
+        |            ELSE 'fr' END AS predicted_lang
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q22_quality_score" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(CASE WHEN token IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |         CAST(sum(length(token)) AS BIGINT) AS sum_len
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_stop,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |       CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+        |       CASE WHEN n_tokens >= 40 AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.05 AND 0.6 THEN 'good'
+        |            WHEN n_tokens >= 15 THEN 'ok'
+        |            ELSE 'low' END AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q23_token_count" ->
+      """SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CAST(ceil(length(token) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe_est
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |       sha256(array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_ngram_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |       CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard
+        |FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q26_minhash_lsh_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard
+        |FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q27_simhash" -> (simhashSigSql + " ORDER BY doc_id"),
+    "q28_simhash_pairs" ->
+      s"""WITH sigs AS ($simhashSigSql)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(list_sum(list_transform(range(64), i ->
+        |         CASE WHEN substring(a.sig, i+1, 1) = substring(b.sig, i+1, 1) THEN 0 ELSE 1 END)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE CAST(list_sum(list_transform(range(64), i ->
+        |         CASE WHEN substring(a.sig, i+1, 1) = substring(b.sig, i+1, 1) THEN 0 ELSE 1 END)) AS INT) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q29_embedding_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q30_ann_topk" ->
+      """SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }
+
 

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication + similarity-search queries over documents and
+  * embeddings — the scale-critical training-data operators.
+  */
+object QueriesDedup {
+
+  /** Exact n-gram Jaccard near-dup pairs (3-gram shingles, τ=0.5).
+    * The exact form joins only on co-occurring shingles — already far
+    * from O(n²) — and is the oracle for the LSH form.
+    */
+  def q25_ngram_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup
+      .ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** MinHash+LSH near-dup pairs (k=64, 32 bands × 2 rows), exact-
+    * verified. Recall ≥ 1-1e-8 at τ=0.5, precision exact — so the
+    * exact-Jaccard SQL serves as its oracle.
+    */
+  def q26_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup
+      .minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Per-document 64-bit SimHash signature (portable sha256-derived
+    * bit votes — reproducible in any engine, hence oracle-able).
+    */
+  def q27_simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", Dedup.shingles(split($"text", "\\s+"), 3).as("ss"))
+      .filter(size($"ss") > 0)
+      .select($"doc_id", Dedup.simhash64($"ss").as("sig"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup pairs, hamming ≤ 3, via the exact chunk-bucket
+    * pigeonhole join (4 chunks of 16 bits — no recall loss).
+    */
+  def q28_simhash_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup
+      .simhashPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs (τ=0.45). IDs only — cosine
+    * VALUES are not emitted because engines differ in float
+    * accumulation; membership is stable (observed margins ≫ float
+    * error).
+    */
+  def q29_embedding_cosine_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity
+      .cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.45)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries —
+    * the ANN baseline. Broadcast queries, single corpus scan.
+    */
+  def q30_ann_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** LSH-bucketed approximate top-5 (8 random hyperplanes) — the
+    * 100 TB path: probes one sign-bucket instead of the full corpus.
+    * Approximate → no SQL oracle (rows-only check); recall vs
+    * [[q30_ann_topk]] is asserted in DedupSpec.
+    */
+  def q31_ann_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .lshBucketTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+}

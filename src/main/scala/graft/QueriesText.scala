@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator queries over the documents table: language
+  * ID, quality scoring, token counting, fingerprinting (the
+  * training-data-pipeline surface beyond the reference's own NLP).
+  * All pure expressions; every query has a DuckDB oracle.
+  */
+object QueriesText {
+
+  /** Marker-substring language-ID heuristic: count per-language marker
+    * occurrences, argmax with a fixed tie order. (A real corpus would
+    * use char n-gram profiles — same plan shape: per-row expression
+    * scoring, no shuffle.)
+    */
+  def q21_lang_id(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t   = $"text"
+    val sEn = TextFunctions.occurrences(t, " the ")
+    val sEs = TextFunctions.occurrences(t, " el ")
+    val sDe = TextFunctions.occurrences(t, " der ")
+    val sFr = TextFunctions.occurrences(t, " le ")
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        sEn.as("s_en"),
+        sEs.as("s_es"),
+        sDe.as("s_de"),
+        sFr.as("s_fr"),
+        when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+          .when(sEs >= sDe && sEs >= sFr, "es")
+          .when(sDe >= sFr, "de")
+          .otherwise("fr")
+          .as("predicted_lang")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: token count, stop-word ratio, mean token length,
+    * and a quality bucket. Relational (explode → groupBy) so the same
+    * plan works at any document size without per-row array blowup.
+    */
+  def q22_quality_score(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"token".isin(TextFunctions.englishStopWords: _*), 1).otherwise(0)).as("n_stop"),
+        sum(length($"token")).as("sum_len")
+      )
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        $"n_stop",
+        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+        ($"sum_len".cast("double") / $"n_tokens").as("avg_token_len"),
+        when($"n_tokens" >= 40 && ($"n_stop".cast("double") / $"n_tokens").between(0.05, 0.6), "good")
+          .when($"n_tokens" >= 15, "ok")
+          .otherwise("low")
+          .as("quality")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (ceil(len/4) pieces per word — the standard chars-per-token
+    * heuristic).
+    */
+  def q23_token_count(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(ceil(length($"token") / 4.0)).as("n_bpe_est")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: sha256 over the sorted distinct token set —
+    * an order-invariant content signature (bag-of-words identity),
+    * the cheap exact-dedup key for shuffled/re-ordered copies.
+    */
+  def q24_fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        sha2(concat_ws(" ", array_sort(array_distinct(split($"text", "\\s+")))), 256).as("fingerprint")
+      )
+      .orderBy($"doc_id")
+  }
+}

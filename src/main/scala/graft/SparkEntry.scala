@@ -27,7 +27,18 @@ object SparkEntry {
     "q17_dedup_exact" -> (Queries.q17_dedup_exact _),
     "q18_distinct_count" -> (Queries.q18_distinct_count _),
     "q19_events_day_agg" -> (Queries.q19_events_day_agg _),
-    "q20_running_window" -> (Queries.q20_running_window _)
+    "q20_running_window" -> (Queries.q20_running_window _),
+    "q21_lang_id" -> (QueriesText.q21_lang_id _),
+    "q22_quality_score" -> (QueriesText.q22_quality_score _),
+    "q23_token_count" -> (QueriesText.q23_token_count _),
+    "q24_fingerprint" -> (QueriesText.q24_fingerprint _),
+    "q25_ngram_jaccard_pairs" -> (QueriesDedup.q25_ngram_jaccard_pairs _),
+    "q26_minhash_lsh_pairs" -> (QueriesDedup.q26_minhash_lsh_pairs _),
+    "q27_simhash" -> (QueriesDedup.q27_simhash _),
+    "q28_simhash_pairs" -> (QueriesDedup.q28_simhash_pairs _),
+    "q29_embedding_cosine_pairs" -> (QueriesDedup.q29_embedding_cosine_pairs _),
+    "q30_ann_topk" -> (QueriesDedup.q30_ann_topk _),
+    "q31_ann_lsh_topk" -> (QueriesDedup.q31_ann_lsh_topk _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
