@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque BINARY
+  * columns with a typed metadata struct, plus batch feature-extraction
+  * plumbing.
+  *
+  * The Spark-side plumbing (schema, partition sizing, batch shape,
+  * deterministic output contract) is real and tested; the actual codec
+  * call is STUBBED — this container has no image/audio libraries — as
+  * a clearly-marked deterministic fake deriving pseudo-features from a
+  * sha256 of the payload. Swap [[StubDecoder]] for a real JNI/FFI codec
+  * without touching the plumbing.
+  */
+object Multimodal {
+
+  /** media table schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType)
+    )))
+  ))
+
+  final case class MediaMeta(mime: String, width: Int, height: Int, duration_ms: Long)
+  final case class MediaRecord(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long, features: Array[Float])
+
+  /** Decode/feature-extract contract: bytes+meta → fixed-width feature
+    * vector. Implementations must be deterministic per payload.
+    */
+  trait Decoder extends Serializable {
+    def dim: Int
+    def decode(payload: Array[Byte], meta: MediaMeta): Array[Float]
+  }
+
+  /** STUB — deterministic fake: features are derived from sha256 of the
+    * payload (`???`-grade placeholder for a real image/audio codec; the
+    * container ships none). Keeps tests meaningful: same bytes → same
+    * features, different bytes → different features.
+    */
+  final class StubDecoder(val dim: Int = 16) extends Decoder {
+    def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val d = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+      Array.tabulate(dim)(i => ((d(i % d.length) & 0xff) / 255.0f))
+    }
+  }
+
+  /** Batch feature extraction: mapPartitions so a real codec can
+    * amortize per-batch init (model load, codec context) across the
+    * partition — the Scala analogue of mapInPandas' batch shape.
+    * Repartitions to `parallelism` so payload-heavy partitions stay
+    * within executor memory at scale (payloads never shuffle more than
+    * once).
+    */
+  def extractFeatures(
+      media: Dataset[MediaRecord],
+      decoder: Decoder,
+      parallelism: Int
+  ): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions { it =>
+        // per-partition init happens here (codec context, model weights)
+        it.map { r =>
+          MediaFeatures(
+            r.media_id,
+            Option(r.meta).map(_.mime).getOrElse("application/octet-stream"),
+            Option(r.payload).map(_.length.toLong).getOrElse(0L),
+            decoder.decode(Option(r.payload).getOrElse(Array.emptyByteArray), r.meta)
+          )
+        }
+      }
+  }
+
+  /** Expression-only metadata ops (no decode needed): payload size,
+    * content hash, resolution bucket — stay in codegen, used for
+    * filtering/partitioning BEFORE paying any decode cost at 100 TB.
+    */
+  def mediaStats(df: DataFrame): DataFrame =
+    df.select(
+      col("media_id"),
+      col("meta.mime").as("mime"),
+      length(col("payload")).as("n_bytes"),
+      sha2(col("payload"), 256).as("content_key"),
+      (col("meta.width") * col("meta.height")).as("n_pixels"),
+      when(col("meta.width") >= 1920, "hd")
+        .when(col("meta.width") >= 640, "sd")
+        .otherwise("thumb")
+        .as("res_bucket")
+    )
+
+  /** Frame-sample stub for video: emit every nth frame index as a
+    * (media_id, frame_idx) row — the explode pattern a real frame
+    * extractor feeds; frame decode itself is the stubbed step.
+    */
+  def sampleFrameIndexes(df: DataFrame, everyMs: Long): DataFrame =
+    df.filter(col("meta.duration_ms").isNotNull && col("meta.duration_ms") > 0)
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("frame_ms")
+      )
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference has NO stream compute
+  * (SURVEY §2.10 — its "watermark" is a batch high-water mark, kept in
+  * [[graft.operators.Watermark]]); this extends the engine to real
+  * streams over the same events schema, as the driver's `events` table
+  * invites.
+  *
+  * Batch/stream parity: [[windowedCounts]] over a bounded stream equals
+  * Queries.q19_events_day_agg's day buckets when the window is 1 day —
+  * asserted in StreamingSpec.
+  */
+object EventStreams {
+
+  /** The events schema as streamed (ts already micros). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** File-source stream over a directory of event parquet. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregation: counts + sum(value) per
+    * (window, event_type). Late data beyond the watermark is dropped;
+    * state is bounded — the 100 TB/day streaming shape.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 day",
+      watermarkDelay: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  final case class SessionSummary(user_id: Long, nEvents: Long, totalValue: Double)
+
+  /** Custom stateful aggregation via mapGroupsWithState: a running
+    * per-user session summary — the KeyValueGroupedDataset state API
+    * the reference never needed but a stream engine must expose.
+    * (NoTimeout: with ProcessingTimeTimeout Spark schedules recurring
+    * empty batches to fire timeouts, which never lets a bounded test
+    * stream quiesce; real deployments opting into timeouts accept that.)
+    */
+  def userSessions(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionSummary](GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          val evs  = batch.toSeq
+          val next = SessionState(
+            prev.nEvents + evs.size,
+            prev.totalValue + evs.map(_.value).sum,
+            math.max(prev.lastTs, evs.map(_.ts.getTime).maxOption.getOrElse(0L))
+          )
+          state.update(next)
+          SessionSummary(userId, next.nEvents, next.totalValue)
+      }
+  }
+
+  /** Run a bounded stream to completion into a memory sink and return
+    * the result — the batch-equivalence harness used by tests.
+    */
+  def runBounded(stream: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
