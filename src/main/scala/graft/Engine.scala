@@ -16,6 +16,7 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

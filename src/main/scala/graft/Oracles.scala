@@ -261,8 +261,39 @@ object Oracles {
         |         row_number() OVER (PARTITION BY a.vec_id
         |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q32_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "q33_asof_join" ->
+      """SELECT event_id, user_id, matched_orderkey, matched_dt FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey AS matched_orderkey,
+        |         strftime(o.o_orderdate, '%Y-%m-%d') AS matched_dt,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q34_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q35_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
+
 
 

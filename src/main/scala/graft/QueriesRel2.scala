@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second relational batch: grouping sets, as-of join, JSON
+  * extraction, pivot — operators beyond the reference's own surface
+  * that complete the engine's analytics coverage.
+  */
+object QueriesRel2 {
+
+  /** ROLLUP with grouping-id (multi-level aggregate in one pass —
+    * Spark plans Expand + single shuffle, not one job per level).
+    * Group-null keys are coalesced to a sentinel so output is engine-
+    * portable.
+    */
+  def q32_rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        Queries.dsum2($"l_quantity").as("sum_qty"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"gid",
+        $"sum_qty",
+        $"n"
+      )
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
+  /** As-of join (point-in-time): each event matched to the user's
+    * latest order at event time, via [[graft.operators.AsOf]].
+    */
+  def q33_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts")
+    val orders = Tables
+      .orders(spark, dir)
+      .select(
+        $"o_custkey",
+        $"o_orderdate",
+        $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("matched_dt")
+      )
+    AsOf
+      .join(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        tieBreak = "o_orderkey",
+        payload = Seq("o_orderkey", "matched_dt"))
+      .select(
+        $"event_id",
+        $"user_id",
+        $"o_orderkey".as("matched_orderkey"),
+        $"matched_dt"
+      )
+      .orderBy($"event_id")
+  }
+
+  /** JSON extraction from a string column (schema-on-read over the
+    * events props payload) — get_json_object stays a per-row
+    * expression; at scale prefer from_json with an explicit schema so
+    * parsing happens once per row, not per field.
+    */
+  def q34_json_extract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k_val"),
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k")
+          .as("k_typed")
+      )
+      .orderBy($"event_id")
+  }
+
+  /** Pivot: day × event_type counts as columns. Spark's pivot with an
+    * explicit value list is a single Expand+aggregate — no per-value
+    * scan; nulls coalesced to 0 for portability.
+    */
+  def q35_pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables
+      .events(spark, dir)
+      .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted
+      .select($"day" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy($"day")
+  }
+}

@@ -38,7 +38,11 @@ object SparkEntry {
     "q28_simhash_pairs" -> (QueriesDedup.q28_simhash_pairs _),
     "q29_embedding_cosine_pairs" -> (QueriesDedup.q29_embedding_cosine_pairs _),
     "q30_ann_topk" -> (QueriesDedup.q30_ann_topk _),
-    "q31_ann_lsh_topk" -> (QueriesDedup.q31_ann_lsh_topk _)
+    "q31_ann_lsh_topk" -> (QueriesDedup.q31_ann_lsh_topk _),
+    "q32_rollup" -> (QueriesRel2.q32_rollup _),
+    "q33_asof_join" -> (QueriesRel2.q33_asof_join _),
+    "q34_json_extract" -> (QueriesRel2.q34_json_extract _),
+    "q35_pivot" -> (QueriesRel2.q35_pivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

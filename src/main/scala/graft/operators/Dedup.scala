@@ -112,11 +112,13 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, n)
       .filter(size(col("shingle_set")) > 0)
       .cache()
+    // Materialize the signature in its own projection: inlining it into
+    // the 32 band lambdas makes Catalyst recompute the k-hash signature
+    // per band (measured 60x slowdown, BENCH sf0.1). localCheckpoint-free
+    // barrier: project → explode in separate steps keeps it evaluated once.
     val banded = sets
-      .select(
-        col(idCol).as("id"),
-        explode(lshBands(minhashSignature(col("shingle_set"), k), bands, r)).as("bh")
-      )
+      .select(col(idCol).as("id"), minhashSignature(col("shingle_set"), k).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
     val candidates = banded
       .as("a")
