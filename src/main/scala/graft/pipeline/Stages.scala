@@ -87,6 +87,14 @@ object Stages {
     */
   private def runDateAsDate = to_date(col("run_date").cast("string"), "yyyyMMdd").as("run_date")
 
+  /** Schema-drift guard (SURVEY §7.4.4): bronze schemas are inferred
+    * from JSON, so a batch missing an optional field would otherwise
+    * fail the silver cast. Absent columns become typed nulls — total
+    * casts over drifting inputs.
+    */
+  private def colOrNull(df: DataFrame, name: String, tpe: String) =
+    if (df.columns.contains(name)) col(name).cast(tpe) else lit(null).cast(tpe)
+
   /** Scholar silver (silver_google_scholar.py:77-163): typed projection,
     * publish_dt from the days-ago snippet prefix with run_date fallback,
     * sha2 surrogate key; first load CTAS, then strict-`>` watermark
@@ -98,13 +106,13 @@ object Stages {
     if (!wm.consistentWith("silver", "google_scholar"))
       return Left("watermark/table existence mismatch for google_scholar")
 
-    val typed = wh
-      .table("bronze", "google_scholar")
+    val bronze = wh.table("bronze", "google_scholar")
+    val typed = bronze
       .select(
-        col("link").cast("string"),
-        col("result_id").cast("string"),
-        col("snippet").cast("string"),
-        col("title").cast("string"),
+        colOrNull(bronze, "link", "string").as("link"),
+        colOrNull(bronze, "result_id", "string").as("result_id"),
+        colOrNull(bronze, "snippet", "string").as("snippet"),
+        colOrNull(bronze, "title", "string").as("title"),
         col("source_file_name").cast("string"),
         runDateAsDate,
         col("load_ts").cast("timestamp")
@@ -153,16 +161,16 @@ object Stages {
     if (!wm.consistentWith("silver", "arxiv"))
       return Left("watermark/table existence mismatch for arxiv")
 
+    val bronze = wh.table("bronze", "arxiv")
     val abs = split(col("id"), "/").getItem(4)
-    val typed = wh
-      .table("bronze", "arxiv")
+    val typed = bronze
       .select(
         split(abs, "v").getItem(0).cast("string").as("id"),
         split(abs, "v").getItem(1).cast("string").as("version"),
         col("id").cast("string").as("link"),
-        col("summary").cast("string"),
-        col("title").cast("string"),
-        to_date(substring(col("updated"), 1, 10)).as("updated_dt"),
+        colOrNull(bronze, "summary", "string").as("summary"),
+        colOrNull(bronze, "title", "string").as("title"),
+        to_date(substring(colOrNull(bronze, "updated", "string"), 1, 10)).as("updated_dt"),
         col("source_file_name").cast("string"),
         runDateAsDate,
         col("load_ts").cast("timestamp")
@@ -196,14 +204,14 @@ object Stages {
     */
   def silverNyt(spark: SparkSession, wh: Warehouse): Either[String, Long] = {
     if (!wh.tableExists("bronze", "nytarchive")) return Left("bronze.nytarchive missing")
-    val typed = wh
-      .table("bronze", "nytarchive")
+    val bronze = wh.table("bronze", "nytarchive")
+    val typed = bronze
       .select(
         col("_id").cast("string").as("id"),
-        col("abstract").cast("string"),
-        col("lead_paragraph").cast("string"),
-        col("snippet").cast("string"),
-        to_date(substring(col("pub_date"), 1, 10)).as("publish_dt"),
+        colOrNull(bronze, "abstract", "string").as("abstract"),
+        colOrNull(bronze, "lead_paragraph", "string").as("lead_paragraph"),
+        colOrNull(bronze, "snippet", "string").as("snippet"),
+        to_date(substring(colOrNull(bronze, "pub_date", "string"), 1, 10)).as("publish_dt"),
         col("source_file_name").cast("string"),
         runDateAsDate,
         col("load_ts").cast("timestamp")

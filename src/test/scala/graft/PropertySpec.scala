@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Dedup, Upsert}
+import graft.functions.TextFunctions
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY §7.5a): surrogate-key stability,
+  * upsert row preservation and version monotonicity, dedup symmetry.
+  * Uses ScalaCheck generators with explicit seeded sampling (the
+  * scalatest-scalacheck bridge artifact is not on the offline
+  * classpath).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val sampleRnd = new scala.util.Random(7)
+  private def sample[A](g: Gen[A]): A =
+    Iterator.continually(g.sample).flatten.next()
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 8).foreach(_ => f(sample(ga), sample(gb)))
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    (1 to 8).foreach(_ => f(sample(ga)))
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  private val keyGen = Gen.chooseNum(0L, 30L)
+  private val verGen = Gen.chooseNum(1, 5)
+  private val rowsGen = Gen.listOfN(12, Gen.zip(keyGen, Gen.alphaStr.map(_.take(6)), verGen))
+
+  test("upsert preserves the key union and never lowers a version") {
+    import spark.implicits._
+    forAll(rowsGen, rowsGen) { (t, s) =>
+      whenever(t.nonEmpty && s.nonEmpty) {
+        val tgt = t.groupBy(_._1).map(_._2.head).toSeq.toDF("k", "payload", "v")
+        val src = s.groupBy(_._1).map(_._2.head).toSeq.toDF("k", "payload", "v")
+        val out = Upsert.plan(tgt, src, Seq("k"), "v").collect()
+        val tgtMap = t.groupBy(_._1).map { case (k, vs) => k -> vs.head._3 }
+        val keys = out.map(_.getLong(0)).toSet
+        assert(keys == (tgtMap.keySet ++ s.map(_._1)))
+        // per-key version is >= the target's version (never downgraded)
+        out.foreach { r =>
+          tgtMap.get(r.getLong(0)).foreach(tv => assert(r.getInt(2) >= tv))
+        }
+      }
+    }
+  }
+
+  test("surrogate keys are stable and injective over (id, version) at test sizes") {
+    import spark.implicits._
+    forAll(Gen.listOfN(20, Gen.zip(Gen.alphaNumStr.map(_.take(8)), verGen))) { pairs =>
+      whenever(pairs.nonEmpty) {
+        import org.apache.spark.sql.functions._
+        val df = pairs.toDF("id", "v")
+          .select(sha2(concat_ws("||", col("id"), col("v")), 256).as("sk"), col("id"), col("v"))
+        val n = df.select("id", "v").distinct().count()
+        assert(df.select("sk").distinct().count() == n)
+        // deterministic: recomputation yields identical keys
+        val again = pairs.toDF("id", "v")
+          .select(sha2(concat_ws("||", col("id"), col("v")), 256).as("sk"))
+        assert(df.select("sk").collect().toSet == again.collect().toSet)
+      }
+    }
+  }
+
+  test("lemmatizer never emits tokens of length <= 2 and is idempotent on its own output") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tokGen = Gen.listOfN(8, Gen.oneOf("studies", "glasses", "cats", "cat", "bus",
+      "analysis", "ran", "xy", "a", "windows", "pass"))
+    forAll(tokGen) { toks =>
+      val out = Seq(toks).toDF("t")
+        .select(TextFunctions.lemmatize(col("t")).as("l"))
+        .head().getSeq[String](0)
+      assert(out.forall(_.length > 2))
+      val again = Seq(out).toDF("t")
+        .select(TextFunctions.lemmatize(col("t")).as("l"))
+        .head().getSeq[String](0)
+      assert(again == out)
+    }
+  }
+
+  test("hammingBits is symmetric, zero on identity, bounded by length") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bits = Gen.listOfN(16, Gen.oneOf('0', '1')).map(_.mkString)
+    forAll(bits, bits) { (a, b) =>
+      val Seq(ab, ba, aa) = Seq((a, b), (b, a), (a, a)).map { case (x, y) =>
+        Seq((x, y)).toDF("a", "b").select(Dedup.hammingBits(col("a"), col("b"))).head().getInt(0)
+      }
+      assert(ab == ba)
+      assert(aa == 0)
+      assert(ab >= 0 && ab <= 16)
+    }
+  }
+}
