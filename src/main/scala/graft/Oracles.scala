@@ -291,9 +291,21 @@ object Oracles {
         |       count(*) FILTER (event_type = 'purchase') AS purchase,
         |       count(*) FILTER (event_type = 'signup') AS signup,
         |       count(*) FILTER (event_type = 'view') AS view
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_sql_revenue" ->
+      """SELECT o_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_dt
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin
   )
 }
+
 
 
 

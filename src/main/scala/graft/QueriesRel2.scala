@@ -99,4 +99,26 @@ object QueriesRel2 {
       .select($"day" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
       .orderBy($"day")
   }
+
+  /** SQL-string API surface: the same engine drives spark.sql over
+    * registered temp views (TPC-H Q3 shape: top unshipped orders by
+    * revenue). Exercises the full parse→analyze→optimize path on a
+    * multi-join aggregate.
+    */
+  def q36_sql_revenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT o_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       date_format(o_orderdate, 'yyyy-MM-dd') AS order_dt
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
 }

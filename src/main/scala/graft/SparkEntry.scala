@@ -42,7 +42,8 @@ object SparkEntry {
     "q32_rollup" -> (QueriesRel2.q32_rollup _),
     "q33_asof_join" -> (QueriesRel2.q33_asof_join _),
     "q34_json_extract" -> (QueriesRel2.q34_json_extract _),
-    "q35_pivot" -> (QueriesRel2.q35_pivot _)
+    "q35_pivot" -> (QueriesRel2.q35_pivot _),
+    "q36_sql_revenue" -> (QueriesRel2.q36_sql_revenue _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
