@@ -58,6 +58,29 @@ final class Warehouse(spark: SparkSession, root: String) {
     rows
   }
 
+  /** CTAS partitioned by the given columns (hive-style directories).
+    * Partitioning silver/gold by run_date gives dynamic partition
+    * pruning on date-filtered reads for free (SURVEY §4) — the scan
+    * shows PartitionFilters instead of reading every file.
+    */
+  def createOrReplacePartitioned(
+      layer: String,
+      table: String,
+      df: DataFrame,
+      partitionCols: Seq[String]
+  ): Long = {
+    val target  = new Path(tablePath(layer, table))
+    val staging = new Path(tablePath(layer, table) + ".__staging")
+    fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging.toString)
+    val rows = spark.read.parquet(staging.toString).count()
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    logOp(layer, table, "CREATE OR REPLACE", inserted = rows, updated = 0, outputRows = rows)
+    rows
+  }
+
   /** INSERT INTO ... SELECT (reference silver_google_scholar.py:148). */
   def append(layer: String, table: String, df: DataFrame): Long = {
     val n = df.count()
