@@ -65,15 +65,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature (k hash functions) over a shingle array:
-    * sig[s] = min over shingles of xxhash64(s, shingle). Pure
-    * expression — k × |shingles| hashes, all codegen.
+  /** Per-shingle 64-bit base hash: ONE string hash per shingle; the k
+    * signature functions then hash this 8-byte value, not the string
+    * (k× cheaper on long shingles). MUST be materialized in its own
+    * projection before [[minhashFromHashes]] (see the CollapseProject
+    * note there). The textbook multiply-add construction
+    * (Kirsch–Mitzenmacher) is unusable under ANSI mode — long overflow
+    * throws — so seeded re-hashing of the base long stands in.
+    */
+  def minhashBaseHashes(shingleCol: Column): Column =
+    transform(shingleCol, x => xxhash64(lit(0), x))
+
+  /** k-element signature from precomputed base hashes. The `when` guard
+    * references the base column twice on purpose: CollapseProject only
+    * declines to merge adjacent projections when the producer expression
+    * is non-cheap AND referenced more than once — without it Catalyst
+    * inlines the base-hash computation into all k lambda bodies and
+    * recomputes it per hash function (the same trap measured at 60x on
+    * the band expressions).
+    */
+  def minhashFromHashes(baseCol: Column, k: Int): Column =
+    when(
+      size(baseCol) < 0,
+      lit(null)
+    ).otherwise(
+      transform(
+        sequence(lit(0), lit(k - 1)),
+        s => array_min(transform(baseCol, e => xxhash64(s, e)))
+      )
+    )
+
+  /** MinHash signature over a shingle array (single-column form; for
+    * performance-critical paths split into [[minhashBaseHashes]] +
+    * [[minhashFromHashes]] across two projections).
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingleCol, x => xxhash64(s, x)))
-    )
+    minhashFromHashes(minhashBaseHashes(shingleCol), k)
 
   /** LSH band keys from a signature: bands of r rows each, hashed.
     * Returns array<struct<band:int, h:long>>.
@@ -117,7 +144,8 @@ object Dedup {
     // per band (measured 60x slowdown, BENCH sf0.1). localCheckpoint-free
     // barrier: project → explode in separate steps keeps it evaluated once.
     val banded = sets
-      .select(col(idCol).as("id"), minhashSignature(col("shingle_set"), k).as("sig"))
+      .select(col(idCol).as("id"), minhashBaseHashes(col("shingle_set")).as("bh0"))
+      .select(col("id"), minhashFromHashes(col("bh0"), k).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
     val candidates = banded
