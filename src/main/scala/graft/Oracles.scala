@@ -302,9 +302,22 @@ object Oracles {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q37_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM o),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f)
+        |SELECT user_id, CAST(sess_seq AS INT) AS session_seq, count(*) AS n_events,
+        |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, session_seq""".stripMargin
   )
 }
+
 
 
 

@@ -121,4 +121,16 @@ object QueriesRel2 {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 20""".stripMargin)
   }
+
+  /** Gap-based sessionization over the event stream (30-minute gap) —
+    * the batch twin of Structured Streaming session windows, via
+    * [[graft.operators.Windows.sessionize]].
+    */
+  def q37_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Windows
+      .sessionize(Tables.events(spark, dir), key = "user_id", tsCol = "ts",
+        tieBreak = "event_id", gapMicros = 1800000000L)
+      .orderBy($"user_id", $"session_seq")
+  }
 }

@@ -43,7 +43,8 @@ object SparkEntry {
     "q33_asof_join" -> (QueriesRel2.q33_asof_join _),
     "q34_json_extract" -> (QueriesRel2.q34_json_extract _),
     "q35_pivot" -> (QueriesRel2.q35_pivot _),
-    "q36_sql_revenue" -> (QueriesRel2.q36_sql_revenue _)
+    "q36_sql_revenue" -> (QueriesRel2.q36_sql_revenue _),
+    "q37_sessionize" -> (QueriesRel2.q37_sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -35,4 +35,35 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sum(value).over(w)
   }
+
+  /** Gap-based sessionization (batch form of session windows): a new
+    * session starts when the gap to the previous event of the same key
+    * exceeds `gapMicros`. One shuffle on the key, two window passes
+    * (lag + running sum) over the same partitioning — Spark reuses the
+    * sort. Returns one row per (key, session_seq) with count and
+    * epoch-microsecond bounds.
+    */
+  def sessionize(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      tieBreak: String,
+      gapMicros: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieBreak))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSess = when(
+      prev.isNull || (unix_micros(col(tsCol)) - unix_micros(prev)) > gapMicros,
+      1
+    ).otherwise(0)
+    df.withColumn("__new_sess", newSess)
+      .withColumn("session_seq", sum(col("__new_sess")).over(run).cast("int"))
+      .groupBy(col(key), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us")
+      )
+  }
 }
