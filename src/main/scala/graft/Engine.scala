@@ -4,11 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** SparkSession factory for the graft engine.
   *
-  * Settings chosen for oracle parity (UTC, ANSI off) and for scale:
-  * AQE on (runtime re-planning, skew-join handling), shuffle
-  * partitions sized to the local core count rather than the 200
+  * Settings chosen for oracle parity (UTC, ANSI on — pinned, see below)
+  * and for scale: AQE on (runtime re-planning, skew-join handling),
+  * shuffle partitions sized to the local core count rather than the 200
   * default — on a real cluster this would be set to ~2-3x total
   * executor cores.
+  *
+  * `spark.sql.ansi.enabled=true` is pinned explicitly rather than
+  * inherited from the Spark 4 default: the engine DEPENDS on ANSI
+  * semantics (e.g. [[graft.operators.Dedup]] uses seeded re-hashing
+  * instead of multiply-add minhash because long overflow throws under
+  * ANSI), so a cluster-level override must not silently change it.
+  *
+  * `spark.sql.legacy.parquet.nanosAsLong=true` is a session-build conf
+  * (not mutated inside table accessors): the events table is
+  * TIMESTAMP(NANOS) parquet, which the vectorized reader otherwise
+  * rejects; [[Tables.events]] truncates the long nanos to micros.
   */
 object Engine {
   def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
@@ -22,6 +33,8 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,10 +22,16 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects; read nanos as long and truncate to micros (DuckDB
-    * truncates the same way, so oracle comparisons agree).
+    * truncates the same way, so oracle comparisons agree). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build
+    * ([[Engine.session]], `Verify`, `Bench`) — accessors never mutate
+    * session conf.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build (see Engine.session)"
+    )
     read(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE-style upsert as a plain Spark join — the Delta-replacement for
@@ -13,32 +14,67 @@ import org.apache.spark.sql.functions._
   * src side (a daily batch) is usually much smaller than tgt — Catalyst
   * / AQE picks broadcast or shuffled-hash automatically; if tgt is
   * bucketed by the key the shuffle disappears entirely.
+  *
+  * Delta-parity edge semantics:
+  *   - Which side a row came from is tracked with presence markers, NOT
+  *     key-null heuristics — so target rows whose key IS NULL survive a
+  *     merge untouched (a null src key only pairs with a null tgt key
+  *     via the null-safe join, and an unmatched tgt row is always kept).
+  *   - Multiple source rows matching the SAME target row raise at
+  *     execution time, mirroring Delta's "multiple source rows matched
+  *     and attempted to modify the same target row" error
+  *     (reference silver_arxiv.py:145-151 relies on it). Duplicate
+  *     source keys that match no target row are all inserted — exactly
+  *     what Delta's WHEN NOT MATCHED INSERT does.
   */
 object Upsert {
 
   /** Row-level outcome column added by [[plan]]. */
   val ActionCol = "merge_action"
 
+  private val TgtMark = "__graft_tgt_present"
+  private val SrcMark = "__graft_src_present"
+  private val SrcKeyRows = "__graft_src_key_rows"
+
   /** Build the merged DataFrame. `tgt` and `src` must share a schema.
     * Matched rows take the src version only when `src.versionCol >
     * tgt.versionCol` (the reference's conditional-update predicate);
     * unmatched src rows are inserts; unmatched tgt rows are kept.
     * Adds [[ActionCol]] ∈ {update, insert, keep}.
+    *
+    * The per-key src row count comes from a window over the same keys
+    * the join shuffles on, so Catalyst reuses one Exchange — the
+    * duplicate-source guard costs a sort, not an extra shuffle.
     */
   def plan(tgt: DataFrame, src: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
     require(tgt.columns.sameElements(src.columns), "tgt/src schemas must match")
-    val t = tgt.alias("t")
-    val s = src.alias("s")
-    val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val matched  = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _) &&
-      keys.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
-    val srcWins = matched && (col(s"s.$versionCol") > col(s"t.$versionCol"))
-    val inserted = keys.map(k => col(s"t.$k").isNull).reduce(_ && _)
+    val srcKeyWindow = Window.partitionBy(keys.map(col): _*)
+    val t = tgt.withColumn(TgtMark, lit(true)).alias("t")
+    val s = src
+      .withColumn(SrcMark, lit(true))
+      .withColumn(SrcKeyRows, count(lit(1)).over(srcKeyWindow))
+      .alias("s")
+    val joinCond   = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val tgtPresent = col(s"t.$TgtMark").isNotNull
+    val srcPresent = col(s"s.$SrcMark").isNotNull
+    val matched    = tgtPresent && srcPresent
+    val srcWins    = matched && (col(s"s.$versionCol") > col(s"t.$versionCol"))
+    val inserted   = srcPresent && !tgtPresent
     val useSrc: Column = inserted || srcWins
     val merged = tgt.columns.map { c =>
       when(useSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
-    val action = when(inserted, lit("insert"))
+    val dupMatched = matched && col(s"s.$SrcKeyRows") > 1
+    val action = when(
+      dupMatched,
+      raise_error(
+        concat(
+          lit("MERGE failed: multiple source rows matched the target row for key ("),
+          concat_ws(",", keys.map(k => col(s"s.$k").cast("string")): _*),
+          lit(")")
+        )
+      )
+    ).when(inserted, lit("insert"))
       .when(srcWins, lit("update"))
       .otherwise(lit("keep"))
       .as(ActionCol)
@@ -53,15 +89,28 @@ object Upsert {
     def outputRows: Long = inserted + updated + kept
   }
 
-  /** Run the merge and return (result, metrics). One job: the action
-    * column is aggregated from the same plan that produces the output.
+  /** Cached merge: `merged` (with [[ActionCol]]) is the cached plan the
+    * metrics were counted from; write [[result]] while the cache is
+    * warm, then call [[unpersist]] — the caller owns the lifetime, so
+    * the cache entry is evicted exactly once per merge.
+    */
+  final case class MergeResult(merged: DataFrame, metrics: WriteMetrics) {
+    /** Output rows without the action column. */
+    def result: DataFrame = merged.drop(ActionCol)
+    /** Evict the cached merge relation (the exact plan that was cached). */
+    def unpersist(): Unit = { merged.unpersist(); () }
+  }
+
+  /** Run the merge and return the cached result + metrics. One job: the
+    * action column is aggregated from the same plan that produces the
+    * output, and the cache makes the subsequent write reuse it.
     */
   def mergeWithMetrics(
       tgt: DataFrame,
       src: DataFrame,
       keys: Seq[String],
       versionCol: String
-  ): (DataFrame, WriteMetrics) = {
+  ): MergeResult = {
     val merged = plan(tgt, src, keys, versionCol).cache()
     val counts = merged
       .groupBy(col(ActionCol))
@@ -74,6 +123,6 @@ object Upsert {
       counts.getOrElse("update", 0L),
       counts.getOrElse("keep", 0L)
     )
-    (merged.drop(ActionCol), m)
+    MergeResult(merged, m)
   }
 }

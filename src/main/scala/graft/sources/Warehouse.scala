@@ -105,13 +105,14 @@ final class Warehouse(spark: SparkSession, root: String) {
       val n = createOrReplace(layer, table, src)
       return Upsert.WriteMetrics(inserted = n, updated = 0, kept = 0)
     }
-    val tgt          = this.table(layer, table)
-    val (merged, m)  = Upsert.mergeWithMetrics(tgt, src, keys, versionCol)
+    val tgt     = this.table(layer, table)
+    val mr      = Upsert.mergeWithMetrics(tgt, src, keys, versionCol)
+    val m       = mr.metrics
     val target  = new Path(tablePath(layer, table))
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    merged.unpersist()
+    try mr.result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    finally mr.unpersist() // evict the cached merge plan itself, not a derived projection
     fs.delete(target, true)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"rename $staging -> $target failed")

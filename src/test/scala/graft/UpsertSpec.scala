@@ -25,11 +25,22 @@ class UpsertSpec extends SparkSpec {
 
   test("mergeWithMetrics counts inserted/updated/kept like Delta operationMetrics") {
     val (tgt, src) = fixture
-    val (out, m) = Upsert.mergeWithMetrics(tgt, src, Seq("k"), "v")
-    assert(m == Upsert.WriteMetrics(inserted = 1, updated = 1, kept = 2))
-    assert(m.outputRows == 4)
-    assert(out.columns.toSeq == Seq("k", "payload", "v")) // action col dropped
-    assert(out.count() == 4)
+    val mr = Upsert.mergeWithMetrics(tgt, src, Seq("k"), "v")
+    assert(mr.metrics == Upsert.WriteMetrics(inserted = 1, updated = 1, kept = 2))
+    assert(mr.metrics.outputRows == 4)
+    assert(mr.result.columns.toSeq == Seq("k", "payload", "v")) // action col dropped
+    assert(mr.result.count() == 4)
+    mr.unpersist()
+  }
+
+  test("mergeWithMetrics releases its cache entry on unpersist (no leak across merges)") {
+    val (tgt, src) = fixture
+    val before = spark.sharedState.cacheManager.isEmpty
+    val mr = Upsert.mergeWithMetrics(tgt, src, Seq("k"), "v")
+    assert(!spark.sharedState.cacheManager.isEmpty, "merge plan should be cached during the merge")
+    mr.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty || !before,
+      "cached merge relation must be evicted after unpersist")
   }
 
   test("row preservation invariant: output keys = union of tgt and src keys") {
@@ -37,5 +48,49 @@ class UpsertSpec extends SparkSpec {
     val out = Upsert.plan(tgt, src, Seq("k"), "v")
     val expected = tgt.select("k").union(src.select("k")).distinct().count()
     assert(out.count() == expected)
+  }
+
+  test("multiple source rows matching one target row raise like Delta MERGE") {
+    import spark.implicits._
+    val tgt = Seq((1L, "a", 1)).toDF("k", "payload", "v")
+    val src = Seq((1L, "a-v2", 2), (1L, "a-v3", 3)).toDF("k", "payload", "v")
+    val e = intercept[Exception] {
+      Upsert.plan(tgt, src, Seq("k"), "v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple source rows matched")),
+      s"expected Delta-style dup-source error, got: $e")
+  }
+
+  test("duplicate source keys that match NO target row are all inserted (Delta parity)") {
+    import spark.implicits._
+    val tgt = Seq((1L, "a", 1)).toDF("k", "payload", "v")
+    val src = Seq((9L, "x1", 1), (9L, "x2", 1)).toDF("k", "payload", "v")
+    val out = Upsert.plan(tgt, src, Seq("k"), "v").orderBy("k", "payload").collect()
+    assert(out.length == 3)
+    assert(out.count(_.getString(3) == "insert") == 2) // both WHEN NOT MATCHED inserts
+    assert(out.count(_.getString(3) == "keep") == 1)
+  }
+
+  test("a null-key target row survives the merge untouched") {
+    import spark.implicits._
+    val tgt = Seq((Some(1L), "a", 1), (None, "null-key-row", 7)).toDF("k", "payload", "v")
+    val src = Seq((Some(2L), "b", 1)).toDF("k", "payload", "v")
+    val out = Upsert.plan(tgt, src, Seq("k"), "v").collect()
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getString(1) == "null-key-row") // payload NOT wiped to null
+    assert(nullRow.getInt(2) == 7)
+    assert(nullRow.getString(3) == "keep")
+  }
+
+  test("null keys match null-safely: a null-key src row conditionally updates a null-key tgt row") {
+    import spark.implicits._
+    val tgt = Seq((Some(1L), "a", 1), (None, "old", 1)).toDF("k", "payload", "v")
+    val src = Seq((Option.empty[Long], "new", 2)).toDF("k", "payload", "v")
+    val out = Upsert.plan(tgt, src, Seq("k"), "v").collect()
+    assert(out.length == 2)
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getString(1) == "new" && nullRow.getString(3) == "update")
   }
 }
