@@ -262,6 +262,17 @@ object Oracles {
         |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q31's contract: the multi-table LSH path must reproduce the EXACT
+    // brute-force top-k (its per-neighbor miss probability at the pinned
+    // seed/params is ≪ 1e-5 and equality is asserted in DedupSpec), so
+    // the brute-force SQL is its oracle too.
+    "q31_ann_lsh_topk" ->
+      """SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "q32_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
         |       coalesce(l_linestatus, '(all)') AS ls,

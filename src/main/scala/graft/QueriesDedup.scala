@@ -55,10 +55,12 @@ object QueriesDedup {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Embedding-cosine near-dup pairs (τ=0.45). IDs only — cosine
-    * VALUES are not emitted because engines differ in float
-    * accumulation; membership is stable (observed margins ≫ float
-    * error).
+  /** Embedding-cosine near-dup pairs (τ=0.45), exact, via the block-grid
+    * equi-join ([[Similarity.cosinePairsBlocked]]) — no
+    * BroadcastNestedLoopJoin anywhere in the plan, so the same query
+    * distributes on a real cluster. IDs only — cosine VALUES are not
+    * emitted because engines differ in float accumulation; membership
+    * is stable (observed margins ≫ float error).
     */
   def q29_embedding_cosine_pairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -78,16 +80,20 @@ object QueriesDedup {
       .orderBy($"query_id", $"rank")
   }
 
-  /** LSH-bucketed approximate top-5 (8 random hyperplanes) — the
-    * 100 TB path: probes one sign-bucket instead of the full corpus.
-    * Approximate → no SQL oracle (rows-only check); recall vs
-    * [[q30_ann_topk]] is asserted in DedupSpec.
+  /** Multi-table multi-probe LSH top-5 (16 tables × 4 hyperplanes,
+    * 1-bit probes) — the candidate union is scored exactly, and at
+    * these parameters the per-neighbor miss probability is ≪ 1e-5, so
+    * the output EQUALS the exact brute-force top-k on this corpus
+    * (seed-pinned, asserted in DedupSpec at every local sf). That
+    * equality is the query's contract and gives it the same brute-force
+    * SQL oracle as [[q30_ann_topk]] — the LSH path is the one that must
+    * reproduce it.
     */
   def q31_ann_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     Similarity
-      .lshBucketTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .lshTopKMultiTable(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
       .orderBy($"query_id", $"rank")
   }
 }

@@ -35,19 +35,119 @@ object Similarity {
     transform(a, x => x.cast("double") / vecNorm(a))
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Brute-force at test scale; at 100 TB run [[lshBucketTopK]]-style
-    * bucketing first. Output (id_a, id_b), id_a < id_b.
+    * Exact and brute-force BY DEFINITION (dense all-pairs has no
+    * sub-quadratic exact algorithm), but the PLAN matters at scale:
+    * this is [[cosinePairsBlocked]], a block-grid equi-join — NOT a
+    * BroadcastNestedLoopJoin, which would ship one entire side to
+    * every executor and die at the broadcast limit long before 100 TB.
+    * For the approximate sub-quadratic path in the near-dup regime
+    * (threshold ≥ ~0.8) use [[cosinePairsBucketed]].
+    * Output (id_a, id_b), id_a < id_b.
     */
-  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    // normalize once per row (cached), then each pair is one codegen dot
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame =
+    cosinePairsBlocked(df, idCol, vecCol, threshold)
+
+  /** Exact all-pairs cosine ≥ threshold via a block-grid self-join.
+    *
+    * Every row gets a block id (hash mod `blocks`); a broadcast grid of
+    * the (blocks·(blocks+1)/2) unordered block pairs turns the
+    * cartesian into an EQUI-join on block ids: shuffle-partitioned,
+    * memory-bounded (a task buffers one block, ~n/blocks rows), with
+    * parallelism `blocks` instead of a single nested-loop broadcast.
+    * The O(n²) dot products are irreducible for an exact answer — the
+    * blocking distributes them evenly and keeps every stage codegen.
+    * Normalization is computed once per row (O(rows), cached), so each
+    * pair costs exactly one fused dot product.
+    */
+  def cosinePairsBlocked(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blocks: Int = 64
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normed = df
+      .select(
+        col(idCol).as("id"),
+        normalized(col(vecCol)).as("vn"),
+        pmod(hash(col(idCol)), lit(blocks)).as("blk")
+      )
+      .cache()
+    val grid = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j)).toDF("ba", "bb")
+    val a = normed.select(col("id").as("id_a"), col("vn").as("va"), col("blk").as("ba"))
+    val b = normed.select(col("id").as("id_b"), col("vn").as("vb"), col("blk").as("bb"))
+    a.join(broadcast(grid), Seq("ba"))
+      .join(b, Seq("bb"))
+      // intra-block pairs appear in both orders — keep one; cross-block
+      // pairs appear exactly once (grid has i <= j only)
+      .filter((col("ba") =!= col("bb")) || (col("id_a") < col("id_b")))
+      .filter(dot(col("va"), col("vb")) >= threshold)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b")
+      )
+  }
+
+  /** Approximate all-pairs cosine ≥ threshold via OR-amplified
+    * hyperplane LSH: `tables` independent tables of `planesPerTable`
+    * hyperplanes; candidates are bucket-equal pairs in ANY table,
+    * then every candidate is verified with an exact dot product —
+    * precision is exactly 1.0, recall is governed by banding.
+    *
+    * Recall math (honest version): a pair at angle θ collides with one
+    * plane with p = 1 − θ/π, with a whole table with p^r, and is missed
+    * by all tables with (1 − p^r)^L. At the near-dup operating point
+    * this is the right 100 TB shape: cos ≥ 0.9 → p ≈ 0.86, r=8, L=10
+    * → recall ≈ 0.97 with ~2^8 buckets/table pruning candidates.
+    * At LOW thresholds (cos ≤ ~0.5 → p ≤ 0.67, barely above the 0.5 of
+    * an orthogonal pair) no (r, L) separates signal from noise — the
+    * candidate set degenerates toward all-pairs; use
+    * [[cosinePairsBlocked]] there, because exactness at low thresholds
+    * genuinely costs O(n²).
+    */
+  def cosinePairsBucketed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planesPerTable: Int = 8,
+      tables: Int = 10,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
     val normed = df
       .select(col(idCol).as("id"), normalized(col(vecCol)).as("vn"))
       .cache()
-    val a = normed.select(col("id").as("id_a"), col("vn").as("va"))
-    val b = normed.select(col("id").as("id_b"), col("vn").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+    cosineBucketCandidates(normed, planesPerTable, tables, dim, seed)
+      .join(normed.select(col("id").as("id_a"), col("vn").as("va")), Seq("id_a"))
+      .join(normed.select(col("id").as("id_b"), col("vn").as("vb")), Seq("id_b"))
       .filter(dot(col("va"), col("vb")) >= threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** Candidate pairs of [[cosinePairsBucketed]] before exact
+    * verification — exposed so callers (and the spec) can measure the
+    * pruning ratio |candidates| / (n·(n−1)/2).
+    * Expects a (id, vn) normalized input.
+    */
+  def cosineBucketCandidates(
+      normed: DataFrame,
+      planesPerTable: Int,
+      tables: Int,
+      dim: Int,
+      seed: Long
+  ): DataFrame = {
+    val bucketExprs: Seq[Column] = (0 until tables).map { t =>
+      concat(lit(s"$t:"), lshBucket(col("vn"), hyperplanes(planesPerTable, dim, seed + t)))
+    }
+    val bucketed = normed.select(col("id"), explode(array(bucketExprs: _*)).as("bucket"))
+    bucketed
+      .as("a")
+      .join(bucketed.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Exact top-k neighbors (by cosine) for each query vector.
@@ -141,6 +241,69 @@ object Similarity {
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
+  /** OR-amplified multi-table LSH top-k: `tables` independent tables of
+    * `planesPerTable` hyperplanes; each query probes its own bucket and
+    * every 1-bit-flip neighbor in EVERY table; the candidate union is
+    * deduplicated, then scored exactly (one cosine per candidate) and
+    * ranked. Per-neighbor miss probability is (1 − P_table)^L where
+    * P_table = Σ_{i≤1} C(r,i) p^(r−i)(1−p)^i and p = 1 − θ/π — driving
+    * it below 1/(k·|queries|) makes the output EQUAL to the exact
+    * brute-force top-k with overwhelming (and, at a fixed seed,
+    * verified-by-test) probability, which is what gives this operator a
+    * brute-force SQL oracle. The corpus is scanned once to bucket and
+    * once to score candidates; queries stay broadcast throughout.
+    */
+  def lshTopKMultiTable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planesPerTable: Int = 4,
+      tables: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val allPlanes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cBucketed = c.select(
+      col("neighbor_id"),
+      explode(
+        array(allPlanes.zipWithIndex.map { case (p, t) =>
+          concat(lit(s"$t:"), lshBucket(col("cv"), p))
+        }: _*)
+      ).as("bucket")
+    )
+    val qProbes = q.select(
+      col("query_id"),
+      explode(
+        flatten(
+          array(allPlanes.zipWithIndex.map { case (p, t) =>
+            transform(
+              probeBuckets(lshBucket(col("qv"), p), planesPerTable),
+              b => concat(lit(s"$t:"), b)
+            )
+          }: _*)
+        )
+      ).as("bucket")
+    )
+    val candidates = cBucketed
+      .join(broadcast(qProbes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = candidates
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored

@@ -64,14 +64,61 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
-  test("ann lsh recall vs brute force is reasonable at test scale") {
-    val exact = QueriesDedup.q30_ann_topk(spark, sfDir).select("query_id", "neighbor_id")
+  test("multi-table ann lsh EQUALS brute force at every local sf (q31's oracle contract)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact  = QueriesDedup.q30_ann_topk(spark, dir).collect().map(_.toSeq).toSeq
+      val approx = QueriesDedup.q31_ann_lsh_topk(spark, dir).collect().map(_.toSeq).toSeq
+      assert(exact.nonEmpty)
+      assert(approx == exact, s"LSH top-k diverged from brute force at $dir")
+    }
+  }
+
+  test("blocked exact cosine pairs equal a reference nested-loop computation") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).limit(200).cache()
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val naive = a.join(b, $"id_a" < $"id_b") // reference-only BNLJ, never shipped in a query
+      .filter(Similarity.cosine($"va", $"vb") >= 0.3)
+      .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = QueriesDedup.q31_ann_lsh_topk(spark, sfDir).select("query_id", "neighbor_id")
+    val blocked = Similarity
+      .cosinePairsBlocked(emb, "vec_id", "embedding", threshold = 0.3, blocks = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(approx.nonEmpty)
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"LSH recall collapsed: $recall") // 4 planes + multiprobe on gaussian data
+    assert(naive.nonEmpty)
+    assert(blocked == naive)
+  }
+
+  test("bucketed cosine pairs: exact on planted near-dup clusters, with real candidate pruning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 20 clusters x 3 members (pairwise cosine ~>0.95) + 240 random vectors
+    val dim = 64
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    var id = 0L
+    for (_ <- 0 until 20) {
+      val center = unit(Array.fill(dim)(rng.nextGaussian()))
+      for (_ <- 0 until 3) {
+        val m = unit(center.zip(Array.fill(dim)(rng.nextGaussian() * 0.03)).map { case (c, e) => c + e })
+        vecs += ((id, m.map(_.toFloat).toSeq)); id += 1
+      }
+    }
+    for (_ <- 0 until 240) { vecs += ((id, unit(Array.fill(dim)(rng.nextGaussian())).map(_.toFloat).toSeq)); id += 1 }
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairsBlocked(df, "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.cosinePairsBucketed(df, "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"planted clusters should yield pairs, got ${exact.size}")
+    assert(bucketed == exact, "bucketed LSH pairs must match exact output on near-dup data")
+    val n = vecs.size.toLong
+    val normed = df.select($"vec_id".as("id"), Similarity.normalized($"embedding").as("vn"))
+    val candidates = Similarity.cosineBucketCandidates(normed, 8, 10, 64, 42L).count()
+    assert(candidates < n * (n - 1) / 2 / 2,
+      s"LSH candidates ($candidates) should prune well below all-pairs (${n * (n - 1) / 2})")
   }
 
   test("cosine matches a reference computation") {
