@@ -21,8 +21,10 @@ object QueriesDedup {
   }
 
   /** MinHash+LSH near-dup pairs (k=64, 32 bands × 2 rows), exact-
-    * verified. Recall ≥ 1-1e-8 at τ=0.5, precision exact — so the
-    * exact-Jaccard SQL serves as its oracle.
+    * verified. Banding recall is ≈ 1-1e-4 for a pair sitting exactly
+    * at τ=0.5 and ≈ 1 at the planted near-dup level (jaccard ≥ 0.98);
+    * precision is exact — so the exact-Jaccard SQL serves as its
+    * oracle.
     */
   def q26_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

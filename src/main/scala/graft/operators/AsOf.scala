@@ -1,17 +1,27 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (point-in-time) join: for each left row, the single right row
   * with the same key and the greatest right-time ≤ left-time.
   *
-  * Composition-first implementation (preference order (a)): a range
-  * join + `max_by` aggregation. Correct and fully codegen; the
-  * aggregation shuffles only matched rows. At extreme right-side
-  * fan-out the classic optimization is the union-sentinel sort-merge
-  * (tag left/right, repartition by key, sortWithinPartitions on time,
-  * per-partition carry-forward) — same API, drop-in replacement.
+  * Two interchangeable physical strategies behind the same semantics
+  * (both asserted equal on the q33 oracle data in AsOfSpec):
+  *
+  *   - [[join]] — composition-first (preference order (a)): a range
+  *     join + `max_by` aggregation. Correct and fully codegen, but the
+  *     key×time-range product materializes before aggregating, so at
+  *     extreme per-key fan-out (heavy users × long history) the
+  *     intermediate explodes.
+  *   - [[joinSorted]] — the union-sentinel sort-merge: tag left/right,
+  *     union, one shuffle on the key, sort within partitions on
+  *     (time, side, tie-break), then a running `last(…, ignoreNulls)`
+  *     carries the latest right row forward into each left row. The
+  *     intermediate is |left| + |right| rows — NEVER the range
+  *     product — which is the shape that survives 100 TB fan-out.
   */
 object AsOf {
 
@@ -42,5 +52,67 @@ object AsOf {
     joined
       .groupBy(leftCols.map(left(_)): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Union-sentinel sort-merge as-of join — same semantics as [[join]]
+    * (left-outer, greatest (rightTime, tieBreak) ≤ leftTime), linear
+    * intermediate size.
+    *
+    * Right rows with a null key or null time can never match (the range
+    * predicate is null-rejecting in [[join]]) and are dropped up front
+    * so the carry-forward can't smuggle them into a null-key partition.
+    * The payload is carried as ONE struct so `last(…, ignoreNulls)`
+    * selects whole rows — a legitimately-null payload FIELD inside the
+    * chosen row is preserved, not skipped past.
+    *
+    * One difference from [[join]] worth knowing: [[join]] aggregates by
+    * every left column, so fully-duplicate left rows collapse; this
+    * variant preserves left-side multiplicity (usually what you want).
+    */
+  def joinSorted(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payType  = StructType(payload.map(p => right.schema(p)).toArray)
+    val tieType  = right.schema(tieBreak).dataType
+    val leftType = StructType(left.schema.fields)
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"),
+        col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
+        lit(0).as("__side"),
+        col(tieBreak).as("__tie"),
+        struct(payload.map(col): _*).as("__pay"),
+        lit(null).cast(leftType).as("__left")
+      )
+    val l = left.select(
+      col(leftKey).as("__k"),
+      col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(tieType).as("__tie"),
+      lit(null).cast(payType).as("__pay"),
+      struct(leftCols.map(col): _*).as("__left")
+    )
+    // right rows sort before left rows at equal times (as-of is <=),
+    // and among equal-time right rows the greatest tie-break comes last
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__left.$c").as(c)) ++
+          payload.map(p => col(s"__match.$p").as(p)): _*
+      )
   }
 }

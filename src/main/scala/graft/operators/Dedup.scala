@@ -120,10 +120,12 @@ object Dedup {
     * shingle → minhash(k) → band(b × r) → bucket self-join → candidate
     * pairs → exact Jaccard on the shingle sets → ≥ threshold.
     * Verification makes precision exact; banding recall at threshold t
-    * is 1-(1-t^r)^b (k=64, b=32, r=2 → ≥ 1-1e-8 at t=0.5).
-    * Output: (id_a, id_b, jaccard) with id_a < id_b — identical to
-    * [[ngramJaccardPairs]] modulo the ~1e-8 recall gap, so the exact
-    * form serves as its oracle.
+    * is 1-(1-t^r)^b: with k=64, b=32, r=2 that is ≈ 1-1e-4 at the
+    * t=0.5 boundary and ≈ 1-1e-45 at the planted near-dup level
+    * (jaccard ≥ 0.98) — borderline pairs are the only ones with any
+    * realistic miss probability. Output: (id_a, id_b, jaccard) with
+    * id_a < id_b — identical to [[ngramJaccardPairs]] modulo that
+    * recall gap, so the exact form serves as its oracle.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -203,39 +205,44 @@ object Dedup {
     )
 
   /** SimHash near-duplicate pairs with hamming ≤ maxHamming, found via
-    * the chunk-bucket pigeonhole: split the 64 bits into maxHamming+1
-    * chunks — any pair within the bound shares at least one exact
-    * chunk, so the bucket join is EXACT (no recall loss), then verify
-    * the true distance. Output: (id_a, id_b, hamming).
+    * the chunk-combination pigeonhole (Manku et al., WWW'07 shape):
+    * split the 64 bits into `chunks` pieces; a pair within the bound
+    * differs in at most maxHamming chunks, so it agrees EXACTLY on some
+    * (chunks − maxHamming)-subset — bucket on every such subset and the
+    * join is exact (no recall loss), then verify the true distance.
+    *
+    * `chunks = maxHamming + 1` (the default) is the classic 1-chunk
+    * pigeonhole: fewest buckets per doc (m+1), but each bucket key is
+    * only 64/(m+1) bits, so bucket occupancy — and the within-bucket
+    * quadratic term — grows once the corpus is ≫ 2^(64/(m+1)) docs
+    * (~10⁸ at m=3, a real ceiling at 100 TB). Raising `chunks` widens
+    * each key to (chunks−m)·64/chunks bits at the cost of
+    * C(chunks, m) bucket keys per doc: chunks=6, m=3 → 20 keys of
+    * ~30 bits, pushing the quadratic ceiling past 10¹⁴ docs. Use
+    * [[simhashBucketOccupancy]] to see when to raise it.
+    * Output: (id_a, id_b, hamming).
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      maxHamming: Int
+      maxHamming: Int,
+      chunks: Int = 0
   ): DataFrame = {
-    val chunks    = maxHamming + 1
-    val chunkLen  = 64 / chunks
+    val c = if (chunks <= 0) maxHamming + 1 else chunks
+    require(c > maxHamming, s"need chunks ($c) > maxHamming ($maxHamming) for the pigeonhole to hold")
+    require(c <= 64, "at most one chunk per bit")
     val sigs = shingleSets(df, idCol, textCol, n)
       .filter(size(col("shingle_set")) > 0)
       .select(col(idCol).as("id"), simhash64(col("shingle_set")).as("sig"))
       .cache()
-    val chunked = sigs.select(
-      col("id"),
-      col("sig"),
-      explode(
-        transform(
-          sequence(lit(0), lit(chunks - 1)),
-          c => struct(c.as("c"), col("sig").substr(c * lit(chunkLen) + lit(1), lit(chunkLen)).as("piece"))
-        )
-      ).as("ch")
-    )
+    val chunked = sigs.select(col("id"), col("sig"), explode(subsetKeys(col("sig"), c, maxHamming)).as("ch"))
     val candidates = chunked
       .as("a")
       .join(
         chunked.as("b"),
-        col("a.ch.c") === col("b.ch.c") && col("a.ch.piece") === col("b.ch.piece") &&
+        col("a.ch.s") === col("b.ch.s") && col("a.ch.piece") === col("b.ch.piece") &&
           col("a.id") < col("b.id")
       )
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sa"), col("b.sig").as("sb"))
@@ -243,5 +250,47 @@ object Dedup {
     candidates
       .select(col("id_a"), col("id_b"), hammingBits(col("sa"), col("sb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** All (subset-id, concatenated-chunk-values) bucket keys for a 64-bit
+    * signature string: one key per (chunks − maxHamming)-subset of the
+    * `chunks` pieces. Chunk lengths differ by at most one bit when 64
+    * isn't divisible by `chunks`.
+    */
+  private[operators] def subsetKeys(sig: Column, chunks: Int, maxHamming: Int): Column = {
+    val base = 64 / chunks
+    val rem  = 64 % chunks
+    val starts  = (0 until chunks).scanLeft(0)((acc, i) => acc + base + (if (i < rem) 1 else 0))
+    def piece(i: Int): Column = sig.substr(lit(starts(i) + 1), lit(starts(i + 1) - starts(i)))
+    val subsets = (0 until chunks).combinations(chunks - maxHamming).toSeq
+    array(subsets.zipWithIndex.map { case (idxs, si) =>
+      struct(lit(si).as("s"), concat(idxs.map(piece): _*).as("piece"))
+    }: _*)
+  }
+
+  /** Bucket-occupancy histogram of the simhash chunk-combination index:
+    * (subset_id, piece, n_docs) for every occupied bucket. The scale
+    * dashboard for [[simhashPairs]]: candidate volume is
+    * Σ n_docs·(n_docs−1)/2 over these rows, so a hot bucket (skewed
+    * corpus, or chunks too coarse for the corpus size) shows up here
+    * BEFORE it shows up as a straggler task — raise `chunks` when
+    * max(n_docs) grows quadratic-dangerous.
+    */
+  def simhashBucketOccupancy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxHamming: Int,
+      chunks: Int = 0
+  ): DataFrame = {
+    val c = if (chunks <= 0) maxHamming + 1 else chunks
+    require(c > maxHamming, s"need chunks ($c) > maxHamming ($maxHamming)")
+    shingleSets(df, idCol, textCol, n)
+      .filter(size(col("shingle_set")) > 0)
+      .select(col(idCol).as("id"), simhash64(col("shingle_set")).as("sig"))
+      .select(col("id"), explode(subsetKeys(col("sig"), c, maxHamming)).as("ch"))
+      .groupBy(col("ch.s").as("subset_id"), col("ch.piece").as("piece"))
+      .agg(count(lit(1)).as("n_docs"))
   }
 }

@@ -121,6 +121,30 @@ class DedupSpec extends SparkSpec {
       s"LSH candidates ($candidates) should prune well below all-pairs (${n * (n - 1) / 2})")
   }
 
+  test("simhash chunk-combination index (chunks=6) is exact: equals the classic m+1 pigeonhole") {
+    val classic = Dedup.simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text", n = 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wide = Dedup.simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+      n = 3, maxHamming = 3, chunks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(classic.nonEmpty)
+    assert(wide == classic, "wider chunk-combination index must not change the exact result")
+  }
+
+  test("simhash bucket occupancy surfaces a skewed (hot) bucket before it becomes a straggler") {
+    import spark.implicits._
+    val hot = (0 until 60).map(i => (i.toLong, "identical content repeated for the hot bucket case yes"))
+    val cold = (60 until 80).map(i => (i.toLong, s"distinct filler number $i with words ${i * 7} and ${i * 13} mixed"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val occ = Dedup.simhashBucketOccupancy(docs, "doc_id", "text", n = 3, maxHamming = 3)
+      .orderBy($"n_docs".desc)
+      .collect()
+    assert(occ.head.getLong(2) >= 60, s"hot bucket must dominate occupancy, got ${occ.head}")
+    // and the exact pair count over the skewed bucket still comes out right
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", n = 3, maxHamming = 0)
+    assert(pairs.filter($"id_a" < 60 && $"id_b" < 60).count() == 60L * 59 / 2)
+  }
+
   test("cosine matches a reference computation") {
     import spark.implicits._
     val got = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
