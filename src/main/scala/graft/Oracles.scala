@@ -226,6 +226,67 @@ object Oracles {
         |FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q38_dedup_clusters" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q39_dedup_keep_one" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
+        |SELECT cluster_id, doc_id AS kept_doc_id FROM (
+        |  SELECT c.cluster_id, c.doc_id,
+        |         row_number() OVER (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q40_media_stats" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS mime,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       sha256(text) AS content_key,
+        |       CAST(n_chars % 2048 AS INT) * CAST((doc_id % 1080) + 1 AS INT) AS n_pixels,
+        |       CASE WHEN n_chars % 2048 >= 1920 THEN 'hd'
+        |            WHEN n_chars % 2048 >= 640 THEN 'sd'
+        |            ELSE 'thumb' END AS res_bucket
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q41_frame_sample" ->
+      """SELECT doc_id AS media_id, unnest(range(0, n_chars * 7 + 1, 500)) AS frame_ms
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND n_chars * 7 > 0
+        |ORDER BY media_id, frame_ms""".stripMargin,
     "q26_minhash_lsh_pairs" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),

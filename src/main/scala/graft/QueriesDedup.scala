@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Graph, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,39 @@ object QueriesDedup {
     Similarity
       .cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.45)
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** Near-dup CLUSTERS: connected components over the exact-Jaccard
+    * pair graph (min-label propagation, one shuffle join per round).
+    * Pairs alone don't dedup a corpus — the transitive closure does.
+    * Output (doc_id, cluster_id) for every doc in ≥ 1 pair; cluster_id
+    * = min doc_id in the component. Oracle: recursive-CTE transitive
+    * closure over the same pair SQL.
+    */
+  def q38_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup
+      .ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    Graph
+      .connectedComponents(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Canonical-document selection: per near-dup cluster keep the doc
+    * with the greatest n_chars (ties → smallest doc_id) — the "keep
+    * one, drop the rest" step that turns clusters into a dedup'd
+    * corpus. Output (cluster_id, kept_doc_id).
+    */
+  def q39_dedup_keep_one(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+    Graph
+      .keepOnePerComponent(comps, docs, "doc_id", "n_chars")
+      .select($"component".as("cluster_id"), $"kept_id".as("kept_doc_id"))
+      .orderBy($"cluster_id")
   }
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries —

@@ -44,7 +44,11 @@ object SparkEntry {
     "q34_json_extract" -> (QueriesRel2.q34_json_extract _),
     "q35_pivot" -> (QueriesRel2.q35_pivot _),
     "q36_sql_revenue" -> (QueriesRel2.q36_sql_revenue _),
-    "q37_sessionize" -> (QueriesRel2.q37_sessionize _)
+    "q37_sessionize" -> (QueriesRel2.q37_sessionize _),
+    "q38_dedup_clusters" -> (QueriesDedup.q38_dedup_clusters _),
+    "q39_dedup_keep_one" -> (QueriesDedup.q39_dedup_keep_one _),
+    "q40_media_stats" -> (QueriesMedia.q40_media_stats _),
+    "q41_frame_sample" -> (QueriesMedia.q41_frame_sample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

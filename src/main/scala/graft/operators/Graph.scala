@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal distributed graph ops for the dedup pipeline: near-dup PAIRS
+  * are only half the job — training-data dedup needs pairs grouped into
+  * CLUSTERS (connected components) and one canonical document kept per
+  * cluster.
+  *
+  * Algorithm: min-label propagation. Each vertex starts labeled with
+  * its own id; every round it takes the min of its label and its
+  * neighbors' labels; converged when no label changes. Rounds =
+  * component diameter, and near-dup clusters are tight (dup clusters
+  * of k docs are usually k-cliques, diameter 1-2), so 2-4 rounds is
+  * typical — each round is ONE shuffle join + aggregate, all codegen.
+  * For general graphs with long chains the alternating large-star/
+  * small-star algorithm (log-diameter rounds) would replace the loop
+  * body behind the same signature; for the dedup workload plain
+  * propagation is both simpler and faster.
+  *
+  * The driver loop only checks an aggregate (changed-count) per round —
+  * labels themselves never collect. Each round's result is cached and
+  * the previous round evicted, so lineage stays one round deep.
+  */
+object Graph {
+
+  /** Connected components of an undirected graph given as (aCol, bCol)
+    * edge pairs. Returns (id, component) for every vertex that appears
+    * in at least one edge; component = min vertex id in the component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct().withColumn("comp", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("id"))
+        .groupBy(edges("u").as("nid"))
+        .agg(min(col("comp")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(labels("id").as("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .cache()
+      val changed = updated
+        .as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** One row per component: the member maximizing (rankCol, then min
+    * idCol) — the "keep this document, drop the rest" step of dedup.
+    * `ranked` must contain idCol; rankCol comes from `attrs` (joined on
+    * idCol), e.g. document length or a quality score.
+    */
+  def keepOnePerComponent(
+      components: DataFrame, // (id, component)
+      attrs: DataFrame,
+      idCol: String,
+      rankCol: String
+  ): DataFrame = {
+    val joined = components.join(attrs.select(col(idCol).as("id"), col(rankCol).as("rank")), Seq("id"))
+    joined
+      .groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("rank"), -col("id"))).as("kept_id"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("connectedComponents labels a chain, a triangle, and an isolated edge correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
+    // triangle 10-11-12, lone edge 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L
+    ))
+  }
+
+  test("keepOnePerComponent picks greatest rank, breaking ties on smallest id") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")
+    val attrs = Seq((1L, 100L), (2L, 300L), (3L, 300L), (10L, 5L), (11L, 5L)).toDF("doc_id", "len")
+    val got = Graph.keepOnePerComponent(comps, attrs, "doc_id", "len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 10L -> 10L)) // 2 beats 3 on id at equal rank; 10 beats 11
+  }
+
+  test("q38/q39 pipeline clusters the planted near-dups on real documents") {
+    val clusters = QueriesDedup.q38_dedup_clusters(spark, sfDir).collect()
+    assert(clusters.nonEmpty, "planted near-dups should form clusters")
+    val byCluster = clusters.groupBy(_.getLong(1))
+    assert(byCluster.values.forall(_.length >= 2), "every cluster has >= 2 members")
+    val kept = QueriesDedup.q39_dedup_keep_one(spark, sfDir).collect()
+    assert(kept.length == byCluster.size, "exactly one kept doc per cluster")
+    val memberSet = clusters.map(_.getLong(0)).toSet
+    assert(kept.map(_.getLong(1)).forall(memberSet.contains), "kept docs come from their clusters")
+  }
+}
