@@ -39,11 +39,10 @@ object QueriesDedup {
     */
   def q27_simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables
-      .documents(spark, dir)
-      .select($"doc_id", Dedup.shingles(split($"text", "\\s+"), 3).as("ss"))
-      .filter(size($"ss") > 0)
-      .select($"doc_id", Dedup.simhash64($"ss").as("sig"))
+    Dedup
+      .shingleSets(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+      .filter(size($"shingle_set") > 0)
+      .select($"doc_id", Dedup.simhash64($"shingle_set").as("sig"))
       .orderBy($"doc_id")
   }
 

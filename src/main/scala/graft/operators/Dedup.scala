@@ -28,9 +28,21 @@ object Dedup {
       )
     ).otherwise(array().cast("array<string>"))
 
+  /** Spread a compute-bound input across the full core count when the
+    * scan produced fewer partitions than that (a small parquet file is
+    * ONE partition — one core does all the signature math while 31
+    * idle). At real scale the scan already has ≫ defaultParallelism
+    * partitions and this is a no-op, so the big-data path never pays
+    * the shuffle.
+    */
+  private[operators] def computeParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** doc_id + distinct shingle set per document. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), shingles(split(col(textCol), "\\s+"), n).as("shingle_set"))
+    computeParallel(df).select(col(idCol), shingles(split(col(textCol), "\\s+"), n).as("shingle_set"))
 
   /** Exact near-duplicate pairs by n-gram Jaccard ≥ threshold.
     * Plan: explode shingles → self-join on shingle (only co-occurring

@@ -68,7 +68,8 @@ object Similarity {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val normed = df
+    val normed = Dedup
+      .computeParallel(df)
       .select(
         col(idCol).as("id"),
         normalized(col(vecCol)).as("vn"),
@@ -117,7 +118,8 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L
   ): DataFrame = {
-    val normed = df
+    val normed = Dedup
+      .computeParallel(df)
       .select(col(idCol).as("id"), normalized(col(vecCol)).as("vn"))
       .cache()
     cosineBucketCandidates(normed, planesPerTable, tables, dim, seed)
@@ -163,7 +165,9 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = Dedup
+      .computeParallel(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
@@ -273,7 +277,9 @@ object Similarity {
       seed: Long = 42L
   ): DataFrame = {
     val allPlanes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = Dedup
+      .computeParallel(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cBucketed = c.select(
       col("neighbor_id"),

@@ -51,6 +51,31 @@ object EventStreams {
         col("sum_value")
       )
 
+  /** Watermarked streaming dedup on event_id: the exactly-once guard an
+    * at-least-once ingest (retries, replays) needs in front of every
+    * downstream agg. State is bounded by the watermark — Spark drops a
+    * key's dedup state once the watermark passes it, so 100 TB/day of
+    * events holds only a watermark-window of keys, never the full
+    * history.
+    */
+  def dedupedEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id", "ts")
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension snapshot (read once per micro-batch; broadcast by
+    * Catalyst when small). The standard shape for attaching slowly-
+    * changing reference data to a hot stream without stream-stream
+    * state.
+    */
+  def enrichedByUser(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(
+      broadcast(users.select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+      Seq("user_id"),
+      "left"
+    )
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)

@@ -37,6 +37,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("watermarked stream dedup: a replayed input file changes nothing downstream") {
+    val dir = Files.createTempDirectory("graft_stream3").toString
+    val evs = eventsAsMicros.limit(500)
+    evs.write.parquet(s"$dir/in")
+    evs.write.mode("append").parquet(s"$dir/in") // at-least-once replay: every event twice
+
+    val stream = EventStreams
+      .dedupedEvents(EventStreams.readEventStream(spark, s"$dir/in"))
+      .groupBy("event_type")
+      .count()
+    val got = EventStreams
+      .runBounded(stream, "dedup_counts", OutputMode.Complete())
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+    val expected = evs.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, "dedup must collapse the replayed copy exactly")
+  }
+
+  test("stream-static enrichment equals the equivalent batch broadcast join") {
+    val dir = Files.createTempDirectory("graft_stream4").toString
+    eventsAsMicros.limit(1000).write.parquet(s"$dir/in")
+    val users = Tables.customer(spark, sfDir)
+
+    val stream = EventStreams
+      .enrichedByUser(EventStreams.readEventStream(spark, s"$dir/in"), users)
+      .groupBy("c_mktsegment")
+      .count()
+    val got = EventStreams
+      .runBounded(stream, "enriched_counts", OutputMode.Complete())
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<none>") -> r.getLong(1))
+      .toMap
+
+    val expected = EventStreams
+      .enrichedByUser(spark.read.parquet(s"$dir/in"), users)
+      .groupBy("c_mktsegment")
+      .count()
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<none>") -> r.getLong(1))
+      .toMap
+    assert(got == expected)
+    assert(got.values.sum == 1000L)
+  }
+
   test("mapGroupsWithState accumulates per-user session state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream2").toString
