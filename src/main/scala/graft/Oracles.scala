@@ -334,6 +334,26 @@ object Oracles {
         |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q42_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "q43_quantiles" ->
+      """SELECT l_returnflag,
+        |       CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+        |       CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q44_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(date_diff('day', prev_dt, o_orderdate) AS BIGINT) AS days_since_prev
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |             lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                    ORDER BY o_orderdate, o_orderkey) AS prev_dt
+        |      FROM orders)
+        |WHERE prev_dt IS NOT NULL ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q32_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
         |       coalesce(l_linestatus, '(all)') AS ls,

@@ -133,4 +133,61 @@ object QueriesRel2 {
         tieBreak = "event_id", gapMicros = 1800000000L)
       .orderBy($"user_id", $"session_seq")
   }
+
+  /** CUBE over two dimensions with grouping-id — all four grouping
+    * levels in one Expand + single shuffle (vs four separate jobs).
+    */
+  def q42_cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"gid",
+        $"n"
+      )
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
+  /** Discrete percentiles (PERCENTILE_DISC): returns actual data
+    * values — no interpolation, so the result is engine-portable and
+    * hash-exact (continuous percentiles interpolate in float and are
+    * NOT). One shuffle; each group sorts only its own values.
+    */
+  def q43_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .cast("double").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .cast("double").as("p90")
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** lag() inter-event deltas: days since each customer's previous
+    * order. One key-partitioned window — the shuffle is on o_custkey
+    * and each partition sorts locally; no global sort anywhere.
+    */
+  def q44_order_gaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables
+      .orders(spark, dir)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).cast("long").as("days_since_prev")
+      )
+      .filter($"days_since_prev".isNotNull)
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
 }

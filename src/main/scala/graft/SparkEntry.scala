@@ -48,7 +48,10 @@ object SparkEntry {
     "q38_dedup_clusters" -> (QueriesDedup.q38_dedup_clusters _),
     "q39_dedup_keep_one" -> (QueriesDedup.q39_dedup_keep_one _),
     "q40_media_stats" -> (QueriesMedia.q40_media_stats _),
-    "q41_frame_sample" -> (QueriesMedia.q41_frame_sample _)
+    "q41_frame_sample" -> (QueriesMedia.q41_frame_sample _),
+    "q42_cube" -> (QueriesRel2.q42_cube _),
+    "q43_quantiles" -> (QueriesRel2.q43_quantiles _),
+    "q44_order_gaps" -> (QueriesRel2.q44_order_gaps _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
