@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DateType, StructType, TimestampNTZType, TimestampType}
 
 /** As-of (point-in-time) join: for each left row, the single right row
   * with the same key and the greatest right-time ≤ left-time.
@@ -83,11 +83,28 @@ object AsOf {
     val payType  = StructType(payload.map(p => right.schema(p)).toArray)
     val tieType  = right.schema(tieBreak).dataType
     val leftType = StructType(left.schema.fields)
+    // Mixed time types must widen the same way [[join]]'s binary
+    // comparison does (date < timestamp → both promote to timestamp) —
+    // truncating the finer side would silently move match boundaries.
+    val lt = left.schema(leftTime).dataType
+    val rt = right.schema(rightTime).dataType
+    val timeType = (lt, rt) match {
+      case (a, b) if a == b                            => a
+      case (TimestampType, DateType)                   => TimestampType
+      case (DateType, TimestampType)                   => TimestampType
+      case (TimestampType, TimestampNTZType)           => TimestampType
+      case (TimestampNTZType, TimestampType)           => TimestampType
+      case (TimestampNTZType, DateType)                => TimestampNTZType
+      case (DateType, TimestampNTZType)                => TimestampNTZType
+      case _ =>
+        throw new IllegalArgumentException(
+          s"joinSorted: incomparable time types $lt vs $rt — cast explicitly")
+    }
     val r = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
         col(rightKey).as("__k"),
-        col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
+        col(rightTime).cast(timeType).as("__t"),
         lit(0).as("__side"),
         col(tieBreak).as("__tie"),
         struct(payload.map(col): _*).as("__pay"),
@@ -95,7 +112,7 @@ object AsOf {
       )
     val l = left.select(
       col(leftKey).as("__k"),
-      col(leftTime).as("__t"),
+      col(leftTime).cast(timeType).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(tieType).as("__tie"),
       lit(null).cast(payType).as("__pay"),

@@ -34,10 +34,25 @@ object Dedup {
     * idle). At real scale the scan already has ≫ defaultParallelism
     * partitions and this is a no-op, so the big-data path never pays
     * the shuffle.
+    *
+    * The partition count is only probed (`.rdd`) on shuffle-free plans:
+    * under AQE, materializing the RDD of a plan with an upstream
+    * exchange EXECUTES those stages as a throwaway job just to learn a
+    * number. If the input already went through a shuffle, its
+    * partitioning is shuffle.partitions-shaped anyway — leave it alone.
     */
   private[operators] def computeParallel(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Window | _: Sort => true
+      case _: Repartition | _: RepartitionOperation                   => true
+      case _                                                          => false
+    }
+    if (shuffled) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   /** doc_id + distinct shingle set per document. */

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * propagation is both simpler and faster.
   *
   * The driver loop only checks an aggregate (changed-count) per round —
-  * labels themselves never collect. Each round's result is cached and
-  * the previous round evicted, so lineage stays one round deep.
+  * labels themselves never collect. Each round's labels are
+  * localCheckpoint'ed: lineage stays one round deep, previous rounds'
+  * blocks are released by the context cleaner as soon as they are
+  * unreachable, and nothing is pinned in the cache manager after the
+  * call returns (a .cache() here would leak one entry per invocation).
   */
 object Graph {
 
@@ -39,8 +42,12 @@ object Graph {
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .cache()
-    var labels = edges.select(col("u").as("id")).distinct().withColumn("comp", col("id")).cache()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("u").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -51,19 +58,17 @@ object Graph {
       val updated = labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(labels("id").as("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint()
       val changed = updated
         .as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp"))
         .count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    edges.unpersist()
     labels.select(col("id"), col("comp").as("component"))
   }
 

@@ -56,8 +56,10 @@ object Similarity {
     * parallelism `blocks` instead of a single nested-loop broadcast.
     * The O(n²) dot products are irreducible for an exact answer — the
     * blocking distributes them evenly and keeps every stage codegen.
-    * Normalization is computed once per row (O(rows), cached), so each
-    * pair costs exactly one fused dot product.
+    * Normalization is linear work recomputed per side rather than
+    * cached: O(2n·d) is noise next to the n²·d pair dots, and a cache
+    * here would pin an entry in the cache manager for the session
+    * lifetime (nothing inside a one-shot operator should do that).
     */
   def cosinePairsBlocked(
       df: DataFrame,
@@ -75,7 +77,6 @@ object Similarity {
         normalized(col(vecCol)).as("vn"),
         pmod(hash(col(idCol)), lit(blocks)).as("blk")
       )
-      .cache()
     val grid = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j)).toDF("ba", "bb")
     val a = normed.select(col("id").as("id_a"), col("vn").as("va"), col("blk").as("ba"))
     val b = normed.select(col("id").as("id_b"), col("vn").as("vb"), col("blk").as("bb"))
@@ -121,7 +122,6 @@ object Similarity {
     val normed = Dedup
       .computeParallel(df)
       .select(col(idCol).as("id"), normalized(col(vecCol)).as("vn"))
-      .cache()
     cosineBucketCandidates(normed, planesPerTable, tables, dim, seed)
       .join(normed.select(col("id").as("id_a"), col("vn").as("va")), Seq("id_a"))
       .join(normed.select(col("id").as("id_b"), col("vn").as("vb")), Seq("id_b"))

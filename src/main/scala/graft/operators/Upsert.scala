@@ -61,20 +61,27 @@ object Upsert {
     val srcWins    = matched && (col(s"s.$versionCol") > col(s"t.$versionCol"))
     val inserted   = srcPresent && !tgtPresent
     val useSrc: Column = inserted || srcWins
-    val merged = tgt.columns.map { c =>
-      when(useSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-    }
     val dupMatched = matched && col(s"s.$SrcKeyRows") > 1
-    val action = when(
-      dupMatched,
-      raise_error(
-        concat(
-          lit("MERGE failed: multiple source rows matched the target row for key ("),
-          concat_ws(",", keys.map(k => col(s"s.$k").cast("string")): _*),
-          lit(")")
-        )
+    val dupError = raise_error(
+      concat(
+        lit("MERGE failed: multiple source rows matched the target row for key ("),
+        concat_ws(",", keys.map(k => col(s"s.$k").cast("string")): _*),
+        lit(")")
       )
-    ).when(inserted, lit("insert"))
+    )
+    // the guard is woven into EVERY output column, so any projection
+    // that evaluates at least one output column raises — whichever
+    // columns the caller keeps. (A column-less aggregate like count()
+    // can still prune all expressions; the write/metrics paths always
+    // evaluate columns, so they always enforce.)
+    val merged = tgt.columns.map { c =>
+      when(dupMatched, dupError)
+        .when(useSrc, col(s"s.$c"))
+        .otherwise(col(s"t.$c"))
+        .as(c)
+    }
+    val action = when(dupMatched, dupError)
+      .when(inserted, lit("insert"))
       .when(srcWins, lit("update"))
       .otherwise(lit("keep"))
       .as(ActionCol)

@@ -51,17 +51,18 @@ object EventStreams {
         col("sum_value")
       )
 
-  /** Watermarked streaming dedup on event_id: the exactly-once guard an
-    * at-least-once ingest (retries, replays) needs in front of every
-    * downstream agg. State is bounded by the watermark — Spark drops a
-    * key's dedup state once the watermark passes it, so 100 TB/day of
-    * events holds only a watermark-window of keys, never the full
-    * history.
+  /** Watermarked streaming dedup on event_id ALONE: the exactly-once
+    * guard an at-least-once ingest (retries, replays) needs in front of
+    * every downstream agg — a replay that re-stamps ts still dedups,
+    * because ts is deliberately NOT part of the key.
+    * dropDuplicatesWithinWatermark bounds state: a key's dedup entry is
+    * dropped once the watermark passes it, so 100 TB/day of events
+    * holds only a watermark-window of keys, never the full history.
     */
   def dedupedEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: join the event stream against a static
     * dimension snapshot (read once per micro-batch; broadcast by

@@ -55,6 +55,27 @@ class AsOfSpec extends SparkSpec {
     assert(out(5L) == null)        // null left key never matches
   }
 
+  test("joinSorted widens mixed date/timestamp time columns like join's comparison does") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "2024-03-05 13:00:00"), (2L, 10L, "2024-03-04 23:59:00"))
+      .toDF("event_id", "k", "t")
+      .select($"event_id", $"k", $"t".cast("timestamp").as("t"))
+    val right = Seq((10L, "2024-03-05", 1L, "day5"), (10L, "2024-03-01", 2L, "day1"))
+      .toDF("k", "rt", "tie", "tag")
+      .select($"k", $"rt".cast("date").as("rt"), $"tie", $"tag")
+    def collect(
+        f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, String, String,
+            String, String, String, Seq[String]) => org.apache.spark.sql.DataFrame) =
+      f(left, right, "k", "k", "t", "rt", "tie", Seq("tag"))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    val viaSorted = collect(AsOf.joinSorted)
+    val viaAgg    = collect(AsOf.join)
+    // day5 midnight <= 13:00 on day 5 -> event 1 matches day5;
+    // event 2 (day 4 23:59) precedes it -> matches day1
+    assert(viaSorted == Seq((1L, "day5"), (2L, "day1")))
+    assert(viaSorted == viaAgg, "mixed-type widening must match join's comparison semantics")
+  }
+
   test("joinSorted preserves left multiplicity and a null payload FIELD in the matched row") {
     import spark.implicits._
     val left  = Seq((1L, 10L, 100L), (2L, 10L, 100L)).toDF("event_id", "k", "t")

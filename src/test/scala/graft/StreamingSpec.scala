@@ -39,7 +39,10 @@ class StreamingSpec extends SparkSpec {
 
   test("watermarked stream dedup: a replayed input file changes nothing downstream") {
     val dir = Files.createTempDirectory("graft_stream3").toString
-    val evs = eventsAsMicros.limit(500)
+    // materialize ONE deterministic subset, then replay exactly that file
+    // (an unordered limit() can pick different rows per action)
+    eventsAsMicros.limit(500).write.parquet(s"$dir/stage")
+    val evs = spark.read.parquet(s"$dir/stage")
     evs.write.parquet(s"$dir/in")
     evs.write.mode("append").parquet(s"$dir/in") // at-least-once replay: every event twice
 

@@ -34,12 +34,15 @@ class UpsertSpec extends SparkSpec {
   }
 
   test("mergeWithMetrics releases its cache entry on unpersist (no leak across merges)") {
+    import org.apache.spark.storage.StorageLevel
     val (tgt, src) = fixture
-    val before = spark.sharedState.cacheManager.isEmpty
     val mr = Upsert.mergeWithMetrics(tgt, src, Seq("k"), "v")
-    assert(!spark.sharedState.cacheManager.isEmpty, "merge plan should be cached during the merge")
+    // storageLevel is plan-specific: it proves THIS merge relation is the
+    // one cached/evicted, independent of what other suites left behind
+    assert(mr.merged.storageLevel != StorageLevel.NONE,
+      "merge plan should be cached during the merge")
     mr.unpersist()
-    assert(spark.sharedState.cacheManager.isEmpty || !before,
+    assert(mr.merged.storageLevel == StorageLevel.NONE,
       "cached merge relation must be evicted after unpersist")
   }
 
@@ -61,6 +64,13 @@ class UpsertSpec extends SparkSpec {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("multiple source rows matched")),
       s"expected Delta-style dup-source error, got: $e")
+    // the guard survives projection pruning: dropping the action column
+    // (or selecting any single column) must still raise
+    val e2 = intercept[Exception] {
+      Upsert.plan(tgt, src, Seq("k"), "v").select("payload").collect()
+    }
+    assert(messages(e2).exists(_.contains("multiple source rows matched")),
+      s"guard must not be prunable away, got: $e2")
   }
 
   test("duplicate source keys that match NO target row are all inserted (Delta parity)") {
