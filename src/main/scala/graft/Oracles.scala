@@ -354,6 +354,16 @@ object Oracles {
         |                                    ORDER BY o_orderdate, o_orderkey) AS prev_dt
         |      FROM orders)
         |WHERE prev_dt IS NOT NULL ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q45_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+        |ORDER BY o_custkey""".stripMargin,
+    "q46_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+        |ORDER BY o_custkey""".stripMargin,
     "q32_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
         |       coalesce(l_linestatus, '(all)') AS ls,

@@ -171,6 +171,30 @@ object QueriesRel2 {
       .orderBy($"l_returnflag")
   }
 
+  /** INTERSECT: customers active in both 1998 and 1999 — set
+    * semantics (distinct), planned as a left-semi aggregate join.
+    */
+  def q45_intersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    def custsIn(y: Int) = orders
+      .filter(year($"o_orderdate") === y)
+      .select($"o_custkey")
+    custsIn(1998).intersect(custsIn(1999)).orderBy($"o_custkey")
+  }
+
+  /** EXCEPT: customers active in 1998 but not 1999 — the set-difference
+    * twin (planned as left-anti + distinct).
+    */
+  def q46_except(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    def custsIn(y: Int) = orders
+      .filter(year($"o_orderdate") === y)
+      .select($"o_custkey")
+    custsIn(1998).except(custsIn(1999)).orderBy($"o_custkey")
+  }
+
   /** lag() inter-event deltas: days since each customer's previous
     * order. One key-partitioned window — the shuffle is on o_custkey
     * and each partition sorts locally; no global sort anywhere.

@@ -51,7 +51,9 @@ object SparkEntry {
     "q41_frame_sample" -> (QueriesMedia.q41_frame_sample _),
     "q42_cube" -> (QueriesRel2.q42_cube _),
     "q43_quantiles" -> (QueriesRel2.q43_quantiles _),
-    "q44_order_gaps" -> (QueriesRel2.q44_order_gaps _)
+    "q44_order_gaps" -> (QueriesRel2.q44_order_gaps _),
+    "q45_intersect" -> (QueriesRel2.q45_intersect _),
+    "q46_except" -> (QueriesRel2.q46_except _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

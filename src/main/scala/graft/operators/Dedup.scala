@@ -103,15 +103,26 @@ object Dedup {
   def minhashBaseHashes(shingleCol: Column): Column =
     transform(shingleCol, x => xxhash64(lit(0), x))
 
-  /** k-element signature from precomputed base hashes. The `when` guard
-    * references the base column twice on purpose: CollapseProject only
-    * declines to merge adjacent projections when the producer expression
-    * is non-cheap AND referenced more than once — without it Catalyst
-    * inlines the base-hash computation into all k lambda bodies and
-    * recomputes it per hash function (the same trap measured at 60x on
-    * the band expressions).
+  /** k-element signature from precomputed base hashes — the native
+    * [[graft.plans.MinHashSignature]] expression: one codegen loop, no
+    * per-row intermediate arrays, and (unlike the HOF form) immune to
+    * the CollapseProject trap, because a single expression consumes the
+    * base column exactly once however Catalyst collapses projections.
     */
   def minhashFromHashes(baseCol: Column, k: Int): Column =
+    graft.plans.MinHashExpression.minhashSig(baseCol, k)
+
+  /** The higher-order-function form of [[minhashFromHashes]], kept as
+    * the independent reference implementation the native expression is
+    * pinned bit-equal to (DedupSpec). The `when` guard references the
+    * base column twice on purpose: CollapseProject only declines to
+    * merge adjacent projections when the producer expression is
+    * non-cheap AND referenced more than once — without it Catalyst
+    * inlines the base-hash computation into all k lambda bodies and
+    * recomputes it per hash function (measured 60x on the band
+    * expressions).
+    */
+  def minhashFromHashesHof(baseCol: Column, k: Int): Column =
     when(
       size(baseCol) < 0,
       lit(null)

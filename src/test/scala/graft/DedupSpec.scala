@@ -29,6 +29,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("native minhash signature is bit-identical to the HOF reference form on real documents") {
+    import spark.implicits._
+    val base = Dedup
+      .shingleSets(Tables.documents(spark, sfDir), "doc_id", "text", 3)
+      .filter(size($"shingle_set") > 0)
+      .select($"doc_id", Dedup.minhashBaseHashes($"shingle_set").as("bh"))
+    val native = base.select($"doc_id", Dedup.minhashFromHashes($"bh", 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = base.select($"doc_id", Dedup.minhashFromHashesHof($"bh", 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.nonEmpty)
+    assert(native == hof, "native expression must reproduce the xxhash64 chain exactly")
+  }
+
   test("minhashLshPairs agrees with exact ngram jaccard on real documents") {
     val docs = Tables.documents(spark, sfDir)
     val exact = QueriesDedup
