@@ -103,6 +103,21 @@ object QueriesDedup {
       .orderBy($"cluster_id")
   }
 
+  /** The composed dedup pipeline ([[Graph.nearDupClusters]]): exact-dup
+    * collapse → near-dup pairs on representatives → components over
+    * (near-dup ∪ identity) edges. Provably the same output as
+    * [[q38_dedup_clusters]] (GraphSpec asserts it on a dup-heavy
+    * corpus), so it shares q38's recursive-CTE oracle — but its
+    * candidate volume stays linear when duplicates abound (SCALE.md).
+    */
+  def q47_dedup_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Graph
+      .nearDupClusters(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"id".as("doc_id"), $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries —
     * the ANN baseline. Broadcast queries, single corpus scan.
     */

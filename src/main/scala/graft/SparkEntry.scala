@@ -53,7 +53,8 @@ object SparkEntry {
     "q43_quantiles" -> (QueriesRel2.q43_quantiles _),
     "q44_order_gaps" -> (QueriesRel2.q44_order_gaps _),
     "q45_intersect" -> (QueriesRel2.q45_intersect _),
-    "q46_except" -> (QueriesRel2.q46_except _)
+    "q46_except" -> (QueriesRel2.q46_except _),
+    "q47_dedup_pipeline" -> (QueriesDedup.q47_dedup_pipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -72,6 +72,47 @@ object Graph {
     labels.select(col("id"), col("comp").as("component"))
   }
 
+  /** The full dedup-clustering pipeline, composed for duplicate-heavy
+    * corpora (the 100 TB shape measured in SCALE.md): collapse exact
+    * duplicates by content key FIRST (one shuffle; identical copies
+    * are the bulk of real dup mass and would otherwise collide in
+    * every LSH band), run near-dup pair detection only on the unique
+    * representatives, then reconnect collapsed copies through
+    * identity edges so the transitive closure is IDENTICAL to running
+    * pair detection on the raw corpus (asserted in GraphSpec).
+    *
+    * Output (id, cluster_id) for every doc in at least one duplicate
+    * relation — byte-identical semantics to components over
+    * [[Dedup.ngramJaccardPairs]] of the full corpus, at a fraction of
+    * the candidate volume when duplicates abound.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // only shingle-capable docs can ever pair (matches ngramJaccardPairs)
+    val keyed = Dedup
+      .computeParallel(df)
+      .filter(size(split(col(textCol), "\\s+")) >= n)
+      .select(col(idCol).as("id"), col(textCol).as("txt"), sha2(col(textCol), 256).as("ck"))
+    val withRep = keyed.withColumn("rep_id", min(col("id")).over(Window.partitionBy(col("ck"))))
+    val reps = withRep
+      .filter(col("id") === col("rep_id"))
+      .select(col("id").as(idCol), col("txt").as(textCol))
+    val nearDupEdges = Dedup
+      .ngramJaccardPairs(reps, idCol, textCol, n, threshold)
+      .select(col("id_a"), col("id_b"))
+    val identityEdges = withRep
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+    connectedComponents(nearDupEdges.union(identityEdges), "id_a", "id_b")
+      .select(col("id"), col("component").as("cluster_id"))
+  }
+
   /** One row per component: the member maximizing (rankCol, then min
     * idCol) — the "keep this document, drop the rest" step of dedup.
     * `ranked` must contain idCol; rankCol comes from `attrs` (joined on

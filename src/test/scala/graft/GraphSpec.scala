@@ -32,6 +32,36 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 10L -> 10L)) // 2 beats 3 on id at equal rank; 10 beats 11
   }
 
+  test("composed dedup pipeline (collapse-first) equals direct clustering on a dup-heavy corpus") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Graph}
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (1L, "the quick brown fox jumps over the lazy cat tonight again"), // near-dup of 0
+      (2L, "completely different content with other words entirely here now"),
+      (3L, "short doc"), // < 3 tokens -> can never pair
+      (4L, "a totally unrelated document about databases and storage engines today")
+    )
+    // duplicate every doc 4x with fresh ids -> identity groups + cross-group near-dups
+    val docs = base.flatMap { case (id, t) => (0 until 4).map(c => (id + c * 100L, t)) }
+      .toDF("doc_id", "text")
+    val direct = Graph
+      .connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id_a", "id_b"),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Graph
+      .nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct.nonEmpty)
+    assert(composed == direct,
+      "collapse-first pipeline must produce the identical transitive closure")
+    // docs 0 and 1 (and all copies) merge into one cluster; 3 never appears
+    assert(composed(301L) == 0L && composed(201L) == 0L)
+    assert(!composed.contains(3L) && !composed.contains(103L))
+  }
+
   test("q38/q39 pipeline clusters the planted near-dups on real documents") {
     val clusters = QueriesDedup.q38_dedup_clusters(spark, sfDir).collect()
     assert(clusters.nonEmpty, "planted near-dups should form clusters")
