@@ -107,6 +107,67 @@ object EventStreams {
       }
   }
 
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Streaming gap-based sessionization — the stream twin of
+    * [[graft.operators.Windows.sessionize]] (batch q37), via
+    * flatMapGroupsWithState + event-time timeout.
+    *
+    * State per user is a set of OPEN sessions as merged intervals:
+    * every event inserts as a 1-event interval, then intervals within
+    * `gapMicros` coalesce — so an out-of-order event (within the
+    * watermark) that bridges two open sessions merges them, exactly
+    * like the batch sort would. A session is emitted only when the
+    * watermark passes its end + gap, i.e. when no in-order-or-late
+    * event can extend it anymore; state for closed sessions is
+    * dropped, so state size is bounded by open sessions within the
+    * watermark horizon — never the stream history.
+    */
+  def gapSessions(
+      events: Dataset[Event],
+      gapMicros: Long,
+      watermarkDelay: String = "1 hour"
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[OpenSession], SessionOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid, batch, state: GroupState[List[OpenSession]]) =>
+        val prior = state.getOption.getOrElse(Nil)
+        val merged =
+          if (state.hasTimedOut) prior
+          else {
+            val pts = prior ++ batch.map(e => OpenSession(micros(e.ts), micros(e.ts), 1L))
+            pts
+              .sortBy(s => (s.startUs, s.endUs))
+              .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+                acc match {
+                  case h :: t if s.startUs - h.endUs <= gapMicros =>
+                    OpenSession(h.startUs, math.max(h.endUs, s.endUs), h.n + s.n) :: t
+                  case _ => s :: acc
+                }
+              }
+              .reverse
+          }
+        val wmUs = state.getCurrentWatermarkMs * 1000L
+        val (closed, open) = merged.partition(s => s.endUs + gapMicros <= wmUs)
+        if (open.isEmpty) state.remove()
+        else {
+          state.update(open)
+          // next possible close: earliest open end + gap (strictly above wm by construction)
+          state.setTimeoutTimestamp(open.map(_.endUs).min / 1000L + gapMicros / 1000L + 1L)
+        }
+        closed.iterator.map(s => SessionOut(uid, s.n, s.startUs, s.endUs))
+      }
+  }
+
   /** Run a bounded stream to completion into a memory sink and return
     * the result — the batch-equivalence harness used by tests.
     */

@@ -87,6 +87,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum == 1000L)
   }
 
+  test("streaming gap sessions equal batch sessionize once the watermark closes them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream5").toString
+    val evs = eventsAsMicros.filter(col("user_id") < 40)
+    evs.write.parquet(s"$dir/in")
+    // a far-future sentinel (excluded user id) pushes the global watermark
+    // past every real session's end + gap, so all of them close
+    val maxTs = evs.agg(max($"ts")).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+    Seq((-1L, sentinelTs, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .write.mode("append").parquet(s"$dir/in")
+
+    val stream = EventStreams
+      .gapSessions(
+        EventStreams.readEventStream(spark, s"$dir/in").as[EventStreams.Event],
+        gapMicros = 1800000000L)
+      .toDF()
+    val got = EventStreams
+      .runBounded(stream, "gap_sessions", OutputMode.Append())
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val expected = graft.operators.Windows
+      .sessionize(evs, key = "user_id", tsCol = "ts", tieBreak = "event_id",
+        gapMicros = 1800000000L)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(got == expected, "stream sessions must equal the batch gap sessionization")
+  }
+
   test("mapGroupsWithState accumulates per-user session state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream2").toString
