@@ -97,8 +97,12 @@ object AsOf {
       case (TimestampNTZType, DateType)                => TimestampNTZType
       case (DateType, TimestampNTZType)                => TimestampNTZType
       case _ =>
-        throw new IllegalArgumentException(
-          s"joinSorted: incomparable time types $lt vs $rt — cast explicitly")
+        // numeric epoch times etc. — widen exactly like join's binary
+        // comparison would (lossless tightest common type or fail fast)
+        org.apache.spark.sql.catalyst.analysis.TypeCoercion
+          .findTightestCommonType(lt, rt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"joinSorted: incomparable time types $lt vs $rt — cast explicitly"))
     }
     val r = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)

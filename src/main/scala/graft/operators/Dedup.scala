@@ -38,15 +38,19 @@ object Dedup {
     * The partition count is only probed (`.rdd`) on shuffle-free plans:
     * under AQE, materializing the RDD of a plan with an upstream
     * exchange EXECUTES those stages as a throwaway job just to learn a
-    * number. If the input already went through a shuffle, its
-    * partitioning is shuffle.partitions-shaped anyway — leave it alone.
+    * number. Shuffled inputs are left untouched — with the caveat that
+    * AQE's partition coalescing targets BYTES, so a small-but-compute-
+    * heavy shuffle output can still land on few cores; a caller that
+    * needs guaranteed spread after a shuffle should `localCheckpoint()`
+    * first (the plan becomes a leaf, making this probe cheap and the
+    * repartition applicable) or repartition explicitly.
     */
   private[operators] def computeParallel(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val shuffled = df.queryExecution.analyzed.exists {
-      case _: Join | _: Aggregate | _: Distinct | _: Window | _: Sort => true
-      case _: Repartition | _: RepartitionOperation                   => true
-      case _                                                          => false
+      case _: Join | _: Aggregate | _: Distinct | _: Deduplicate | _: Window | _: Sort => true
+      case _: GlobalLimit | _: RepartitionOperation                                    => true
+      case _                                                                           => false
     }
     if (shuffled) df
     else {
@@ -58,6 +62,17 @@ object Dedup {
   /** doc_id + distinct shingle set per document. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     computeParallel(df).select(col(idCol), shingles(split(col(textCol), "\\s+"), n).as("shingle_set"))
+
+  /** Materialize an intermediate reused by several downstream branches.
+    * localCheckpoint rather than cache(): lineage truncates (iterative
+    * reuse can't stack plans), nothing pins a cache-manager entry for
+    * the session lifetime, and blocks free via the context cleaner once
+    * unreachable. Tradeoff, stated honestly: localCheckpoint blocks are
+    * NOT recomputable on executor loss — a cluster job that must
+    * survive lost executors should set a checkpoint dir and use
+    * reliable `checkpoint()` instead.
+    */
+  private[operators] def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
 
   /** Exact near-duplicate pairs by n-gram Jaccard ≥ threshold.
     * Plan: explode shingles → self-join on shingle (only co-occurring
@@ -71,7 +86,7 @@ object Dedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val sets = materialize(shingleSets(df, idCol, textCol, n))
     val ex = sets.select(col(idCol).as("id"), explode(col("shingle_set")).as("s"))
     val sizes = sets.select(col(idCol).as("id"), size(col("shingle_set")).as("sz"))
     val shared = ex
@@ -176,9 +191,8 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sets = shingleSets(df, idCol, textCol, n)
-      .filter(size(col("shingle_set")) > 0)
-      .cache()
+    val sets = materialize(
+      shingleSets(df, idCol, textCol, n).filter(size(col("shingle_set")) > 0))
     // Materialize the signature in its own projection: inlining it into
     // the 32 band lambdas makes Catalyst recompute the k-hash signature
     // per band (measured 60x slowdown, BENCH sf0.1). localCheckpoint-free
@@ -271,10 +285,10 @@ object Dedup {
     val c = if (chunks <= 0) maxHamming + 1 else chunks
     require(c > maxHamming, s"need chunks ($c) > maxHamming ($maxHamming) for the pigeonhole to hold")
     require(c <= 64, "at most one chunk per bit")
-    val sigs = shingleSets(df, idCol, textCol, n)
-      .filter(size(col("shingle_set")) > 0)
-      .select(col(idCol).as("id"), simhash64(col("shingle_set")).as("sig"))
-      .cache()
+    val sigs = materialize(
+      shingleSets(df, idCol, textCol, n)
+        .filter(size(col("shingle_set")) > 0)
+        .select(col(idCol).as("id"), simhash64(col("shingle_set")).as("sig")))
     val chunked = sigs.select(col("id"), col("sig"), explode(subsetKeys(col("sig"), c, maxHamming)).as("ch"))
     val candidates = chunked
       .as("a")

@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * The driver loop only checks an aggregate (changed-count) per round —
   * labels themselves never collect. Each round's labels are
-  * localCheckpoint'ed: lineage stays one round deep, previous rounds'
-  * blocks are released by the context cleaner as soon as they are
-  * unreachable, and nothing is pinned in the cache manager after the
-  * call returns (a .cache() here would leak one entry per invocation).
+  * localCheckpoint'ed: lineage stays one round deep (a cache-only loop
+  * stacks N rounds of joins and recompute-on-miss replays them all),
+  * nothing is pinned in the cache manager after the call returns, and
+  * previous rounds' blocks free via the context cleaner once
+  * unreachable (GC-driven, not deterministic — the price of not
+  * holding cache entries). Tradeoff stated honestly: localCheckpoint
+  * blocks are not recomputable on executor loss; a cluster run that
+  * must survive lost executors should set a checkpoint dir and swap in
+  * reliable `checkpoint()` (same call shape).
   */
 object Graph {
 
@@ -99,7 +104,11 @@ object Graph {
       .computeParallel(df)
       .filter(size(split(col(textCol), "\\s+")) >= n)
       .select(col(idCol).as("id"), col(textCol).as("txt"), sha2(col(textCol), 256).as("ck"))
-    val withRep = keyed.withColumn("rep_id", min(col("id")).over(Window.partitionBy(col("ck"))))
+    // materialize once: both reps and identityEdges branch from here, and
+    // the leaf plan lets shingleSets' computeParallel spread reps even if
+    // AQE coalesced the window shuffle down to a few partitions
+    val withRep = Dedup.materialize(
+      keyed.withColumn("rep_id", min(col("id")).over(Window.partitionBy(col("ck")))))
     val reps = withRep
       .filter(col("id") === col("rep_id"))
       .select(col("id").as(idCol), col("txt").as(textCol))

@@ -46,7 +46,9 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
       var m  = Long.MaxValue
       var i  = 0
       while (i < n) {
-        val h = XXH64.hashLong(xs.getLong(i), hs)
+        // null element: xxhash64 skips null children, so the pair hash
+        // degenerates to the seed-side hash — mirror that exactly
+        val h = if (xs.isNullAt(i)) hs else XXH64.hashLong(xs.getLong(i), hs)
         if (h < m) m = h
         i += 1
       }
@@ -77,7 +79,7 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
          |    long $hs = $xxh64.hashInt($s, ${seed}L);
          |    long $m = Long.MAX_VALUE;
          |    for (int $i = 0; $i < $n; $i++) {
-         |      long $h = $xxh64.hashLong($a.getLong($i), $hs);
+         |      long $h = $a.isNullAt($i) ? $hs : $xxh64.hashLong($a.getLong($i), $hs);
          |      if ($h < $m) $m = $h;
          |    }
          |    $out[$s] = $m;

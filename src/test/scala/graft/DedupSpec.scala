@@ -43,6 +43,20 @@ class DedupSpec extends SparkSpec {
     assert(native == hof, "native expression must reproduce the xxhash64 chain exactly")
   }
 
+  test("native minhash matches the HOF form on arrays containing null elements") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Seq(Some(7L), None, Some(-3L))),
+      (2L, Seq(Option.empty[Long])),
+      (3L, Seq.empty[Option[Long]])
+    ).toDF("id", "bh")
+    val native = base.select($"id", Dedup.minhashFromHashes($"bh", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val hof = base.select($"id", Dedup.minhashFromHashesHof($"bh", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(native == hof, "null elements must degenerate to the seed-side hash, like xxhash64 does")
+  }
+
   test("minhashLshPairs agrees with exact ngram jaccard on real documents") {
     val docs = Tables.documents(spark, sfDir)
     val exact = QueriesDedup
