@@ -227,9 +227,19 @@ object Dedup {
     * Bit j votes +1/-1 per shingle according to bit j of the shingle's
     * sha256-derived 64-bit hash; bit is 1 when the vote is positive.
     * sha256's hex prefix is used (instead of xxhash64) so an external
-    * engine can reproduce the value exactly.
+    * engine can reproduce the value exactly. The vote loop is the
+    * native [[graft.plans.SimHashBits]] expression — one pass over the
+    * shingles instead of 64 interpreted aggregate() passes; pinned
+    * bit-equal to [[simhash64Hof]] in DedupSpec.
     */
-  def simhash64(shingleCol: Column): Column = {
+  def simhash64(shingleCol: Column): Column =
+    graft.plans.SimHashExpression.simhashBits(
+      transform(shingleCol, t => substring(sha2(t, 256), 1, 16)))
+
+  /** The higher-order-function reference form of [[simhash64]] (kept
+    * for the native-equality spec; 64 aggregate passes, interpreted).
+    */
+  def simhash64Hof(shingleCol: Column): Column = {
     val hexes = transform(shingleCol, t => substring(sha2(t, 256), 1, 16))
     def bit(h: Column, j: Column): Column = {
       val digit = h.substr(floor(j / 4).cast("int") + lit(1), lit(1))

@@ -149,6 +149,23 @@ class DedupSpec extends SparkSpec {
       s"LSH candidates ($candidates) should prune well below all-pairs (${n * (n - 1) / 2})")
   }
 
+  test("native simhash bit-vote is bit-identical to the HOF reference on real documents") {
+    import spark.implicits._
+    val base = Dedup
+      .shingleSets(Tables.documents(spark, sfDir), "doc_id", "text", 3)
+      .filter(size($"shingle_set") > 0)
+    val native = base.select($"doc_id", Dedup.simhash64($"shingle_set").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hof = base.select($"doc_id", Dedup.simhash64Hof($"shingle_set").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native.nonEmpty)
+    assert(native == hof)
+    // empty shingle array degenerates to all-zero in both forms
+    val empty = Seq(Seq.empty[String]).toDF("ss")
+    assert(empty.select(Dedup.simhash64($"ss")).head().getString(0) == "0" * 64)
+    assert(empty.select(Dedup.simhash64Hof($"ss")).head().getString(0) == "0" * 64)
+  }
+
   test("simhash chunk-combination index (chunks=6) is exact: equals the classic m+1 pigeonhole") {
     val classic = Dedup.simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text", n = 3, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
