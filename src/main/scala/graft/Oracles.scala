@@ -307,6 +307,21 @@ object Oracles {
         |FROM documents
         |WHERE doc_id % 3 = 2 AND n_chars * 7 > 0
         |ORDER BY media_id, frame_ms""".stripMargin,
+    "q48_incremental_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard
+        |FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5
+        |  AND (id_a % 10 = 0 OR id_b % 10 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q26_minhash_lsh_pairs" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),

@@ -103,6 +103,23 @@ object QueriesDedup {
       .orderBy($"cluster_id")
   }
 
+  /** Incremental ingest dedup: docs with doc_id % 10 == 0 play the
+    * "newly arrived batch", the rest the existing corpus; output all
+    * near-dup pairs touching the batch ([[Dedup.incrementalNearDupPairs]]
+    * — only the batch probes the band index). Oracle: the full exact
+    * pair SQL filtered to pairs with ≥ 1 batch side.
+    */
+  def q48_incremental_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs   = Tables.documents(spark, dir)
+    val batch  = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    Dedup
+      .incrementalNearDupPairs(corpus, batch, "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** The composed dedup pipeline ([[Graph.nearDupClusters]]): exact-dup
     * collapse → near-dup pairs on representatives → components over
     * (near-dup ∪ identity) edges. Provably the same output as

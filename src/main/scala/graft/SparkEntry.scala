@@ -54,7 +54,8 @@ object SparkEntry {
     "q44_order_gaps" -> (QueriesRel2.q44_order_gaps _),
     "q45_intersect" -> (QueriesRel2.q45_intersect _),
     "q46_except" -> (QueriesRel2.q46_except _),
-    "q47_dedup_pipeline" -> (QueriesDedup.q47_dedup_pipeline _)
+    "q47_dedup_pipeline" -> (QueriesDedup.q47_dedup_pipeline _),
+    "q48_incremental_dedup" -> (QueriesDedup.q48_incremental_dedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

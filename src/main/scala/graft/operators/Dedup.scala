@@ -222,6 +222,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection: all pairs (MinHash+LSH banded,
+    * exact-verified) with AT LEAST ONE side in `batch` — the daily-
+    * ingest shape. Only the batch side probes the band index, so
+    * candidate generation costs O(batch-bucket collisions), never a
+    * corpus×corpus self-join: checking 1 M new docs against a 10 B-doc
+    * index touches only the buckets the new docs land in. Same
+    * banding recall and exact verification as [[minhashLshPairs]];
+    * equal to filtering the full pair set on "≥ 1 batch side"
+    * (asserted in DedupSpec).
+    * Output: (id_a, id_b, jaccard), id_a < id_b, ids must be disjoint.
+    */
+  def incrementalNearDupPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    def prep(df: DataFrame) =
+      shingleSets(df, idCol, textCol, n).filter(size(col("shingle_set")) > 0)
+    val allSets = materialize(prep(corpus).unionByName(prep(batch)))
+    def banded(sets: DataFrame) = sets
+      .select(col(idCol).as("id"), minhashBaseHashes(col("shingle_set")).as("bh0"))
+      .select(col("id"), minhashFromHashes(col("bh0"), k).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val batchIds = batch.select(col(idCol)).distinct()
+    val probe    = banded(allSets.join(batchIds, Seq(idCol), "left_semi")) // batch side only
+    val index    = banded(allSets)
+    val candidates = probe
+      .as("a")
+      .join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    candidates
+      .join(allSets.select(col(idCol).as("id_a"), col("shingle_set").as("sa")), Seq("id_a"))
+      .join(allSets.select(col(idCol).as("id_b"), col("shingle_set").as("sb")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over a shingle array, returned as a 64-char '0'/'1'
     * string (portable across engines — no signed-long ambiguity).
     * Bit j votes +1/-1 per shingle according to bit j of the shingle's

@@ -190,6 +190,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter($"id_a" < 60 && $"id_b" < 60).count() == 60L * 59 / 2)
   }
 
+  test("incremental dedup equals full pair detection filtered to batch-touching pairs") {
+    import spark.implicits._
+    val docs   = Tables.documents(spark, sfDir)
+    val batch  = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val incremental = Dedup
+      .incrementalNearDupPairs(corpus, batch, "doc_id", "text", n = 3, k = 64, bands = 32,
+        threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup
+      .minhashLshPairs(docs, "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
+      .toSet
+    assert(full.nonEmpty, "the planted near-dups should include batch-touching pairs")
+    assert(incremental == full)
+  }
+
   test("cosine matches a reference computation") {
     import spark.implicits._
     val got = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
