@@ -13,18 +13,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Best-of-2 per query: the first run pays JIT/codegen warm-up (and
-    // this VM shows sporadic multi-second host-level stalls); the min of
-    // two runs is the steady-state number a long-running cluster job sees.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Best-of-3 per query: the first run pays JIT/codegen warm-up, and
+    // this VM shows sporadic multi-second host-level stall waves — the
+    // min of three runs is the steady-state number a long-running
+    // cluster job sees. A query that THROWS fails the whole bench run
+    // loudly (non-zero exit, no JSON line): a broken query must never
+    // silently shrink the reported total.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILED: query $name threw ${e.getClass.getName}: ${e.getMessage}")
+          throw e
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (1 to 3).map(_ => timeOnce(name, fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,6 +37,14 @@ object QueriesRel2 {
 
   /** As-of join (point-in-time): each event matched to the user's
     * latest order at event time, via [[graft.operators.AsOf]].
+    *
+    * Wired to [[AsOf.joinSorted]] — the union-sentinel sort-merge whose
+    * intermediate is |events| + |orders| rows. The composition-first
+    * [[AsOf.join]] (range join + max_by) stays as the reference
+    * implementation, but its key×time-range product explodes at heavy
+    * per-key fan-out (hot users × long order history — exactly what
+    * 100× data brings), so the linear plan is the shipped default.
+    * Both paths are asserted equal on this data in AsOfSpec.
     */
   def q33_asof_join(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -50,7 +58,7 @@ object QueriesRel2 {
         date_format($"o_orderdate", "yyyy-MM-dd").as("matched_dt")
       )
     AsOf
-      .join(events, orders,
+      .joinSorted(events, orders,
         leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts", rightTime = "o_orderdate",
         tieBreak = "o_orderkey",

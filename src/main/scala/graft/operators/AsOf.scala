@@ -15,13 +15,16 @@ import org.apache.spark.sql.types.{DateType, StructType, TimestampNTZType, Times
   *     join + `max_by` aggregation. Correct and fully codegen, but the
   *     key×time-range product materializes before aggregating, so at
   *     extreme per-key fan-out (heavy users × long history) the
-  *     intermediate explodes.
+  *     intermediate explodes. Kept as the reference implementation.
   *   - [[joinSorted]] — the union-sentinel sort-merge: tag left/right,
   *     union, one shuffle on the key, sort within partitions on
   *     (time, side, tie-break), then a running `last(…, ignoreNulls)`
   *     carries the latest right row forward into each left row. The
   *     intermediate is |left| + |right| rows — NEVER the range
   *     product — which is the shape that survives 100 TB fan-out.
+  *     THE RECOMMENDED DEFAULT (and what q33 ships): its worst case is
+  *     the other path's best case, so there is no fan-out regime where
+  *     [[join]] wins by more than a constant.
   */
 object AsOf {
 

@@ -64,15 +64,14 @@ object Dedup {
     computeParallel(df).select(col(idCol), shingles(split(col(textCol), "\\s+"), n).as("shingle_set"))
 
   /** Materialize an intermediate reused by several downstream branches.
-    * localCheckpoint rather than cache(): lineage truncates (iterative
-    * reuse can't stack plans), nothing pins a cache-manager entry for
-    * the session lifetime, and blocks free via the context cleaner once
-    * unreachable. Tradeoff, stated honestly: localCheckpoint blocks are
-    * NOT recomputable on executor loss — a cluster job that must
-    * survive lost executors should set a checkpoint dir and use
-    * reliable `checkpoint()` instead.
+    * Checkpoint rather than cache(): lineage truncates (iterative reuse
+    * can't stack plans), nothing pins a cache-manager entry for the
+    * session lifetime, and blocks free via the context cleaner once
+    * unreachable. Reliability mode is session-selected via
+    * [[Materialize]]: local blocks by default; set a checkpoint dir and
+    * every materialization survives executor loss.
     */
-  private[operators] def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+  private[operators] def materialize(df: DataFrame): DataFrame = Materialize(df)
 
   /** Exact near-duplicate pairs by n-gram Jaccard ≥ threshold.
     * Plan: explode shingles → self-join on shingle (only co-occurring

@@ -21,15 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * The driver loop only checks an aggregate (changed-count) per round —
   * labels themselves never collect. Each round's labels are
-  * localCheckpoint'ed: lineage stays one round deep (a cache-only loop
-  * stacks N rounds of joins and recompute-on-miss replays them all),
-  * nothing is pinned in the cache manager after the call returns, and
-  * previous rounds' blocks free via the context cleaner once
-  * unreachable (GC-driven, not deterministic — the price of not
-  * holding cache entries). Tradeoff stated honestly: localCheckpoint
-  * blocks are not recomputable on executor loss; a cluster run that
-  * must survive lost executors should set a checkpoint dir and swap in
-  * reliable `checkpoint()` (same call shape).
+  * checkpointed via [[Materialize]]: lineage stays one round deep (a
+  * cache-only loop stacks N rounds of joins and recompute-on-miss
+  * replays them all), nothing is pinned in the cache manager after the
+  * call returns, and previous rounds' blocks free via the context
+  * cleaner once unreachable. Reliability is session-selected: by
+  * default blocks are local (not recomputable on executor loss); a
+  * cluster run sets `sparkContext.setCheckpointDir(...)` once and every
+  * round persists reliably instead — identical output either way
+  * (asserted in GraphSpec).
   */
 object Graph {
 
@@ -43,16 +43,16 @@ object Graph {
       bCol: String,
       maxIter: Int = 25
   ): DataFrame = {
-    val edges = pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges
-      .select(col("u").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    val edges = Materialize(
+      pairs
+        .select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct())
+    var labels = Materialize(
+      edges
+        .select(col("u").as("id"))
+        .distinct()
+        .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -60,10 +60,10 @@ object Graph {
         .join(labels, edges("v") === labels("id"))
         .groupBy(edges("u").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(labels("id").as("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val updated = Materialize(
+        labels
+          .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+          .select(labels("id").as("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
       val changed = updated
         .as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))

@@ -69,23 +69,21 @@ object Upsert {
         lit(")")
       )
     )
-    // the guard is woven into EVERY output column, so any projection
-    // that evaluates at least one output column raises — whichever
-    // columns the caller keeps. (A column-less aggregate like count()
-    // can still prune all expressions; the write/metrics paths always
-    // evaluate columns, so they always enforce.)
+    // the guard is a FILTER, not a projected column: a Filter condition
+    // determines cardinality, so no consumer can prune it — a bare
+    // count() over the plan raises exactly like Delta does, where
+    // round 3's column-woven guard was silently skipped. The condition
+    // references both join sides, so it can't be pushed below the
+    // full-outer join either.
+    val dupGuard = when(dupMatched, dupError.cast("boolean")).otherwise(lit(true))
     val merged = tgt.columns.map { c =>
-      when(dupMatched, dupError)
-        .when(useSrc, col(s"s.$c"))
-        .otherwise(col(s"t.$c"))
-        .as(c)
+      when(useSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
-    val action = when(dupMatched, dupError)
-      .when(inserted, lit("insert"))
+    val action = when(inserted, lit("insert"))
       .when(srcWins, lit("update"))
       .otherwise(lit("keep"))
       .as(ActionCol)
-    t.join(s, joinCond, "full_outer").select(merged :+ action: _*)
+    t.join(s, joinCond, "full_outer").filter(dupGuard).select(merged :+ action: _*)
   }
 
   /** Counters the reference reads from Delta `DESCRIBE HISTORY`

@@ -81,10 +81,17 @@ final class Warehouse(spark: SparkSession, root: String) {
     rows
   }
 
-  /** INSERT INTO ... SELECT (reference silver_google_scholar.py:148). */
+  /** INSERT INTO ... SELECT (reference silver_google_scholar.py:148).
+    * The appended-row count is an `observe` metric collected from the
+    * write job itself — one pass over the input, where a pre-count
+    * would execute the whole plan twice (the reference's pre/post-count
+    * reads Delta's commit metrics, which are likewise free).
+    */
   def append(layer: String, table: String, df: DataFrame): Long = {
-    val n = df.count()
-    df.write.mode(SaveMode.Append).parquet(tablePath(layer, table))
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(tablePath(layer, table))
+    val n = obs.get("n").asInstanceOf[Long]
     logOp(layer, table, "APPEND", inserted = n, updated = 0, outputRows = n)
     n
   }

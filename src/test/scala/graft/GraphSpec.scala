@@ -23,6 +23,32 @@ class GraphSpec extends SparkSpec {
     ))
   }
 
+  test("reliable-checkpoint mode: a session checkpoint dir gives identical components") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val localMode = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    assert(spark.sparkContext.getCheckpointDir.isEmpty, "suite assumes no ambient checkpoint dir")
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val reliableMode = Graph.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliableMode == localMode, "checkpoint mode must not change results")
+      // prove the reliable path actually ran: checkpoint data landed on disk
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, s"expected reliable checkpoint files under $ckptDir")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null) // back to local mode for other suites
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    }
+  }
+
   test("keepOnePerComponent picks greatest rank, breaking ties on smallest id") {
     import spark.implicits._
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")

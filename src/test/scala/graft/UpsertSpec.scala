@@ -71,6 +71,13 @@ class UpsertSpec extends SparkSpec {
     }
     assert(messages(e2).exists(_.contains("multiple source rows matched")),
       s"guard must not be prunable away, got: $e2")
+    // the guard is a Filter, so even a COLUMN-LESS consumer — count()
+    // prunes every projected expression — still raises like Delta
+    val e3 = intercept[Exception] {
+      Upsert.plan(tgt, src, Seq("k"), "v").count()
+    }
+    assert(messages(e3).exists(_.contains("multiple source rows matched")),
+      s"guard must survive full column pruning (count()), got: $e3")
   }
 
   test("duplicate source keys that match NO target row are all inserted (Delta parity)") {
