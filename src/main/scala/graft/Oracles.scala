@@ -451,7 +451,19 @@ object Oracles {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f)
         |SELECT user_id, CAST(sess_seq AS INT) AS session_seq, count(*) AS n_events,
         |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
-        |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, session_seq""".stripMargin
+        |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, session_seq""".stripMargin,
+    // q49/q50: sketch estimates are engine-specific, so the oracle checks
+    // the CONTRACT — the exact count plus within_bound = 1 (the bound
+    // itself is pinned numerically per-sf in SketchSpec).
+    "q49_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, 1 AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_sketch_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, 1 AS within_bound
+        |FROM events GROUP BY 1
+        |HAVING count(*) FILTER (event_id % 2 = 0) > 0
+        |   AND count(*) FILTER (event_id % 2 <> 0) > 0
+        |ORDER BY 1""".stripMargin
   )
 }
 

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation — the 100 TB answer to exact
+  * `count(DISTINCT ...)` (q18), whose two-phase expand/shuffle carries
+  * every distinct key through the exchange. A sketch is a few KB per
+  * group however many keys it saw, partial-aggregates map-side, and —
+  * critically — MERGES: per-partition / per-day sketches union into the
+  * global answer without re-scanning history, which is how incremental
+  * 100 TB pipelines keep distinct-count dashboards warm.
+  *
+  * Cross-engine contract: sketch ESTIMATES are engine-specific (Spark
+  * ships HLL++ for approx_count_distinct and Apache DataSketches HLL
+  * for hll_sketch_agg; DuckDB's approx_count_distinct is a different
+  * HLL), so the oracle checks the CONTRACT, not the estimate: each row
+  * emits the exact count plus a within-bound flag the oracle expects to
+  * be 1. The error bound itself is pinned per-sf in SketchSpec against
+  * the exact value, and the exact oracle stays on q18.
+  */
+object QueriesSketch {
+
+  /** Relative-error contract for approx_count_distinct at rsd=0.05:
+    * HLL++ standard error is rsd, so 3·rsd is a ≥ 99.7% bound; the
+    * flag (not the estimate) is what both engines must agree on.
+    */
+  def q49_approx_distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id", rsd = 0.05).as("approx_users")
+      )
+      .select(
+        $"event_type",
+        $"exact_users",
+        when(abs($"approx_users" - $"exact_users") <= $"exact_users" * 0.15, 1)
+          .otherwise(0)
+          .as("within_bound")
+      )
+      .orderBy($"event_type")
+  }
+
+  /** Mergeable-sketch pipeline: DataSketches HLL sketches built
+    * INDEPENDENTLY over two halves of the stream (even/odd event_id —
+    * standing in for two days / two partitions), then hll_union'd and
+    * estimated. This is the property exact distinct lacks: yesterday's
+    * sketch + today's sketch = the union's sketch, no re-scan. Default
+    * lgConfigK=12 ⇒ ~1.6% standard error; the contract bound is 10%.
+    */
+  def q50_sketch_merge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val a = ev
+      .filter($"event_id" % 2 === 0)
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk_a"))
+    val b = ev
+      .filter($"event_id" % 2 =!= 0)
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk_b"))
+    val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact_users"))
+    a.join(b, Seq("event_type"))
+      .select($"event_type", hll_sketch_estimate(hll_union($"sk_a", $"sk_b")).as("est"))
+      .join(exact, Seq("event_type"))
+      .select(
+        $"event_type",
+        $"exact_users",
+        when(abs($"est" - $"exact_users") <= $"exact_users" * 0.10, 1)
+          .otherwise(0)
+          .as("within_bound")
+      )
+      .orderBy($"event_type")
+  }
+}

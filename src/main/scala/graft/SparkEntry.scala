@@ -55,7 +55,9 @@ object SparkEntry {
     "q45_intersect" -> (QueriesRel2.q45_intersect _),
     "q46_except" -> (QueriesRel2.q46_except _),
     "q47_dedup_pipeline" -> (QueriesDedup.q47_dedup_pipeline _),
-    "q48_incremental_dedup" -> (QueriesDedup.q48_incremental_dedup _)
+    "q48_incremental_dedup" -> (QueriesDedup.q48_incremental_dedup _),
+    "q49_approx_distinct" -> (QueriesSketch.q49_approx_distinct _),
+    "q50_sketch_merge" -> (QueriesSketch.q50_sketch_merge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -77,6 +77,77 @@ object Graph {
     labels.select(col("id"), col("comp").as("component"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the LOG-ROUND alternative to
+    * [[connectedComponents]]'s label propagation for graphs with long
+    * chains: propagation needs diameter rounds (a 30-hop chain aborts
+    * the default maxIter=25), star contraction converges in O(log² n)
+    * rounds regardless of diameter, because every large-star round
+    * rewires all strictly-greater neighbors of each node directly to
+    * its neighborhood minimum (halving path lengths), and small-star
+    * flattens the remainder into stars.
+    *
+    * Per round: two groupBy+join passes over the edge set (which only
+    * SHRINKS toward one edge per non-root vertex — no intermediate
+    * blowup), checkpointed via [[Materialize]] like the propagation
+    * loop. Same output contract as [[connectedComponents]]:
+    * (id, component = min id in component) for every vertex in ≥ 1
+    * edge — asserted equal on chains, cliques and random graphs in
+    * GraphSpec. For near-dup clusters (diameter 1-2) plain propagation
+    * does fewer passes; pick this variant when component shape is
+    * unknown or chain-like (web graphs, citation chains, link graphs).
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50
+  ): DataFrame = {
+    // canonical orientation: u = greater endpoint, v = smaller; self-loops drop
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canon(
+        sym.join(mins, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star(u): m = min of smaller neighbors; rewire them (and u) to m
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins   = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = e.join(mins, Seq("u"))
+      canon(
+        joined.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mins.select(col("u"), col("m").as("v"))))
+    }
+    var edges = Materialize(canon(pairs.select(col(aCol).as("u"), col(bCol).as("v"))))
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = Materialize(smallStar(largeStar(edges)))
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // at convergence the edge set is a union of stars (non-root → root);
+    // roots label themselves
+    val verts = pairs
+      .select(col(aCol).as("id")).union(pairs.select(col(bCol).as("id"))).distinct()
+    verts
+      .join(edges.select(col("u").as("id"), col("v").as("c")), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("c"), col("id"))).as("component"))
+  }
+
   /** The full dedup-clustering pipeline, composed for duplicate-heavy
     * corpora (the 100 TB shape measured in SCALE.md): collapse exact
     * duplicates by content key FIRST (one shuffle; identical copies

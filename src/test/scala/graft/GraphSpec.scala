@@ -49,6 +49,45 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("star contraction equals label propagation on a 40-hop chain (where default propagation aborts)") {
+    import spark.implicits._
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // diameter 39 > default maxIter=25: propagation's round budget aborts…
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(chain, "id_a", "id_b")
+    }
+    // …while star contraction converges in O(log n) rounds
+    val star = Graph.connectedComponentsStar(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == (1L to 40L).map(_ -> 1L).toMap)
+    // and equals propagation given enough rounds
+    val prop = Graph.connectedComponents(chain, "id_a", "id_b", maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("star contraction equals label propagation on cliques, bridges and random graphs") {
+    import spark.implicits._
+    def compare(pairs: org.apache.spark.sql.DataFrame): Unit = {
+      val star = Graph.connectedComponentsStar(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Graph.connectedComponents(pairs, "id_a", "id_b", maxIter = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"star/propagation disagree on ${pairs.collect().toSeq}")
+    }
+    // two cliques joined by a bridge + an isolated edge
+    val cliqueA = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val cliqueB = for { i <- 11L to 15L; j <- (i + 1) to 15L } yield (i, j)
+    compare((cliqueA ++ cliqueB ++ Seq((5L, 11L), (30L, 31L))).toDF("id_a", "id_b"))
+    // seeded random graphs: sparse (many components) and denser (few)
+    val rnd = new scala.util.Random(42)
+    for (nEdges <- Seq(30, 120)) {
+      val edges = Seq.fill(nEdges)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      compare(edges.toDF("id_a", "id_b"))
+    }
+  }
+
   test("keepOnePerComponent picks greatest rank, breaking ties on smallest id") {
     import spark.implicits._
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Numeric error-bound contract for the sketch family (q49/q50): the
+  * oracle checks the within_bound FLAG; this spec pins the actual
+  * relative error against the exact count at every local sf, so a
+  * regression in sketch parameters (rsd, lgConfigK) fails here even
+  * though the flag might still pass.
+  */
+class SketchSpec extends SparkSpec {
+
+  private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  for (dir <- sfs) {
+    test(s"approx_count_distinct(rsd=0.05) within 3*rsd of exact per event_type at $dir") {
+      import spark.implicits._
+      val rows = Tables
+        .events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("exact"),
+          approx_count_distinct($"user_id", rsd = 0.05).as("approx")
+        )
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val exact  = r.getLong(1).toDouble
+        val approx = r.getLong(2).toDouble
+        val rel    = math.abs(approx - exact) / exact
+        assert(rel <= 0.15, s"${r.getString(0)}: approx $approx vs exact $exact (rel $rel) at $dir")
+      }
+    }
+
+    test(s"merged DataSketches HLL (two independent halves) within 10% of exact at $dir") {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val a = ev.filter($"event_id" % 2 === 0)
+        .groupBy($"event_type").agg(hll_sketch_agg($"user_id").as("sk_a"))
+      val b = ev.filter($"event_id" % 2 =!= 0)
+        .groupBy($"event_type").agg(hll_sketch_agg($"user_id").as("sk_b"))
+      val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact"))
+      val rows = a.join(b, Seq("event_type"))
+        .select($"event_type", hll_sketch_estimate(hll_union($"sk_a", $"sk_b")).as("est"))
+        .join(exact, Seq("event_type"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val est   = r.getLong(1).toDouble
+        val exact = r.getLong(2).toDouble
+        val rel   = math.abs(est - exact) / exact
+        assert(rel <= 0.10, s"${r.getString(0)}: merged est $est vs exact $exact (rel $rel) at $dir")
+      }
+    }
+  }
+
+  test("hll_union_agg merges MANY partial sketches (8 hash buckets) to the same answer") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val ev  = Tables.events(spark, dir)
+    // partial sketch per (event_type, bucket) — the per-partition / per-day
+    // shape — then a single union-aggregate; no re-scan of the raw rows
+    val partials = ev
+      .groupBy($"event_type", pmod($"user_id", lit(8)).as("bucket"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val merged = partials
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact"))
+    merged.join(exact, Seq("event_type")).collect().foreach { r =>
+      val rel = math.abs(r.getLong(1).toDouble - r.getLong(2).toDouble) / r.getLong(2).toDouble
+      assert(rel <= 0.10, s"${r.getString(0)}: union_agg est ${r.getLong(1)} vs exact ${r.getLong(2)}")
+    }
+  }
+}
