@@ -124,6 +124,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, "stream sessions must equal the batch gap sessionization")
   }
 
+  test("streaming incremental dedup equals the one-shot batch incremental run (q48 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir  = Files.createTempDirectory("graft_stream6").toString
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // same split as q48: %10==0 is the arriving data, the rest the corpus —
+    // but here the arrivals come as TWO micro-batches
+    val corpusSeed = docs.filter($"doc_id" % 10 =!= 0)
+    val arrivals   = docs.filter($"doc_id" % 10 === 0)
+    corpusSeed.write.parquet(graft.streaming.DocStreams.seedDir(s"$dir/corpus"))
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.incrementalDedup(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      corpusDir = s"$dir/corpus", pairsDir = s"$dir/pairs")
+    try {
+      val b1 = arrivals.filter($"doc_id" % 20 === 0).as[(Long, String)].collect().toSeq
+      val b2 = arrivals.filter($"doc_id" % 20 =!= 0).as[(Long, String)].collect().toSeq
+      assert(b1.nonEmpty && b2.nonEmpty)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = graft.operators.Dedup
+      .incrementalNearDupPairs(corpusSeed, arrivals, "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "planted data must produce batch-side pairs")
+    // the data plants all three pair classes: corpus x batch, within-batch,
+    // and cross-micro-batch (emitted by the LATER batch once the earlier
+    // one has joined the corpus) — the union must equal the one-shot run
+    assert(got == expected, s"stream pairs $got != batch pairs $expected")
+  }
+
   test("mapGroupsWithState accumulates per-user session state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream2").toString
