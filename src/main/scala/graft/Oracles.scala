@@ -463,7 +463,31 @@ object Oracles {
         |FROM events GROUP BY 1
         |HAVING count(*) FILTER (event_id % 2 = 0) > 0
         |   AND count(*) FILTER (event_id % 2 <> 0) > 0
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // q51/q52: the whole pHash pipeline recomputed in SQL — stub
+    // features are sha256 hex digits (integer-valued doubles, so the
+    // mean comparison is float-order-exact), bits are the >= mean rule.
+    "q51_phash_media" ->
+      """WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+        |f AS (SELECT media_id, list_transform(range(64), j ->
+        |        CAST(instr('0123456789abcdef', substring(hx, CAST(j+1 AS INT), 1)) - 1 AS DOUBLE)) AS fv FROM h)
+        |SELECT media_id, array_to_string(list_transform(range(64), j ->
+        |  CASE WHEN fv[CAST(j+1 AS INT)] >= list_sum(fv)/64 THEN '1' ELSE '0' END), '') AS phash
+        |FROM f ORDER BY media_id""".stripMargin,
+    "q52_phash_pairs" ->
+      """WITH m AS (SELECT d.doc_id AS media_id, r.text AS txt
+        |           FROM documents d JOIN documents r ON r.doc_id = d.doc_id - d.doc_id % 5),
+        |h AS (SELECT media_id, sha256(txt) AS hx FROM m),
+        |f AS (SELECT media_id, list_transform(range(64), j ->
+        |        CAST(instr('0123456789abcdef', substring(hx, CAST(j+1 AS INT), 1)) - 1 AS DOUBLE)) AS fv FROM h),
+        |p AS (SELECT media_id, list_transform(range(64), j ->
+        |        CASE WHEN fv[CAST(j+1 AS INT)] >= list_sum(fv)/64 THEN 1 ELSE 0 END) AS bits FROM f)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |         CAST(len(list_filter(range(64), j ->
+        |           a.bits[CAST(j+1 AS INT)] <> b.bits[CAST(j+1 AS INT)])) AS INT) AS hamming
+        |  FROM p a JOIN p b ON a.media_id < b.media_id)
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   )
 }
 

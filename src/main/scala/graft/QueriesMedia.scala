@@ -59,4 +59,47 @@ object QueriesMedia {
       .sampleFrameIndexes(media, everyMs = 500L)
       .orderBy($"media_id", $"frame_ms")
   }
+
+  /** Per-media perceptual hash: (stub-)decoded feature vector →
+    * mean-threshold bits ([[Multimodal.thresholdBits]] — the real
+    * pHash rule; only feature extraction is the sha-derived stub).
+    * Mean and bits sit in separate projections per the CollapseProject
+    * discipline. Oracle recomputes the identical 64 bits in SQL.
+    */
+  def q51_phash_media(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMedia(Tables.documents(spark, dir))
+      .select($"media_id", Multimodal.stubFeatures($"payload").as("f"))
+      .select($"media_id", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select($"media_id", Multimodal.thresholdBits($"f", $"mu").as("phash"))
+      .orderBy($"media_id")
+  }
+
+  /** Duplicate-media detection over pHash signatures via the shared
+    * SimHash chunk-combination index ([[Dedup.bitSigPairs]] — banded
+    * candidates, never media²). The corpus plants duplicates
+    * deterministically: each media row carries the payload of its
+    * 5-group representative (doc_id rounded down to a multiple of 5),
+    * so identical payloads → identical pHash → hamming-0 pairs, which
+    * is exactly what a real pHash yields for re-encoded copies. The
+    * oracle checks ALL pairs with hamming ≤ 3 by brute force — any
+    * index recall loss or signature drift fails the hash compare.
+    */
+  def q52_phash_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    val reps = docs.select($"doc_id".as("rep_id"), $"text")
+    val media = docs
+      .select($"doc_id".as("media_id"), ($"doc_id" - $"doc_id" % 5).as("rep_id"))
+      .join(reps, Seq("rep_id"))
+      .select($"media_id", $"text".cast("binary").as("payload"))
+    val sigs = media
+      .select($"media_id", Multimodal.stubFeatures($"payload").as("f"))
+      .select($"media_id", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select($"media_id", Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    Dedup
+      .bitSigPairs(graft.operators.Materialize(sigs), "media_id", "phash", maxHamming = 3, chunks = 4)
+      .orderBy($"id_a", $"id_b")
+  }
 }

@@ -57,7 +57,9 @@ object SparkEntry {
     "q47_dedup_pipeline" -> (QueriesDedup.q47_dedup_pipeline _),
     "q48_incremental_dedup" -> (QueriesDedup.q48_incremental_dedup _),
     "q49_approx_distinct" -> (QueriesSketch.q49_approx_distinct _),
-    "q50_sketch_merge" -> (QueriesSketch.q50_sketch_merge _)
+    "q50_sketch_merge" -> (QueriesSketch.q50_sketch_merge _),
+    "q51_phash_media" -> (QueriesMedia.q51_phash_media _),
+    "q52_phash_pairs" -> (QueriesMedia.q52_phash_pairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

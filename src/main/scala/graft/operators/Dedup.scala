@@ -344,14 +344,31 @@ object Dedup {
       maxHamming: Int,
       chunks: Int = 0
   ): DataFrame = {
-    val c = if (chunks <= 0) maxHamming + 1 else chunks
-    require(c > maxHamming, s"need chunks ($c) > maxHamming ($maxHamming) for the pigeonhole to hold")
-    require(c <= 64, "at most one chunk per bit")
     val sigs = materialize(
       shingleSets(df, idCol, textCol, n)
         .filter(size(col("shingle_set")) > 0)
         .select(col(idCol).as("id"), simhash64(col("shingle_set")).as("sig")))
-    val chunked = sigs.select(col("id"), col("sig"), explode(subsetKeys(col("sig"), c, maxHamming)).as("ch"))
+    bitSigPairs(sigs, "id", "sig", maxHamming, chunks)
+  }
+
+  /** Near-dup pairs over ANY 64-bit '0'/'1' signature column via the
+    * chunk-combination pigeonhole index — the shared machinery behind
+    * [[simhashPairs]] (text) and [[graft.operators.Multimodal]]'s
+    * perceptual-hash media dedup. `sigs` should be materialized if its
+    * signature is expensive. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def bitSigPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      chunks: Int = 0
+  ): DataFrame = {
+    val c = if (chunks <= 0) maxHamming + 1 else chunks
+    require(c > maxHamming, s"need chunks ($c) > maxHamming ($maxHamming) for the pigeonhole to hold")
+    require(c <= 64, "at most one chunk per bit")
+    val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val chunked = s.select(col("id"), col("sig"), explode(subsetKeys(col("sig"), c, maxHamming)).as("ch"))
     val candidates = chunked
       .as("a")
       .join(

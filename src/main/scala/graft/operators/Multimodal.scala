@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -97,6 +97,50 @@ object Multimodal {
         .otherwise("thumb")
         .as("res_bucket")
     )
+
+  /** Perceptual-hash (pHash) family: a real pHash thresholds a
+    * decoded-feature vector (DCT coefficients for images, spectral
+    * bands for audio) against its own mean — near-identical media
+    * produce near-identical bits, so Hamming distance measures
+    * perceptual similarity and the SimHash pair machinery
+    * ([[Dedup.bitSigPairs]]) finds duplicate media without any n²
+    * scan. The THRESHOLDING below is that real logic and works over
+    * any decoder's features; only the feature EXTRACTION is stubbed in
+    * this container (no codecs), via [[stubFeatures]] — a
+    * deterministic sha256-hex-digit fake, the relational twin of
+    * [[StubDecoder]] and (unlike a real decoder) reproducible in pure
+    * SQL, which is what lets the DuckDB oracle check the whole
+    * pipeline bit-for-bit (q51/q52).
+    *
+    * [[featureMean]] must sit in its OWN projection with
+    * [[thresholdBits]] consuming the attribute — the same
+    * CollapseProject discipline as MinHash signatures (see
+    * [[Dedup.minhashFromHashesHof]]): inlined, Catalyst would
+    * re-evaluate the mean aggregate once per output bit.
+    */
+  def stubFeatures(payload: Column): Column = {
+    val hx = sha2(payload, 256) // 64 lowercase hex chars
+    transform(
+      sequence(lit(0), lit(63)),
+      j => (instr(lit("0123456789abcdef"), hx.substr(j + 1, lit(1))) - lit(1)).cast("double")
+    )
+  }
+
+  /** Mean of a feature vector (integer-valued doubles stay exact, so
+    * the q51/q52 oracle comparison has no float-order ambiguity).
+    */
+  def featureMean(features: Column): Column =
+    aggregate(features, lit(0.0), (acc, x) => acc + x) / size(features)
+
+  /** Threshold each feature against the (separately projected) mean:
+    * '1' when >= mean — the pHash bit rule. The null guard doubles as
+    * the CollapseProject defense: it references `mean` a second time,
+    * which keeps the mean's producing projection from being merged
+    * into (and re-evaluated inside) the per-bit lambda.
+    */
+  def thresholdBits(features: Column, mean: Column): Column =
+    when(mean.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("", transform(features, x => when(x >= mean, lit("1")).otherwise(lit("0")))))
 
   /** Frame-sample stub for video: emit every nth frame index as a
     * (media_id, frame_idx) row — the explode pattern a real frame

@@ -45,4 +45,41 @@ class MultimodalSpec extends SparkSpec {
     val got = frames.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((3L, 0L), (3L, 1000L), (3L, 2000L)))
   }
+
+  test("pHash is perceptually local over decoder features: small drift → small hamming") {
+    import spark.implicits._
+    // hand-planted feature vectors standing in for a real decoder's DCT
+    // coefficients: 2 is a slightly-degraded copy of 1 (2 coefficients
+    // drift across the mean), 3 is unrelated. The thresholding path is
+    // the REAL pHash logic — only decode is stubbed elsewhere.
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 10.0 else 2.0) // mean 6
+    val nearDup = base.clone(); nearDup(0) = 3.0; nearDup(7) = 11.0   // 2 bits flip
+    val other = Array.tabulate(64)(i => if (i % 3 == 0) 9.0 else 1.0)
+    val sigs = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, other.toSeq))
+      .toDF("media_id", "f")
+      .select($"media_id", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select($"media_id", Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.values.forall(_.length == 64))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(byId(1L), byId(2L)) == 2, "near-dup features → hamming 2")
+    assert(hamming(byId(1L), byId(3L)) > 10, "unrelated features → far apart")
+    // and the shared banded pair machinery finds exactly the near-dup pair
+    val pairs = graft.operators.Dedup
+      .bitSigPairs(sigs, "media_id", "phash", maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 2)))
+  }
+
+  test("stubFeatures (relational) matches StubDecoder's determinism contract: same payload, same phash") {
+    import spark.implicits._
+    val df = media.toDF().select($"media_id", $"payload")
+      .select($"media_id", Multimodal.stubFeatures($"payload").as("f"))
+      .select($"media_id", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select($"media_id", Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    val byId = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == byId(4L), "identical payloads → identical pHash")
+    assert(byId(1L) != byId(2L))
+    assert(byId(1L).length == 64 && byId(1L).forall(c => c == '0' || c == '1'))
+  }
 }
