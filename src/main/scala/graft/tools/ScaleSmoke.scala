@@ -1,7 +1,21 @@
 package graft.tools
 
+import scala.collection.mutable.ArrayBuffer
+
 import graft.{Engine, Tables}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
+
+/** Collects per-task wall-clock durations so a skew run can report the
+  * actual straggler delta (max vs median task), not just total time.
+  */
+private final class TaskTimeListener extends SparkListener {
+  private val buf = ArrayBuffer.empty[Long]
+  override def onTaskEnd(end: SparkListenerTaskEnd): Unit =
+    synchronized { if (end.taskInfo != null) buf += end.taskInfo.duration }
+  def reset(): Unit = synchronized(buf.clear())
+  def snapshot(): Vector[Long] = synchronized(buf.toVector)
+}
 
 /** Scale-up smoke: derive a 10x corpus from sf0.1 (each document /
   * embedding duplicated with fresh ids — a duplicate-heavy corpus,
@@ -19,6 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) {
+      val spark = Engine.session(32)
+      skewBench(spark)
+      spark.stop()
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src    = "/root/testdata/sf0.1"
     val out    = s"/tmp/graft_scale$factor"
