@@ -4,17 +4,35 @@ import scala.collection.mutable.ArrayBuffer
 
 import graft.{Engine, Tables}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Collects per-task wall-clock durations so a skew run can report the
   * actual straggler delta (max vs median task), not just total time.
   */
 private final class TaskTimeListener extends SparkListener {
-  private val buf = ArrayBuffer.empty[Long]
+  /** (stageId, taskDurationMs, shuffleRecordsRead) per finished task. */
+  private val buf = ArrayBuffer.empty[(Int, Long, Long)]
   override def onTaskEnd(end: SparkListenerTaskEnd): Unit =
-    synchronized { if (end.taskInfo != null) buf += end.taskInfo.duration }
+    synchronized {
+      if (end.taskInfo != null) {
+        val recs =
+          if (end.taskMetrics != null) end.taskMetrics.shuffleReadMetrics.recordsRead
+          else 0L
+        buf += ((end.stageId, end.taskInfo.duration, recs))
+      }
+    }
   def reset(): Unit = synchronized(buf.clear())
-  def snapshot(): Vector[Long] = synchronized(buf.toVector)
+  def snapshot(): Vector[(Int, Long, Long)] = synchronized(buf.toVector)
+
+  /** Tasks of the stage that read the most shuffle records — for a
+    * shuffle join that is the reduce stage whose straggler we care
+    * about; map/scan stages would otherwise dilute the median.
+    */
+  def reduceStage(): Vector[(Long, Long)] = {
+    val byStage = snapshot().groupBy(_._1).map { case (_, v) => v.map(t => (t._2, t._3)) }
+    if (byStage.isEmpty) Vector.empty else byStage.maxBy(_.map(_._2).sum)
+  }
 }
 
 /** Scale-up smoke: derive a 10x corpus from sf0.1 (each document /
@@ -32,9 +50,97 @@ private final class TaskTimeListener extends SparkListener {
   * `sbt "runMain graft.tools.ScaleSmoke [factor]"`.
   */
 object ScaleSmoke {
+
+  /** Planted-skew benchmark: amplify sf0.1 events and reassign half of
+    * the rows to ONE user_id, then join against a 100-row user dim
+    * unsalted vs via [[graft.operators.Salt.saltedJoin]]. AQE and
+    * broadcast are disabled so the raw shuffle-join skew is visible:
+    * unsalted, one reduce task owns half the corpus; salted, the hot
+    * key spreads over `factor` tasks. The straggler delta (max vs
+    * median task duration, from [[TaskTimeListener]]) is the number
+    * that matters — at 100 TB that ratio is the difference between a
+    * stage finishing and a stage pinned on one executor.
+    * `sbt "runMain graft.tools.ScaleSmoke skew"`; results → SCALE.md.
+    */
+  private[tools] def skewBench(spark: SparkSession): Unit = {
+    // Isolate the raw shuffle-join behavior: no broadcast (the dim is
+    // tiny and would otherwise sidestep the shuffle entirely), no AQE
+    // (its skew-join splitter is exactly the mitigation we are
+    // comparing against, and its partition coalescing blurs task
+    // boundaries). 32 shuffle partitions regardless of core count so
+    // the salted/unsalted partition layout is the cluster-shaped one.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    val src  = "/root/testdata/sf0.1"
+    val mult = 50
+    val events = Tables
+      .events(spark, src)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("copy", explode(lit((0 until mult).toArray)))
+      .withColumn("event_id", col("event_id") * mult + col("copy"))
+      // Plant the skew: ~50% of rows land on user_id 1, the rest
+      // spread uniformly over the 100 dim keys.
+      .withColumn(
+        "user_id",
+        when(pmod(xxhash64(col("event_id")), lit(2)) === 0, lit(1L))
+          .otherwise(pmod(xxhash64(col("event_id"), lit(7)), lit(100)))
+      )
+      .select("event_id", "user_id", "value")
+    val users = spark
+      .range(0, 100)
+      .select(col("id").as("user_id"), (col("id") * lit(7L)).as("weight"))
+
+    val listener = new TaskTimeListener
+    spark.sparkContext.addSparkListener(listener)
+    // Best-of-3: this VM has stall waves; per-task ROW counts are
+    // deterministic but durations are not, so keep the cleanest run.
+    def run(name: String)(df: => DataFrame): Unit = {
+      val attempts = (1 to 3).map { _ =>
+        listener.reset()
+        val t0 = System.nanoTime()
+        val n  = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // listener bus is async; let task-end events drain
+        (secs, n, listener.reduceStage())
+      }
+      val (secs, n, tasks) = attempts.minBy(_._1)
+      val durs  = tasks.map(_._1).sorted
+      val recs  = tasks.map(_._2).sorted
+      def medOf(v: Vector[Long]) = if (v.nonEmpty) v(v.size / 2) else 0L
+      val (dMax, dMed) = (durs.lastOption.getOrElse(0L), medOf(durs))
+      val (rMax, rMed) = (recs.lastOption.getOrElse(0L), medOf(recs))
+      def ratio(a: Long, b: Long) = if (b > 0) a.toDouble / b else 0.0
+      println(
+        f"SKEW $name%-24s total=$secs%6.2f s  rows=$n%9d  joinTasks=${tasks.size}%3d  " +
+          f"taskRows max/med=$rMax%9d/$rMed%7d (${ratio(rMax, rMed)}%5.1fx)  " +
+          f"taskTime max/med=$dMax%6d/$dMed%5d ms (${ratio(dMax, dMed)}%4.1fx)"
+      )
+    }
+
+    run("unsalted join") {
+      events.join(users, Seq("user_id")).select(col("value") * col("weight"))
+    }
+    // factor=64 > the 32 shuffle partitions: with factor==partitions,
+    // balls-in-bins collisions of the 32 hot (key,salt) combos over 32
+    // partitions leave ~4x residual row skew; 64 finer-grained combos
+    // smooth it to ~2x.
+    run("salted join (f=64)") {
+      graft.operators.Salt
+        .saltedJoin(events, users, "user_id", entropy = col("event_id"), factor = 64)
+        .select(col("value") * col("weight"))
+    }
+    spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) {
-      val spark = Engine.session(32)
+      // 8 cores (not 32): the 32 reduce tasks then run in waves, so the
+      // hot task's duration reflects its compute, not 32-thread CPU
+      // contention on this single VM — closer to how a real cluster's
+      // per-executor task slots behave.
+      val spark = Engine.session(8)
       skewBench(spark)
       spark.stop()
       return
@@ -97,6 +203,18 @@ object ScaleSmoke {
     }
     time("q38 dedup clusters (connected components)") {
       graft.QueriesDedup.q38_dedup_clusters(spark, out).count()
+    }
+    time("star-contraction components (same near-dup edges)") {
+      graft.operators.Graph
+        .connectedComponentsStar(
+          graft.operators.Dedup.ngramJaccardPairs(
+            spark.read.parquet(s"$out/documents.parquet"), "doc_id", "text",
+            n = 3, threshold = 0.5),
+          "id_a", "id_b")
+        .count()
+    }
+    time("q52 phash pairs (shared banded bit-sig index)") {
+      graft.QueriesMedia.q52_phash_pairs(spark, out).count()
     }
     time("q39 keep-one per cluster") {
       graft.QueriesDedup.q39_dedup_keep_one(spark, out).count()
