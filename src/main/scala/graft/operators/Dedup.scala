@@ -221,6 +221,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Half 1 of the persistable near-dup index: (idCol, shingle_set)
+    * per document, empty sets dropped. Write these rows once at ingest
+    * and exact verification never re-reads (or re-shingles) the text.
+    */
+  def nearDupSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleSets(df, idCol, textCol, n).filter(size(col("shingle_set")) > 0)
+
+  /** Half 2 of the persistable near-dup index: banded MinHash rows
+    * (idCol, band, h) from a [[nearDupSets]] frame. Write these once
+    * at ingest and candidate generation never recomputes a signature.
+    */
+  def nearDupBandRows(sets: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    sets
+      .select(col(idCol), minhashBaseHashes(col("shingle_set")).as("bh0"))
+      .select(col(idCol), minhashFromHashes(col("bh0"), k).as("sig"))
+      .select(col(idCol), explode(lshBands(col("sig"), bands, r)).as("bh"))
+      .select(col(idCol), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
   /** Incremental near-dup detection: all pairs (MinHash+LSH banded,
     * exact-verified) with AT LEAST ONE side in `batch` — the daily-
     * ingest shape. Only the batch side probes the band index, so
@@ -230,6 +251,12 @@ object Dedup {
     * banding recall and exact verification as [[minhashLshPairs]];
     * equal to filtering the full pair set on "≥ 1 batch side"
     * (asserted in DedupSpec).
+    *
+    * This one-shot form signs both sides from raw text. REPEATED
+    * ingest must not re-sign the corpus every call — persist
+    * [[nearDupSets]] + [[nearDupBandRows]] at ingest time and use
+    * [[incrementalNearDupPairsIndexed]] instead (what
+    * [[graft.streaming.DocStreams.incrementalDedup]] does).
     * Output: (id_a, id_b, jaccard), id_a < id_b, ids must be disjoint.
     */
   def incrementalNearDupPairs(
@@ -242,19 +269,39 @@ object Dedup {
       bands: Int,
       threshold: Double
   ): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    def prep(df: DataFrame) =
-      shingleSets(df, idCol, textCol, n).filter(size(col("shingle_set")) > 0)
-    val allSets = materialize(prep(corpus).unionByName(prep(batch)))
-    def banded(sets: DataFrame) = sets
-      .select(col(idCol).as("id"), minhashBaseHashes(col("shingle_set")).as("bh0"))
-      .select(col("id"), minhashFromHashes(col("bh0"), k).as("sig"))
-      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    val batchIds = batch.select(col(idCol)).distinct()
-    val probe    = banded(allSets.join(batchIds, Seq(idCol), "left_semi")) // batch side only
-    val index    = banded(allSets)
+    val corpusSets = materialize(nearDupSets(corpus, idCol, textCol, n))
+    val batchSets  = materialize(nearDupSets(batch, idCol, textCol, n))
+    incrementalNearDupPairsIndexed(
+      corpusSets,
+      nearDupBandRows(corpusSets, idCol, k, bands),
+      batchSets,
+      nearDupBandRows(batchSets, idCol, k, bands),
+      idCol,
+      threshold
+    )
+  }
+
+  /** [[incrementalNearDupPairs]] against a PRE-BUILT index: the corpus
+    * arrives as its persisted [[nearDupSets]] / [[nearDupBandRows]]
+    * tables, so a call costs O(batch signing + batch-bucket collisions
+    * + candidate verification) — the corpus text is never touched and
+    * its signatures are never recomputed. Within-batch pairs are
+    * included (the probe side joins index ∪ batch), so unioning the
+    * per-batch outputs over an ingest history yields every pair
+    * exactly once: a pair inside batch i emits at batch i, a pair
+    * across i < j at batch j.
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def incrementalNearDupPairsIndexed(
+      indexSets: DataFrame,
+      indexBands: DataFrame,
+      batchSets: DataFrame,
+      batchBands: DataFrame,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val probe = batchBands.select(col(idCol).as("id"), col("band"), col("h"))
+    val index = indexBands.select(col(idCol).as("id"), col("band"), col("h")).unionByName(probe)
     val candidates = probe
       .as("a")
       .join(index.as("b"),
@@ -263,6 +310,9 @@ object Dedup {
         least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
+    val allSets = indexSets
+      .select(col(idCol), col("shingle_set"))
+      .unionByName(batchSets.select(col(idCol), col("shingle_set")))
     candidates
       .join(allSets.select(col(idCol).as("id_a"), col("shingle_set").as("sa")), Seq("id_a"))
       .join(allSets.select(col(idCol).as("id_b"), col("shingle_set").as("sb")), Seq("id_b"))
@@ -379,6 +429,65 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
     candidates
+      .select(col("id_a"), col("id_b"), hammingBits(col("sa"), col("sb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persistable chunk-combination index rows for a bit-signature set:
+    * (idCol, s, piece) — one row per (chunks − maxHamming)-subset
+    * bucket key. The bit-sig twin of [[nearDupBandRows]]; the
+    * signature itself (idCol, sigCol) is the twin of [[nearDupSets]]
+    * (it is what verification reads). `sigs` is (idCol, sigCol).
+    */
+  def bitSigBandRows(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      chunks: Int = 0
+  ): DataFrame = {
+    val c = if (chunks <= 0) maxHamming + 1 else chunks
+    require(c > maxHamming, s"need chunks ($c) > maxHamming ($maxHamming) for the pigeonhole to hold")
+    require(c <= 64, "at most one chunk per bit")
+    sigs
+      .select(col(idCol), explode(subsetKeys(col(sigCol), c, maxHamming)).as("ch"))
+      .select(col(idCol), col("ch.s").as("s"), col("ch.piece").as("piece"))
+  }
+
+  /** Incremental [[bitSigPairs]]: all pairs (hamming ≤ maxHamming)
+    * with at least one side in the batch, probing a PRE-BUILT
+    * persisted index — (idCol, sigCol) signature rows plus
+    * [[bitSigBandRows]] bucket rows. Within-batch pairs included, so
+    * per-batch outputs union to the full pair set exactly once (same
+    * argument as [[incrementalNearDupPairsIndexed]]). Serves text
+    * SimHash and media perceptual hashes alike.
+    * Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def incrementalBitSigPairs(
+      indexSigs: DataFrame,
+      indexBands: DataFrame,
+      batchSigs: DataFrame,
+      batchBands: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    val probe = batchBands.select(col(idCol).as("id"), col("s"), col("piece"))
+    val index = indexBands.select(col(idCol).as("id"), col("s"), col("piece")).unionByName(probe)
+    val candidates = probe
+      .as("a")
+      .join(index.as("b"),
+        col("a.s") === col("b.s") && col("a.piece") === col("b.piece") && col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val allSigs = indexSigs
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .unionByName(batchSigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
+    candidates
+      .join(allSigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+      .join(allSigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), hammingBits(col("sa"), col("sb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

@@ -134,17 +134,30 @@ class StreamingSpec extends SparkSpec {
     val corpusSeed = docs.filter($"doc_id" % 10 =!= 0)
     val arrivals   = docs.filter($"doc_id" % 10 === 0)
     corpusSeed.write.parquet(graft.streaming.DocStreams.seedDir(s"$dir/corpus"))
+    graft.streaming.DocStreams.seedIndex(corpusSeed, "doc_id", "text", s"$dir/index")
 
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
     val q = graft.streaming.DocStreams.incrementalDedup(
       ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
-      corpusDir = s"$dir/corpus", pairsDir = s"$dir/pairs")
+      corpusDir = s"$dir/corpus", pairsDir = s"$dir/pairs", indexDir = s"$dir/index")
     try {
       val b1 = arrivals.filter($"doc_id" % 20 === 0).as[(Long, String)].collect().toSeq
       val b2 = arrivals.filter($"doc_id" % 20 =!= 0).as[(Long, String)].collect().toSeq
       assert(b1.nonEmpty && b2.nonEmpty)
       ms.addData(b1: _*); q.processAllAvailable()
+      // The corpus TEXT store must never be read by a later batch — the
+      // persisted index carries everything dedup needs. Prove it by
+      // destroying the text store before batch 2: seed docs AND the
+      // batch-1 docs written by the sink all vanish, yet batch 2 must
+      // still find its cross-batch and corpus-side pairs.
+      val corpusRoot = new java.io.File(s"$dir/corpus")
+      def nuke(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(nuke)
+        f.delete(); ()
+      }
+      nuke(corpusRoot)
+      assert(!corpusRoot.exists(), "corpus text store removed")
       ms.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
 
@@ -161,6 +174,58 @@ class StreamingSpec extends SparkSpec {
     // and cross-micro-batch (emitted by the LATER batch once the earlier
     // one has joined the corpus) — the union must equal the one-shot run
     assert(got == expected, s"stream pairs $got != batch pairs $expected")
+  }
+
+  test("streaming pHash ingest dedup equals the one-shot bit-sig pair run (q52 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_stream7").toString
+    // signatures over the same planted-duplicate media corpus q52 uses
+    // (each media row carries its 5-group representative's payload)
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val reps = docs.select($"doc_id".as("rep_id"), $"text")
+    val media = docs
+      .select($"doc_id".as("media_id"), ($"doc_id" - $"doc_id" % 5).as("rep_id"))
+      .join(reps, Seq("rep_id"))
+      .select($"media_id", $"text".cast("binary").as("payload"))
+    val sigs = media
+      .select($"media_id", Multimodal.stubFeatures($"payload").as("f"))
+      .select($"media_id", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select($"media_id", Multimodal.thresholdBits($"f", $"mu").as("sig"))
+    // thirds: seed index, then two micro-batches
+    val seed = sigs.filter($"media_id" % 3 === 0)
+    val arr1 = sigs.filter($"media_id" % 3 === 1)
+    val arr2 = sigs.filter($"media_id" % 3 === 2)
+    graft.streaming.DocStreams.seedBitSigIndex(
+      seed, "media_id", "sig", s"$dir/index", maxHamming = 3, chunks = 4)
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.incrementalBitSigDedup(
+      ms.toDF().toDF("media_id", "sig"), "media_id", "sig",
+      pairsDir = s"$dir/pairs", indexDir = s"$dir/index", maxHamming = 3, chunks = 4)
+    try {
+      val b1 = arr1.as[(Long, String)].collect().toSeq
+      val b2 = arr2.as[(Long, String)].collect().toSeq
+      assert(b1.nonEmpty && b2.nonEmpty)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // one-shot: every pair with >= 1 side outside the seed
+    val seedIds = seed.select("media_id").collect().map(_.getLong(0)).toSet
+    val expected = graft.operators.Dedup
+      .bitSigPairs(sigs, "media_id", "sig", maxHamming = 3, chunks = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filterNot { case (a, b, _) => seedIds(a) && seedIds(b) }
+      .toSet
+    assert(expected.nonEmpty, "fixture must produce non-seed pairs")
+    assert(got == expected, s"stream pairs $got != one-shot pairs $expected")
   }
 
   test("mapGroupsWithState accumulates per-user session state") {
