@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * body behind the same signature; for the dedup workload plain
   * propagation is both simpler and faster.
   *
-  * The driver loop only checks an aggregate (changed-count) per round —
-  * labels themselves never collect. Each round's labels are
+  * The driver loop only checks an aggregate fingerprint (count +
+  * hash-sum) per round — labels themselves never collect. Each round's
+  * labels are
   * checkpointed via [[Materialize]]: lineage stays one round deep (a
   * cache-only loop stacks N rounds of joins and recompute-on-miss
   * replays them all), nothing is pinned in the cache manager after the
@@ -33,16 +34,34 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components of an undirected graph given as (aCol, bCol)
-    * edge pairs. Returns (id, component) for every vertex that appears
-    * in at least one edge; component = min vertex id in the component.
+  /** Order-invariant fingerprint of a two-long-column frame:
+    * (row count, Σ xxhash64(c1, c2) as decimal — ANSI-safe, no long
+    * overflow). Two DISTINCT frames with equal fingerprints are equal
+    * up to a ~2⁻⁶⁴ hash-sum collision; used as the per-round fixpoint
+    * test in both component loops — ONE cheap aggregate job over a
+    * checkpointed frame instead of the two distinct+anti-join shuffles
+    * a pair of `except`s costs (≈4 shuffles/round saved).
     */
-  def connectedComponents(
+  private def fingerprint(df: DataFrame, c1: String, c2: String): (Long, java.math.BigDecimal) = {
+    val r = df
+      .agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col(c1), col(c2)).cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+      .head()
+    (r.getLong(0), r.getDecimal(1))
+  }
+
+  /** Min-label propagation rounds; returns (labels, converged) without
+    * aborting, so callers can choose their own give-up policy (abort in
+    * [[connectedComponents]], fall back to star contraction in
+    * [[componentsAuto]]).
+    */
+  private def propagate(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25
-  ): DataFrame = {
+      maxIter: Int
+  ): (DataFrame, Boolean) = {
     val edges = Materialize(
       pairs
         .select(col(aCol).as("u"), col(bCol).as("v"))
@@ -53,6 +72,9 @@ object Graph {
         .select(col("u").as("id"))
         .distinct()
         .withColumn("comp", col("id")))
+    // labels keeps one row per vertex every round, so a changed label
+    // always changes the hash-sum fingerprint (count is constant)
+    var fp = fingerprint(labels, "id", "comp")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -64,17 +86,45 @@ object Graph {
         labels
           .join(neighborMin, labels("id") === neighborMin("nid"), "left")
           .select(labels("id").as("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
-      val changed = updated
-        .as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
+      val nfp = fingerprint(updated, "id", "comp")
       labels = updated
-      converged = changed == 0
+      converged = nfp == fp
+      fp = nfp
       iter += 1
     }
+    (labels.select(col("id"), col("comp").as("component")), converged)
+  }
+
+  /** Connected components of an undirected graph given as (aCol, bCol)
+    * edge pairs. Returns (id, component) for every vertex that appears
+    * in at least one edge; component = min vertex id in the component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    val (labels, converged) = propagate(pairs, aCol, bCol, maxIter)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id"), col("comp").as("component"))
+    labels
+  }
+
+  /** Components with automatic algorithm selection: min-label
+    * propagation first (fewest passes on the tight, small-diameter
+    * clusters dedup produces), falling back to
+    * [[connectedComponentsStar]] if propagation hasn't converged in
+    * `propagationIter` rounds — i.e. the graph turned out chain-like.
+    * Output contract identical to both underlying algorithms.
+    */
+  def componentsAuto(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      propagationIter: Int = 10
+  ): DataFrame = {
+    val (labels, converged) = propagate(pairs, aCol, bCol, propagationIter)
+    if (converged) labels else connectedComponentsStar(pairs, aCol, bCol)
   }
 
   /** Connected components by alternating large-star / small-star
@@ -129,12 +179,18 @@ object Graph {
           .union(mins.select(col("u"), col("m").as("v"))))
     }
     var edges = Materialize(canon(pairs.select(col(aCol).as("u"), col(bCol).as("v"))))
+    var fp    = fingerprint(edges, "u", "v")
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
       val next = Materialize(smallStar(largeStar(edges)))
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // both sides are canon()'d (distinct), so fingerprint equality ⟺
+      // set equality modulo hash-sum collision — one aggregate job per
+      // round vs the two distinct+anti-join shuffles of a double except
+      val nfp = fingerprint(next, "u", "v")
+      converged = nfp == fp
       edges = next
+      fp = nfp
       iter += 1
     }
     require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
@@ -189,7 +245,11 @@ object Graph {
     val identityEdges = withRep
       .filter(col("id") =!= col("rep_id"))
       .select(col("rep_id").as("id_a"), col("id").as("id_b"))
-    connectedComponents(nearDupEdges.union(identityEdges), "id_a", "id_b")
+    // componentsAuto: dup clusters are usually tight (propagation wins),
+    // but a chain-shaped near-dup corpus (sliding-window crawl shards)
+    // would abort propagation's round bound — fall back to star
+    // contraction instead of failing the whole pipeline
+    componentsAuto(nearDupEdges.union(identityEdges), "id_a", "id_b")
       .select(col("id"), col("component").as("cluster_id"))
   }
 

@@ -127,6 +127,28 @@ class GraphSpec extends SparkSpec {
     assert(!composed.contains(3L) && !composed.contains(103L))
   }
 
+  test("nearDupClusters survives a chain-shaped corpus via the star-contraction fallback") {
+    import spark.implicits._
+    // sliding-window docs: doc i = tokens [5i, 5i+30). Consecutive docs
+    // share 23 of 33 distinct 3-gram shingles (J≈0.70 ≥ 0.6); skip-one
+    // pairs share 18 of 38 (J≈0.47 < 0.6) — so the near-dup graph is a
+    // pure 50-hop CHAIN, exactly the shape that aborts plain
+    // propagation's round budget (componentsAuto must fall back to star
+    // contraction instead of failing the pipeline).
+    val docs = (0 until 50)
+      .map(i => (i.toLong, (5 * i until 5 * i + 30).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val edges = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == (0L until 49L).map(i => (i, i + 1)).toSet, s"expected a pure chain, got $edges")
+    val clusters = Graph.nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == (0L until 50L).map(_ -> 0L).toMap,
+      "the whole chain must land in one cluster labeled by its min id")
+  }
+
   test("q38/q39 pipeline clusters the planted near-dups on real documents") {
     val clusters = QueriesDedup.q38_dedup_clusters(spark, sfDir).collect()
     assert(clusters.nonEmpty, "planted near-dups should form clusters")
