@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * plumbing.
   *
   * The Spark-side plumbing (schema, partition sizing, batch shape,
-  * deterministic output contract) is real and tested; the actual codec
-  * call is STUBBED — this container has no image/audio libraries — as
-  * a clearly-marked deterministic fake deriving pseudo-features from a
-  * sha256 of the payload. Swap [[StubDecoder]] for a real JNI/FFI codec
-  * without touching the plumbing.
+  * deterministic output contract) is real and tested. IMAGE decode is
+  * real too: [[ImageDecoder]] reads PNG/JPEG via the JDK's built-in
+  * `javax.imageio` (no external codec) and produces genuine pHash DCT
+  * features. Audio/video decode remains STUBBED — the container ships
+  * no codecs for those — as a clearly-marked deterministic fake
+  * deriving pseudo-features from a sha256 of the payload
+  * ([[StubDecoder]]). Swap it for a real JNI/FFI codec without
+  * touching the plumbing.
   */
 object Multimodal {
 
@@ -50,6 +53,64 @@ object Multimodal {
     def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
       val d = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
       Array.tabulate(dim)(i => ((d(i % d.length) & 0xff) / 255.0f))
+    }
+  }
+
+  /** REAL image decoder — JDK `javax.imageio` (PNG/JPEG/GIF/BMP, zero
+    * external dependencies): decode → 32×32 grayscale downsample
+    * (nearest-neighbor over BT.601 luma) → 2-D DCT-II → the top-left
+    * 8×8 low-frequency block as 64 features. Exactly the classic pHash
+    * front end: feeding these through [[featureMean]] +
+    * [[thresholdBits]] yields a perceptual hash under which identical
+    * pixels hash identically and lightly perturbed / re-encoded copies
+    * land within a few bits (MultimodalSpec pins both). Non-image or
+    * undecodable payloads yield the zero vector — metadata-filter on
+    * mime BEFORE paying decode cost (see [[mediaStats]]).
+    */
+  final class ImageDecoder extends Decoder {
+    val dim = 64
+    private val N = 32
+    def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) return new Array[Float](dim)
+      val gray = Array.ofDim[Double](N, N)
+      var y = 0
+      while (y < N) {
+        var x = 0
+        while (x < N) {
+          val px = img.getRGB(x * img.getWidth / N, y * img.getHeight / N)
+          gray(y)(x) = 0.299 * ((px >> 16) & 0xff) + 0.587 * ((px >> 8) & 0xff) + 0.114 * (px & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](dim)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s  = 0.0
+          var yy = 0
+          while (yy < N) {
+            var xx = 0
+            while (xx < N) {
+              s += gray(yy)(xx) *
+                math.cos((2 * yy + 1) * u * math.Pi / (2 * N)) *
+                math.cos((2 * xx + 1) * v * math.Pi / (2 * N))
+              xx += 1
+            }
+            yy += 1
+          }
+          val cu = if (u == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)
+          val cv = if (v == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)
+          out(u * 8 + v) = (cu * cv * s).toFloat
+          v += 1
+        }
+        u += 1
+      }
+      out
     }
   }
 

@@ -71,6 +71,61 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 2)))
   }
 
+  test("REAL image decode: javax.imageio → DCT pHash clusters re-encoded JPEG copies of each PNG") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    // six deterministic 64×64 block mosaics (seeded 8×8 grid of solid
+    // 8-px blocks): rich, pattern-specific low-frequency content so
+    // pHashes of DIFFERENT patterns are far apart, while the
+    // block-aligned structure means a lossy JPEG re-encode of the SAME
+    // pattern only nudges DCT coefficients
+    def pattern(seed: Int): BufferedImage = {
+      val rnd  = new scala.util.Random(1000 + seed)
+      val grid = Array.fill(8, 8)(32 + rnd.nextInt(192))
+      val img  = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val c = grid(y / 8)(x / 8)
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      img
+    }
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    val bases = (0 until 6).map(i => i.toLong -> pattern(i))
+    val records = bases.flatMap { case (id, img) =>
+      Seq(
+        Multimodal.MediaRecord(id, encode(img, "png"), Multimodal.MediaMeta("image/png", 64, 64, 0L)),
+        Multimodal.MediaRecord(id + 100L, encode(img, "jpg"), Multimodal.MediaMeta("image/jpeg", 64, 64, 0L))
+      )
+    }
+    val sigs = Multimodal
+      .extractFeatures(records.toDS(), new Multimodal.ImageDecoder, parallelism = 2)
+      .toDF()
+      .select($"media_id", $"features".as("f"))
+      .select($"media_id", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select($"media_id", Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == 12 && byId.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    for (i <- 0L until 6L) {
+      assert(hamming(byId(i), byId(i + 100L)) <= 6,
+        s"JPEG re-encode of pattern $i must stay within 6 bits, got ${hamming(byId(i), byId(i + 100L))}")
+      for (j <- 0L until i)
+        assert(hamming(byId(i), byId(j)) > 10,
+          s"distinct patterns $i/$j too close: ${hamming(byId(i), byId(j))}")
+    }
+    // the shared banded pair index clusters exactly the re-encoded copies
+    val pairs = graft.operators.Dedup
+      .bitSigPairs(sigs, "media_id", "phash", maxHamming = 6, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 6L).map(i => (i, i + 100L)).toSet,
+      s"expected exactly the six png↔jpeg copy pairs, got $pairs")
+  }
+
   test("stubFeatures (relational) matches StubDecoder's determinism contract: same payload, same phash") {
     import spark.implicits._
     val df = media.toDF().select($"media_id", $"payload")
