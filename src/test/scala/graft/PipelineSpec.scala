@@ -132,6 +132,30 @@ class PipelineSpec extends SparkSpec {
     assert(wh.table("gold", "scored_articles").count() == 6)
   }
 
+  test("sketch ledger rides the pipeline warehouse: per-run appends, exact union at small n") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, lit, pmod, xxhash64}
+    import graft.operators.Sketches
+    val (pipe, wh, _, _) = freshPipeline()
+    pipe.run("20221220")
+    // each "run" sketches only its own slice of the scored gold table
+    // (standing in for successive run dates) and APPENDs one ledger row
+    // set; the union answers distinct-docs-so-far without any re-scan
+    val scored = wh.table("gold", "scored_articles")
+      .withColumn("doc_key", xxhash64(col("source_sk")))
+    for (run <- 0 to 2)
+      wh.append("gold", "doc_sketches",
+        Sketches.runSketch(scored.filter(pmod(col("doc_key"), lit(3)) === run),
+          Seq("source"), "source_sk", runId = s"run_$run"))
+    assert(wh.history("gold.doc_sketches").filter($"operation" === "APPEND").count() == 3L)
+    // DataSketches HLL is exact at tiny cardinality: estimate == exact
+    val est = Sketches.estimateAcrossRuns(wh.table("gold", "doc_sketches"), Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = scored.groupBy($"source").agg(countDistinct($"source_sk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exact, s"ledger estimate $est != exact $exact")
+  }
+
   test("upsert updates on higher arxiv version via MERGE semantics") {
     val (pipe, wh, (_, arxivDir, _), _) = freshPipeline()
     pipe.run("20221220")

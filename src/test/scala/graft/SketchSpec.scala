@@ -54,6 +54,39 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch ledger: 3 appended runs union to within 10% of the from-scratch distinct count") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val dir = "/root/testdata/sf0.01"
+    val wh = new graft.sources.Warehouse(
+      spark, java.nio.file.Files.createTempDirectory("graft_sk_wh").toString)
+    val ev = Tables.events(spark, dir)
+    // three pipeline runs, each scanning ONLY its own disjoint slice
+    for (run <- 0 to 2)
+      wh.append("gold", "user_sketches",
+        Sketches.runSketch(ev.filter($"event_id" % 3 === run),
+          Seq("event_type"), "user_id", runId = s"run_$run"))
+    assert(wh.history("gold.user_sketches").filter($"operation" === "APPEND").count() == 3L)
+    val est = Sketches
+      .estimateAcrossRuns(wh.table("gold", "user_sketches"), Seq("event_type"))
+    val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact"))
+    val rows  = est.join(exact, Seq("event_type")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rel = math.abs(r.getLong(1).toDouble - r.getLong(2).toDouble) / r.getLong(2).toDouble
+      assert(rel <= 0.10, s"${r.getString(0)}: ledger est ${r.getLong(1)} vs exact ${r.getLong(2)}")
+    }
+    // mergeability is exact: the ledger estimate must equal the single-pass
+    // sketch estimate over the same concatenated data, not merely be close
+    val onePass = ev
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("one_pass"))
+    est.join(onePass, Seq("event_type")).collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"${r.getString(0)}: union-of-run-sketches must equal sketch-of-union exactly")
+    }
+  }
+
   test("hll_union_agg merges MANY partial sketches (8 hash buckets) to the same answer") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.01"
