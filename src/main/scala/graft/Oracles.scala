@@ -37,7 +37,7 @@ object Oracles {
       |  THEN '1' ELSE '0' END), '') AS sig
       |FROM hx""".stripMargin
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -488,6 +488,23 @@ object Oracles {
         |           a.bits[CAST(j+1 AS INT)] <> b.bits[CAST(j+1 AS INT)])) AS INT) AS hamming
         |  FROM p a JOIN p b ON a.media_id < b.media_id)
         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  )
+
+  /** Full oracle map. Queries whose CONTRACT is exact equality with an
+    * already-oracled query reuse that query's SQL verbatim: q53 (star
+    * contraction ≡ propagation's closure), q54 (persisted-index probe ≡
+    * one-shot incremental), q56 (collapse-first expansion ≡ raw banded
+    * pairs). q55's ledger estimate is engine-specific like q49/q50, so
+    * its oracle is the same exact-count + within_bound contract.
+    */
+  val all: Map[String, String] = base ++ Map(
+    "q53_star_clusters" -> base("q38_dedup_clusters"),
+    "q54_indexed_dedup" -> base("q48_incremental_dedup"),
+    "q55_sketch_ledger" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, 1 AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q56_phash_pairs_collapsed" -> base("q52_phash_pairs"),
+    "q57_ann_ivf_topk" -> base("q30_ann_topk")
   )
 }
 

@@ -162,4 +162,72 @@ object QueriesDedup {
       .lshTopKMultiTable(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
       .orderBy($"query_id", $"rank")
   }
+
+  /** IVF-Flat ANN top-5 ([[Similarity.ivfTopK]]) at nprobe = nlist:
+    * the EXACT endpoint of the IVF recall curve, which exercises the
+    * full index machinery (deterministic centroid sample, cell
+    * assignment, cell-partitioned probe join, rank) with zero
+    * approximation — and therefore shares q30's brute-force SQL
+    * oracle. The pruning operating points (nprobe < nlist) are pinned
+    * per-sf by DedupSpec's recall-curve test; on clustered real-world
+    * embeddings they are where IVF wins, on this near-uniform
+    * synthetic corpus q31's multi-table LSH is the near-exact
+    * sub-linear path.
+    */
+  def q57_ann_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .ivfTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 16)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Star-contraction components ([[Graph.connectedComponentsStar]],
+    * Kiveris et al. SoCC'14) over the SAME near-dup edge set as
+    * [[q38_dedup_clusters]] — the log-round, diameter-independent
+    * algorithm under the same recursive-CTE DuckDB oracle, so BOTH
+    * component algorithms are oracle-checked, not just spec-equal.
+    */
+  def q53_star_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup
+      .ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    Graph
+      .connectedComponentsStar(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Incremental dedup against a PERSISTED band index — the exact
+    * daily-ingest lifecycle: sign the corpus once, write the index
+    * tables ([[Dedup.nearDupSets]] + [[Dedup.nearDupBandRows]]) to
+    * parquet, then probe them with only the batch signed fresh
+    * ([[Dedup.incrementalNearDupPairsIndexed]]). Same split and same
+    * filtered-pair oracle as [[q48_incremental_dedup]]; what this adds
+    * is the parquet round-trip of the index schema — the shape
+    * [[graft.streaming.DocStreams]] runs per micro-batch.
+    */
+  def q54_indexed_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs   = Tables.documents(spark, dir)
+    val batch  = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val tmp    = s"/tmp/graft_q54_index_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val corpusSets = graft.operators.Materialize(Dedup.nearDupSets(corpus, "doc_id", "text", n = 3))
+    corpusSets.write.mode("overwrite").parquet(s"$tmp/sets")
+    Dedup
+      .nearDupBandRows(corpusSets, "doc_id", k = 64, bands = 32)
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    val batchSets = graft.operators.Materialize(Dedup.nearDupSets(batch, "doc_id", "text", n = 3))
+    Dedup
+      .incrementalNearDupPairsIndexed(
+        spark.read.parquet(s"$tmp/sets"),
+        spark.read.parquet(s"$tmp/bands"),
+        batchSets,
+        Dedup.nearDupBandRows(batchSets, "doc_id", k = 64, bands = 32),
+        "doc_id",
+        threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
 }

@@ -102,4 +102,52 @@ object QueriesMedia {
       .bitSigPairs(graft.operators.Materialize(sigs), "media_id", "phash", maxHamming = 3, chunks = 4)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Collapse-first media dedup — [[q52_phash_pairs]]'s output through
+    * the composition that survives duplicate-heavy corpora (the media
+    * twin of [[graft.operators.Graph.nearDupClusters]]'s lesson,
+    * measured in SCALE.md: identical payloads collide in EVERY chunk
+    * bucket, so raw banding pays per duplicate pair): group identical
+    * payloads by content key first (one shuffle), compute ONE pHash
+    * per unique payload, run the banded index over unique signatures
+    * only, then expand group members back into pairs — within-group
+    * pairs at hamming 0, cross-group pairs inheriting their
+    * representatives' hamming (identical payload ⇒ identical
+    * signature, so the expansion is exact, not approximate). Same
+    * brute-force hamming ≤ 3 oracle as q52.
+    */
+  def q56_phash_pairs_collapsed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Materialize}
+    val docs = Tables.documents(spark, dir)
+    val reps = docs.select($"doc_id".as("rep_id"), $"text")
+    val media = docs
+      .select($"doc_id".as("media_id"), ($"doc_id" - $"doc_id" % 5).as("rep_id"))
+      .join(reps, Seq("rep_id"))
+      .select($"media_id", $"text".cast("binary").as("payload"))
+    val withGrp = Materialize(
+      media
+        .select($"media_id", $"payload", sha2($"payload", 256).as("ck"))
+        .withColumn("grp_id", min($"media_id").over(Window.partitionBy($"ck"))))
+    val uniqueSigs = withGrp
+      .filter($"media_id" === $"grp_id")
+      .select($"media_id", Multimodal.stubFeatures($"payload").as("f"))
+      .select($"media_id", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select($"media_id", Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    val grpPairs = Dedup
+      .bitSigPairs(Materialize(uniqueSigs), "media_id", "phash", maxHamming = 3, chunks = 4)
+    val members = withGrp.select($"grp_id", $"media_id")
+    val cross = grpPairs
+      .join(members.as("ma"), $"id_a" === $"ma.grp_id")
+      .join(members.as("mb"), $"id_b" === $"mb.grp_id")
+      .select(
+        least($"ma.media_id", $"mb.media_id").as("id_a"),
+        greatest($"ma.media_id", $"mb.media_id").as("id_b"),
+        $"hamming")
+    val within = members.as("x")
+      .join(members.as("y"), $"x.grp_id" === $"y.grp_id" && $"x.media_id" < $"y.media_id")
+      .select($"x.media_id".as("id_a"), $"y.media_id".as("id_b"), lit(0).as("hamming"))
+    cross.unionByName(within).orderBy($"id_a", $"id_b")
+  }
 }

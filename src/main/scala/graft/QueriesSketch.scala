@@ -75,4 +75,35 @@ object QueriesSketch {
       )
       .orderBy($"event_type")
   }
+
+  /** The sketch LEDGER shape ([[graft.operators.Sketches]]): three
+    * "runs" each sketch only their own third of the stream, their rows
+    * union into a ledger, and `hll_union_agg` answers distinct-users-
+    * across-all-runs without re-scanning any run's raw data. Same
+    * error-contract oracle as q49/q50 (exact count + within_bound=1);
+    * the 10% bound and the exact-mergeability equality are pinned in
+    * SketchSpec, and the warehouse append/history wiring in
+    * PipelineSpec.
+    */
+  def q55_sketch_ledger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, dir)
+    val ledger = (0 to 2)
+      .map(r =>
+        Sketches.runSketch(ev.filter($"event_id" % 3 === r), Seq("event_type"), "user_id", s"run_$r"))
+      .reduce(_ unionByName _)
+    val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact_users"))
+    Sketches
+      .estimateAcrossRuns(ledger, Seq("event_type"))
+      .join(exact, Seq("event_type"))
+      .select(
+        $"event_type",
+        $"exact_users",
+        when(abs($"est_distinct" - $"exact_users") <= $"exact_users" * 0.10, 1)
+          .otherwise(0)
+          .as("within_bound")
+      )
+      .orderBy($"event_type")
+  }
 }

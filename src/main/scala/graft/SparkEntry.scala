@@ -59,7 +59,12 @@ object SparkEntry {
     "q49_approx_distinct" -> (QueriesSketch.q49_approx_distinct _),
     "q50_sketch_merge" -> (QueriesSketch.q50_sketch_merge _),
     "q51_phash_media" -> (QueriesMedia.q51_phash_media _),
-    "q52_phash_pairs" -> (QueriesMedia.q52_phash_pairs _)
+    "q52_phash_pairs" -> (QueriesMedia.q52_phash_pairs _),
+    "q53_star_clusters" -> (QueriesDedup.q53_star_clusters _),
+    "q54_indexed_dedup" -> (QueriesDedup.q54_indexed_dedup _),
+    "q55_sketch_ledger" -> (QueriesSketch.q55_sketch_ledger _),
+    "q56_phash_pairs_collapsed" -> (QueriesMedia.q56_phash_pairs_collapsed _),
+    "q57_ann_ivf_topk" -> (QueriesDedup.q57_ann_ivf_topk _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

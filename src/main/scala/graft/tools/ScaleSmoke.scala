@@ -216,6 +216,9 @@ object ScaleSmoke {
     time("q52 phash pairs (shared banded bit-sig index)") {
       graft.QueriesMedia.q52_phash_pairs(spark, out).count()
     }
+    time("q56 phash pairs (collapse-first on unique payloads)") {
+      graft.QueriesMedia.q56_phash_pairs_collapsed(spark, out).count()
+    }
     time("q39 keep-one per cluster") {
       graft.QueriesDedup.q39_dedup_keep_one(spark, out).count()
     }

@@ -101,6 +101,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: exact at nprobe=nlist (q57's oracle contract); monotone recall when pruning") {
+    import graft.operators.Similarity
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exactRows = QueriesDedup.q30_ann_topk(spark, dir).collect()
+      val exact     = exactRows.map(_.toSeq).toSeq
+      // endpoint of the recall curve: probing every cell is exact by
+      // construction, through the full index machinery
+      val full = QueriesDedup.q57_ann_ivf_topk(spark, dir).collect().map(_.toSeq).toSeq
+      assert(exact.nonEmpty)
+      assert(full == exact, s"IVF at nprobe=nlist must equal brute force at $dir")
+      // pruning operating points: recall@5 rises with nprobe. The floor
+      // is deliberately modest — near-uniform synthetic vectors are
+      // IVF's worst case (centroid proximity barely predicts neighbor
+      // location); clustered real embeddings sit far above it.
+      val emb     = Tables.embeddings(spark, dir)
+      val exactNb = exactRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      def recall(nprobe: Int): Double = {
+        val got = Similarity
+          .ivfTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nlist = 16, nprobe = nprobe)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        got.intersect(exactNb).size.toDouble / exactNb.size
+      }
+      val r4 = recall(4)
+      val r8 = recall(8)
+      info(f"IVF recall@5 at $dir: nprobe=4 -> $r4%.2f, nprobe=8 -> $r8%.2f")
+      assert(r8 >= r4, s"recall must be monotone in nprobe at $dir ($r4 -> $r8)")
+      assert(r4 >= 0.4, s"nprobe=4 recall $r4 collapsed at $dir")
+      assert(r8 >= 0.6, s"nprobe=8 recall $r8 collapsed at $dir")
+    }
+    // the index must genuinely partition: every cell non-empty at nlist=16
+    // (so nprobe/nlist is a real scanned-fraction bound, not a degenerate
+    // single-cell scan)
+    val cells = graft.operators.Similarity
+      .ivfCells(Tables.embeddings(spark, sfDir), "vec_id", "embedding", nlist = 16)
+      .groupBy("cell").count().collect()
+    assert(cells.length == 16, s"expected 16 occupied cells, got ${cells.length}")
+  }
+
   test("blocked exact cosine pairs equal a reference nested-loop computation") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir).limit(200).cache()
