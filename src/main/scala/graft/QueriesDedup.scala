@@ -90,13 +90,19 @@ object QueriesDedup {
   /** Canonical-document selection: per near-dup cluster keep the doc
     * with the greatest n_chars (ties → smallest doc_id) — the "keep
     * one, drop the rest" step that turns clusters into a dedup'd
-    * corpus. Output (cluster_id, kept_doc_id).
+    * corpus. Clusters come from the collapse-first composition
+    * ([[Graph.nearDupClusters]]) — byte-identical closure to the
+    * direct form (q47 ≡ q38, GraphSpec + shared oracle) at a fraction
+    * of the candidate volume on dup-heavy corpora (SCALE.md), which is
+    * the right default for the step whose POINT is that duplicates
+    * abound. Output (cluster_id, kept_doc_id).
     */
   def q39_dedup_keep_one(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs  = Tables.documents(spark, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val comps = Graph
+      .nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"id", $"cluster_id".as("component"))
     Graph
       .keepOnePerComponent(comps, docs, "doc_id", "n_chars")
       .select($"component".as("cluster_id"), $"kept_id".as("kept_doc_id"))

@@ -77,6 +77,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("indexed incremental dedup over any batch split unions to the one-shot LSH pair set") {
+    import spark.implicits._
+    // random dup-prone corpora (small vocab → frequent shared shingles),
+    // random 3-way batch split: probing a growing index batch-by-batch
+    // must emit each pair exactly once, whatever the split — the
+    // invariant DocStreams' exactly-once layout rests on.
+    val vocab  = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(10, Gen.zip(Gen.chooseNum(0, 2), Gen.listOfN(6, vocab).map(_.mkString(" "))))
+    forAll(docGen) { docs =>
+      whenever(docs.nonEmpty) {
+        val all = docs.zipWithIndex.map { case ((slot, text), i) => (i.toLong, slot, text) }
+        val allDf = all.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+        var idxSets  = Seq.empty[(Long, Seq[String])].toDF("doc_id", "shingle_set")
+        var idxBands = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "h")
+        var got      = Set.empty[(Long, Long)]
+        for (slot <- 0 to 2) {
+          val bDf = all.filter(_._2 == slot).map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+          val bSets  = Dedup.nearDupSets(bDf, "doc_id", "text", n = 2)
+          val bBands = Dedup.nearDupBandRows(bSets, "doc_id", k = 16, bands = 8)
+          got ++= Dedup
+            .incrementalNearDupPairsIndexed(idxSets, idxBands, bSets, bBands, "doc_id", 0.5)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          idxSets = idxSets.unionByName(bSets)
+          idxBands = idxBands.unionByName(bBands)
+        }
+        val oneShot = Dedup
+          .minhashLshPairs(allDf, "doc_id", "text", n = 2, k = 16, bands = 8, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == oneShot, s"batchwise union $got != one-shot $oneShot")
+      }
+    }
+  }
+
   test("hammingBits is symmetric, zero on identity, bounded by length") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
