@@ -504,7 +504,47 @@ object Oracles {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, 1 AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_phash_pairs_collapsed" -> base("q52_phash_pairs"),
-    "q57_ann_ivf_topk" -> base("q30_ann_topk")
+    "q57_ann_ivf_topk" -> base("q30_ann_topk"),
+    "q58_repetition" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
+        |         unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+        |  FROM arrs WHERE len(arr) >= 2),
+        |cnt AS (SELECT doc_id, n_tokens, bigram, count(*) AS c FROM big GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, bigram, c,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rn,
+        |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) OVER (PARTITION BY doc_id) AS dup_slots
+        |  FROM cnt)
+        |SELECT doc_id, n_tokens, bigram AS top_bigram, c AS top_count,
+        |       round(c / (n_tokens - 1.0), 6) AS top_bigram_frac,
+        |       round(dup_slots / (n_tokens - 1.0), 6) AS dup_bigram_frac,
+        |       CASE WHEN c / (n_tokens - 1.0) <= 0.2 AND dup_slots / (n_tokens - 1.0) <= 0.6
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q59_stratified_sample" ->
+      """SELECT doc_id, source, substr(sha256(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(sha256(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN '80'
+        |           WHEN source IN ('src5','src6','src7','src8','src9') THEN '40'
+        |           ELSE '20' END
+        |ORDER BY doc_id""".stripMargin,
+    "q60_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |  WHERE length(token) > 2),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, df, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY tfidf DESC, doc_id, token LIMIT 50""".stripMargin,
+    "q61_ann_ivf_indexed" -> base("q30_ann_topk")
   )
 }
 

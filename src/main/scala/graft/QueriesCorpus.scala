@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: repetition
+  * quality filters (the Gopher/RefinedWeb family), deterministic
+  * stratified sampling for source mixing, TF-IDF term scoring, and the
+  * persisted-IVF ANN probe. All pure column expressions + one
+  * aggregation each — map-side combinable, no driver loops; every
+  * query has a DuckDB oracle.
+  */
+object QueriesCorpus {
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021,
+    * §A1.1 repetition filters, re-expressed relationally): the most
+    * frequent bigram's share of bigram slots and the share of slots
+    * occupied by ANY repeated bigram, plus a keep flag. Plan: one
+    * array transform (adjacent-pair bigrams, codegen), one explode,
+    * two aggregations on (doc, bigram) — shuffle keyed by doc_id, so
+    * 100 TB of documents spread evenly regardless of document length.
+    */
+  def q58_repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arr = expr("filter(split(text, '\\\\s+'), x -> x <> '')")
+    val bigrams = Tables
+      .documents(spark, dir)
+      .select($"doc_id", arr.as("arr"))
+      .filter(size($"arr") >= 2)
+      .select(
+        $"doc_id",
+        size($"arr").cast("long").as("n_tokens"),
+        explode(
+          expr("transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))")
+        ).as("bigram")
+      )
+    val cnt = bigrams.groupBy($"doc_id", $"n_tokens", $"bigram").agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy($"doc_id").orderBy($"c".desc, $"bigram")
+    val wDoc = Window.partitionBy($"doc_id")
+    cnt
+      .withColumn("rn", row_number().over(wTop))
+      .withColumn("dup_slots", sum(when($"c" > 1, $"c").otherwise(0L)).over(wDoc))
+      .filter($"rn" === 1)
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        $"bigram".as("top_bigram"),
+        $"c".as("top_count"),
+        round($"c" / ($"n_tokens" - lit(1.0)), 6).as("top_bigram_frac"),
+        round($"dup_slots" / ($"n_tokens" - lit(1.0)), 6).as("dup_bigram_frac"),
+        when(
+          $"c" / ($"n_tokens" - lit(1.0)) <= 0.2 && $"dup_slots" / ($"n_tokens" - lit(1.0)) <= 0.6,
+          1
+        ).otherwise(0).as("keep")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic stratified sampling for source mixing: keep a row
+    * iff the first hex byte of sha256("source:doc_id") clears the
+    * source tier's threshold — 50% for sources src0-src4, 25% for
+    * src5-src9, 12.5% for the rest. Hash sampling (not `sample()`)
+    * because at 100 TB the sample must be REPRODUCIBLE across runs,
+    * engines and retries, independent of partitioning — the property
+    * that makes train/eval splits and mixture re-weights auditable.
+    * Pure per-row predicate: pushes to the scan, no shuffle at all.
+    */
+  def q59_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(sha2(concat($"source", lit(":"), $"doc_id".cast("string")), 256), 1, 2)
+    val threshold = when($"source".isin("src0", "src1", "src2", "src3", "src4"), "80")
+      .when($"source".isin("src5", "src6", "src7", "src8", "src9"), "40")
+      .otherwise("20")
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source", bucket.as("bucket"))
+      .filter($"bucket" < threshold)
+      .orderBy($"doc_id")
+  }
+
+  /** TF-IDF term scoring: top-50 (doc, token) pairs by
+    * tf · ln((N+1)/(df+1)). Three shuffles — (doc, token) counts,
+    * token document-frequency, and the final top-k — all on keys that
+    * spread a 100 TB corpus evenly; the corpus count N is a broadcast
+    * scalar row, not a driver-side collect. Scores rounded to 6
+    * decimals so the ordering (and the oracle hash) is stable across
+    * engines' last-ulp log differences.
+    */
+  def q60_tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tok = docs
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter(length($"token") > 2)
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+    val n  = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(
+        $"doc_id",
+        $"token",
+        $"tf",
+        $"df",
+        round($"tf" * log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))), 6).as("tfidf")
+      )
+      .orderBy($"tfidf".desc, $"doc_id", $"token")
+      .limit(50)
+  }
+
+  /** ANN top-k against the PERSISTED IVF index — build once
+    * ([[graft.operators.Similarity.ivfIndexWrite]]: centroids +
+    * cell-partitioned corpus), probe per query batch. At
+    * nprobe = nlist the probe is exhaustive, so the brute-force SQL
+    * oracle pins the whole persisted path (write → partition-pruned
+    * read → assignment join → rank); sub-unit nprobe recall is pinned
+    * in SimilaritySpec against the in-memory [[ivfTopK]].
+    */
+  def q61_ann_ivf_indexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val tmp = s"/tmp/graft_q61_ivf_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", tmp, nlist = 16)
+    Similarity
+      .ivfTopKIndexed(spark, emb.filter($"vec_id" < 10), "vec_id", "embedding", tmp, k = 5,
+        nprobe = 16)
+      .orderBy($"query_id", $"rank")
+  }
+}

@@ -64,7 +64,11 @@ object SparkEntry {
     "q54_indexed_dedup" -> (QueriesDedup.q54_indexed_dedup _),
     "q55_sketch_ledger" -> (QueriesSketch.q55_sketch_ledger _),
     "q56_phash_pairs_collapsed" -> (QueriesMedia.q56_phash_pairs_collapsed _),
-    "q57_ann_ivf_topk" -> (QueriesDedup.q57_ann_ivf_topk _)
+    "q57_ann_ivf_topk" -> (QueriesDedup.q57_ann_ivf_topk _),
+    "q58_repetition" -> (QueriesCorpus.q58_repetition _),
+    "q59_stratified_sample" -> (QueriesCorpus.q59_stratified_sample _),
+    "q60_tfidf" -> (QueriesCorpus.q60_tfidf _),
+    "q61_ann_ivf_indexed" -> (QueriesCorpus.q61_ann_ivf_indexed _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

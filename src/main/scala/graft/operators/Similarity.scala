@@ -265,6 +265,23 @@ object Similarity {
     * broadcast join (nlist rows) + per-row argmax — the corpus never
     * shuffles to build the index.
     */
+  /** Deterministic centroid sample: the `nlist` smallest seeded
+    * id-hashes, unit-normalized. Columns (cent_id, centv).
+    */
+  private def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      seed: Long
+  ): DataFrame =
+    corpus
+      .select(col(idCol).as("cent_id"), normalized(col(vecCol)).as("centv"),
+        xxhash64(col(idCol), lit(seed)).as("hk"))
+      .orderBy(col("hk"))
+      .limit(nlist)
+      .drop("hk")
+
   def ivfCells(
       corpus: DataFrame,
       idCol: String,
@@ -272,12 +289,7 @@ object Similarity {
       nlist: Int = 16,
       seed: Long = 42L
   ): DataFrame = {
-    val cent = corpus
-      .select(col(idCol).as("cent_id"), normalized(col(vecCol)).as("centv"),
-        xxhash64(col(idCol), lit(seed)).as("hk"))
-      .orderBy(col("hk"))
-      .limit(nlist)
-      .drop("hk")
+    val cent = ivfCentroids(corpus, idCol, vecCol, nlist, seed)
     val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
     Dedup
       .computeParallel(corpus)
@@ -323,12 +335,23 @@ object Similarity {
   ): DataFrame = {
     val cells = ivfCells(corpus, idCol, vecCol, nlist, seed)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
-    val cent = corpus
-      .select(col(idCol).as("cent_id"), normalized(col(vecCol)).as("centv"),
-        xxhash64(col(idCol), lit(seed)).as("hk"))
-      .orderBy(col("hk"))
-      .limit(nlist)
-      .drop("hk")
+    val cent = ivfCentroids(corpus, idCol, vecCol, nlist, seed)
+    ivfProbe(cells, cent, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The shared IVF probe: assign each query to its `nprobe` nearest
+    * centroids (broadcast join, per-row top-nprobe), equi-join the
+    * (cell, query) pairs against the cell index, score exactly, rank.
+    */
+  private def ivfProbe(
+      cells: DataFrame,
+      cent: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cent_cos").desc, col("cent_id"))
     val qCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -346,6 +369,54 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
+  /** Persist the IVF index: `dir/centroids` (nlist rows) and
+    * `dir/cells` — the full corpus with its cell assignment, written
+    * `partitionBy("cell")` so a probe of `nprobe` cells is a
+    * partition-pruned read of nprobe directories, never a corpus scan.
+    * Build is one corpus pass (broadcast-join assignment, no shuffle);
+    * rebuild only when centroids move. The streaming-ingest shape is
+    * the same as the dedup band index: new batches append their own
+    * `cells` rows under their assigned partitions.
+    */
+  def ivfIndexWrite(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nlist: Int = 16,
+      seed: Long = 42L
+  ): Unit = {
+    ivfCentroids(corpus, idCol, vecCol, nlist, seed)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfCells(corpus, idCol, vecCol, nlist, seed)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** IVF top-k against a PERSISTED index ([[ivfIndexWrite]]) — the
+    * repeated-use path: signing the corpus once at ingest and probing
+    * the cell-partitioned parquet per query batch. The broadcast
+    * query-cell join gives Spark a dynamic-partition-pruning /
+    * runtime-filter opportunity on the `cell` partition column; at
+    * worst a probe reads every cell file ONCE, at best only the nprobe
+    * directories the batch touches. Same contract as [[ivfTopK]]:
+    * nprobe = nlist reproduces exact brute force.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      k: Int,
+      nprobe: Int = 8
+  ): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read
+      .parquet(s"$dir/cells")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    ivfProbe(cells, cent, queries, idCol, vecCol, k, nprobe)
   }
 
   /** OR-amplified multi-table LSH top-k: `tables` independent tables of

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: repetition metrics, deterministic
+  * stratified sampling, TF-IDF, persisted-IVF ANN.
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("repetition metrics: planted degenerate and clean docs score as expected") {
+    import spark.implicits._
+    val dir = "/tmp/graft_corpus_spec"
+    Seq(
+      (1L, "a a a a a a", "en", "src0", 11L),
+      (2L, (1 to 21).map(i => s"w$i").mkString(" "), "en", "src0", 60L),
+      (3L, "x y x y x y x y x y x y", "en", "src1", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q58_repetition(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // doc 1: every bigram is "a a" -> total repetition, filtered out
+    assert(byId(1L).getString(2) == "a a")
+    assert(byId(1L).getDouble(4) == 1.0 && byId(1L).getDouble(5) == 1.0)
+    assert(byId(1L).getInt(6) == 0)
+    // doc 2: all bigrams distinct -> top frac 1/20, no dup mass, kept
+    assert(byId(2L).getLong(3) == 1L)
+    assert(byId(2L).getDouble(4) == 0.05 && byId(2L).getDouble(5) == 0.0)
+    assert(byId(2L).getInt(6) == 1)
+    // doc 3: "x y" dominates (6 of 11 slots) -> over both thresholds
+    assert(byId(3L).getString(2) == "x y")
+    assert(byId(3L).getInt(6) == 0)
+  }
+
+  test("stratified hash sampling is reproducible, tiered, and a true subset") {
+    import spark.implicits._
+    val dir  = "/root/testdata/sf0.01"
+    val s1   = QueriesCorpus.q59_stratified_sample(spark, dir).collect()
+    val s2   = QueriesCorpus.q59_stratified_sample(spark, dir).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq, "hash sample must be deterministic")
+    val perSource = s1.groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length }
+    val total     = Tables.documents(spark, dir).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tier rates: 50% / 25% / 12.5%, each +-25pp absolute at n=25/source
+    def rate(src: String) = perSource.getOrElse(src, 0).toDouble / total(src)
+    assert(rate("src0") > 0.2 && rate("src0") < 0.8, s"src0 rate ${rate("src0")}")
+    assert(rate("src12") < 0.45, s"src12 rate ${rate("src12")}")
+    // every sampled bucket clears its tier threshold
+    assert(s1.forall { r =>
+      val t = if (Set("src0","src1","src2","src3","src4")(r.getString(1))) "80"
+              else if (Set("src5","src6","src7","src8","src9")(r.getString(1))) "40"
+              else "20"
+      r.getString(2) < t
+    })
+  }
+
+  test("tf-idf: rarer tokens outrank common ones at equal term frequency") {
+    val rows = QueriesCorpus.q60_tfidf(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getDouble(4) > 0.0))
+    // ordering is by score desc — verify the invariant on the result itself
+    val scores = rows.map(_.getDouble(4)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // same tf, smaller df => strictly larger tfidf
+    val byTf = rows.groupBy(_.getLong(2))
+    byTf.values.foreach { grp =>
+      val sorted = grp.sortBy(_.getLong(3))
+      assert(sorted.map(_.getDouble(4)).toSeq == sorted.map(_.getDouble(4)).sortBy(-_).toSeq)
+    }
+  }
+
+  test("persisted IVF index probe equals the in-memory IVF at every operating point") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs  = emb.filter($"vec_id" < 10)
+    val dir = "/tmp/graft_corpus_spec_ivf"
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", dir, nlist = 16)
+    for (nprobe <- Seq(4, 8, 16)) {
+      val mem = Similarity
+        .ivfTopK(emb, qs, "vec_id", "embedding", k = 5, nlist = 16, nprobe = nprobe)
+        .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+      val idx = Similarity
+        .ivfTopKIndexed(spark, qs, "vec_id", "embedding", dir, k = 5, nprobe = nprobe)
+        .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+      assert(idx == mem, s"persisted probe diverged at nprobe=$nprobe")
+    }
+    // and the q61 endpoint reproduces exact brute force
+    val exact = QueriesDedup.q30_ann_topk(spark, sfDir).collect().map(_.toSeq).toSeq
+    val q61   = QueriesCorpus.q61_ann_ivf_indexed(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(q61 == exact)
+  }
+}
