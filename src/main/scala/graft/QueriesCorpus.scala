@@ -93,8 +93,14 @@ object QueriesCorpus {
     val tok = docs
       .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
       .filter(length($"token") > 2)
-    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+    // tf is distinct on (doc, token), so df is a plain count over it.
+    // Materialized because BOTH branches consume it and column pruning
+    // makes the subtrees canonicalize differently (no ReuseExchange) —
+    // without this the corpus is scanned and tokenized twice, which is
+    // the dominant cost at 100 TB.
+    val tf = graft.operators
+      .Materialize(tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val n  = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, Seq("token"))
       .crossJoin(broadcast(n))
