@@ -544,7 +544,58 @@ object Oracles {
         |SELECT doc_id, token, tf, df, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
         |FROM tf JOIN df USING (token) CROSS JOIN n
         |ORDER BY tfidf DESC, doc_id, token LIMIT 50""".stripMargin,
-    "q61_ann_ivf_indexed" -> base("q30_ann_topk")
+    "q61_ann_ivf_indexed" -> base("q30_ann_topk"),
+    "q62_semantic_dedup" ->
+      """WITH RECURSIVE
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
+        |SELECT cluster_id, vec_id AS kept_vec_id FROM (
+        |  SELECT c.cluster_id, c.vec_id,
+        |         row_number() OVER (PARTITION BY c.cluster_id ORDER BY e.label DESC, c.vec_id) AS rn
+        |  FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id)
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q63_curation_pipeline" -> {
+      def occ(m: String) =
+        s"CAST((length(text) - length(replace(text, '$m', ''))) / ${m.length} AS INT)"
+      val (en, es, de, fr) = (occ(" the "), occ(" el "), occ(" der "), occ(" le "))
+      s"""WITH base AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE $en >= $es AND $en >= $de AND $en >= $fr
+        |    AND substr(sha256(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |        CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN '80'
+        |             WHEN source IN ('src5','src6','src7','src8','src9') THEN '40'
+        |             ELSE '20' END),
+        |tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM base),
+        |qual AS (SELECT doc_id FROM (
+        |    SELECT doc_id, count(*) AS n_tokens,
+        |           sum(CASE WHEN token IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS n_stop
+        |    FROM tok WHERE token <> '' GROUP BY doc_id)
+        |  WHERE n_tokens >= 15 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.6),
+        |arrs AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+        |         FROM base),
+        |big AS (SELECT doc_id, len(arr) - 1 AS n_slots,
+        |               unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+        |        FROM arrs WHERE len(arr) >= 2),
+        |cnt AS (SELECT doc_id, n_slots, bigram, count(*) AS c FROM big GROUP BY 1, 2, 3),
+        |rep AS (SELECT doc_id FROM (
+        |    SELECT doc_id, n_slots, max(c) AS top_c,
+        |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_slots
+        |    FROM cnt GROUP BY 1, 2)
+        |  WHERE top_c / CAST(n_slots AS DOUBLE) <= 0.2
+        |    AND dup_slots / CAST(n_slots AS DOUBLE) <= 0.6)
+        |SELECT doc_id, source FROM (
+        |  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+        |  FROM base JOIN qual USING (doc_id) JOIN rep USING (doc_id)
+        |  GROUP BY sha256(text))
+        |ORDER BY doc_id""".stripMargin
+    }
   )
 }
 

@@ -115,6 +115,92 @@ object QueriesCorpus {
       .limit(50)
   }
 
+  /** Semantic (embedding-space) dedup: cosine-threshold pairs from the
+    * block-grid exact join, closed into clusters, one representative
+    * kept per cluster (greatest label, ties to smallest vec_id) — the
+    * "same meaning, different words" dedup layer that n-gram/MinHash
+    * misses. Completes the engine's dedup ladder: exact hash → n-gram
+    * Jaccard → MinHash/SimHash → pHash (media) → semantic. At 100 TB
+    * swap the exact pair stage for [[graft.operators.Similarity
+    * .cosinePairsBucketed]] (same downstream closure).
+    */
+  def q62_semantic_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Graph, Similarity}
+    val emb   = Tables.embeddings(spark, dir)
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
+    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+    Graph
+      .keepOnePerComponent(comps, emb, "vec_id", "label")
+      .select($"component".as("cluster_id"), $"kept_id".as("kept_vec_id"))
+      .orderBy($"cluster_id")
+  }
+
+  /** The full training-data curation funnel as ONE composed query —
+    * language ID → stratified sample → quality score → repetition
+    * filter → exact dedup — the shape a real 100 TB curation run has.
+    * Stage order is the cost order: the per-row predicates (language
+    * argmax, hash-sample tier) are scan-level and cut the corpus
+    * before anything shuffles; the two doc-keyed aggregations (token
+    * quality, bigram repetition) run on survivors only; the exact-dup
+    * collapse (hash groupBy, min_by representative) runs last on the
+    * smallest set. Output: the curated corpus (doc_id, source).
+    */
+  def q63_curation_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val t   = $"text"
+    val sEn = TextFunctions.occurrences(t, " the ")
+    val sEs = TextFunctions.occurrences(t, " el ")
+    val sDe = TextFunctions.occurrences(t, " der ")
+    val sFr = TextFunctions.occurrences(t, " le ")
+    val isEn = sEn >= sEs && sEn >= sDe && sEn >= sFr
+    val bucket = substring(sha2(concat($"source", lit(":"), $"doc_id".cast("string")), 256), 1, 2)
+    val sampleThreshold = when($"source".isin("src0", "src1", "src2", "src3", "src4"), "80")
+      .when($"source".isin("src5", "src6", "src7", "src8", "src9"), "40")
+      .otherwise("20")
+
+    val base = Tables.documents(spark, dir).filter(isEn && bucket < sampleThreshold)
+
+    val qualityPass = base
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"token".isin(TextFunctions.englishStopWords: _*), 1).otherwise(0)).as("n_stop")
+      )
+      .filter($"n_tokens" >= 15 && $"n_stop".cast("double") / $"n_tokens" <= 0.6)
+      .select($"doc_id")
+
+    val bigramCnt = base
+      .select($"doc_id", expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("arr"))
+      .filter(size($"arr") >= 2)
+      .select(
+        $"doc_id",
+        (size($"arr") - 1).cast("long").as("n_slots"),
+        explode(
+          expr("transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))")
+        ).as("bigram")
+      )
+      .groupBy($"doc_id", $"n_slots", $"bigram")
+      .agg(count(lit(1)).as("c"))
+    val repetitionPass = bigramCnt
+      .groupBy($"doc_id", $"n_slots")
+      .agg(max($"c").as("top_c"), sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_slots"))
+      .filter($"top_c" / $"n_slots".cast("double") <= 0.2 &&
+        $"dup_slots" / $"n_slots".cast("double") <= 0.6)
+      .select($"doc_id")
+
+    base
+      .join(qualityPass, Seq("doc_id"))
+      .join(repetitionPass, Seq("doc_id"))
+      .groupBy(sha2($"text", 256).as("content_key"))
+      .agg(min($"doc_id").as("doc_id"), min_by($"source", $"doc_id").as("source"))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** ANN top-k against the PERSISTED IVF index — build once
     * ([[graft.operators.Similarity.ivfIndexWrite]]: centroids +
     * cell-partitioned corpus), probe per query batch. At

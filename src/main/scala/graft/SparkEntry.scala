@@ -68,7 +68,9 @@ object SparkEntry {
     "q58_repetition" -> (QueriesCorpus.q58_repetition _),
     "q59_stratified_sample" -> (QueriesCorpus.q59_stratified_sample _),
     "q60_tfidf" -> (QueriesCorpus.q60_tfidf _),
-    "q61_ann_ivf_indexed" -> (QueriesCorpus.q61_ann_ivf_indexed _)
+    "q61_ann_ivf_indexed" -> (QueriesCorpus.q61_ann_ivf_indexed _),
+    "q62_semantic_dedup" -> (QueriesCorpus.q62_semantic_dedup _),
+    "q63_curation_pipeline" -> (QueriesCorpus.q63_curation_pipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

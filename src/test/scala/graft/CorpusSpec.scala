@@ -69,6 +69,45 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup keeps the max-label member of every cosine cluster") {
+    import spark.implicits._
+    val dir  = "/root/testdata/sf0.01"
+    val kept = QueriesCorpus.q62_semantic_dedup(spark, dir).collect()
+    assert(kept.nonEmpty)
+    val comps = graft.operators.Graph
+      .connectedComponents(
+        graft.operators.Similarity.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45),
+        "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byComp = comps.groupBy(_._2)
+    kept.foreach { r =>
+      val (cluster, keptId) = (r.getLong(0), r.getLong(1))
+      val members = byComp(cluster).map(_._1)
+      assert(members.contains(keptId), s"kept $keptId not in cluster $cluster")
+      val best = members.maxBy(id => (labels(id), -id))
+      assert(keptId == best, s"cluster $cluster kept $keptId, expected $best")
+    }
+    assert(kept.length == byComp.size)
+  }
+
+  test("curation funnel output is a deduped subset of every upstream stage") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val out = QueriesCorpus.q63_curation_pipeline(spark, dir).collect()
+    assert(out.nonEmpty && out.length < 500, s"funnel must actually filter (got ${out.length})")
+    // subset of the stratified sample (same predicate as q59)
+    val sampled = QueriesCorpus.q59_stratified_sample(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => sampled(r.getLong(0))))
+    // exact-dedup stage: surviving texts are content-unique
+    val ids   = out.map(_.getLong(0)).toSet
+    val texts = Tables.documents(spark, dir).filter($"doc_id".isin(ids.toSeq: _*))
+      .select($"text").collect().map(_.getString(0))
+    assert(texts.distinct.length == texts.length, "funnel output contains exact duplicates")
+  }
+
   test("persisted IVF index probe equals the in-memory IVF at every operating point") {
     import spark.implicits._
     import graft.operators.Similarity
