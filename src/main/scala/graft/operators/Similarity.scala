@@ -268,7 +268,7 @@ object Similarity {
   /** Deterministic centroid sample: the `nlist` smallest seeded
     * id-hashes, unit-normalized. Columns (cent_id, centv).
     */
-  private def ivfCentroids(
+  private[graft] def ivfCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
@@ -282,23 +282,31 @@ object Similarity {
       .limit(nlist)
       .drop("hk")
 
+  /** Assign every row of `df` to its nearest centroid from an EXISTING
+    * centroid table (cent_id, centv) — the incremental-ingest half of
+    * the IVF build: a streaming batch assigns against the persisted
+    * centroids (one broadcast join, no shuffle) and appends its rows
+    * to the cell index.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
+    Dedup
+      .computeParallel(df)
+      .join(broadcast(cent))
+      .withColumn("cent_cos", dot(normalized(col(vecCol)), col("centv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
+  }
+
   def ivfCells(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
       seed: Long = 42L
-  ): DataFrame = {
-    val cent = ivfCentroids(corpus, idCol, vecCol, nlist, seed)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
-    Dedup
-      .computeParallel(corpus)
-      .join(broadcast(cent))
-      .withColumn("cent_cos", dot(normalized(col(vecCol)), col("centv")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(corpus.columns.map(col) :+ col("cent_id").as("cell"): _*)
-  }
+  ): DataFrame =
+    assignCells(corpus, idCol, vecCol, ivfCentroids(corpus, idCol, vecCol, nlist, seed))
 
   /** IVF-Flat approximate top-k — the centroid-partitioned ANN scale
     * path: each query scores ONLY the vectors in its `nprobe` nearest
@@ -343,6 +351,28 @@ object Similarity {
     * centroids (broadcast join, per-row top-nprobe), equi-join the
     * (cell, query) pairs against the cell index, score exactly, rank.
     */
+  /** Assign each query to its `nprobe` nearest centroids (broadcast
+    * join, per-row top-nprobe). Output (query_id, qv, cell) — the
+    * probe list both [[ivfTopK]]/[[ivfTopKIndexed]] and the streaming
+    * ingest dedup join against the cell index.
+    */
+  private[graft] def probeCells(
+      queries: DataFrame,
+      cent: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int
+  ): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(cent))
+      .withColumn("cent_cos", dot(normalized(col("qv")), col("centv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+  }
+
   private def ivfProbe(
       cells: DataFrame,
       cent: DataFrame,
@@ -352,14 +382,7 @@ object Similarity {
       k: Int,
       nprobe: Int
   ): DataFrame = {
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cent_cos").desc, col("cent_id"))
-    val qCells = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(broadcast(cent))
-      .withColumn("cent_cos", dot(normalized(col("qv")), col("centv")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    val qCells = probeCells(queries, cent, idCol, vecCol, nprobe)
     val scored = cells
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -249,4 +249,56 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("streaming vector ingest dedup equals one-shot cosine pairs; grown index serves ANN") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import graft.streaming.VecStreams
+    val dir  = Files.createTempDirectory("graft_stream8").toString
+    val emb  = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    // plant arrivals as copies of known corpus vectors so every pair
+    // class exists: corpus×batch, within-batch, and cross-micro-batch
+    val byId = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b1 = Seq((10001L, byId(1L)), (10005L, byId(1L)), (10003L, byId(2L)))
+    val b2 = Seq((10002L, byId(1L)), (10004L, byId(3L)))
+    val arrivals = (b1 ++ b2).toDF("vec_id", "embedding")
+
+    VecStreams.seedIndex(emb, "vec_id", "embedding", s"$dir/index", nlist = 16)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = VecStreams.incrementalDedup(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      pairsDir = s"$dir/pairs", indexDir = s"$dir/index",
+      threshold = 0.45, nprobe = 16)
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full     = emb.unionByName(arrivals)
+    val arrival  = (b1 ++ b2).map(_._1).toSet
+    val expected = Similarity.cosinePairs(full, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => arrival(p._1) || arrival(p._2)).toSet
+    // all three pair classes must be present in the EXPECTED set
+    assert(expected.contains((1L, 10001L)), "corpus x batch pair missing from plant")
+    assert(expected.contains((10001L, 10005L)), "within-batch pair missing from plant")
+    assert(expected.contains((10001L, 10002L)), "cross-batch pair missing from plant")
+    assert(got == expected, s"stream pairs $got != one-shot pairs $expected")
+
+    // the grown index serves ANN search directly: exhaustive probe of
+    // the persisted cells equals brute force over seed + arrivals
+    val exact = Similarity
+      .bruteForceTopK(full, full.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    val viaIndex = Similarity
+      .ivfTopKIndexed(spark, full.filter($"vec_id" < 10), "vec_id", "embedding",
+        s"$dir/index", k = 5, nprobe = 16)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(viaIndex == exact, "grown persisted index must reproduce brute force at nprobe=nlist")
+  }
 }
