@@ -595,7 +595,14 @@ object Oracles {
         |  FROM base JOIN qual USING (doc_id) JOIN rep USING (doc_id)
         |  GROUP BY sha256(text))
         |ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q64_range_join" ->
+      """SELECT w.window_id, e.event_id
+        |FROM events e
+        |JOIN (SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+        |      FROM events WHERE event_id % 100 = 0) w
+        |  ON e.ts >= w.w_start AND e.ts <= w.w_end
+        |ORDER BY window_id, event_id""".stripMargin
   )
 }
 

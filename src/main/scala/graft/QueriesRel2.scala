@@ -222,4 +222,29 @@ object QueriesRel2 {
       .filter($"days_since_prev".isNotNull)
       .orderBy($"o_custkey", $"o_orderkey")
   }
+
+  /** Point-in-interval range join ([[graft.operators.RangeJoin]]):
+    * every 100th event opens a 2-hour window; all events inside any
+    * window are matched to it. The bucket width equals the window
+    * span, so each interval explodes into ≤ 2 bucket rows and the join
+    * is a plain bucket equi-join + residual BETWEEN — never the
+    * BroadcastNestedLoopJoin a bare range predicate plans as.
+    */
+  def q64_range_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val twoHoursMicros = 2L * 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+    val windows = ev
+      .filter($"event_id" % 100 === 0)
+      .select(
+        $"event_id".as("window_id"),
+        $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 2 HOURS")).as("w_end")
+      )
+    graft.operators.RangeJoin
+      .pointInInterval(
+        ev.select($"event_id", $"ts"), windows, "ts", "w_start", "w_end", twoHoursMicros)
+      .select($"window_id", $"event_id")
+      .orderBy($"window_id", $"event_id")
+  }
 }

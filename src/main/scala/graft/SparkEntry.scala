@@ -70,7 +70,8 @@ object SparkEntry {
     "q60_tfidf" -> (QueriesCorpus.q60_tfidf _),
     "q61_ann_ivf_indexed" -> (QueriesCorpus.q61_ann_ivf_indexed _),
     "q62_semantic_dedup" -> (QueriesCorpus.q62_semantic_dedup _),
-    "q63_curation_pipeline" -> (QueriesCorpus.q63_curation_pipeline _)
+    "q63_curation_pipeline" -> (QueriesCorpus.q63_curation_pipeline _),
+    "q64_range_join" -> (QueriesRel2.q64_range_join _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -225,6 +225,25 @@ object ScaleSmoke {
     time("q47 composed pipeline (collapse-first clusters)") {
       graft.QueriesDedup.q47_dedup_pipeline(spark, out).count()
     }
+    time("q63 curation funnel (lang->sample->quality->rep->dedup)") {
+      graft.QueriesCorpus.q63_curation_pipeline(spark, out).count()
+    }
+    time("q58 repetition metrics (bigram shuffles)") {
+      graft.QueriesCorpus.q58_repetition(spark, out).count()
+    }
+    time("persisted IVF: build index (centroids + cell partitions)") {
+      graft.operators.Similarity
+        .ivfIndexWrite(spark.read.parquet(s"$out/embeddings.parquet"),
+          "vec_id", "embedding", s"$out/ivf", nlist = 16)
+      spark.read.parquet(s"$out/ivf/cells").count()
+    }
+    time("persisted IVF: probe 10 queries at nprobe=4/16") {
+      graft.operators.Similarity
+        .ivfTopKIndexed(spark,
+          spark.read.parquet(s"$out/embeddings.parquet").filter(col("vec_id") < 10),
+          "vec_id", "embedding", s"$out/ivf", k = 5, nprobe = 4)
+        .count()
+    }
     spark.stop()
   }
 }
