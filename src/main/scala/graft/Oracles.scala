@@ -602,7 +602,16 @@ object Oracles {
         |JOIN (SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
         |      FROM events WHERE event_id % 100 = 0) w
         |  ON e.ts >= w.w_start AND e.ts <= w.w_end
-        |ORDER BY window_id, event_id""".stripMargin
+        |ORDER BY window_id, event_id""".stripMargin,
+    "q65_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+        |       round(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens, 6) AS sample_weight
+        |FROM t ORDER BY source""".stripMargin
   )
 }
 

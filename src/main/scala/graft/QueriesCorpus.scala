@@ -201,6 +201,34 @@ object QueriesCorpus {
       .orderBy($"doc_id")
   }
 
+  /** Source mixture weights — the "how much of each source goes into
+    * the training mix" step: per-source document and token counts,
+    * each source's token share, and the per-source sampling weight
+    * that equalizes token contribution (weight ∝ 1/tokens, normalized
+    * so the smallest source samples at 1.0). One narrow per-row token
+    * count + one 20-group aggregate: the whole corpus reduces to a
+    * sources-sized table, so the window functions at the end are free.
+    */
+  def q65_mixture_weights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long")
+    val w    = Window.partitionBy()
+    Tables
+      .documents(spark, dir)
+      .select($"source", nTok.as("doc_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_tokens").as("n_tokens"))
+      .select(
+        $"source",
+        $"n_docs",
+        $"n_tokens",
+        round($"n_tokens" / sum($"n_tokens").over(w).cast("double"), 6).as("token_share"),
+        round(min($"n_tokens").over(w).cast("double") / $"n_tokens", 6).as("sample_weight")
+      )
+      .orderBy($"source")
+  }
+
   /** ANN top-k against the PERSISTED IVF index — build once
     * ([[graft.operators.Similarity.ivfIndexWrite]]: centroids +
     * cell-partitioned corpus), probe per query batch. At

@@ -123,4 +123,27 @@ class PropertySpec extends SparkSpec {
       assert(ab >= 0 && ab <= 16)
     }
   }
+
+  test("bucketed range join equals the nested-loop reference on random intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val microsGen = Gen.chooseNum(-5000000L, 5000000L) // spans the epoch: negative buckets too
+    val spanGen   = Gen.chooseNum(0L, 3000000L)
+    val ptsGen    = Gen.listOfN(40, microsGen)
+    val ivsGen    = Gen.listOfN(10, Gen.zip(microsGen, spanGen))
+    val widthGen  = Gen.oneOf(700000L, 1000000L, 2500000L)
+    forAll(Gen.zip(ptsGen, ivsGen, widthGen)) { case (ps, ivs, width) =>
+      val points = ps.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+        .toDF("pid", "m").select($"pid", timestamp_micros($"m").as("ts"))
+      val intervals = ivs.zipWithIndex.map { case ((s, span), i) => (i.toLong, s, s + span) }
+        .toDF("iid", "s", "e")
+        .select($"iid", timestamp_micros($"s").as("lo"), timestamp_micros($"e").as("hi"))
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "ts", "lo", "hi", width)
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = points.join(intervals, $"ts" >= $"lo" && $"ts" <= $"hi")
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width=$width: $got != $naive")
+    }
+  }
 }
