@@ -611,7 +611,20 @@ object Oracles {
         |SELECT source, n_docs, n_tokens,
         |       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
         |       round(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens, 6) AS sample_weight
-        |FROM t ORDER BY source""".stripMargin
+        |FROM t ORDER BY source""".stripMargin,
+    "q66_decontamination" -> {
+      // mirror Dedup.shingles: raw whitespace split, no empty-token
+      // filter, distinct 8-grams, docs with >= 8 tokens only
+      val gram = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 7),
+        |         i -> $gram))) AS s
+        |       FROM t WHERE len(toks) >= 8)
+        |SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+        |FROM sh c JOIN sh e ON c.s = e.s
+        |WHERE e.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 }
 

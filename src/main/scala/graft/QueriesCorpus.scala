@@ -229,6 +229,30 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** Train/eval decontamination: which corpus documents CONTAIN any
+    * 8-gram of an eval-set document (the benchmark-leak check every
+    * training run needs before it trusts its eval numbers). Both sides
+    * reduce to distinct word 8-grams; the eval side is small BY
+    * DEFINITION (a benchmark is thousands of docs, the corpus is
+    * billions), so it broadcasts and the corpus is never shuffled —
+    * one scan, one broadcast hash join, one (corpus_doc, eval_doc)
+    * count. Output: contaminated pairs with their shared-8-gram count.
+    */
+  def q66_decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sh = Dedup
+      .nearDupSets(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .select($"doc_id", explode($"shingle_set").as("s"))
+    val evalSide = sh.filter($"doc_id" % 5 === 0).select($"doc_id".as("eval_id"), $"s")
+    val corpus   = sh.filter($"doc_id" % 5 =!= 0)
+    corpus
+      .join(broadcast(evalSide), Seq("s"))
+      .groupBy($"doc_id", $"eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id", $"eval_id")
+  }
+
   /** ANN top-k against the PERSISTED IVF index — build once
     * ([[graft.operators.Similarity.ivfIndexWrite]]: centroids +
     * cell-partitioned corpus), probe per query batch. At

@@ -72,7 +72,8 @@ object SparkEntry {
     "q62_semantic_dedup" -> (QueriesCorpus.q62_semantic_dedup _),
     "q63_curation_pipeline" -> (QueriesCorpus.q63_curation_pipeline _),
     "q64_range_join" -> (QueriesRel2.q64_range_join _),
-    "q65_mixture_weights" -> (QueriesCorpus.q65_mixture_weights _)
+    "q65_mixture_weights" -> (QueriesCorpus.q65_mixture_weights _),
+    "q66_decontamination" -> (QueriesCorpus.q66_decontamination _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

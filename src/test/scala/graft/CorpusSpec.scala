@@ -108,6 +108,24 @@ class CorpusSpec extends SparkSpec {
     assert(texts.distinct.length == texts.length, "funnel output contains exact duplicates")
   }
 
+  test("decontamination finds exactly the planted 8-gram containments") {
+    import spark.implicits._
+    val dir = "/tmp/graft_corpus_spec_decon"
+    val e8  = (1 to 8).map(i => s"e$i").mkString(" ")
+    val a9  = (1 to 9).map(i => s"a$i").mkString(" ")
+    Seq(
+      (5L, s"$e8 x y z", "en", "src0", 0L),          // eval: one planted 8-gram
+      (7L, s"pre $e8 post", "en", "src0", 0L),       // corpus: contains it once
+      (10L, a9, "en", "src1", 0L),                   // eval: two 8-grams (a1..a8, a2..a9)
+      (11L, s"$a9 tail", "en", "src1", 0L),          // corpus: contains both
+      (12L, (1 to 12).map(i => s"c$i").mkString(" "), "en", "src2", 0L) // corpus: clean
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesCorpus.q66_decontamination(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((7L, 5L, 1L), (11L, 10L, 2L)), s"got $got")
+  }
+
   test("persisted IVF index probe equals the in-memory IVF at every operating point") {
     import spark.implicits._
     import graft.operators.Similarity
