@@ -624,7 +624,32 @@ object Oracles {
         |FROM sh c JOIN sh e ON c.s = e.s
         |WHERE e.doc_id % 5 = 0 AND c.doc_id % 5 != 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }
+    },
+    "q67_chunking" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr
+        |  FROM documents),
+        |d AS (SELECT doc_id, arr,
+        |        CASE WHEN len(arr) <= 32 THEN 1
+        |             ELSE CAST(ceil((len(arr) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+        |      FROM arrs WHERE len(arr) >= 1),
+        |c AS (SELECT doc_id, arr, unnest(range(n_chunks)) AS chunk_idx FROM d)
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(list_slice(arr, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
+        |       CAST(len(list_slice(arr, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q68_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_tok
+        |      FROM t)
+        |SELECT doc_id, source, n_tok,
+        |       CAST(floor(start_tok / 256.0) AS BIGINT) AS bin,
+        |       CAST(start_tok % 256 AS BIGINT) AS offset
+        |FROM s ORDER BY source, doc_id""".stripMargin
   )
 }
 

@@ -253,6 +253,75 @@ object QueriesCorpus {
       .orderBy($"doc_id", $"eval_id")
   }
 
+  /** Fixed-window chunking with overlap — splitting documents into
+    * training sequences (window 32 tokens, stride 24, so consecutive
+    * chunks share 8 tokens of context). Pure array expressions: the
+    * chunk list materializes per row and explodes; no shuffle at all
+    * until the output sort, and chunk count ∝ doc length so the work
+    * spreads exactly like the bytes do at 100 TB.
+    */
+  def q67_chunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win    = 32
+    val stride = 24
+    val docs = Tables
+      .documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("arr"))
+      .filter(size($"arr") >= 1)
+      .select(
+        $"doc_id",
+        $"arr",
+        when(size($"arr") <= win, lit(1L))
+          .otherwise(ceil((size($"arr") - win) / stride.toDouble).cast("long") + 1L)
+          .as("n_chunks")
+      )
+    docs
+      .select(
+        $"doc_id",
+        explode(expr(
+          s"transform(sequence(0L, n_chunks - 1), i -> struct(i AS idx, slice(arr, CAST(i * $stride + 1 AS INT), $win) AS w))"
+        )).as("c")
+      )
+      .select(
+        $"doc_id",
+        $"c.idx".as("chunk_idx"),
+        concat_ws(" ", $"c.w").as("chunk_text"),
+        size($"c.w").cast("long").as("n_chunk_tokens")
+      )
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Shard-local greedy sequence packing: concatenate each shard's
+    * documents in id order and cut every `budget` tokens — each doc
+    * gets its bin and its token offset inside the bin (docs straddle
+    * cuts exactly as real packed pretraining batches do). One window
+    * (running token sum) PARTITIONED BY the shard key: no global sort
+    * exists anywhere, so 100 TB packs as thousands of independent
+    * shard streams — the reason packing must be shard-local at scale.
+    */
+  def q68_packing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256L
+    val w      = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        $"source",
+        size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long").as("n_tok")
+      )
+      .withColumn("start_tok", sum($"n_tok").over(w) - $"n_tok")
+      .select(
+        $"doc_id",
+        $"source",
+        $"n_tok",
+        ($"start_tok" / budget).cast("long").as("bin"),
+        ($"start_tok" % budget).as("offset")
+      )
+      .orderBy($"source", $"doc_id")
+  }
+
   /** ANN top-k against the PERSISTED IVF index — build once
     * ([[graft.operators.Similarity.ivfIndexWrite]]: centroids +
     * cell-partitioned corpus), probe per query batch. At

@@ -73,7 +73,9 @@ object SparkEntry {
     "q63_curation_pipeline" -> (QueriesCorpus.q63_curation_pipeline _),
     "q64_range_join" -> (QueriesRel2.q64_range_join _),
     "q65_mixture_weights" -> (QueriesCorpus.q65_mixture_weights _),
-    "q66_decontamination" -> (QueriesCorpus.q66_decontamination _)
+    "q66_decontamination" -> (QueriesCorpus.q66_decontamination _),
+    "q67_chunking" -> (QueriesCorpus.q67_chunking _),
+    "q68_packing" -> (QueriesCorpus.q68_packing _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

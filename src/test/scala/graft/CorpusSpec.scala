@@ -126,6 +126,46 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set((7L, 5L, 1L), (11L, 10L, 2L)), s"got $got")
   }
 
+  test("chunking covers every token with the declared stride overlap") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("arr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = QueriesCorpus.q67_chunking(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getString(2).split(" ").toSeq))
+      }
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val toks = docs(id)
+      cs.foreach { case (idx, w) =>
+        // chunk i is exactly tokens [i*24, i*24+32)
+        assert(w == toks.slice((idx * 24).toInt, (idx * 24).toInt + 32), s"doc $id chunk $idx")
+      }
+      // full coverage: the last chunk reaches the end of the doc
+      val (lastIdx, lastW) = cs.last
+      assert(lastIdx * 24 + lastW.length == toks.length, s"doc $id tail uncovered")
+    }
+  }
+
+  test("packing concatenates each shard exactly: no gaps, offsets under budget") {
+    import spark.implicits._
+    val rows = QueriesCorpus.q68_packing(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, id, nTok, bin, offset) =>
+        assert(bin == cum / 256 && offset == cum % 256, s"$src doc $id misplaced")
+        cum += nTok
+      }
+      // bins are dense: every bin index up to the last appears
+      val bins = sorted.map(_._4).distinct.sorted.toVector
+      assert(bins == (bins.head to bins.last).toVector, s"$src bins not dense")
+    }
+  }
+
   test("persisted IVF index probe equals the in-memory IVF at every operating point") {
     import spark.implicits._
     import graft.operators.Similarity
