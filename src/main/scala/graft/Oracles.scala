@@ -649,7 +649,43 @@ object Oracles {
         |SELECT doc_id, source, n_tok,
         |       CAST(floor(start_tok / 256.0) AS BIGINT) AS bin,
         |       CAST(start_tok % 256 AS BIGINT) AS offset
-        |FROM s ORDER BY source, doc_id""".stripMargin
+        |FROM s ORDER BY source, doc_id""".stripMargin,
+    "q69_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name,
+        |         CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |         CAST(min(l_orderkey) AS VARCHAR) AS min_s, CAST(max(l_orderkey) AS VARCHAR) AS max_s
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |         CAST(count(DISTINCT l_returnflag) AS BIGINT), min(l_returnflag), max(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', CAST(count(*) - count(l_shipdate) AS BIGINT),
+        |         CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        |         strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d')
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(count(*) - count(l_quantity) AS BIGINT),
+        |         CAST(count(DISTINCT l_quantity) AS BIGINT),
+        |         CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+    "q70_unpivot" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 1000)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
   )
 }
 

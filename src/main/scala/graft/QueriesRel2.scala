@@ -223,6 +223,61 @@ object QueriesRel2 {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** ANALYZE-style column profile: null count, exact distinct count,
+    * min/max (as strings) for four lineitem columns — the statistics
+    * pass a catalog runs before planning. ONE aggregation job over one
+    * scan (the multi-distinct plans as a single Expand + aggregate),
+    * then a 1-row stack to long form: profiling 100 TB costs exactly
+    * one pass, never a job per column.
+    */
+  def q69_profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    l.agg(
+      sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("nn1"),
+      countDistinct($"l_orderkey").as("nd1"),
+      min($"l_orderkey").cast("string").as("mn1"),
+      max($"l_orderkey").cast("string").as("mx1"),
+      sum(when($"l_returnflag".isNull, 1L).otherwise(0L)).as("nn2"),
+      countDistinct($"l_returnflag").as("nd2"),
+      min($"l_returnflag").as("mn2"),
+      max($"l_returnflag").as("mx2"),
+      sum(when($"l_shipdate".isNull, 1L).otherwise(0L)).as("nn3"),
+      countDistinct($"l_shipdate").as("nd3"),
+      date_format(min($"l_shipdate"), "yyyy-MM-dd").as("mn3"),
+      date_format(max($"l_shipdate"), "yyyy-MM-dd").as("mx3"),
+      sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("nn4"),
+      countDistinct($"l_quantity").as("nd4"),
+      min($"l_quantity").cast("string").as("mn4"),
+      max($"l_quantity").cast("string").as("mx4")
+    ).selectExpr(
+      """stack(4,
+        |  'l_orderkey',  nn1, nd1, mn1, mx1,
+        |  'l_returnflag', nn2, nd2, mn2, mx2,
+        |  'l_shipdate',  nn3, nd3, mn3, mx3,
+        |  'l_quantity',  nn4, nd4, mn4, mx4
+        |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin
+    ).orderBy($"col_name")
+  }
+
+  /** Unpivot (melt): the four lineitem measures to long form — the
+    * inverse of q35's pivot. Plans as a single Expand over one scan
+    * (rows × 4, no shuffle except the output sort).
+    */
+  def q70_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .filter($"l_orderkey" < 1000)
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric",
+        "value"
+      )
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
   /** Point-in-interval range join ([[graft.operators.RangeJoin]]):
     * every 100th event opens a 2-hour window; all events inside any
     * window are matched to it. The bucket width equals the window

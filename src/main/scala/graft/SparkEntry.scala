@@ -75,7 +75,9 @@ object SparkEntry {
     "q65_mixture_weights" -> (QueriesCorpus.q65_mixture_weights _),
     "q66_decontamination" -> (QueriesCorpus.q66_decontamination _),
     "q67_chunking" -> (QueriesCorpus.q67_chunking _),
-    "q68_packing" -> (QueriesCorpus.q68_packing _)
+    "q68_packing" -> (QueriesCorpus.q68_packing _),
+    "q69_profile" -> (QueriesRel2.q69_profile _),
+    "q70_unpivot" -> (QueriesRel2.q70_unpivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
