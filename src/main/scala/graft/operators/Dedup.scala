@@ -16,8 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-level n-gram shingles of a token array. */
+  /** Distinct word-level n-gram shingles of a token array — the native
+    * one-pass [[graft.plans.WordNgrams]] expression (the HOF chain it
+    * replaces allocated a slice + concat per position and never
+    * codegen'd; pinned element-equal in DedupSpec).
+    */
   def shingles(tokens: Column, n: Int): Column =
+    graft.plans.WordNgrams.wordNgrams(tokens, n)
+
+  /** The HOF form of [[shingles]] — retained ONLY as the parity oracle
+    * for the native expression (DedupSpec pins them equal on real
+    * documents at several n).
+    */
+  private[graft] def shinglesHof(tokens: Column, n: Int): Column =
     when(
       size(tokens) >= n,
       array_distinct(

@@ -57,6 +57,31 @@ class DedupSpec extends SparkSpec {
     assert(native == hof, "null elements must degenerate to the seed-side hash, like xxhash64 does")
   }
 
+  test("native word n-grams equal the HOF reference form on real documents and edge cases") {
+    import spark.implicits._
+    for (n <- Seq(2, 3, 8)) {
+      val toks = Tables.documents(spark, sfDir)
+        .select($"doc_id", split($"text", "\\s+").as("t"))
+      val native = toks.select($"doc_id", Dedup.shingles($"t", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = toks.select($"doc_id", Dedup.shinglesHof($"t", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native.nonEmpty)
+      assert(native == hof, s"native n-grams diverged from the HOF form at n=$n")
+    }
+    // null tokens (concat_ws skips them), short arrays, repeats
+    val edge = Seq(
+      (1L, Seq(Some("a"), None, Some("b"), Some("a"), None, Some("b"))),
+      (2L, Seq(Some("x"))),
+      (3L, Seq.empty[Option[String]])
+    ).toDF("id", "t")
+    val native = edge.select($"id", Dedup.shingles($"t", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = edge.select($"id", Dedup.shinglesHof($"t", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == hof, "null-token / short-array behavior must match concat_ws semantics")
+  }
+
   test("minhashLshPairs agrees with exact ngram jaccard on real documents") {
     val docs = Tables.documents(spark, sfDir)
     val exact = QueriesDedup
