@@ -168,6 +168,39 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-STREAM interval join: each purchase matches
+    * the same user's clicks in the `lookback` before it — the
+    * attribution join, as two unbounded streams. The time-range
+    * predicate plus watermarks on BOTH sides is what lets Spark bound
+    * the join state: a click older than the purchase watermark minus
+    * `lookback` can never match a future purchase, so its state is
+    * evicted; without the range condition the state grows forever. At
+    * 100 TB/day this is the only viable stream-stream join shape —
+    * equality key (user) for the shuffle, time bound for the state.
+    * Output: (purchase_id, click_id, user_id) per qualifying pair.
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermarkDelay: String = "1 hour",
+      lookback: String = "INTERVAL 30 MINUTES"
+  ): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(
+      p,
+      expr(
+        s"""click_user = user_id AND
+           |purchase_ts >= click_ts AND
+           |purchase_ts <= click_ts + $lookback""".stripMargin)
+    ).select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   /** Run a bounded stream to completion into a memory sink and return
     * the result — the batch-equivalence harness used by tests.
     */

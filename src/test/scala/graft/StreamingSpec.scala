@@ -250,6 +250,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("watermarked stream-stream attribution join equals the batch interval join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream9").toString
+    val evs = eventsAsMicros
+    evs.write.parquet(s"$dir/in")
+    val stream = EventStreams.readEventStream(spark, s"$dir/in")
+    val got = EventStreams
+      .runBounded(
+        EventStreams.attributionJoin(
+          stream.filter(col("event_type") === "click"),
+          stream.filter(col("event_type") === "purchase")),
+        "attribution", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val c = evs.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val p = evs.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val expected = c.join(p,
+        expr("click_user = user_id AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "the corpus must contain attributable click->purchase pairs")
+    assert(got == expected, "stream-stream interval join must equal the batch interval join")
+  }
+
   test("streaming vector ingest dedup equals one-shot cosine pairs; grown index serves ANN") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
