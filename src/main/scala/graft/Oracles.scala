@@ -685,7 +685,9 @@ object Oracles {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |  FROM lineitem WHERE l_orderkey < 1000)
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    // the ORC round-trip must not change a single value: q19's oracle
+    "q71_orc_roundtrip" -> base("q19_events_day_agg")
   )
 }
 

@@ -270,6 +270,32 @@ object QueriesRel2 {
       .orderBy($"l_orderkey", $"l_linenumber", $"metric")
   }
 
+  /** ORC round-trip: the events table written as ORC (sorted within
+    * files by event_type so ORC's min/max stripe statistics make the
+    * type predicate skippable), read back through the ORC scan, and
+    * aggregated exactly like q19 — same oracle. Proves the engine's
+    * source breadth isn't parquet-only: the columnar scan, pushdown,
+    * and codegen pipeline are format-agnostic behind the DataSource V2
+    * API.
+    */
+  def q71_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = s"/tmp/graft_q71_orc_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    Tables.events(spark, dir).sortWithinPartitions($"event_type").write
+      .mode("overwrite").orc(tmp)
+    spark.read
+      .orc(tmp)
+      .groupBy(
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+        $"event_type"
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        Queries.dsum2($"value").as("sum_value")
+      )
+      .orderBy($"day", $"event_type")
+  }
+
   /** Point-in-interval range join ([[graft.operators.RangeJoin]]):
     * every 100th event opens a 2-hour window; all events inside any
     * window are matched to it. The bucket width equals the window

@@ -77,7 +77,8 @@ object SparkEntry {
     "q67_chunking" -> (QueriesCorpus.q67_chunking _),
     "q68_packing" -> (QueriesCorpus.q68_packing _),
     "q69_profile" -> (QueriesRel2.q69_profile _),
-    "q70_unpivot" -> (QueriesRel2.q70_unpivot _)
+    "q70_unpivot" -> (QueriesRel2.q70_unpivot _),
+    "q71_orc_roundtrip" -> (QueriesRel2.q71_orc_roundtrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
