@@ -81,6 +81,37 @@ final class Warehouse(spark: SparkSession, root: String) {
     rows
   }
 
+  /** Compact a table's small files (the OPTIMIZE / bin-packing half of
+    * Delta's table maintenance): rewrite the table so each output file
+    * targets `targetRowsPerFile` rows. Steady appends (one file per
+    * micro-batch per partition) degrade a 100 TB table into millions
+    * of KB-sized files whose open/footer overhead dominates scans —
+    * periodic compaction is what keeps scan cost ∝ bytes, not ∝ files.
+    * Values are untouched (asserted in PipelineSpec): same staged
+    * rename as every other write, ledger op `COMPACT` records the
+    * file-count delta.
+    */
+  def compact(layer: String, table: String, targetRowsPerFile: Long = 1_000_000L): Long = {
+    val target = tablePath(layer, table)
+    val before = spark.read.parquet(target)
+    val rows   = before.count()
+    val filesBefore = before.inputFiles.length.toLong
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    val staging = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    before
+      .repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(staging.toString)
+    val back = spark.read.parquet(staging.toString).count()
+    require(back == rows, s"compaction changed row count: $rows -> $back")
+    fs.delete(new Path(target), true)
+    if (!fs.rename(staging, new Path(target)))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    logOp(layer, table, "COMPACT", inserted = 0, updated = 0, outputRows = rows)
+    filesBefore - spark.read.parquet(target).inputFiles.length
+  }
+
   /** INSERT INTO ... SELECT (reference silver_google_scholar.py:148).
     * The appended-row count is an `observe` metric collected from the
     * write job itself — one pass over the input, where a pre-count

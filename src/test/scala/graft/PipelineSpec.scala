@@ -180,4 +180,25 @@ class PipelineSpec extends SparkSpec {
     assert(last.getAs[Long]("num_inserted") == 1L)
     assert(last.getAs[Long]("num_updated") == 1L)
   }
+
+  test("compaction shrinks a many-small-file table without touching a value") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact")
+    val wh   = new graft.sources.Warehouse(spark, root.toString)
+    // simulate steady micro-batch appends: 20 tiny files
+    (1 to 20).foreach { i =>
+      wh.append("bronze", "clicks", Seq((i.toLong, s"payload_$i")).toDF("id", "payload"))
+    }
+    val before = spark.read.parquet(wh.tablePath("bronze", "clicks"))
+    val rowsBefore  = before.collect().map(_.toSeq).toSet
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore >= 20, s"expected many small files, got $filesBefore")
+
+    val removed = wh.compact("bronze", "clicks", targetRowsPerFile = 1000L)
+    val after = spark.read.parquet(wh.tablePath("bronze", "clicks"))
+    assert(after.inputFiles.length == 1, "20 rows at 1000 rows/file must compact to one file")
+    assert(removed == filesBefore - 1)
+    assert(after.collect().map(_.toSeq).toSet == rowsBefore, "compaction must not change values")
+    assert(wh.lastOperation("bronze.clicks").get.getAs[String]("operation") == "COMPACT")
+  }
 }
