@@ -372,7 +372,18 @@ object Dedup {
   }
 
   /** Exact Hamming distance between two equal-length bit strings. */
+  /** Hamming distance over '0'/'1' bit strings — the native one-pass
+    * [[graft.plans.HammingBits]] expression (the HOF aggregate it
+    * replaces allocated two substrings per bit per candidate pair and
+    * never codegen'd; pinned equal in PropertySpec/DedupSpec).
+    */
   def hammingBits(a: Column, b: Column): Column =
+    graft.plans.HammingBits.hammingBits(a, b)
+
+  /** The HOF form of [[hammingBits]] — retained ONLY as the parity
+    * oracle for the native expression.
+    */
+  private[graft] def hammingBitsHof(a: Column, b: Column): Column =
     aggregate(
       sequence(lit(0), length(a) - 1),
       lit(0),

@@ -110,6 +110,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native hammingBits equals the HOF form on random strings, including ragged lengths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // length >= 1: on an EMPTY left side the HOF's sequence(0, -1)
+    // descends to [0, -1] and produces a nonsense distance of 2 — an
+    // artifact, not semantics; signatures are never empty
+    val ragged = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, Gen.oneOf('0', '1')).map(_.mkString))
+    forAll(ragged, ragged) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(Dedup.hammingBits(col("a"), col("b"))).head().getInt(0)
+      val hof    = df.select(Dedup.hammingBitsHof(col("a"), col("b"))).head().getInt(0)
+      assert(native == hof, s"native $native != HOF $hof for ('$a','$b')")
+    }
+  }
+
   test("hammingBits is symmetric, zero on identity, bounded by length") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
