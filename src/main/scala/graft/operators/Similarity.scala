@@ -292,8 +292,11 @@ object Similarity {
     val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
     Dedup
       .computeParallel(df)
+      // normalize BEFORE the centroid join: once per row, not once per
+      // (row × centroid) — the join multiplies every post-join expression
+      .withColumn("__nv", normalized(col(vecCol)))
       .join(broadcast(cent))
-      .withColumn("cent_cos", dot(normalized(col(vecCol)), col("centv")))
+      .withColumn("cent_cos", dot(col("__nv"), col("centv")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
@@ -365,9 +368,9 @@ object Similarity {
   ): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cent_cos").desc, col("cent_id"))
     queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), normalized(col(vecCol)).as("__nv"))
       .join(broadcast(cent))
-      .withColumn("cent_cos", dot(normalized(col("qv")), col("centv")))
+      .withColumn("cent_cos", dot(col("__nv"), col("centv")))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
