@@ -194,8 +194,12 @@ object Similarity {
     concat_ws(
       "",
       planes.map { w =>
-        val wLit = array(w.map(lit): _*)
-        when(dot(vec, wLit) >= 0, lit("1")).otherwise(lit("0"))
+        // typedlit: ONE ArrayType literal per plane — array(lit,...)
+        // would be a CreateArray of `dim` Literal nodes, and at 16
+        // tables × 4 planes × 64 dims the analyzer walks a 4096-node
+        // tree on every instantiation (measured as multi-second
+        // planning overhead on q31)
+        when(dot(vec, typedlit(w)) >= 0, lit("1")).otherwise(lit("0"))
       }: _*
     )
 
