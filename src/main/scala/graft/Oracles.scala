@@ -687,7 +687,20 @@ object Oracles {
         |  FROM lineitem WHERE l_orderkey < 1000)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     // the ORC round-trip must not change a single value: q19's oracle
-    "q71_orc_roundtrip" -> base("q19_events_day_agg")
+    "q71_orc_roundtrip" -> base("q19_events_day_agg"),
+    // two-phase salted aggregation must be indistinguishable from the
+    // plain GROUP BY (decimal partials are order-independent)
+    "q72_salted_agg" ->
+      """SELECT user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the bucketed layout must not change a single value either
+    "q73_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
 

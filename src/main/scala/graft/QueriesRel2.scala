@@ -270,6 +270,57 @@ object QueriesRel2 {
       .orderBy($"l_orderkey", $"l_linenumber", $"metric")
   }
 
+  /** Skew-salted two-phase aggregation under the oracle gate: per-user
+    * sum/count over events via [[graft.operators.Salt.saltedSumCount]]
+    * — partials on (key, salt) spread a hot key across `factor`
+    * reducers, the second phase merges `factor`-bounded rows. Values
+    * aggregate in DECIMAL so the two-phase result is bit-equal to the
+    * plain GROUP BY regardless of partial order (float sums are not
+    * associative; decimal sums are).
+    */
+  def q72_salted_agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    graft.operators.Salt
+      .saltedSumCount(
+        Tables.events(spark, dir),
+        key = "user_id",
+        value = $"value".cast(DecimalType(18, 2)),
+        entropy = $"event_id",
+        factor = 32)
+      .select($"user_id", $"sum_value".cast("double").as("sum_value"), $"n")
+      .orderBy($"user_id")
+  }
+
+  /** Bucketed co-located join under the oracle gate: lineitem and
+    * orders persisted `bucketBy(8, orderkey)` + sortBy, then joined
+    * WITHOUT a shuffle on either side (the bucketed layout IS the
+    * join partitioning — BucketingSpec asserts the no-Exchange
+    * SortMergeJoin plan; this query attests the values end-to-end).
+    * At 100 TB this is the difference between shuffling both fact
+    * tables per run and shuffling them once at write time.
+    */
+  def q73_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val suffix = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    Tables.orders(spark, dir).write
+      .mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(s"q73_orders_$suffix")
+    Tables.lineitem(spark, dir).write
+      .mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(s"q73_lineitem_$suffix")
+    spark
+      .table(s"q73_lineitem_$suffix")
+      .join(spark.table(s"q73_orders_$suffix"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double").as("sum_price")
+      )
+      .orderBy($"o_orderpriority")
+  }
+
   /** ORC round-trip: the events table written as ORC (sorted within
     * files by event_type so ORC's min/max stripe statistics make the
     * type predicate skippable), read back through the ORC scan, and

@@ -78,7 +78,9 @@ object SparkEntry {
     "q68_packing" -> (QueriesCorpus.q68_packing _),
     "q69_profile" -> (QueriesRel2.q69_profile _),
     "q70_unpivot" -> (QueriesRel2.q70_unpivot _),
-    "q71_orc_roundtrip" -> (QueriesRel2.q71_orc_roundtrip _)
+    "q71_orc_roundtrip" -> (QueriesRel2.q71_orc_roundtrip _),
+    "q72_salted_agg" -> (QueriesRel2.q72_salted_agg _),
+    "q73_bucketed_join" -> (QueriesRel2.q73_bucketed_join _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
