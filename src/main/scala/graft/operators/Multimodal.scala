@@ -114,6 +114,67 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder — JDK `javax.sound.sampled` (WAV/AIFF/AU PCM,
+    * zero external dependencies): decode to PCM samples (first
+    * channel, 8/16-bit, any endianness the JDK parser reports) →
+    * `dim` equal-length frames → per-frame RMS energy in [0,1]. The
+    * energy envelope is the standard cheap audio fingerprint front
+    * end: identical audio matches exactly, re-encoded/requantized
+    * copies land near each other, and the same [[featureMean]] +
+    * [[thresholdBits]] pipeline that serves images turns it into a
+    * banded-index-ready bit signature. Non-audio or undecodable
+    * payloads yield the zero vector — metadata-filter on mime before
+    * paying decode cost, exactly like images. MP3/AAC/Opus need
+    * codecs this container doesn't ship; the WAV path proves the
+    * plumbing with a real decoder.
+    */
+  final class AudioDecoder(val dim: Int = 64) extends Decoder {
+    def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val zero = new Array[Float](dim)
+      val ais =
+        try javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException                               => null
+        }
+      if (ais == null) return zero
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 8 && fmt.getSampleSizeInBits != 16) return zero
+        val bytes = ais.readAllBytes()
+        val frame = fmt.getFrameSize
+        val n     = if (frame > 0) bytes.length / frame else 0
+        if (n < dim) return zero
+        val samples = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val off = i * frame // first channel only
+          samples(i) =
+            if (fmt.getSampleSizeInBits == 8)
+              ((bytes(off) & 0xff) - 128) / 128.0
+            else {
+              val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+              ((bytes(hi) << 8) | (bytes(lo) & 0xff)) / 32768.0
+            }
+          i += 1
+        }
+        val out = new Array[Float](dim)
+        var f = 0
+        while (f < dim) {
+          val start = f * n / dim
+          val end   = (f + 1) * n / dim
+          var s = 0.0
+          var j = start
+          while (j < end) { s += samples(j) * samples(j); j += 1 }
+          out(f) = math.sqrt(s / math.max(1, end - start)).toFloat
+          f += 1
+        }
+        out
+      } finally ais.close()
+    }
+  }
+
   /** Batch feature extraction: mapPartitions so a real codec can
     * amortize per-batch init (model load, codec context) across the
     * partition — the Scala analogue of mapInPandas' batch shape.

@@ -137,4 +137,46 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L) != byId(2L))
     assert(byId(1L).length == 64 && byId(1L).forall(c => c == '0' || c == '1'))
   }
+
+  test("REAL audio decode: javax.sound.sampled WAV → energy envelope; requantized copies cluster") {
+    import javax.sound.sampled._
+    def wav(freqHz: Double, bits: Int, loudSecondHalf: Boolean): Array[Byte] = {
+      val rate = 8000f
+      val n    = 8000
+      val fmt  = new AudioFormat(rate, bits, 1, bits == 16, false)
+      val bytesPerSample = bits / 8
+      val data = new Array[Byte](n * bytesPerSample)
+      var i = 0
+      while (i < n) {
+        val amp = if (loudSecondHalf && i >= n / 2) 0.9 else 0.3
+        val s   = amp * math.sin(2 * math.Pi * freqHz * i / rate)
+        if (bits == 16) {
+          val v = (s * 32767).toInt
+          data(2 * i) = (v & 0xff).toByte
+          data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        } else data(i) = ((s * 127).toInt + 128).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val dec  = new Multimodal.AudioDecoder(dim = 16)
+    val meta = Multimodal.MediaMeta("audio/wav", 0, 0, 1000L)
+    val a16  = dec.decode(wav(440, 16, loudSecondHalf = true), meta)
+    val a16b = dec.decode(wav(440, 16, loudSecondHalf = true), meta)
+    val a8   = dec.decode(wav(440, 8, loudSecondHalf = true), meta)
+    val flat = dec.decode(wav(440, 16, loudSecondHalf = false), meta)
+    assert(a16.toSeq == a16b.toSeq, "identical audio → identical features")
+    // the envelope is real: second-half frames carry ~3x the RMS
+    assert(a16.take(8).forall(_ < 0.4) && a16.drop(8).forall(_ > 0.5), a16.mkString(","))
+    // 8-bit requantization of the same signal lands nearby, not equal
+    assert(a16.toSeq != a8.toSeq)
+    assert(a16.zip(a8).map { case (x, y) => math.abs(x - y) }.max < 0.05)
+    // constant-amplitude signal has a flat envelope distinct from the ramped one
+    assert(flat.drop(8).toSeq != a16.drop(8).toSeq)
+    // non-audio payloads yield the zero vector (metadata-filter first)
+    assert(dec.decode("not audio".getBytes, meta).forall(_ == 0f))
+  }
 }
