@@ -700,7 +700,19 @@ object Oracles {
       """SELECT o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q74_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       round(CAST(sum(CAST(-(c / CAST(n_tokens AS DOUBLE)) * ln(c / CAST(n_tokens AS DOUBLE))
+        |                          AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy
+        |FROM tf JOIN n USING (doc_id)
+        |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -322,6 +322,36 @@ object QueriesCorpus {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Token-distribution Shannon entropy per document — the diversity
+    * signal of the quality family (templated / spammy docs have low
+    * unigram entropy; natural text sits high). Each term
+    * −p·ln p is cast to DECIMAL before summing so the aggregate is
+    * order-independent and bit-equal across engines (float sums are
+    * not associative; decimal sums are — the q01 lesson applied to an
+    * entropy). Two shuffles, both keyed by doc_id.
+    */
+  def q74_token_entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val tok = Tables
+      .documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+    val n  = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    tf.join(n, Seq("doc_id"))
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        (-($"c" / $"n_tokens".cast("double")) * log($"c" / $"n_tokens".cast("double")))
+          .cast(DecimalType(18, 12)).as("term")
+      )
+      .groupBy($"doc_id", $"n_tokens")
+      .agg(sum($"term").cast("double").as("entropy"))
+      .select($"doc_id", $"n_tokens", round($"entropy", 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
   /** ANN top-k against the PERSISTED IVF index — build once
     * ([[graft.operators.Similarity.ivfIndexWrite]]: centroids +
     * cell-partitioned corpus), probe per query batch. At

@@ -304,6 +304,16 @@ object QueriesRel2 {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val suffix = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    // idempotence across SESSIONS: the in-memory metastore forgets the
+    // table but its managed location survives on disk, and saveAsTable
+    // then raises LOCATION_ALREADY_EXISTS — drop both catalog entry
+    // and directory before writing
+    val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq(s"q73_orders_$suffix", s"q73_lineitem_$suffix")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
+    }
     Tables.orders(spark, dir).write
       .mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .format("parquet").saveAsTable(s"q73_orders_$suffix")
