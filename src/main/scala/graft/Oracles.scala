@@ -712,7 +712,16 @@ object Oracles {
         |       round(CAST(sum(CAST(-(c / CAST(n_tokens AS DOUBLE)) * ln(c / CAST(n_tokens AS DOUBLE))
         |                          AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy
         |FROM tf JOIN n USING (doc_id)
-        |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "q75_spend_deciles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(spend AS DOUBLE) AS spend,
+        |       CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS decile,
+        |       round(percent_rank() OVER (ORDER BY spend DESC, o_custkey), 6) AS pct_rank,
+        |       round(cume_dist() OVER (ORDER BY spend DESC, o_custkey), 6) AS cume
+        |FROM spend ORDER BY o_custkey""".stripMargin
   )
 }
 

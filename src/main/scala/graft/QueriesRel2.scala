@@ -331,6 +331,34 @@ object QueriesRel2 {
       .orderBy($"o_orderpriority")
   }
 
+  /** Ranking-distribution windows: customer spend deciles via ntile
+    * plus percent_rank and cume_dist — the score-calibration /
+    * percentile-bucketing shapes a curation pipeline uses to turn raw
+    * quality scores into balanced keep-rates. One aggregation then ONE
+    * unpartitioned window over the aggregated (customers-sized) set —
+    * the window never sees fact-table volume. Spend aggregates in
+    * DECIMAL so the ordering (and thus every rank) is engine-exact.
+    */
+  def q75_spend_deciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val spend = Tables
+      .orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("spend"))
+    val w = Window.orderBy($"spend".desc, $"o_custkey")
+    spend
+      .select(
+        $"o_custkey",
+        $"spend".cast("double").as("spend"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume")
+      )
+      .orderBy($"o_custkey")
+  }
+
   /** ORC round-trip: the events table written as ORC (sorted within
     * files by event_type so ORC's min/max stripe statistics make the
     * type predicate skippable), read back through the ORC scan, and
