@@ -721,7 +721,15 @@ object Oracles {
         |       CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS decile,
         |       round(percent_rank() OVER (ORDER BY spend DESC, o_custkey), 6) AS pct_rank,
         |       round(cume_dist() OVER (ORDER BY spend DESC, o_custkey), 6) AS cume
-        |FROM spend ORDER BY o_custkey""".stripMargin
+        |FROM spend ORDER BY o_custkey""".stripMargin,
+    "q76_scalar_subquery" ->
+      """SELECT c_custkey,
+        |       CAST((SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+        |             WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order,
+        |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 10
+        |ORDER BY c_custkey""".stripMargin
   )
 }
 

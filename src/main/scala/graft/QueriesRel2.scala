@@ -331,6 +331,27 @@ object QueriesRel2 {
       .orderBy($"o_orderpriority")
   }
 
+  /** Correlated scalar subqueries — the SQL shape Catalyst must
+    * DECORRELATE (RewriteCorrelatedScalarSubquery): per-customer max
+    * order value and order count as inline subqueries. The optimizer
+    * rewrites both into aggregate-then-left-join, so the plan carries
+    * two shuffles on o_custkey instead of a per-row query — the only
+    * plan that works at 100 TB. Values oracle-checked against DuckDB's
+    * own decorrelation of the same SQL.
+    */
+  def q76_scalar_subquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |       CAST((SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) FROM v_orders
+        |             WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order,
+        |       (SELECT count(*) FROM v_orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM v_customer
+        |WHERE (SELECT count(*) FROM v_orders WHERE o_custkey = c_custkey) >= 10
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Ranking-distribution windows: customer spend deciles via ntile
     * plus percent_rank and cume_dist — the score-calibration /
     * percentile-bucketing shapes a curation pipeline uses to turn raw
