@@ -729,7 +729,32 @@ object Oracles {
         |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         |FROM customer
         |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 10
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q77_scd2" ->
+      """WITH cur AS (
+        |  SELECT o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |         '1990-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, 1 AS is_current
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+        |  WHERE rn = 1),
+        |src AS (
+        |  SELECT o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS s_price,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS eff
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |               count(*) OVER (PARTITION BY o_custkey) AS cnt FROM orders)
+        |  WHERE rn = 1 AND cnt >= 2),
+        |j AS (SELECT * FROM cur FULL OUTER JOIN src USING (o_custkey))
+        |SELECT o_custkey, price, valid_from, valid_to, is_current FROM j
+        |WHERE is_current IS NOT NULL AND (eff IS NULL OR price IS NOT DISTINCT FROM s_price)
+        |UNION ALL
+        |SELECT o_custkey, price, valid_from, eff AS valid_to, 0 AS is_current FROM j
+        |WHERE is_current IS NOT NULL AND eff IS NOT NULL AND price IS DISTINCT FROM s_price
+        |UNION ALL
+        |SELECT o_custkey, s_price AS price, eff AS valid_from,
+        |       CAST(NULL AS VARCHAR) AS valid_to, 1 AS is_current FROM j
+        |WHERE eff IS NOT NULL AND (is_current IS NULL OR price IS DISTINCT FROM s_price)
+        |ORDER BY o_custkey, is_current, valid_from""".stripMargin
   )
 }
 

@@ -331,6 +331,45 @@ object QueriesRel2 {
       .orderBy($"o_orderpriority")
   }
 
+  /** SCD Type-2 dimension merge ([[graft.operators.Upsert.scd2]]):
+    * the initial dimension is each customer's FIRST order price; the
+    * change batch is the LATEST order (customers with ≥ 2 orders) at
+    * its order date. Changed customers get their current row closed
+    * and a new version opened; single-order customers pass through.
+    * One full-outer key join + unions — nothing per-key, the plan a
+    * 100 TB dimension history needs.
+    */
+  def q77_scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Tables.orders(spark, dir)
+    val wFirst = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val target = orders
+      .withColumn("rn", row_number().over(wFirst))
+      .filter($"rn" === 1)
+      .select(
+        $"o_custkey",
+        $"o_totalprice".cast(DecimalType(18, 2)).cast("double").as("price"),
+        lit("1990-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(1).as("is_current")
+      )
+    val wLast = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val source = orders
+      .withColumn("rn", row_number().over(wLast))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"o_custkey")))
+      .filter($"rn" === 1 && $"cnt" >= 2)
+      .select(
+        $"o_custkey",
+        $"o_totalprice".cast(DecimalType(18, 2)).cast("double").as("price"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("eff")
+      )
+    graft.operators.Upsert
+      .scd2(target, source, keys = Seq("o_custkey"), attrs = Seq("price"), effCol = "eff")
+      .orderBy($"o_custkey", $"is_current", $"valid_from")
+  }
+
   /** Correlated scalar subqueries — the SQL shape Catalyst must
     * DECORRELATE (RewriteCorrelatedScalarSubquery): per-customer max
     * order value and order count as inline subqueries. The optimizer

@@ -130,4 +130,54 @@ object Upsert {
     )
     MergeResult(merged, m)
   }
+
+  /** SCD Type-2 merge — the dimension-history half of warehouse MERGE
+    * semantics (Delta/Kimball "slowly changing dimension"): apply a
+    * change batch to a versioned dimension. Target layout:
+    * keys ++ attrs ++ (valid_from, valid_to: string 'yyyy-MM-dd',
+    * is_current: int 1/0). Source: keys ++ attrs ++ `effCol` (the
+    * change's effective date string).
+    *
+    *  - current row, no source match        → passes through
+    *  - current row, source match, equal    → passes through
+    *  - current row, source match, changed  → CLOSED (valid_to = eff,
+    *    is_current = 0) and a new OPEN version inserted
+    *  - source key absent from target       → new OPEN version
+    *  - historical rows (is_current = 0)    → never touched
+    *
+    * One full-outer join on the keys + unions — the same single-
+    * shuffle shape as [[plan]]; nothing iterates per key. Null-safe
+    * attr comparison (`<=>`) so NULL → value and value → NULL both
+    * count as changes.
+    */
+  def scd2(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      attrs: Seq[String],
+      effCol: String
+  ): DataFrame = {
+    val outCols = keys ++ attrs ++ Seq("valid_from", "valid_to", "is_current")
+    val hist    = target.filter(col("is_current") === 0).select(outCols.map(col): _*)
+    val cur     = target.filter(col("is_current") === 1)
+    val s = source.select(
+      (keys.map(col) ++ attrs.map(c => col(c).as(s"__s_$c")) :+ col(effCol).as("__eff")): _*)
+    val j        = cur.join(s, keys, "full_outer")
+    val hasCur   = col("is_current").isNotNull
+    val hasSrc   = col("__eff").isNotNull
+    val changed  = attrs.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+    val passThrough = j
+      .filter(hasCur && (!hasSrc || !changed))
+      .select(outCols.map(col): _*)
+    val closed = j
+      .filter(hasCur && hasSrc && changed)
+      .select((keys.map(col) ++ attrs.map(col) ++ Seq(
+        col("valid_from"), col("__eff").as("valid_to"), lit(0).as("is_current"))): _*)
+    val opened = j
+      .filter(hasSrc && (!hasCur || changed))
+      .select((keys.map(col) ++ attrs.map(c => col(s"__s_$c").as(c)) ++ Seq(
+        col("__eff").as("valid_from"), lit(null).cast("string").as("valid_to"),
+        lit(1).as("is_current"))): _*)
+    hist.unionByName(passThrough).unionByName(closed).unionByName(opened)
+  }
 }

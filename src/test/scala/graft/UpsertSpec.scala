@@ -110,4 +110,34 @@ class UpsertSpec extends SparkSpec {
     val nullRow = out.find(_.isNullAt(0)).get
     assert(nullRow.getString(1) == "new" && nullRow.getString(3) == "update")
   }
+
+  test("SCD2 merge: close-and-open on change, pass-through otherwise, history untouched") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "alpha", "2020-01-01", null.asInstanceOf[String], 1), // will change
+      (1L, "old",   "2019-01-01", "2020-01-01", 0),              // history: untouched
+      (2L, "beta",  "2020-01-01", null.asInstanceOf[String], 1), // source equal: pass through
+      (3L, "gamma", "2020-01-01", null.asInstanceOf[String], 1)  // no source: pass through
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val source = Seq(
+      (1L, "ALPHA2", "2021-06-01"), // change
+      (2L, "beta", "2021-06-01"),   // identical attrs -> no-op
+      (4L, "delta", "2021-06-01")   // brand new key
+    ).toDF("k", "attr", "eff")
+    val out = Upsert.scd2(target, source, Seq("k"), Seq("attr"), "eff")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getInt(4))).toSet
+    val expected = Set(
+      (1L, "old", "2019-01-01", Some("2020-01-01"), 0),          // history
+      (1L, "alpha", "2020-01-01", Some("2021-06-01"), 0),        // closed
+      (1L, "ALPHA2", "2021-06-01", None, 1),                     // opened
+      (2L, "beta", "2020-01-01", None, 1),                       // unchanged
+      (3L, "gamma", "2020-01-01", None, 1),                      // no source
+      (4L, "delta", "2021-06-01", None, 1)                       // new key
+    )
+    assert(out == expected, s"got $out")
+    // exactly one current row per key, always
+    val perKey = out.toSeq.filter(_._5 == 1).groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perKey.values.forall(_ == 1))
+  }
 }
