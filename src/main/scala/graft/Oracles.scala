@@ -754,7 +754,29 @@ object Oracles {
         |SELECT o_custkey, s_price AS price, eff AS valid_from,
         |       CAST(NULL AS VARCHAR) AS valid_to, 1 AS is_current FROM j
         |WHERE eff IS NOT NULL AND (is_current IS NULL OR price IS DISTINCT FROM s_price)
-        |ORDER BY o_custkey, is_current, valid_from""".stripMargin
+        |ORDER BY o_custkey, is_current, valid_from""".stripMargin,
+    "q78_expectations" ->
+      """WITH checks AS (
+        |  SELECT 'orders_custkey_fk' AS check_name,
+        |         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+        |         (SELECT count(*) FROM orders) AS n_checked
+        |  UNION ALL
+        |  SELECT 'customer_key_unique',
+        |         (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |                                GROUP BY c_custkey HAVING count(*) > 1)),
+        |         (SELECT count(*) FROM customer)
+        |  UNION ALL
+        |  SELECT 'orders_orderdate_not_null',
+        |         (SELECT count(*) FROM orders WHERE o_orderdate IS NULL),
+        |         (SELECT count(*) FROM orders)
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_range',
+        |         (SELECT count(*) FROM orders WHERE o_totalprice < 0 OR o_totalprice > 450000),
+        |         (SELECT count(*) FROM orders))
+        |SELECT check_name, n_violations, n_checked,
+        |       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM checks ORDER BY check_name""".stripMargin
   )
 }
 

@@ -331,6 +331,48 @@ object QueriesRel2 {
       .orderBy($"o_orderpriority")
   }
 
+  /** Data-quality expectations — the constraint-check pass (dbt tests /
+    * Delta CHECK constraints replacement) as one report: referential
+    * integrity (orders→customer, broadcast anti join), key uniqueness,
+    * not-null, and a value-range rule. Each check is one pruned-scan
+    * aggregation; total I/O is the referenced columns once. Output one
+    * row per constraint with violation counts and a pass flag — the
+    * table a pipeline gates its publish step on.
+    */
+  def q78_expectations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders   = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    def report(name: String, violations: DataFrame, checked: Long): DataFrame =
+      violations
+        .agg(count(lit(1)).as("n_violations"))
+        .select(
+          lit(name).as("check_name"),
+          $"n_violations",
+          lit(checked).as("n_checked"),
+          when($"n_violations" === 0, 1).otherwise(0).as("pass")
+        )
+    val nOrders   = orders.count()
+    val nCustomer = customer.count()
+    report(
+      "orders_custkey_fk",
+      orders.join(broadcast(customer), $"o_custkey" === $"c_custkey", "left_anti"),
+      nOrders)
+      .unionByName(report(
+        "customer_key_unique",
+        customer.groupBy($"c_custkey").count().filter($"count" > 1),
+        nCustomer))
+      .unionByName(report(
+        "orders_orderdate_not_null",
+        orders.filter($"o_orderdate".isNull),
+        nOrders))
+      .unionByName(report(
+        "orders_totalprice_range",
+        orders.filter($"o_totalprice" < 0 || $"o_totalprice" > 450000),
+        nOrders))
+      .orderBy($"check_name")
+  }
+
   /** SCD Type-2 dimension merge ([[graft.operators.Upsert.scd2]]):
     * the initial dimension is each customer's FIRST order price; the
     * change batch is the LATEST order (customers with ≥ 2 orders) at
