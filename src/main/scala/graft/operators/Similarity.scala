@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.LshExpression
 import graft.plans.VectorExpressions.{vecDot, vecNorm}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -141,10 +142,12 @@ object Similarity {
       dim: Int,
       seed: Long
   ): DataFrame = {
-    val bucketExprs: Seq[Column] = (0 until tables).map { t =>
-      concat(lit(s"$t:"), lshBucket(col("vn"), hyperplanes(planesPerTable, dim, seed + t)))
-    }
-    val bucketed = normed.select(col("id"), explode(array(bucketExprs: _*)).as("bucket"))
+    val planesFlat = LshExpression.flattenPlanes(
+      (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t)))
+    val bucketed = normed.select(
+      col("id"),
+      explode(LshExpression.lshBuckets(col("vn"), planesFlat, tables, planesPerTable, dim))
+        .as("bucket"))
     bucketed
       .as("a")
       .join(bucketed.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -286,6 +289,68 @@ object Similarity {
       .limit(nlist)
       .drop("hk")
 
+  /** Lloyd-refined centroids: start from the deterministic sample and
+    * run a FIXED number of k-means iterations (fixed seed, fixed
+    * count — no convergence test, so index builds stay reproducible
+    * and the recall contract testable). Each iteration is one
+    * broadcast-join assignment plus one per-cell mean aggregation —
+    * the corpus itself never shuffles; only (cell, pos, x) partial
+    * sums do. Empty cells keep their previous centroid. On CLUSTERED
+    * corpora (the real-embedding case) refinement pulls centroids
+    * onto cluster modes, sharpening cell balance and recall at a
+    * given nprobe; on uniform corpora it changes little — which is
+    * why it is an option, not the default (q57/q61's oracle operating
+    * point nprobe = nlist is exact under any centroids).
+    */
+  private[graft] def ivfCentroidsRefined(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      seed: Long,
+      iters: Int
+  ): DataFrame = {
+    val normed = Materialize(
+      Dedup
+        .computeParallel(corpus)
+        .select(col(idCol).as("id"), normalized(col(vecCol)).as("vn")))
+    var cent = ivfCentroids(corpus, idCol, vecCol, nlist, seed)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(normed, "id", "vn", cent)
+      val means = assigned
+        .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")
+          ).as("mv"))
+        .select(col("cell").as("cent_id"), normalized(col("mv")).as("centv"))
+      cent = Materialize(
+        cent
+          .as("p")
+          .join(means.as("n"), col("p.cent_id") === col("n.cent_id"), "left")
+          .select(
+            col("p.cent_id").as("cent_id"),
+            coalesce(col("n.centv"), col("p.centv")).as("centv")))
+    }
+    cent
+  }
+
+  /** Sample or refined centroids per `kmeansIters`. */
+  private[graft] def centroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      seed: Long,
+      kmeansIters: Int
+  ): DataFrame =
+    if (kmeansIters <= 0) ivfCentroids(corpus, idCol, vecCol, nlist, seed)
+    else ivfCentroidsRefined(corpus, idCol, vecCol, nlist, seed, kmeansIters)
+
   /** Assign every row of `df` to its nearest centroid from an EXISTING
     * centroid table (cent_id, centv) — the incremental-ingest half of
     * the IVF build: a streaming batch assigns against the persisted
@@ -311,9 +376,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      kmeansIters: Int = 0
   ): DataFrame =
-    assignCells(corpus, idCol, vecCol, ivfCentroids(corpus, idCol, vecCol, nlist, seed))
+    assignCells(corpus, idCol, vecCol, centroids(corpus, idCol, vecCol, nlist, seed, kmeansIters))
 
   /** IVF-Flat approximate top-k — the centroid-partitioned ANN scale
     * path: each query scores ONLY the vectors in its `nprobe` nearest
@@ -346,11 +412,12 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 8,
-      seed: Long = 42L
+      seed: Long = 42L,
+      kmeansIters: Int = 0
   ): DataFrame = {
-    val cells = ivfCells(corpus, idCol, vecCol, nlist, seed)
+    val cent = centroids(corpus, idCol, vecCol, nlist, seed, kmeansIters)
+    val cells = assignCells(corpus, idCol, vecCol, cent)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
-    val cent = ivfCentroids(corpus, idCol, vecCol, nlist, seed)
     ivfProbe(cells, cent, queries, idCol, vecCol, k, nprobe)
   }
 
@@ -416,11 +483,12 @@ object Similarity {
       vecCol: String,
       dir: String,
       nlist: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      kmeansIters: Int = 0
   ): Unit = {
-    ivfCentroids(corpus, idCol, vecCol, nlist, seed)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    ivfCells(corpus, idCol, vecCol, nlist, seed)
+    val cent = Materialize(centroids(corpus, idCol, vecCol, nlist, seed, kmeansIters))
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(corpus, idCol, vecCol, cent)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
@@ -472,31 +540,25 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L
   ): DataFrame = {
-    val allPlanes = (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t))
+    val planesFlat = LshExpression.flattenPlanes(
+      (0 until tables).map(t => hyperplanes(planesPerTable, dim, seed + t)))
     val c = Dedup
       .computeParallel(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // one native expression per side (graft.plans.LshTableBuckets):
+    // all 16 tables' buckets in a single vector pass, vs the old
+    // 16×4 DotProduct-node tree whose 4096-literal analysis/codegen
+    // dominated the query at small data and was per-row cost at large
     val cBucketed = c.select(
       col("neighbor_id"),
-      explode(
-        array(allPlanes.zipWithIndex.map { case (p, t) =>
-          concat(lit(s"$t:"), lshBucket(col("cv"), p))
-        }: _*)
-      ).as("bucket")
+      explode(LshExpression.lshBuckets(col("cv"), planesFlat, tables, planesPerTable, dim))
+        .as("bucket")
     )
     val qProbes = q.select(
       col("query_id"),
-      explode(
-        flatten(
-          array(allPlanes.zipWithIndex.map { case (p, t) =>
-            transform(
-              probeBuckets(lshBucket(col("qv"), p), planesPerTable),
-              b => concat(lit(s"$t:"), b)
-            )
-          }: _*)
-        )
-      ).as("bucket")
+      explode(LshExpression.lshProbeBuckets(col("qv"), planesFlat, tables, planesPerTable, dim))
+        .as("bucket")
     )
     val candidates = cBucketed
       .join(broadcast(qProbes), Seq("bucket"))
