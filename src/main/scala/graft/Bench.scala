@@ -19,9 +19,13 @@ object Bench {
     // cluster job sees. A query that THROWS fails the whole bench run
     // loudly (non-zero exit, no JSON line): a broken query must never
     // silently shrink the reported total.
+    // noop sink, not count(): Catalyst collapses projects under count,
+    // so a count-actioned bench under-times queries whose cost sits in
+    // the final projection (signature emission, string building); the
+    // noop format materializes every output row without writing.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILED: query $name threw ${e.getClass.getName}: ${e.getMessage}")
@@ -35,7 +39,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist per-query numbers: stdout tail-capture has truncated
+    // them before (17/78 lost in round 5) — the file is the durable copy
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -776,7 +776,21 @@ object Oracles {
         |         (SELECT count(*) FROM orders))
         |SELECT check_name, n_violations, n_checked,
         |       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
-        |FROM checks ORDER BY check_name""".stripMargin
+        |FROM checks ORDER BY check_name""".stripMargin,
+    // q79: the Spark side is APPROXIMATE (hyperplane LSH) but provably
+    // exact on this corpus — planted duplicates are scaled copies, and
+    // scaling preserves every bucket sign (see the query's scaladoc) —
+    // so the exact all-pairs SQL is a true oracle, not a rows-only check
+    "q79_semantic_dedup_approx" ->
+      """WITH dups AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT * FROM dups)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
 

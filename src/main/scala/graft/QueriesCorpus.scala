@@ -364,8 +364,12 @@ object QueriesCorpus {
     import spark.implicits._
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, dir)
-    val tmp = s"/tmp/graft_q61_ivf_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", tmp, nlist = 16)
+    val tmp = Scratch.dir(spark, "q61_ivf", dir)
+    // index written ONCE per session; every call is a probe — the
+    // build-at-ingest / probe-at-query split this operator exists for
+    Scratch.once(tmp) {
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding", tmp, nlist = 16)
+    }
     Similarity
       .ivfTopKIndexed(spark, emb.filter($"vec_id" < 10), "vec_id", "embedding", tmp, k = 5,
         nprobe = 16)

@@ -205,6 +205,34 @@ object QueriesDedup {
       .orderBy($"doc_id")
   }
 
+  /** The APPROXIMATE semantic near-dup path under the oracle gate:
+    * [[Similarity.cosinePairsBucketed]] (OR-amplified hyperplane LSH,
+    * candidates exact-verified) over a corpus with planted
+    * direction-preserving duplicates — every vec_id ≡ 0 (mod 50) gets
+    * a half-scale copy at id+1000000. Scaling preserves the SIGN of
+    * every hyperplane dot, so a copy lands in IDENTICAL buckets in
+    * every table and LSH recall for the planted pairs is PROVABLY 1
+    * (not probabilistically ≈1); precision is 1 by the exact
+    * verification dot. The output therefore EQUALS the exact all-pairs
+    * answer — which is what lets an approximate operator carry an
+    * exact DuckDB oracle. (No organic pair reaches cosine 0.7 on this
+    * corpus — measured; the planted pairs sit at ~1.0, far from the
+    * τ=0.8 boundary.)
+    */
+  def q79_semantic_dedup_approx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val dups = emb
+      .filter($"vec_id" % 50 === 0)
+      .select(
+        ($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(dups)
+    Similarity
+      .cosinePairsBucketed(corpus, "vec_id", "embedding", threshold = 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Incremental dedup against a PERSISTED band index — the exact
     * daily-ingest lifecycle: sign the corpus once, write the index
     * tables ([[Dedup.nearDupSets]] + [[Dedup.nearDupBandRows]]) to
@@ -219,12 +247,17 @@ object QueriesDedup {
     val docs   = Tables.documents(spark, dir)
     val batch  = docs.filter($"doc_id" % 10 === 0)
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
-    val tmp    = s"/tmp/graft_q54_index_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-    val corpusSets = graft.operators.Materialize(Dedup.nearDupSets(corpus, "doc_id", "text", n = 3))
-    corpusSets.write.mode("overwrite").parquet(s"$tmp/sets")
-    Dedup
-      .nearDupBandRows(corpusSets, "doc_id", k = 64, bands = 32)
-      .write.mode("overwrite").parquet(s"$tmp/bands")
+    val tmp    = Scratch.dir(spark, "q54_index", dir)
+    // corpus index built ONCE per session (write-at-ingest half);
+    // every call signs only the batch and probes the persisted index
+    Scratch.once(tmp) {
+      val corpusSets =
+        graft.operators.Materialize(Dedup.nearDupSets(corpus, "doc_id", "text", n = 3))
+      corpusSets.write.mode("overwrite").parquet(s"$tmp/sets")
+      Dedup
+        .nearDupBandRows(corpusSets, "doc_id", k = 64, bands = 32)
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+    }
     val batchSets = graft.operators.Materialize(Dedup.nearDupSets(batch, "doc_id", "text", n = 3))
     Dedup
       .incrementalNearDupPairsIndexed(
