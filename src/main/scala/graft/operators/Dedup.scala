@@ -19,10 +19,14 @@ object Dedup {
   /** Distinct word-level n-gram shingles of a token array — the native
     * one-pass [[graft.plans.WordNgrams]] expression (the HOF chain it
     * replaces allocated a slice + concat per position and never
-    * codegen'd; pinned element-equal in DedupSpec).
+    * codegen'd; pinned element-equal in DedupSpec). The coalesce
+    * preserves the HOF contract for a NULL token array (null text →
+    * empty shingle set, not NULL): the native UnaryExpression is
+    * null-propagating, the old `when(size(t) >= n, ...).otherwise([])`
+    * was not.
     */
   def shingles(tokens: Column, n: Int): Column =
-    graft.plans.WordNgrams.wordNgrams(tokens, n)
+    coalesce(graft.plans.WordNgrams.wordNgrams(tokens, n), array().cast("array<string>"))
 
   /** The HOF form of [[shingles]] — retained ONLY as the parity oracle
     * for the native expression (DedupSpec pins them equal on real

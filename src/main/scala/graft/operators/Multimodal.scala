@@ -141,6 +141,14 @@ object Multimodal {
       if (ais == null) return zero
       try {
         val fmt = ais.getFormat
+        // only linear PCM is decodable here: ULAW/ALAW (8-bit, common
+        // in AU/telephony WAV) are companded, and misreading them as
+        // PCM yields a garbage envelope instead of the documented
+        // "undecodable → zero vector" contract
+        val enc      = fmt.getEncoding
+        val signed   = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!signed && !unsigned) return zero
         if (fmt.getSampleSizeInBits != 8 && fmt.getSampleSizeInBits != 16) return zero
         val bytes = ais.readAllBytes()
         val frame = fmt.getFrameSize
@@ -152,10 +160,14 @@ object Multimodal {
           val off = i * frame // first channel only
           samples(i) =
             if (fmt.getSampleSizeInBits == 8)
-              ((bytes(off) & 0xff) - 128) / 128.0
+              // signedness decides the midpoint: 8-bit WAV is unsigned
+              // (0..255, bias 128), 8-bit AIFF is signed two's-complement
+              (if (signed) bytes(off).toDouble else (bytes(off) & 0xff) - 128.0) / 128.0
             else {
               val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
-              ((bytes(hi) << 8) | (bytes(lo) & 0xff)) / 32768.0
+              val raw      = (bytes(hi) << 8) | (bytes(lo) & 0xff)
+              (if (signed) raw.toDouble
+               else ((raw & 0xffff) - 32768).toDouble) / 32768.0
             }
           i += 1
         }

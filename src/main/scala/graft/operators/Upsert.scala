@@ -149,6 +149,13 @@ object Upsert {
     * shuffle shape as [[plan]]; nothing iterates per key. Null-safe
     * attr comparison (`<=>`) so NULL → value and value → NULL both
     * count as changes.
+    *
+    * The change batch is reduced to ONE row per key before the join —
+    * the latest by `effCol` (attr values break ties deterministically).
+    * A batch carrying several versions of the same key would otherwise
+    * fan out through the full-outer join and emit multiple open rows,
+    * breaking the one-current-row-per-key invariant; collapsing to the
+    * newest matches what per-day batch application would converge to.
     */
   def scd2(
       target: DataFrame,
@@ -157,11 +164,19 @@ object Upsert {
       attrs: Seq[String],
       effCol: String
   ): DataFrame = {
+    require(attrs.nonEmpty, "scd2 requires at least one tracked attribute column")
     val outCols = keys ++ attrs ++ Seq("valid_from", "valid_to", "is_current")
     val hist    = target.filter(col("is_current") === 0).select(outCols.map(col): _*)
     val cur     = target.filter(col("is_current") === 1)
-    val s = source.select(
-      (keys.map(col) ++ attrs.map(c => col(c).as(s"__s_$c")) :+ col(effCol).as("__eff")): _*)
+    val srcWin = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col("__eff").desc +: attrs.map(c => col(s"__s_$c").desc)): _*)
+    val s = source
+      .select(
+        (keys.map(col) ++ attrs.map(c => col(c).as(s"__s_$c")) :+ col(effCol).as("__eff")): _*)
+      .withColumn("__rn", row_number().over(srcWin))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
     val j        = cur.join(s, keys, "full_outer")
     val hasCur   = col("is_current").isNotNull
     val hasSrc   = col("__eff").isNotNull

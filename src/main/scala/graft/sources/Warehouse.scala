@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * (see [[graft.operators.Upsert]]); nothing here collects data to the
   * driver except the ledger's single-row metric append.
   */
-final class Warehouse(spark: SparkSession, root: String) {
+final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 2) {
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -27,12 +27,94 @@ final class Warehouse(spark: SparkSession, root: String) {
     fs.exists(new Path(tablePath(layer, table), "_SUCCESS"))
 
   def table(layer: String, table: String): DataFrame =
-    spark.read.parquet(tablePath(layer, table))
+    // mergeSchema: an evolved table's older files lack the newer
+    // columns — the merged read surfaces them as nulls. Cost is one
+    // footer read per file at planning (parallelized), not data I/O.
+    spark.read.option("mergeSchema", "true").parquet(tablePath(layer, table))
+
+  // ---- schema evolution (Delta `mergeSchema` semantics) ----
+
+  /** Union of two schemas by column name: existing columns keep their
+    * type and order, genuinely new source columns append. A shared
+    * name with a CONFLICTING type raises — silent coercion is how a
+    * drifted upstream corrupts 100 TB; type widening is the caller's
+    * explicit cast.
+    */
+  private def unionSchema(
+      tgt: org.apache.spark.sql.types.StructType,
+      src: org.apache.spark.sql.types.StructType
+  ): org.apache.spark.sql.types.StructType = {
+    src.fields.foreach { f =>
+      tgt.fields.find(_.name == f.name).foreach { t =>
+        require(
+          t.dataType == f.dataType,
+          s"schema evolution cannot change column type: ${f.name} ${t.dataType} -> ${f.dataType}")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      tgt.fields ++ src.fields.filterNot(f => tgt.fieldNames.contains(f.name)))
+  }
+
+  /** Project df onto `schema`, null-backfilling columns it lacks. */
+  private def alignTo(
+      df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType
+  ): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
 
   def listTables(layer: String): Seq[String] = {
     val p = new Path(s"$root/$layer")
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    else
+      fs.listStatus(p)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        // retired generations (`t.__v3`) and in-flight staging dirs
+        // live beside the live table — they are not tables
+        .filterNot(_.contains(".__"))
+        .toSeq
+        .sorted
+  }
+
+  /** Swap a fully-written staging dir into place. The outgoing
+    * generation is RENAMED aside (`<table>.__v<version>`), never
+    * deleted in the swap path, so (a) there is no window in which the
+    * table is missing — a crash between the two renames leaves the old
+    * generation recoverable, and a concurrent reader mid-plan keeps
+    * its input files — and (b) retired generations are readable via
+    * [[tableAsOf]] (Delta time travel). The oldest generations beyond
+    * `keepGenerations` are pruned AFTER the new one is live (Delta
+    * VACUUM).
+    */
+  private def retireAndSwap(layer: String, table: String, staging: Path): Unit = {
+    val target = new Path(tablePath(layer, table))
+    if (fs.exists(target)) {
+      val prev    = latestVersion(s"$layer.$table")
+      val retired = new Path(tablePath(layer, table) + s".__v$prev")
+      fs.delete(retired, true) // idempotent re-run of the same version
+      if (!fs.rename(target, retired))
+        throw new java.io.IOException(s"rename $target -> $retired failed")
+    }
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    pruneGenerations(layer, table)
+  }
+
+  private def pruneGenerations(layer: String, table: String): Unit = {
+    val layerDir = new Path(s"$root/$layer")
+    val prefix   = table + ".__v"
+    if (!fs.exists(layerDir)) return
+    val gens = fs
+      .listStatus(layerDir)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLongOption.map((n, _)) }
+      .flatten
+      .sortBy(-_._2)
+    gens.drop(keepGenerations).foreach { case (n, _) =>
+      fs.delete(new Path(s"$root/$layer/$n"), true)
+    }
   }
 
   def dropTable(layer: String, table: String): Unit = {
@@ -46,14 +128,11 @@ final class Warehouse(spark: SparkSession, root: String) {
     * own input mid-plan) and idempotent on re-run.
     */
   def createOrReplace(layer: String, table: String, df: DataFrame): Long = {
-    val target  = new Path(tablePath(layer, table))
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val rows = spark.read.parquet(staging.toString).count()
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"rename $staging -> $target failed")
+    retireAndSwap(layer, table, staging)
     logOp(layer, table, "CREATE OR REPLACE", inserted = rows, updated = 0, outputRows = rows)
     rows
   }
@@ -69,14 +148,11 @@ final class Warehouse(spark: SparkSession, root: String) {
       df: DataFrame,
       partitionCols: Seq[String]
   ): Long = {
-    val target  = new Path(tablePath(layer, table))
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging.toString)
     val rows = spark.read.parquet(staging.toString).count()
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"rename $staging -> $target failed")
+    retireAndSwap(layer, table, staging)
     logOp(layer, table, "CREATE OR REPLACE", inserted = rows, updated = 0, outputRows = rows)
     rows
   }
@@ -105,9 +181,7 @@ final class Warehouse(spark: SparkSession, root: String) {
       .parquet(staging.toString)
     val back = spark.read.parquet(staging.toString).count()
     require(back == rows, s"compaction changed row count: $rows -> $back")
-    fs.delete(new Path(target), true)
-    if (!fs.rename(staging, new Path(target)))
-      throw new java.io.IOException(s"rename $staging -> $target failed")
+    retireAndSwap(layer, table, staging)
     logOp(layer, table, "COMPACT", inserted = 0, updated = 0, outputRows = rows)
     filesBefore - spark.read.parquet(target).inputFiles.length
   }
@@ -119,8 +193,15 @@ final class Warehouse(spark: SparkSession, root: String) {
     * reads Delta's commit metrics, which are likewise free).
     */
   def append(layer: String, table: String, df: DataFrame): Long = {
+    // schema evolution: a widened source appends its new columns (old
+    // files surface them as null via the merged read); a source missing
+    // target columns is null-backfilled so every file carries the full
+    // evolved schema
+    val aligned =
+      if (!tableExists(layer, table)) df
+      else alignTo(df, unionSchema(this.table(layer, table).schema, df.schema))
     val obs = org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("n"))
+    aligned.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Append).parquet(tablePath(layer, table))
     val n = obs.get("n").asInstanceOf[Long]
     logOp(layer, table, "APPEND", inserted = n, updated = 0, outputRows = n)
@@ -143,17 +224,20 @@ final class Warehouse(spark: SparkSession, root: String) {
       val n = createOrReplace(layer, table, src)
       return Upsert.WriteMetrics(inserted = n, updated = 0, kept = 0)
     }
-    val tgt     = this.table(layer, table)
-    val mr      = Upsert.mergeWithMetrics(tgt, src, keys, versionCol)
+    // schema evolution: both sides align to the union schema before
+    // the merge (new source columns null-backfill old target rows,
+    // missing source columns tolerated) — free here, since an upsert
+    // rewrites the table generation anyway
+    val tgt0    = this.table(layer, table)
+    val unioned = unionSchema(tgt0.schema, src.schema)
+    val mr      = Upsert.mergeWithMetrics(alignTo(tgt0, unioned), alignTo(src, unioned),
+      keys, versionCol)
     val m       = mr.metrics
-    val target  = new Path(tablePath(layer, table))
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     try mr.result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     finally mr.unpersist() // evict the cached merge plan itself, not a derived projection
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"rename $staging -> $target failed")
+    retireAndSwap(layer, table, staging)
     logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows)
     m
   }
@@ -178,13 +262,37 @@ final class Warehouse(spark: SparkSession, root: String) {
     row.write.mode(SaveMode.Append).parquet(tablePath(ledgerLayer, ledgerTable))
   }
 
-  private def nextVersion(tableName: String): Long =
-    if (!tableExists(ledgerLayer, ledgerTable) &&
-      !fs.exists(new Path(tablePath(ledgerLayer, ledgerTable)))) 0L
+  /** Latest ledger version for a table; -1 before its first op. */
+  private def latestVersion(tableName: String): Long =
+    if (!fs.exists(new Path(tablePath(ledgerLayer, ledgerTable)))) -1L
     else {
       val hist = history(tableName)
-      if (hist.isEmpty) 0L else hist.agg(max("version")).head().getLong(0) + 1L
+      if (hist.isEmpty) -1L else hist.agg(max("version")).head().getLong(0)
     }
+
+  private def nextVersion(tableName: String): Long = latestVersion(tableName) + 1L
+
+  /** Read the table as of a past ledger `version` (Delta time travel).
+    * Replacing writes (CREATE OR REPLACE, MERGE, COMPACT) retire the
+    * outgoing generation under `<table>.__v<version>`, so the last
+    * `keepGenerations` of those are readable; APPEND mutates its
+    * generation in place (its pre-state folds into the predecessor),
+    * matching what a row-count-preserving reader needs from history.
+    * Throws if the requested generation has been pruned.
+    */
+  def tableAsOf(layer: String, table: String, version: Long): DataFrame = {
+    val current = latestVersion(s"$layer.$table")
+    require(version <= current, s"version $version of $layer.$table does not exist yet")
+    if (version == current) this.table(layer, table)
+    else {
+      val p = new Path(tablePath(layer, table) + s".__v$version")
+      require(
+        fs.exists(p),
+        s"version $version of $layer.$table is not retained " +
+          s"(current=$current, keepGenerations=$keepGenerations)")
+      spark.read.parquet(p.toString)
+    }
+  }
 
   /** All ledger entries for a table — the engine's DESCRIBE HISTORY. */
   def history(tableName: String): DataFrame = {

@@ -140,4 +140,28 @@ class UpsertSpec extends SparkSpec {
     val perKey = out.toSeq.filter(_._5 == 1).groupBy(_._1).view.mapValues(_.size).toMap
     assert(perKey.values.forall(_ == 1))
   }
+
+  test("scd2 collapses duplicate source keys to the latest change; rejects empty attrs") {
+    import spark.implicits._
+    val target = Seq((1L, "alpha", "2020-01-01", Option.empty[String], 1))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    // three versions of the same key in one batch — only the newest applies
+    val source = Seq(
+      (1L, "mid", "2021-01-01"),
+      (1L, "newest", "2021-06-01"),
+      (1L, "oldest", "2020-06-01")
+    ).toDF("k", "attr", "eff")
+    val out = Upsert.scd2(target, source, Seq("k"), Seq("attr"), "eff")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getInt(4))).toSet
+    assert(out == Set(
+      (1L, "alpha", "2020-01-01", Some("2021-06-01"), 0), // closed at the NEWEST eff
+      (1L, "newest", "2021-06-01", None, 1)               // one opened row, not three
+    ), s"got $out")
+    val current = out.toSeq.filter(_._5 == 1)
+    assert(current.size == 1, "one-current-row-per-key invariant must survive a dup-key batch")
+    intercept[IllegalArgumentException] {
+      Upsert.scd2(target, source, Seq("k"), Seq.empty, "eff")
+    }
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.sources.Warehouse
+import java.nio.file.Files
+
+/** Warehouse generation semantics: time travel over retired
+  * generations (Delta read-side parity: history ✓ compaction ✓ and now
+  * tableAsOf ✓) and schema evolution on append/upsert (mergeSchema).
+  */
+class WarehouseSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def freshWh(keep: Int = 2) =
+    new Warehouse(spark, Files.createTempDirectory("graft_whspec").toString, keep)
+
+  test("tableAsOf reads the pre-merge snapshot after an upsert") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "dim", // version 0
+      Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "payload", "v"))
+    wh.upsert("silver", "dim", // version 1: update k=2, insert k=3
+      Seq((2L, "b2", 2), (3L, "c", 1)).toDF("k", "payload", "v"), Seq("k"), "v")
+    val now = wh.table("silver", "dim").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(now == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    val before = wh.tableAsOf("silver", "dim", 0L).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(before == Seq((1L, "a"), (2L, "b")), "version 0 must be the pre-merge table")
+    // current version resolves to the live table
+    assert(wh.tableAsOf("silver", "dim", 1L).count() == 3)
+    // one ledger row per generation, versions strictly increasing
+    val versions = wh.history("silver.dim").orderBy("version").collect().map(_.getAs[Long]("version"))
+    assert(versions.toSeq == Seq(0L, 1L))
+    intercept[IllegalArgumentException](wh.tableAsOf("silver", "dim", 9L))
+  }
+
+  test("keepGenerations bounds retention; oldest generations are pruned after swap") {
+    import spark.implicits._
+    val wh = freshWh(keep = 2)
+    for (v <- 0 to 3)
+      wh.createOrReplace("gold", "g", Seq((v, s"gen$v")).toDF("n", "tag"))
+    // generations 2 and 1 retained, 0 pruned, 3 is live
+    assert(wh.tableAsOf("gold", "g", 3L).head().getString(1) == "gen3")
+    assert(wh.tableAsOf("gold", "g", 2L).head().getString(1) == "gen2")
+    assert(wh.tableAsOf("gold", "g", 1L).head().getString(1) == "gen1")
+    intercept[IllegalArgumentException](wh.tableAsOf("gold", "g", 0L))
+    // retired generations are not tables
+    assert(wh.listTables("gold") == Seq("g"))
+  }
+
+  test("compact retires a readable generation and never deletes the live table in the swap") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "t",
+      spark.range(100).select($"id", ($"id" % 7).as("grp")).repartition(20))
+    val rowsBefore = wh.table("silver", "t").collect().map(_.getLong(0)).sorted.toSeq
+    val delta = wh.compact("silver", "t")
+    assert(delta > 0, "compaction should reduce file count")
+    assert(wh.table("silver", "t").collect().map(_.getLong(0)).sorted.toSeq == rowsBefore)
+    // the pre-compaction generation is time-travel readable
+    assert(wh.tableAsOf("silver", "t", 0L).count() == 100)
+  }
+
+  test("append evolves the target schema: new columns null-backfill old rows") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "ev", Seq((1L, "a")).toDF("k", "payload"))
+    // widened batch: new column `extra`
+    wh.append("silver", "ev", Seq((2L, "b", "x")).toDF("k", "payload", "extra"))
+    // narrowed batch: missing `payload`
+    wh.append("silver", "ev", Seq((3L, "y")).toDF("k", "extra"))
+    val rows = wh.table("silver", "ev").orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("payload")), Option(r.getAs[String]("extra"))))
+    assert(rows.toSeq == Seq(
+      (1L, Some("a"), None),
+      (2L, Some("b"), Some("x")),
+      (3L, None, Some("y"))))
+  }
+
+  test("upsert evolves the target schema like Delta mergeSchema") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "up", Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "payload", "v"))
+    // widened source: new column `extra`; also missing nothing
+    val m = wh.upsert("silver", "up",
+      Seq((2L, "b2", 2, "x"), (3L, "c", 1, "y")).toDF("k", "payload", "v", "extra"),
+      Seq("k"), "v")
+    assert(m.inserted == 1 && m.updated == 1)
+    val rows = wh.table("silver", "up").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getAs[String]("extra"))))
+    assert(rows.toSeq == Seq(
+      (1L, "a", None),       // old row: evolved column null-backfilled
+      (2L, "b2", Some("x")), // updated from widened source
+      (3L, "c", Some("y")))) // inserted from widened source
+    // a source missing a tracked column is tolerated (null-backfilled)
+    wh.upsert("silver", "up", Seq((4L, 1)).toDF("k", "v"), Seq("k"), "v")
+    val r4 = wh.table("silver", "up").filter($"k" === 4L).head()
+    assert(r4.isNullAt(r4.fieldIndex("payload")) && r4.isNullAt(r4.fieldIndex("extra")))
+  }
+
+  test("schema evolution refuses a column type change") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "tc", Seq((1L, 10)).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      wh.append("silver", "tc", Seq((2L, "not an int")).toDF("k", "v"))
+    }
+  }
+}
