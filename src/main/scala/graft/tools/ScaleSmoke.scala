@@ -96,7 +96,19 @@ object ScaleSmoke {
     spark.sparkContext.addSparkListener(listener)
     // Best-of-3: this VM has stall waves; per-task ROW counts are
     // deterministic but durations are not, so keep the cleanest run.
-    def run(name: String)(df: => DataFrame): Unit = {
+    // `aqeSkew` turns AQE back on with its skew-join splitter armed
+    // (thresholds lowered so the splitter triggers at this corpus
+    // size the way it would on real-size partitions at 100 TB);
+    // coalescing stays off so task boundaries remain comparable.
+    def run(name: String, aqeSkew: Boolean = false)(df: => DataFrame): Unit = {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeSkew.toString)
+      if (aqeSkew) {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      }
       val attempts = (1 to 3).map { _ =>
         listener.reset()
         val t0 = System.nanoTime()
@@ -120,6 +132,15 @@ object ScaleSmoke {
     }
 
     run("unsalted join") {
+      events.join(users, Seq("user_id")).select(col("value") * col("weight"))
+    }
+    // The built-in mitigation: AQE's skew-join splitter on the SAME
+    // unsalted join — the crossover a real user needs to see before
+    // reaching for salt (OptimizeSkewedJoin splits the oversized
+    // partition into advisory-size chunks and replicates the matching
+    // side, which is salting done for you, at runtime, only when
+    // needed).
+    run("unsalted join + AQE skew", aqeSkew = true) {
       events.join(users, Seq("user_id")).select(col("value") * col("weight"))
     }
     // factor=64 > the 32 shuffle partitions: with factor==partitions,
@@ -147,7 +168,8 @@ object ScaleSmoke {
     }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src    = "/root/testdata/sf0.1"
-    val out    = s"/tmp/graft_scale$factor"
+    val out = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), s"graft_scale$factor").toString
     val spark  = Engine.session(32)
     import spark.implicits._
 
