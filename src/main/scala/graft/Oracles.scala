@@ -790,7 +790,21 @@ object Oracles {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q80: the oracle recomputes the merge's expected delta — updates
+    // that WIN the conditional (version 1 > 0; the % 6 half carries
+    // version 0 and loses) plus the brand-new keys — which is exactly
+    // what the change feed must contain, no more, no less
+    "q80_change_feed" ->
+      """WITH updates AS (
+        |  SELECT c_custkey, c_name || ' v2' AS c_name,
+        |         'update_postimage' AS _change_type
+        |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0),
+        |inserts AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name, 'insert' AS _change_type
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT * FROM updates UNION ALL SELECT * FROM inserts
+        |ORDER BY c_custkey, _change_type""".stripMargin
   )
 }
 

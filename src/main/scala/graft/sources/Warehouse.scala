@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.operators.Upsert
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed table layer — the engine's replacement for the
@@ -186,6 +186,79 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     filesBefore - spark.read.parquet(target).inputFiles.length
   }
 
+  /** Multi-dimensional clustering (Delta `OPTIMIZE ... ZORDER BY`
+    * replacement): rewrite the table ordered along a Z-curve over
+    * `cols`, so parquet footer min/max stats make predicates on ANY of
+    * the columns file-skippable — a linear sort serves one column and
+    * leaves every other dimension spanning the full range per file.
+    *
+    * Mechanics: each dimension is scaled to a `bits`-bit bucket id —
+    * numerics equi-width on (min, max) (one agg pass; codegen
+    * arithmetic, no per-row search), strings by hash (equality
+    * skipping only) — and the ids are bit-interleaved into the
+    * Z-value the rewrite range-partitions and sorts by. Equi-width
+    * buckets are skew-sensitive where Delta samples range boundaries;
+    * the trade is a fully codegen per-row expression and no sampled
+    * state. Same staged swap as compact — the previous generation is
+    * retained for [[tableAsOf]]; ledger op `ZORDER`.
+    */
+  def zorder(
+      layer: String,
+      table: String,
+      cols: Seq[String],
+      targetRowsPerFile: Long = 1_000_000L,
+      bits: Int = 8
+  ): Long = {
+    require(cols.nonEmpty && cols.size <= 4, "zorder supports 1-4 columns")
+    val target = tablePath(layer, table)
+    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    val rows   = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val maxB   = (1 << bits) - 1
+    val isNumeric: String => Boolean = c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _: org.apache.spark.sql.types.DateType    => true
+        case _: org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
+    val numCols = cols.filter(isNumeric)
+    val stats =
+      if (numCols.isEmpty) Map.empty[String, (Double, Double)]
+      else {
+        val aggs = numCols.flatMap(c =>
+          Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        numCols.map(c => c -> (r.getAs[Double](s"__min_$c"), r.getAs[Double](s"__max_$c"))).toMap
+      }
+    def bucket(c: String): Column =
+      if (isNumeric(c)) {
+        val (lo, hi) = stats(c)
+        if (hi <= lo) lit(0)
+        else least(
+          lit(maxB),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxB + 1))).cast("int")
+      } else pmod(xxhash64(col(c)), lit(maxB + 1)).cast("int")
+    val buckets = cols.map(bucket)
+    val z = (0 until bits)
+      .flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * cols.size + j)
+      })
+      .reduce(_.bitwiseOR(_))
+    val staging = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val back = spark.read.parquet(staging.toString).count()
+    require(back == rows, s"zorder changed row count: $rows -> $back")
+    retireAndSwap(layer, table, staging)
+    logOp(layer, table, "ZORDER", inserted = 0, updated = 0, outputRows = rows)
+    rows
+  }
+
   /** INSERT INTO ... SELECT (reference silver_google_scholar.py:148).
     * The appended-row count is an `observe` metric collected from the
     * write job itself — one pass over the input, where a pre-count
@@ -212,6 +285,18 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * via [[Upsert.mergeWithMetrics]], staged overwrite, metrics to the
     * ledger exactly like Delta's operationMetrics
     * (numTargetRowsInserted/Updated/numOutputRows).
+    *
+    * Every merge also records its change rows (the Delta Change Data
+    * Feed replacement): rows whose action is insert/update are
+    * appended to `<table>.__changes` with `_change_type` ∈
+    * {insert, update_postimage} and `_commit_version` — written from
+    * the same cached merge plan the metrics came from, so the feed
+    * costs one filtered projection, not a re-merge. Kept rows are
+    * never written (a consumer tails only what changed — the property
+    * that makes incremental downstream refresh linear in the delta,
+    * not the table). CTAS and APPEND don't write feed rows: a CTAS is
+    * a new base (read it directly) and an append's delta IS its input;
+    * only MERGE interleaves changes into existing data.
     */
   def upsert(
       layer: String,
@@ -235,11 +320,35 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val m       = mr.metrics
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
-    try mr.result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    finally mr.unpersist() // evict the cached merge plan itself, not a derived projection
+    val ver = nextVersion(s"$layer.$table")
+    try {
+      mr.result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      mr.merged
+        .filter(col(Upsert.ActionCol) =!= "keep")
+        .withColumn("_change_type",
+          when(col(Upsert.ActionCol) === "insert", lit("insert"))
+            .otherwise(lit("update_postimage")))
+        .drop(Upsert.ActionCol)
+        .withColumn("_commit_version", lit(ver))
+        .write.mode(SaveMode.Append).parquet(tablePath(layer, table) + ".__changes")
+    } finally mr.unpersist() // evict the cached merge plan itself, not a derived projection
     retireAndSwap(layer, table, staging)
-    logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows)
+    logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows, version = ver)
     m
+  }
+
+  /** The table's change feed (Delta CDF `table_changes` replacement):
+    * every merge's insert/update rows, tagged `_change_type` and
+    * `_commit_version`, for versions AFTER `sinceVersion`. The feed is
+    * append-only and survives generation pruning — a downstream
+    * consumer can refresh incrementally from any version it last saw,
+    * even after the matching snapshot is vacuumed.
+    */
+  def changeFeed(layer: String, table: String, sinceVersion: Long = -1L): DataFrame = {
+    val p = tablePath(layer, table) + ".__changes"
+    require(fs.exists(new Path(p)), s"$layer.$table has no change feed (no merges recorded)")
+    spark.read.option("mergeSchema", "true").parquet(p)
+      .filter(col("_commit_version") > sinceVersion)
   }
 
   // ---- ops ledger (replaces Delta DESCRIBE HISTORY, SURVEY §2.1 S12) ----
@@ -253,12 +362,14 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       op: String,
       inserted: Long,
       updated: Long,
-      outputRows: Long
+      outputRows: Long,
+      version: Long = -1L // -1 = assign the next version here
   ): Unit = {
     import spark.implicits._
+    val ver = if (version >= 0) version else nextVersion(s"$layer.$table")
     val row = Seq((s"$layer.$table", op, inserted, updated, outputRows, System.currentTimeMillis()))
       .toDF("table_name", "operation", "num_inserted", "num_updated", "num_output_rows", "ts_millis")
-      .withColumn("version", lit(nextVersion(s"$layer.$table")))
+      .withColumn("version", lit(ver))
     row.write.mode(SaveMode.Append).parquet(tablePath(ledgerLayer, ledgerTable))
   }
 

@@ -61,6 +61,31 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.tableAsOf("silver", "t", 0L).count() == 100)
   }
 
+  test("change feed records exactly each merge's insert/update rows, tailable by version") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "cf", // version 0: no feed rows (a CTAS is a new base)
+      Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "payload", "v"))
+    wh.upsert("silver", "cf", // version 1: update k=2, lose k=1 (equal version), insert k=3
+      Seq((1L, "a2", 1), (2L, "b2", 2), (3L, "c", 1)).toDF("k", "payload", "v"), Seq("k"), "v")
+    wh.upsert("silver", "cf", // version 2: update k=3
+      Seq((3L, "c2", 2)).toDF("k", "payload", "v"), Seq("k"), "v")
+    val all = wh.changeFeed("silver", "cf")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+    assert(all == Set(
+      (2L, "b2", "update_postimage", 1L),
+      (3L, "c", "insert", 1L),
+      (3L, "c2", "update_postimage", 2L)
+    ), s"got $all") // k=1's non-winning source row must NOT appear
+    // incremental tail: a consumer that saw version 1 gets only version 2
+    val tail = wh.changeFeed("silver", "cf", sinceVersion = 1L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"))).toSet
+    assert(tail == Set((3L, "c2")))
+    intercept[IllegalArgumentException](wh.changeFeed("silver", "nope"))
+  }
+
   test("append evolves the target schema: new columns null-backfill old rows") {
     import spark.implicits._
     val wh = freshWh()
@@ -96,6 +121,38 @@ class WarehouseSpec extends SparkSpec {
     wh.upsert("silver", "up", Seq((4L, 1)).toDF("k", "v"), Seq("k"), "v")
     val r4 = wh.table("silver", "up").filter($"k" === 4L).head()
     assert(r4.isNullAt(r4.fieldIndex("payload")) && r4.isNullAt(r4.fieldIndex("extra")))
+  }
+
+  test("zorder shrinks per-file min/max spans on every clustered dimension") {
+    import spark.implicits._
+    val wh = freshWh()
+    // two independent uniform dims; natural layout sorted by a — the
+    // worst case for predicates on b (every file spans b's full range)
+    val n  = 100000L
+    val df = spark.range(n).select(
+      ($"id" % 1000).as("a"),
+      pmod(xxhash64($"id"), lit(1000)).as("b"))
+    wh.createOrReplace("gold", "z", df.orderBy("a").repartitionByRange(16, $"a"))
+    def avgSpan(colName: String): Double = {
+      val spans = wh.table("gold", "z")
+        .groupBy(input_file_name())
+        .agg((max(col(colName)) - min(col(colName))).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val naiveB = avgSpan("b")
+    assert(naiveB > 900, s"sorted-by-a layout should span b fully per file, got $naiveB")
+    wh.zorder("gold", "z", Seq("a", "b"), targetRowsPerFile = n / 16)
+    // values untouched, layout only
+    assert(wh.table("gold", "z").count() == n)
+    val (za, zb) = (avgSpan("a"), avgSpan("b"))
+    info(f"per-file avg span after zorder: a=$za%.0f b=$zb%.0f (naive b=$naiveB%.0f)")
+    // a 16-file z-layout ~ 4x4 grid: each dim's span ~ range/4; allow 2x slack
+    assert(zb < naiveB / 2, s"zorder must shrink b's per-file span ($naiveB -> $zb)")
+    assert(za < 1000 / 2, s"zorder must keep a's per-file span bounded too ($za)")
+    // the rewrite is a ledger op and the pre-zorder generation is readable
+    assert(wh.lastOperation("gold.z").get.getAs[String]("operation") == "ZORDER")
+    assert(wh.tableAsOf("gold", "z", 0L).count() == n)
   }
 
   test("schema evolution refuses a column type change") {
