@@ -804,7 +804,29 @@ object Oracles {
         |  SELECT c_custkey + 1000000 AS c_custkey, c_name, 'insert' AS _change_type
         |  FROM customer WHERE c_custkey % 7 = 0)
         |SELECT * FROM updates UNION ALL SELECT * FROM inserts
-        |ORDER BY c_custkey, _change_type""".stripMargin
+        |ORDER BY c_custkey, _change_type""".stripMargin,
+    // q81: plant + scrub with the same regex chain (Java-regex ∩ RE2
+    // subset; DuckDB needs the explicit 'g' flag where Spark's
+    // regexp_replace is global by default)
+    "q81_pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id ||
+        |         '@example.com call 555-123-4567 from 10.0.' ||
+        |         (doc_id % 256) || '.17 ssn 123-45-6789' AS d
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(d,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |           '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean_text
+        |  FROM dirty)
+        |SELECT doc_id, clean_text,
+        |       CAST(length(regexp_extract_all(clean_text, '<(EMAIL|PHONE|IP|SSN)>')) AS BIGINT)
+        |         AS redactions
+        |FROM clean ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -102,4 +102,30 @@ object QueriesText {
       )
       .orderBy($"doc_id")
   }
+
+  /** PII redaction ([[graft.functions.TextFunctions.scrubPii]]) under
+    * the oracle gate. The corpus is synthetic, so each document gets
+    * deterministic planted PII (an email, a phone, an IP and an SSN
+    * derived from doc_id) appended before scrubbing — the oracle
+    * plants and scrubs with the SAME regex chain in DuckDB (patterns
+    * are chosen inside the Java-regex ∩ RE2 subset), so the hash
+    * compare proves redaction is cross-engine exact. Pure per-row
+    * work: scrubbing never shuffles.
+    */
+  def q81_pii_scrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dirty = concat(
+      $"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com call 555-123-4567 from 10.0."),
+      ($"doc_id" % 256).cast("string"), lit(".17 ssn 123-45-6789"))
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        graft.functions.TextFunctions.scrubPii(dirty).as("clean_text"))
+      .withColumn("redactions",
+        regexp_count($"clean_text", lit("<(EMAIL|PHONE|IP|SSN)>")).cast("long"))
+      .orderBy($"doc_id")
+  }
 }

@@ -112,4 +112,28 @@ object TextFunctions {
       (acc, t) => acc + coalesce(element_at(m, t), lit(0))
     )
   }
+
+  /** PII redaction patterns for training corpora, applied in order
+    * (emails first so their digits can't half-match the numeric
+    * patterns; SSN before phone — 3-2-4 and 3-3-4 shapes don't
+    * overlap under the word boundaries, so order is belt-and-braces).
+    * Every pattern lives in the Java-regex ∩ RE2 common subset (no
+    * lookaround, no backreferences), so the SAME expressions run in
+    * the DuckDB oracle — redaction is cross-engine reproducible,
+    * which matters when a corpus is scrubbed by one engine and
+    * audited by another.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"            -> "<IP>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"                -> "<SSN>",
+    "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"          -> "<PHONE>"
+  )
+
+  /** Redact [[piiPatterns]] from a string column — a pure per-row
+    * codegen regexp chain: scrubbing 100 TB is map-only work that
+    * spreads like the bytes, no shuffle anywhere.
+    */
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, repl)) => regexp_replace(acc, pat, repl) }
 }

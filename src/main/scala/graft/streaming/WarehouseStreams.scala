@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.sources.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ↔ warehouse integration: the micro-batch MERGE sink
+  * (streaming writes that upsert instead of append) and the change-feed
+  * stream (CDC consumption of what merges changed).
+  *
+  * This is the canonical lakehouse streaming pattern (Delta documents
+  * exactly this foreachBatch-MERGE shape for streaming upserts): the
+  * stream stays declarative, and each micro-batch applies through the
+  * same [[Warehouse.upsert]] the batch path uses — conditional update,
+  * schema evolution, ledger metrics, retired generation, and change
+  * feed all included per batch.
+  */
+object WarehouseStreams {
+
+  /** Apply each micro-batch of `stream` as a warehouse MERGE.
+    * Same one-source-row-per-key-per-batch constraint as Delta MERGE
+    * (the duplicate-match guard raises, it never corrupts). Replayed
+    * batches re-merge the same rows to the same versions — idempotent
+    * on the table; the ledger records one MERGE per non-empty batch.
+    */
+  def mergeSink(
+      stream: DataFrame,
+      wh: Warehouse,
+      layer: String,
+      table: String,
+      keys: Seq[String],
+      versionCol: String,
+      checkpoint: String
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { wh.upsert(layer, table, batch, keys, versionCol); () }
+      }
+      .start()
+
+  /** Stream the table's change feed (CDC downstream): a file-source
+    * readStream over the `.__changes` sidecar, so every merge's delta
+    * arrives as its files land — the consumer processes O(delta) per
+    * trigger and never rescans the table. The feed must already exist
+    * (at least one merge) to fix the schema.
+    */
+  def changeFeedStream(spark: SparkSession, wh: Warehouse, layer: String, table: String): DataFrame = {
+    val schema = wh.changeFeed(layer, table).schema
+    spark.readStream.schema(schema).parquet(wh.tablePath(layer, table) + ".__changes")
+  }
+}

@@ -9,7 +9,7 @@ class CorpusSpec extends SparkSpec {
 
   test("repetition metrics: planted degenerate and clean docs score as expected") {
     import spark.implicits._
-    val dir = "/tmp/graft_corpus_spec"
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec").toString
     Seq(
       (1L, "a a a a a a", "en", "src0", 11L),
       (2L, (1 to 21).map(i => s"w$i").mkString(" "), "en", "src0", 60L),
@@ -110,7 +110,7 @@ class CorpusSpec extends SparkSpec {
 
   test("decontamination finds exactly the planted 8-gram containments") {
     import spark.implicits._
-    val dir = "/tmp/graft_corpus_spec_decon"
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_decon").toString
     val e8  = (1 to 8).map(i => s"e$i").mkString(" ")
     val a9  = (1 to 9).map(i => s"a$i").mkString(" ")
     Seq(
@@ -171,7 +171,7 @@ class CorpusSpec extends SparkSpec {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfDir)
     val qs  = emb.filter($"vec_id" < 10)
-    val dir = "/tmp/graft_corpus_spec_ivf"
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_ivf").toString
     Similarity.ivfIndexWrite(emb, "vec_id", "embedding", dir, nlist = 16)
     for (nprobe <- Seq(4, 8, 16)) {
       val mem = Similarity

@@ -17,7 +17,7 @@ class FormatsSpec extends SparkSpec {
 
   test("CSV round-trip is lossless for scalar document columns") {
     import spark.implicits._
-    val dir  = "/tmp/graft_formats_csv"
+    val dir  = java.nio.file.Files.createTempDirectory("graft_formats_csv").toString
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"lang", $"source", $"n_chars")
     docs.write.mode("overwrite").option("header", "true").csv(dir)
     val back = spark.read.option("header", "true").schema(docs.schema).csv(dir)
@@ -27,7 +27,7 @@ class FormatsSpec extends SparkSpec {
 
   test("JSON-lines round-trip preserves event timestamps to the microsecond") {
     import spark.implicits._
-    val dir = "/tmp/graft_formats_json"
+    val dir = java.nio.file.Files.createTempDirectory("graft_formats_json").toString
     val evs = Tables.events(spark, sfDir).select($"event_id", $"ts", $"event_type", $"value")
     // Spark's default JSON timestampFormat carries only milliseconds —
     // micro precision needs an explicit 6-digit fraction on BOTH sides

@@ -63,4 +63,43 @@ class ScaleTechniquesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
     assert(salted == direct)
   }
+
+  test("runtime bloom filter injects a scan-level semi-filter on a selective shuffle join") {
+    import spark.implicits._
+    // The 100 TB shape: a big fact side shuffle-joins a dim filtered
+    // selectively — InjectRuntimeFilter plants might_contain(bloom)
+    // on the FACT SCAN, so rows that cannot match never reach the
+    // shuffle. On by default; the size thresholds exist so tiny scans
+    // don't pay bloom construction — lowered here so the optimizer
+    // sees this test corpus the way it sees real partitions.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, sfDir)
+      val cust   = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+      val joined = orders
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a bloom runtime filter on the fact side, plan:\n${optimized.take(2000)}")
+      // and the filter is semantics-preserving
+      val n = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = orders
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(n == plain && n.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

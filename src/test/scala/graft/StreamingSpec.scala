@@ -228,6 +228,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"stream pairs $got != one-shot pairs $expected")
   }
 
+  test("streaming merge sink equals sequential batch upserts; change feed streams the deltas") {
+    import graft.streaming.WarehouseStreams
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_wstream").toString
+    // two warehouses: one fed by the stream, one by direct batch upserts
+    val whS = new graft.sources.Warehouse(spark, s"$root/wh_stream")
+    val whB = new graft.sources.Warehouse(spark, s"$root/wh_batch")
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "payload", "v")
+    whS.createOrReplace("silver", "t", base)
+    whB.createOrReplace("silver", "t", base)
+    val batch1 = Seq((2L, "b2", 1L), (4L, "d", 1L)).toDF("k", "payload", "v")
+    val batch2 = Seq((4L, "d2", 2L), (1L, "a0", 0L)).toDF("k", "payload", "v") // a0 loses (v not >)
+    // land batch files one at a time; maxFilesPerTrigger=1 keeps them
+    // as separate micro-batches, like a real ingest cadence
+    batch1.coalesce(1).write.parquet(s"$root/in1")
+    batch2.coalesce(1).write.parquet(s"$root/in2")
+    val in = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(src: String): Unit =
+      spark.read.parquet(src).coalesce(1).write.mode("append").parquet(in)
+    land(s"$root/in1")
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = WarehouseStreams.mergeSink(stream, whS, "silver", "t", Seq("k"), "v",
+      s"$root/ckpt")
+    q.processAllAvailable()
+    land(s"$root/in2")
+    q.processAllAvailable()
+    q.stop()
+    whB.upsert("silver", "t", spark.read.parquet(s"$root/in1"), Seq("k"), "v")
+    whB.upsert("silver", "t", spark.read.parquet(s"$root/in2"), Seq("k"), "v")
+    def snap(wh: graft.sources.Warehouse) = wh.table("silver", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(snap(whS) == snap(whB), "streamed merges must equal sequential batch upserts")
+    assert(snap(whS) == Set((1L, "a", 0L), (2L, "b2", 1L), (3L, "c", 0L), (4L, "d2", 2L)))
+    // ledger: one MERGE per micro-batch
+    val merges = whS.history("silver.t").filter($"operation" === "MERGE").count()
+    assert(merges == 2, s"expected 2 MERGE ledger ops, got $merges")
+    // CDC: the streamed change feed carries exactly the batch feed's rows
+    val feedStream = graft.streaming.EventStreams.runBounded(
+      WarehouseStreams.changeFeedStream(spark, whS, "silver", "t"),
+      "cdc_feed", OutputMode.Append())
+    val got = feedStream.select("k", "payload", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    val want = whS.changeFeed("silver", "t").select("k", "payload", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty, "streamed CDC must equal the batch change feed")
+  }
+
   test("mapGroupsWithState accumulates per-user session state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream2").toString
