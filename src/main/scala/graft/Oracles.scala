@@ -826,7 +826,12 @@ object Oracles {
         |SELECT doc_id, clean_text,
         |       CAST(length(regexp_extract_all(clean_text, '<(EMAIL|PHONE|IP|SSN)>')) AS BIGINT)
         |         AS redactions
-        |FROM clean ORDER BY doc_id""".stripMargin
+        |FROM clean ORDER BY doc_id""".stripMargin,
+    "q82_delete_rows" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin
   )
 }
 

@@ -388,6 +388,25 @@ object QueriesRel2 {
       .orderBy($"c_custkey", $"_change_type")
   }
 
+  /** Row-level DELETE under the oracle gate (the GDPR-deletion shape):
+    * build a customer table, delete a deterministic predicate's rows
+    * ([[graft.sources.Warehouse.delete]] — staged rewrite, ledger op,
+    * deletions recorded in the change feed), and return the surviving
+    * table; the oracle recomputes the survivors in SQL. The feed's
+    * delete rows are pinned by WarehouseSpec — here the cross-engine
+    * check is that deletion removed exactly the predicate's rows.
+    */
+  def q82_delete_rows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = new graft.sources.Warehouse(spark, Scratch.dir(spark, "q82_wh", dir))
+    wh.createOrReplace("silver", "cust",
+      Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment", $"c_acctbal"))
+    wh.delete("silver", "cust", $"c_mktsegment" === "BUILDING" && $"c_acctbal" < 0)
+    wh.table("silver", "cust")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
   /** Data-quality expectations — the constraint-check pass (dbt tests /
     * Delta CHECK constraints replacement) as one report: referential
     * integrity (orders→customer, broadcast anti join), key uniqueness,

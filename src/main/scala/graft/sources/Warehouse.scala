@@ -186,6 +186,41 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     filesBefore - spark.read.parquet(target).inputFiles.length
   }
 
+  /** DELETE FROM ... WHERE (Delta parity — and the right-to-be-
+    *-forgotten primitive a training-data warehouse is legally required
+    * to have): staged rewrite of the surviving rows through the same
+    * swap as every other write, so the pre-delete generation stays
+    * [[tableAsOf]]-readable until pruned and a crash never loses the
+    * table. Deleted rows are recorded in the change feed as
+    * `_change_type = 'delete'` (Delta CDF does the same) — a
+    * downstream consumer must SEE deletions to forget the rows too;
+    * a feed that only carries upserts silently re-leaks deleted data
+    * from derived tables. Returns the deleted-row count.
+    */
+  def delete(layer: String, table: String, predicate: Column): Long = {
+    val target  = tablePath(layer, table)
+    val df      = spark.read.option("mergeSchema", "true").parquet(target)
+    val staging = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    val ver = nextVersion(s"$layer.$table")
+    // NULL predicate keeps the row (Delta DELETE semantics): a bare
+    // !predicate would silently drop NULL-evaluating rows from BOTH
+    // the survivors and the feed — rows vanishing unrecorded
+    val hit = coalesce(predicate, lit(false))
+    df.filter(!hit).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val kept = spark.read.parquet(staging.toString).count()
+    val deletedRows = df.filter(hit)
+      .withColumn("_change_type", lit("delete"))
+      .withColumn("_commit_version", lit(ver))
+    val obs = org.apache.spark.sql.Observation()
+    deletedRows.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(target + ".__changes")
+    val deleted = obs.get("n").asInstanceOf[Long]
+    retireAndSwap(layer, table, staging)
+    logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver)
+    deleted
+  }
+
   /** Multi-dimensional clustering (Delta `OPTIMIZE ... ZORDER BY`
     * replacement): rewrite the table ordered along a Z-curve over
     * `cols`, so parquet footer min/max stats make predicates on ANY of

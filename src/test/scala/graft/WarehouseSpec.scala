@@ -123,6 +123,23 @@ class WarehouseSpec extends SparkSpec {
     assert(r4.isNullAt(r4.fieldIndex("payload")) && r4.isNullAt(r4.fieldIndex("extra")))
   }
 
+  test("delete removes matching rows, records them in the change feed, keeps the old generation") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "d",
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep"), (4L, "drop")).toDF("k", "tag"))
+    val n = wh.delete("silver", "d", $"tag" === "drop")
+    assert(n == 2)
+    assert(wh.table("silver", "d").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // CDC: consumers must see deletions to forget the rows downstream
+    val feed = wh.changeFeed("silver", "d")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"))).toSet
+    assert(feed == Set((2L, "delete"), (4L, "delete")))
+    // pre-delete snapshot retained; ledger records the op
+    assert(wh.tableAsOf("silver", "d", 0L).count() == 4)
+    assert(wh.lastOperation("silver.d").get.getAs[String]("operation") == "DELETE")
+  }
+
   test("zorder shrinks per-file min/max spans on every clustered dimension") {
     import spark.implicits._
     val wh = freshWh()
