@@ -796,14 +796,17 @@ object Oracles {
     // version 0 and loses) plus the brand-new keys — which is exactly
     // what the change feed must contain, no more, no less
     "q80_change_feed" ->
-      """WITH updates AS (
+      """WITH posts AS (
         |  SELECT c_custkey, c_name || ' v2' AS c_name,
         |         'update_postimage' AS _change_type
+        |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0),
+        |pres AS (
+        |  SELECT c_custkey, c_name, 'update_preimage' AS _change_type
         |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0),
         |inserts AS (
         |  SELECT c_custkey + 1000000 AS c_custkey, c_name, 'insert' AS _change_type
         |  FROM customer WHERE c_custkey % 7 = 0)
-        |SELECT * FROM updates UNION ALL SELECT * FROM inserts
+        |SELECT * FROM posts UNION ALL SELECT * FROM pres UNION ALL SELECT * FROM inserts
         |ORDER BY c_custkey, _change_type""".stripMargin,
     // q81: plant + scrub with the same regex chain (Java-regex ∩ RE2
     // subset; DuckDB needs the explicit 'g' flag where Spark's
@@ -831,7 +834,25 @@ object Oracles {
       """SELECT c_custkey, c_mktsegment, c_acctbal
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // q83: full recompute of the final state — the incremental path
+    // must land on this exactly (decimal-exact sums)
+    "q83_incremental_mv" ->
+      """SELECT o_custkey,
+        |       CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 0
+        |                          THEN o_totalprice + 100
+        |                          ELSE o_totalprice END AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS spend,
+        |       count(*) AS n
+        |FROM orders
+        |WHERE o_orderkey % 17 <> 0
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q84_update_rows" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CASE WHEN o_orderpriority = '1-URGENT'
+        |            THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
 

@@ -407,6 +407,58 @@ object QueriesRel2 {
       .orderBy($"c_custkey")
   }
 
+  /** Incrementally-maintained aggregate under the oracle gate: build a
+    * per-customer spend MV over an orders table, then apply a merge (a
+    * +100 reprice of every 10th order) and a delete (every 17th order)
+    * and refresh the MV FROM THE CHANGE FEED
+    * ([[graft.operators.MaterializedAgg.refresh]] — signed deltas from
+    * insert/update_preimage/update_postimage/delete rows, O(delta +
+    * |MV|), the fact table is never re-scanned). The oracle recomputes
+    * the final aggregate from scratch in SQL — incremental maintenance
+    * must land on exactly the full-recompute answer, decimal-exact.
+    */
+  def q83_incremental_mv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MaterializedAgg
+    val wh = new graft.sources.Warehouse(spark, Scratch.dir(spark, "q83_wh", dir))
+    wh.createOrReplace("silver", "ord",
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", lit(0L).as("version")))
+    MaterializedAgg.build(wh, "silver", "ord", "gold", "custspend",
+      Seq("o_custkey"), "o_totalprice")
+    wh.upsert("silver", "ord",
+      Tables.orders(spark, dir)
+        .filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_custkey", ($"o_totalprice" + 100).as("o_totalprice"),
+          lit(1L).as("version")),
+      Seq("o_orderkey"), "version")
+    wh.delete("silver", "ord", $"o_orderkey" % 17 === 0)
+    MaterializedAgg.refresh(wh, "silver", "ord", "gold", "custspend",
+      Seq("o_custkey"), "o_totalprice")
+    wh.table("gold", "custspend")
+      .select($"o_custkey", $"sum_v".cast("double").as("spend"), $"n")
+      .orderBy($"o_custkey")
+  }
+
+  /** Row-level UPDATE under the oracle gate (completing the DML triad
+    * with q09's MERGE and q82's DELETE): reprice urgent orders by 10%
+    * via [[graft.sources.Warehouse.update]] — staged rewrite, both
+    * feed images recorded — and return the table; the oracle
+    * recomputes the CASE expression. Per-row double multiply is
+    * bit-identical across engines, so the compare is hash-exact.
+    */
+  def q84_update_rows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = new graft.sources.Warehouse(spark, Scratch.dir(spark, "q84_wh", dir))
+    wh.createOrReplace("silver", "ord",
+      Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority", $"o_totalprice"))
+    wh.update("silver", "ord", $"o_orderpriority" === "1-URGENT",
+      Map("o_totalprice" -> ($"o_totalprice" * 1.1)))
+    wh.table("silver", "ord")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   /** Data-quality expectations — the constraint-check pass (dbt tests /
     * Delta CHECK constraints replacement) as one report: referential
     * integrity (orders→customer, broadcast anti join), key uniqueness,

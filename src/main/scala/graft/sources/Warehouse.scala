@@ -221,6 +221,57 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     deleted
   }
 
+  /** UPDATE ... SET ... WHERE (the last of the Delta DML triad next to
+    * MERGE and DELETE): staged rewrite applying `assignments` to the
+    * predicate's rows — NULL predicate keeps the row unchanged, like
+    * DELETE. Both change-feed images are recorded (update_preimage /
+    * update_postimage), so downstream incremental consumers subtract
+    * the old row and add the new one. Assignments are cast to the
+    * column's existing type — an UPDATE never changes the schema.
+    * Returns the updated-row count.
+    */
+  def update(
+      layer: String,
+      table: String,
+      predicate: Column,
+      assignments: Map[String, Column]
+  ): Long = {
+    val target = tablePath(layer, table)
+    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    assignments.keys.foreach(c =>
+      require(df.columns.contains(c), s"UPDATE assigns unknown column $c"))
+    val hit = coalesce(predicate, lit(false))
+    val staging = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    val ver = nextVersion(s"$layer.$table")
+    val rewritten = df.select(df.schema.fields.toSeq.map { f =>
+      assignments.get(f.name) match {
+        case Some(a) => when(hit, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None    => col(f.name)
+      }
+    }: _*)
+    rewritten.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val pre = df.filter(hit).withColumn("_change_type", lit("update_preimage"))
+    val post = df.filter(hit)
+      .select(df.schema.fields.toSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(a) => a.cast(f.dataType).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+      .withColumn("_change_type", lit("update_postimage"))
+    val obs = org.apache.spark.sql.Observation()
+    pre.unionByName(post)
+      .withColumn("_commit_version", lit(ver))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(target + ".__changes")
+    val updated = obs.get("n").asInstanceOf[Long] / 2
+    retireAndSwap(layer, table, staging)
+    logOp(layer, table, "UPDATE", inserted = 0, updated = updated,
+      outputRows = spark.read.parquet(target).count(), version = ver)
+    updated
+  }
+
   /** Multi-dimensional clustering (Delta `OPTIMIZE ... ZORDER BY`
     * replacement): rewrite the table ordered along a Z-curve over
     * `cols`, so parquet footer min/max stats make predicates on ANY of
@@ -358,12 +409,27 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val ver = nextVersion(s"$layer.$table")
     try {
       mr.result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      mr.merged
+      val post = mr.merged
         .filter(col(Upsert.ActionCol) =!= "keep")
         .withColumn("_change_type",
           when(col(Upsert.ActionCol) === "insert", lit("insert"))
             .otherwise(lit("update_postimage")))
         .drop(Upsert.ActionCol)
+      // update_preimage (full Delta CDF semantics): the replaced
+      // target rows, via a semi join of the pre-merge table against
+      // the updated keys (small by definition — it broadcasts).
+      // Without preimages a feed consumer cannot SUBTRACT an update,
+      // which is what incremental aggregate maintenance needs.
+      val updatedKeys = mr.merged
+        .filter(col(Upsert.ActionCol) === "update")
+        .select(keys.map(col): _*)
+      val pre = tgt0
+        .join(updatedKeys, keys.map(k => tgt0(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+        .select(unioned.fieldNames.map(n =>
+          if (tgt0.columns.contains(n)) col(n)
+          else lit(null).cast(unioned(n).dataType).as(n)): _*)
+        .withColumn("_change_type", lit("update_preimage"))
+      post.unionByName(pre)
         .withColumn("_commit_version", lit(ver))
         .write.mode(SaveMode.Append).parquet(tablePath(layer, table) + ".__changes")
     } finally mr.unpersist() // evict the cached merge plan itself, not a derived projection
@@ -417,6 +483,11 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     }
 
   private def nextVersion(tableName: String): Long = latestVersion(tableName) + 1L
+
+  /** The table's current ledger version — what [[tableAsOf]] of this
+    * value reads, and the cursor an incremental consumer records.
+    */
+  def currentVersion(layer: String, table: String): Long = latestVersion(s"$layer.$table")
 
   /** Read the table as of a past ledger `version` (Delta time travel).
     * Replacing writes (CREATE OR REPLACE, MERGE, COMPACT) retire the

@@ -39,6 +39,33 @@ object WarehouseStreams {
       }
       .start()
 
+  /** Continuously-maintained aggregate: every change-feed micro-batch
+    * triggers an incremental [[graft.operators.MaterializedAgg.refresh]]
+    * — the stream is the TRIGGER, the MV's version cursor is the
+    * exactly-once guard (a replayed trigger finds nothing newer than
+    * the cursor and no-ops), so the derived table tracks the source
+    * at O(delta) per merge without ever re-scanning it.
+    */
+  def mvRefreshSink(
+      spark: SparkSession,
+      wh: Warehouse,
+      srcLayer: String,
+      srcTable: String,
+      mvLayer: String,
+      mvTable: String,
+      keys: Seq[String],
+      valueCol: String,
+      checkpoint: String
+  ): StreamingQuery =
+    changeFeedStream(spark, wh, srcLayer, srcTable).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.operators.MaterializedAgg
+          .refresh(wh, srcLayer, srcTable, mvLayer, mvTable, keys, valueCol)
+        ()
+      }
+      .start()
+
   /** Stream the table's change feed (CDC downstream): a file-source
     * readStream over the `.__changes` sidecar, so every merge's delta
     * arrives as its files land — the consumer processes O(delta) per

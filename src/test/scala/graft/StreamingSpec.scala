@@ -277,6 +277,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty, "streamed CDC must equal the batch change feed")
   }
 
+  test("continuously-maintained MV tracks merges through the feed stream") {
+    import graft.streaming.WarehouseStreams
+    import graft.operators.MaterializedAgg
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mvstream").toString
+    val wh = new graft.sources.Warehouse(spark, s"$root/wh")
+    wh.createOrReplace("silver", "fact",
+      Seq((1L, 10L, 5.0, 0L), (2L, 20L, 3.0, 0L)).toDF("id", "grp", "v", "ver"))
+    // one merge BEFORE the stream starts so the feed schema exists
+    wh.upsert("silver", "fact", Seq((3L, 10L, 2.0, 1L)).toDF("id", "grp", "v", "ver"),
+      Seq("id"), "ver")
+    MaterializedAgg.build(wh, "silver", "fact", "gold", "mv", Seq("grp"), "v")
+    val q = WarehouseStreams.mvRefreshSink(spark, wh, "silver", "fact", "gold", "mv",
+      Seq("grp"), "v", s"$root/ckpt")
+    q.processAllAvailable() // nothing newer than the build cursor: no-op
+    wh.upsert("silver", "fact",
+      Seq((1L, 10L, 9.0, 2L), (4L, 30L, 7.0, 2L)).toDF("id", "grp", "v", "ver"),
+      Seq("id"), "ver")
+    q.processAllAvailable() // the merge's feed files trigger a refresh
+    q.stop()
+    val mv = wh.table("gold", "mv")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue(), r.getLong(2))).toSet
+    assert(mv == Set((10L, 11.0, 2L), (20L, 3.0, 1L), (30L, 7.0, 1L)), s"got $mv")
+  }
+
   test("mapGroupsWithState accumulates per-user session state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream2").toString

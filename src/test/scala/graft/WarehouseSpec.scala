@@ -75,15 +75,46 @@ class WarehouseSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"),
         r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
     assert(all == Set(
+      (2L, "b", "update_preimage", 1L), // the replaced row — what a consumer subtracts
       (2L, "b2", "update_postimage", 1L),
       (3L, "c", "insert", 1L),
+      (3L, "c", "update_preimage", 2L),
       (3L, "c2", "update_postimage", 2L)
-    ), s"got $all") // k=1's non-winning source row must NOT appear
+    ), s"got $all") // k=1's non-winning source row must NOT appear (no pre OR post)
     // incremental tail: a consumer that saw version 1 gets only version 2
     val tail = wh.changeFeed("silver", "cf", sinceVersion = 1L)
-      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"))).toSet
-    assert(tail == Set((3L, "c2")))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(tail == Set((3L, "c", "update_preimage"), (3L, "c2", "update_postimage")))
     intercept[IllegalArgumentException](wh.changeFeed("silver", "nope"))
+  }
+
+  test("incremental MV refresh from the feed equals a full recompute; cursor makes re-refresh a no-op") {
+    import graft.operators.MaterializedAgg
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "fact",
+      Seq((1L, 10L, 5.0, 0L), (2L, 10L, 7.0, 0L), (3L, 20L, 1.0, 0L), (4L, 20L, 2.0, 0L))
+        .toDF("id", "grp", "v", "ver"))
+    MaterializedAgg.build(wh, "silver", "fact", "gold", "mv", Seq("grp"), "v")
+    // update id=1 (5.0 -> 8.0), insert id=5 into a NEW group, then
+    // delete ALL of group 20 — its key must leave the MV entirely
+    wh.upsert("silver", "fact",
+      Seq((1L, 10L, 8.0, 1L), (5L, 30L, 4.0, 1L)).toDF("id", "grp", "v", "ver"),
+      Seq("id"), "ver")
+    wh.delete("silver", "fact", $"grp" === 20L)
+    val applied = MaterializedAgg.refresh(wh, "silver", "fact", "gold", "mv", Seq("grp"), "v")
+    assert(applied > 0)
+    def snap = wh.table("gold", "mv")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue(), r.getLong(2))).toSet
+    assert(snap == Set((10L, 15.0, 2L), (30L, 4.0, 1L)), s"got $snap")
+    // and it equals the full recompute from the live table
+    val full = wh.table("silver", "fact").groupBy($"grp")
+      .agg(sum($"v".cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue(), r.getLong(2))).toSet
+    assert(snap == full)
+    // the cursor advanced: nothing new to apply
+    assert(MaterializedAgg.refresh(wh, "silver", "fact", "gold", "mv", Seq("grp"), "v") == 0L)
   }
 
   test("append evolves the target schema: new columns null-backfill old rows") {
@@ -138,6 +169,30 @@ class WarehouseSpec extends SparkSpec {
     // pre-delete snapshot retained; ledger records the op
     assert(wh.tableAsOf("silver", "d", 0L).count() == 4)
     assert(wh.lastOperation("silver.d").get.getAs[String]("operation") == "DELETE")
+  }
+
+  test("update rewrites matching rows in place with both feed images") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "u",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("k", "tag", "v"))
+    val n = wh.update("silver", "u", $"tag" === "a",
+      Map("v" -> ($"v" * 2), "tag" -> lit("A")))
+    assert(n == 2)
+    val rows = wh.table("silver", "u").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "A", 20.0), (2L, "b", 20.0), (3L, "A", 60.0)))
+    val feed = wh.changeFeed("silver", "u")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed == Set(
+      (1L, 10.0, "update_preimage"), (1L, 20.0, "update_postimage"),
+      (3L, 30.0, "update_preimage"), (3L, 60.0, "update_postimage")))
+    assert(wh.lastOperation("silver.u").get.getAs[String]("operation") == "UPDATE")
+    // unknown assignment column refused; schema unchanged by casts
+    intercept[IllegalArgumentException] {
+      wh.update("silver", "u", $"tag" === "A", Map("nope" -> lit(1)))
+    }
   }
 
   test("zorder shrinks per-file min/max spans on every clustered dimension") {
