@@ -852,7 +852,11 @@ object Oracles {
       """SELECT o_orderkey, o_orderpriority,
         |       CASE WHEN o_orderpriority = '1-URGENT'
         |            THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q85_csv_roundtrip" ->
+      """SELECT lang, source, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }
 

@@ -615,6 +615,28 @@ object QueriesRel2 {
       .orderBy($"day", $"event_type")
   }
 
+  /** CSV round-trip under the oracle gate (q71's ORC twin — the
+    * engine's scan/codegen pipeline is format-agnostic behind
+    * DataSource V2): scalar document columns written as headered CSV,
+    * read back through the CSV scan with an explicit schema (inference
+    * is a second full pass and type-unstable — never at 100 TB), and
+    * aggregated; same oracle as a direct parquet aggregation. Free
+    * text stays out: CSV is a scalar-interchange format, not a
+    * document store.
+    */
+  def q85_csv_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"lang", $"source", $"n_chars")
+    val tmp  = Scratch.dir(spark, "q85_csv", dir)
+    Scratch.once(tmp) {
+      base.write.mode("overwrite").option("header", "true").csv(s"$tmp/docs")
+    }
+    spark.read.option("header", "true").schema(base.schema).csv(s"$tmp/docs")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang", $"source")
+  }
+
   /** Point-in-interval range join ([[graft.operators.RangeJoin]]):
     * every 100th event opens a 2-hour window; all events inside any
     * window are matched to it. The bucket width equals the window
