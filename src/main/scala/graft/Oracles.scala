@@ -856,7 +856,58 @@ object Oracles {
     "q85_csv_roundtrip" ->
       """SELECT lang, source, count(*) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // q86: a fully independent PQ oracle — because the codebook is the
+    // deterministic sha256-rank sample (same cross-engine trick as
+    // q59's sampler), DuckDB can rebuild codebook → codes → snapped
+    // corpus from `embeddings` alone and brute-force the top-10 the
+    // ADC scan must reproduce. Parameters mirror the Spark query:
+    // m=8 subspaces × dsub=8 dims, ksub=16 centroids, seed 42, k=10,
+    // queries vec_id < 8. Ranking is by score only (values withheld:
+    // engines differ in float accumulation; observed score gaps ≫
+    // float error, same argument as q29/q30).
+    "q86_ann_pq_topk" ->
+      """WITH dv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), nv AS (
+        |  SELECT vec_id,
+        |         list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS vn
+        |  FROM dv
+        |), sub AS (
+        |  SELECT vec_id, CAST(j AS INT) AS j, vn[j*8+1 : j*8+8] AS sv,
+        |         sha256(CAST(vec_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':42') AS hk
+        |  FROM nv, range(8) r(j)
+        |), cent AS (
+        |  SELECT j, rn - 1 AS c, sv FROM (
+        |    SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY hk, vec_id) AS rn
+        |    FROM sub)
+        |  WHERE rn <= 16
+        |), enc AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT s.vec_id, s.j, ct.c,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.j
+        |             ORDER BY list_distance(s.sv, ct.sv), ct.c) AS rn
+        |    FROM sub s JOIN cent ct ON ct.j = s.j)
+        |  WHERE rn = 1
+        |), snap AS (
+        |  SELECT e.vec_id, flatten(list(ct.sv ORDER BY e.j)) AS sv
+        |  FROM enc e JOIN cent ct ON ct.j = e.j AND ct.c = e.c
+        |  GROUP BY e.vec_id
+        |), q AS (
+        |  SELECT vec_id AS query_id, vn AS qn FROM nv WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT q.query_id, s.vec_id AS neighbor_id,
+        |         list_inner_product(q.qn, s.sv) AS score
+        |  FROM q CROSS JOIN snap s
+        |  WHERE s.vec_id <> q.query_id
+        |)
+        |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Graph, Similarity}
+import graft.operators.{Dedup, Graph, Pq, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -231,6 +231,28 @@ object QueriesDedup {
     Similarity
       .cosinePairsBucketed(corpus, "vec_id", "embedding", threshold = 0.8)
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** Product-quantization ANN top-10 ([[graft.operators.Pq]]) — the
+    * compression rung of the ANN ladder: the corpus scan reads 8
+    * centroid ids per row instead of 64 floats (32×), and queries
+    * score via ADC against the codes. Ranking by ADC score IS the
+    * exact top-k over the snapped (reconstructed) corpus — and because
+    * the codebook here is the deterministic sha256-rank sample
+    * (kmeansIters = 0, [[Pq.trainSampled]]), the snapped corpus is
+    * reproducible in plain SQL: the DuckDB oracle rebuilds codebook,
+    * codes, and snapped vectors from `embeddings` alone and
+    * brute-forces the same top-10. Lloyd-refined codebooks
+    * (kmeansIters > 0) sharpen quantization error and are pinned by
+    * PqSpec, same split as IVF's q57 vs its spec-pinned recall curve.
+    */
+  def q86_ann_pq_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cb    = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16, dsub = 8, seed = 42L)
+    val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", cb)
+    Pq.topK(codes, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10, cb)
+      .orderBy($"query_id", $"rank")
   }
 
   /** Incremental dedup against a PERSISTED band index — the exact

@@ -130,8 +130,14 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   def createOrReplace(layer: String, table: String, df: DataFrame): Long = {
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val rows = spark.read.parquet(staging.toString).count()
+    // row count as an observe() metric from the write job itself — a
+    // staging re-read would scan every written byte a second time,
+    // doubling CTAS read I/O at any scale (same one-pass contract as
+    // [[append]])
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val rows = obs.get("n").asInstanceOf[Long]
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "CREATE OR REPLACE", inserted = rows, updated = 0, outputRows = rows)
     rows
@@ -150,8 +156,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   ): Long = {
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging.toString)
-    val rows = spark.read.parquet(staging.toString).count()
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging.toString)
+    val rows = obs.get("n").asInstanceOf[Long]
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "CREATE OR REPLACE", inserted = rows, updated = 0, outputRows = rows)
     rows
@@ -175,11 +183,13 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
+    val obs = org.apache.spark.sql.Observation()
     before
       .repartition(nFiles.toInt)
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite)
       .parquet(staging.toString)
-    val back = spark.read.parquet(staging.toString).count()
+    val back = obs.get("n").asInstanceOf[Long]
     require(back == rows, s"compaction changed row count: $rows -> $back")
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "COMPACT", inserted = 0, updated = 0, outputRows = rows)
@@ -207,8 +217,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // !predicate would silently drop NULL-evaluating rows from BOTH
     // the survivors and the feed — rows vanishing unrecorded
     val hit = coalesce(predicate, lit(false))
-    df.filter(!hit).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val kept = spark.read.parquet(staging.toString).count()
+    val keptObs = org.apache.spark.sql.Observation()
+    df.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val kept = keptObs.get("n").asInstanceOf[Long]
     val deletedRows = df.filter(hit)
       .withColumn("_change_type", lit("delete"))
       .withColumn("_commit_version", lit(ver))
@@ -333,12 +345,14 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .reduce(_.bitwiseOR(_))
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
+    val obs = org.apache.spark.sql.Observation()
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val back = spark.read.parquet(staging.toString).count()
+    val back = obs.get("n").asInstanceOf[Long]
     require(back == rows, s"zorder changed row count: $rows -> $back")
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "ZORDER", inserted = 0, updated = 0, outputRows = rows)
@@ -509,6 +523,28 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
           s"(current=$current, keepGenerations=$keepGenerations)")
       spark.read.parquet(p.toString)
     }
+  }
+
+  /** Roll the table back to a retained past `version` (Delta RESTORE
+    * replacement — completes the time-travel surface: [[history]] to
+    * inspect, [[tableAsOf]] to read, restore to act). The snapshot is
+    * materialized through the same staged swap as every replacing
+    * write, so the outgoing (pre-restore) generation retires and a
+    * mistaken restore is itself restorable. Ledgers as `RESTORE` at a
+    * new version; like Delta, no row-level change-feed entries are
+    * emitted — CDC consumers resync from the restored snapshot.
+    */
+  def restore(layer: String, table: String, version: Long): Long = {
+    val snap    = tableAsOf(layer, table, version) // validates retention
+    val staging = new Path(tablePath(layer, table) + ".__restore_staging")
+    fs.delete(staging, true)
+    val obs = org.apache.spark.sql.Observation()
+    snap.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val rows = obs.get("n").asInstanceOf[Long]
+    retireAndSwap(layer, table, staging)
+    logOp(layer, table, "RESTORE", inserted = rows, updated = 0, outputRows = rows)
+    rows
   }
 
   /** All ledger entries for a table — the engine's DESCRIBE HISTORY. */

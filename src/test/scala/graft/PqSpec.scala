@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.{Pq, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization: encode/decode invariants, ADC ≡ decoded dot,
+  * exact top-k over the snapped corpus, and the Lloyd-refinement
+  * quality contract (quantization error drops, recall does not).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 8; private val K = 16; private val D = 8
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val cb  = Pq.train(emb, "vec_id", "embedding", m = M, ksub = K, dsub = D, seed = 42L)
+
+  test("codes are m ids in [0, ksub); decode is the centroid concatenation") {
+    val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", cb)
+    val bad = codes
+      .filter(size($"codes") =!= M ||
+        exists($"codes", c => c < 0 || c >= K))
+      .count()
+    assert(bad == 0)
+    // decode reproduces the codebook entries positionally
+    val row = codes
+      .select($"id", $"codes", Pq.decode($"codes", cb).as("sv"))
+      .head()
+    val cs = row.getSeq[Int](1)
+    val sv = row.getSeq[Double](2)
+    assert(sv.length == M * D)
+    for (j <- 0 until M; i <- 0 until D)
+      assert(sv(j * D + i) == cb.flat((j * K + cs(j)) * D + i))
+  }
+
+  test("encoding is deterministic across independent runs and plans") {
+    val a = Pq.encodeCorpus(emb, "vec_id", "embedding", cb).collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val cb2 = Pq.train(emb, "vec_id", "embedding", m = M, ksub = K, dsub = D, seed = 42L)
+    val b = Pq.encodeCorpus(emb, "vec_id", "embedding", cb2).collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(cb.flat.sameElements(cb2.flat), "sampled codebook must be run-deterministic")
+    assert(a == b)
+  }
+
+  test("ADC score equals dot(query, decode(codes)) up to summation grouping") {
+    val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", cb)
+    val q = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), Similarity.normalized($"embedding").as("qn"))
+    val both = codes
+      .join(broadcast(q), $"query_id" =!= $"id")
+      .select(
+        Pq.adc($"qn", $"codes", cb).as("adc"),
+        Similarity.dot($"qn", Pq.decode($"codes", cb)).as("full"))
+      .select(max(abs($"adc" - $"full")).as("maxdiff"))
+      .head().getDouble(0)
+    assert(both < 1e-12, s"ADC must equal the decoded dot up to grouping, diff=$both")
+  }
+
+  test("ADC top-k IS the exact brute-force top-k over the snapped corpus") {
+    val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter($"vec_id" < 8)
+    val viaAdc = Pq.topK(codes, queries, "vec_id", "embedding", k = 10, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // reference: materialize the snapped corpus and brute-force it
+    val snapped = codes.select($"id".as("vec_id"), Pq.decode($"codes", cb).as("embedding"))
+    val qn = queries.select($"vec_id".as("query_id"), Similarity.normalized($"embedding").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    val ref = snapped
+      .join(broadcast(qn), $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        Similarity.dot($"qn", $"embedding").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(viaAdc == ref)
+  }
+
+  test("PQ recall@10 vs exact search is reasonable and Lloyd refinement does not regress it") {
+    def topkSets(c: Pq.Codebook): Map[Long, Set[Long]] = {
+      val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", c)
+      Pq.topK(codes, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10, c)
+        .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    }
+    val exact = Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ex) => (approx.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size }
+      per.sum / per.size
+    }
+    val r0 = recall(topkSets(cb))
+    val cbR = Pq.train(emb, "vec_id", "embedding", m = M, ksub = K, dsub = D, seed = 42L, kmeansIters = 3)
+    val r3 = recall(topkSets(cbR))
+    info(f"PQ recall@10: sampled=$r0%.2f refined=$r3%.2f")
+    // 16 centroids × 8 subspaces on 64-dim gaussian data is a coarse
+    // quantizer — recall is bounded away from zero, not from one; the
+    // REFINED codebook is the quality path and must not regress.
+    assert(r0 > 0.2, s"sampled-codebook recall collapsed: $r0")
+    assert(r3 >= r0 - 0.05, s"refinement regressed recall: $r0 -> $r3")
+  }
+
+  test("Lloyd refinement reduces quantization error") {
+    def qerr(c: Pq.Codebook): Double = {
+      val n = Similarity.normalized($"embedding")
+      emb.select(
+        Similarity.dot($"embedding", $"embedding").as("ignore"),
+        n.as("vn"))
+        .select($"vn", Pq.decode(Pq.encode($"vn", c), c).as("sv"))
+        .select(
+          (Similarity.dot($"vn", $"vn") + Similarity.dot($"sv", $"sv")
+            - lit(2.0) * Similarity.dot($"vn", $"sv")).as("e2"))
+        .agg(avg($"e2")).head().getDouble(0)
+    }
+    val e0 = qerr(cb)
+    val e3 = qerr(Pq.train(emb, "vec_id", "embedding", m = M, ksub = K, dsub = D, seed = 42L, kmeansIters = 3))
+    info(f"mean squared quantization error: sampled=$e0%.4f refined=$e3%.4f")
+    assert(e3 < e0, s"k-means refinement must reduce quantization error ($e0 -> $e3)")
+  }
+}

@@ -48,6 +48,30 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.listTables("gold") == Seq("g"))
   }
 
+  test("restore rolls the table back to a past version and is itself restorable") {
+    import spark.implicits._
+    val wh = freshWh(keep = 3)
+    wh.createOrReplace("silver", "r", // version 0
+      Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "payload", "v"))
+    wh.upsert("silver", "r", // version 1: update k=2, insert k=3
+      Seq((2L, "b2", 2), (3L, "c", 1)).toDF("k", "payload", "v"), Seq("k"), "v")
+    def snap = wh.table("silver", "r").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snap == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // version 2: back to the pre-merge state
+    val rows = wh.restore("silver", "r", 0L)
+    assert(rows == 2 && snap == Seq((1L, "a"), (2L, "b")))
+    assert(wh.lastOperation("silver.r").get.getAs[String]("operation") == "RESTORE")
+    // the pre-restore generation retired: the merge result is still readable...
+    assert(wh.tableAsOf("silver", "r", 1L).count() == 3)
+    // ...and a mistaken restore is undone by restoring to it
+    wh.restore("silver", "r", 1L) // version 3
+    assert(snap == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(wh.currentVersion("silver", "r") == 3L)
+    // a pruned version refuses rather than silently rebuilding from the wrong data
+    intercept[IllegalArgumentException](wh.restore("silver", "r", 99L))
+  }
+
   test("compact retires a readable generation and never deletes the live table in the swap") {
     import spark.implicits._
     val wh = freshWh()
