@@ -497,7 +497,7 @@ object Oracles {
     * pairs). q55's ledger estimate is engine-specific like q49/q50, so
     * its oracle is the same exact-count + within_bound contract.
     */
-  val all: Map[String, String] = base ++ Map(
+  private val preAlias: Map[String, String] = base ++ Map(
     "q53_star_clusters" -> base("q38_dedup_clusters"),
     "q54_indexed_dedup" -> base("q48_incremental_dedup"),
     "q55_sketch_ledger" ->
@@ -857,15 +857,17 @@ object Oracles {
       """SELECT lang, source, count(*) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-    // q86: a fully independent PQ oracle — because the codebook is the
-    // deterministic sha256-rank sample (same cross-engine trick as
+    // q86/q87: a fully independent PQ oracle — because the codebook is
+    // the deterministic sha256-rank sample (same cross-engine trick as
     // q59's sampler), DuckDB can rebuild codebook → codes → snapped
     // corpus from `embeddings` alone and brute-force the top-10 the
     // ADC scan must reproduce. Parameters mirror the Spark query:
     // m=8 subspaces × dsub=8 dims, ksub=16 centroids, seed 42, k=10,
     // queries vec_id < 8. Ranking is by score only (values withheld:
     // engines differ in float accumulation; observed score gaps ≫
-    // float error, same argument as q29/q30).
+    // float error, same argument as q29/q30). q87 (IVF-PQ) runs at
+    // nprobe = nlist, where the probed cells cover the whole corpus
+    // and each row exactly once — identical ADC ranking, same oracle.
     "q86_ann_pq_topk" ->
       """WITH dv AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
@@ -909,6 +911,12 @@ object Oracles {
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Queries that provably reproduce another query's output reuse its
+    * SQL (q87 = IVF-PQ at nprobe = nlist ≡ q86's flat ADC ranking).
+    */
+  val all: Map[String, String] =
+    preAlias + ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk"))
 }
 
 

@@ -255,6 +255,24 @@ object QueriesDedup {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-PQ composite ANN ([[Pq.ivfPqTopK]]) at nprobe = nlist — the
+    * exact endpoint where the probed cells cover the corpus exactly
+    * once, so the ranking is identical to q86's flat ADC scan and the
+    * same independent DuckDB oracle applies, while the query exercises
+    * the full composite machinery: centroid assignment, per-cell code
+    * storage, probe join, ADC rank. The pruned operating points
+    * (nprobe < nlist: read nprobe/nlist of the corpus at 1/32nd the
+    * bytes) are pinned by PqSpec, mirroring q57's IVF recall split.
+    */
+  def q87_ann_ivfpq_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cb  = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16, dsub = 8, seed = 42L)
+    Pq.ivfPqTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10, cb,
+      nlist = 16, nprobe = 16)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Incremental dedup against a PERSISTED band index — the exact
     * daily-ingest lifecycle: sign the corpus once, write the index
     * tables ([[Dedup.nearDupSets]] + [[Dedup.nearDupBandRows]]) to

@@ -180,6 +180,50 @@ object Pq {
     * bytes. Output (query_id, rank, neighbor_id); ranking is by the
     * quantized score, i.e. exact top-k over the SNAPPED corpus.
     */
+  /** IVF-PQ top-k — the FAISS-shape composite index and the engine's
+    * full 100 TB ANN answer: the corpus is partitioned into IVF cells
+    * ([[Similarity.assignCells]] — persist it `partitionBy("cell")`
+    * like q61's index and a probe becomes a partition-pruned read) and
+    * each row is stored as PQ codes — so a query reads `nprobe/nlist`
+    * of the corpus (IVF pruning) at 1/32nd the bytes (PQ compression),
+    * scoring via ADC. At nprobe = nlist the probed cells cover every
+    * row exactly once and the ranking is IDENTICAL to the flat ADC
+    * scan ([[topK]]) — q87's operating point, which is what lets the
+    * composite machinery share q86's independent DuckDB oracle; the
+    * pruned operating points are pinned by PqSpec like IVF's recall
+    * curve.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Codebook,
+      nlist: Int = 16,
+      nprobe: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    val cent = Similarity.centroids(corpus, idCol, vecCol, nlist, seed, kmeansIters = 0)
+    val coded = Similarity
+      .assignCells(corpus, idCol, vecCol, cent)
+      .select(col(idCol).as("id"), col("cell"),
+        encode(Similarity.normalized(col(vecCol)), cb).as("codes"))
+    val qCells = Similarity
+      .probeCells(queries, cent, idCol, vecCol, nprobe)
+      .select(col("query_id"), Similarity.normalized(col("qv")).as("qn"), col("cell"))
+    val scored = coded
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adc(col("qn"), col("codes"), cb).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   def topK(
       codes: DataFrame, // (id, codes) from [[encodeCorpus]]
       queries: DataFrame,

@@ -225,8 +225,11 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .withColumn("_change_type", lit("delete"))
       .withColumn("_commit_version", lit(ver))
     val obs = org.apache.spark.sql.Observation()
-    deletedRows.observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(target + ".__changes")
+    deletedRows
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(target + ".__changes")
     val deleted = obs.get("n").asInstanceOf[Long]
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver)
@@ -262,7 +265,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         case None    => col(f.name)
       }
     }: _*)
-    rewritten.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val rowsObs = org.apache.spark.sql.Observation()
+    rewritten.observe(rowsObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val outputRows = rowsObs.get("n").asInstanceOf[Long]
     val pre = df.filter(hit).withColumn("_change_type", lit("update_preimage"))
     val post = df.filter(hit)
       .select(df.schema.fields.toSeq.map { f =>
@@ -275,12 +281,14 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val obs = org.apache.spark.sql.Observation()
     pre.unionByName(post)
       .withColumn("_commit_version", lit(ver))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
       .observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(target + ".__changes")
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(target + ".__changes")
     val updated = obs.get("n").asInstanceOf[Long] / 2
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "UPDATE", inserted = 0, updated = updated,
-      outputRows = spark.read.parquet(target).count(), version = ver)
+      outputRows = outputRows, version = ver)
     updated
   }
 
@@ -445,7 +453,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         .withColumn("_change_type", lit("update_preimage"))
       post.unionByName(pre)
         .withColumn("_commit_version", lit(ver))
-        .write.mode(SaveMode.Append).parquet(tablePath(layer, table) + ".__changes")
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(tablePath(layer, table) + ".__changes")
     } finally mr.unpersist() // evict the cached merge plan itself, not a derived projection
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows, version = ver)
@@ -458,12 +468,22 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * append-only and survives generation pruning — a downstream
     * consumer can refresh incrementally from any version it last saw,
     * even after the matching snapshot is vacuumed.
+    *
+    * Layout: the sidecar is hive-partitioned by `_commit_part` (the
+    * version, zero-padded so string order = numeric order — no cast on
+    * the partition attribute to defeat pruning), so a tail from
+    * version N is a PARTITION-PRUNED read of the commits after N, not
+    * a scan-all-then-filter of a feed that only ever grows. That is
+    * what keeps incremental consumers O(delta) over the table's whole
+    * life, not O(history). `_commit_version` stays a data column —
+    * consumer schemas are unchanged.
     */
   def changeFeed(layer: String, table: String, sinceVersion: Long = -1L): DataFrame = {
     val p = tablePath(layer, table) + ".__changes"
     require(fs.exists(new Path(p)), s"$layer.$table has no change feed (no merges recorded)")
     spark.read.option("mergeSchema", "true").parquet(p)
-      .filter(col("_commit_version") > sinceVersion)
+      .filter(col("_commit_part") > f"$sinceVersion%010d")
+      .drop("_commit_part")
   }
 
   // ---- ops ledger (replaces Delta DESCRIBE HISTORY, SURVEY §2.1 S12) ----

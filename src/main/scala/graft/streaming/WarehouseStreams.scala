@@ -73,7 +73,13 @@ object WarehouseStreams {
     * (at least one merge) to fix the schema.
     */
   def changeFeedStream(spark: SparkSession, wh: Warehouse, layer: String, table: String): DataFrame = {
-    val schema = wh.changeFeed(layer, table).schema
-    spark.readStream.schema(schema).parquet(wh.tablePath(layer, table) + ".__changes")
+    val p = wh.tablePath(layer, table) + ".__changes"
+    // schema from a direct read of the sidecar so it INCLUDES the
+    // `_commit_part` hive-partition column (a user schema omitting a
+    // discovered partition column is undefined for file sources);
+    // dropped after — stream consumers see the same feed columns as
+    // the batch changeFeed
+    val schema = spark.read.parquet(p).schema
+    spark.readStream.schema(schema).parquet(p).drop("_commit_part")
   }
 }

@@ -76,6 +76,26 @@ class PqSpec extends SparkSpec {
     assert(viaAdc == ref)
   }
 
+  test("IVF-PQ at nprobe = nlist equals the flat ADC scan; pruning scans a cell subset") {
+    val queries = emb.filter($"vec_id" < 8)
+    val flat = Pq.topK(Pq.encodeCorpus(emb, "vec_id", "embedding", cb),
+      queries, "vec_id", "embedding", k = 10, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10, cb,
+      nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == flat, "nprobe = nlist must reproduce the flat ADC ranking exactly")
+    // pruned probe: still k valid rows per query, drawn from probed cells
+    val pruned = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10, cb,
+      nlist = 16, nprobe = 4)
+      .collect()
+    assert(pruned.length == 8 * 10)
+    val prunedSets = pruned.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val flatSets   = flat.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    val recall = flatSets.map { case (q, f) => (prunedSets.getOrElse(q, Set.empty[Long]) & f).size.toDouble / f.size }
+    info(f"IVF-PQ recall@10 at nprobe/nlist=1/4 vs flat ADC: ${recall.sum / recall.size}%.2f")
+  }
+
   test("PQ recall@10 vs exact search is reasonable and Lloyd refinement does not regress it") {
     def topkSets(c: Pq.Codebook): Map[Long, Set[Long]] = {
       val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", c)

@@ -113,6 +113,23 @@ class WarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException](wh.changeFeed("silver", "nope"))
   }
 
+  test("change-feed tail is a partition-pruned read, not scan-all-then-filter") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "pp", Seq((1L, "a", 1)).toDF("k", "payload", "v"))
+    for (i <- 1 to 3)
+      wh.upsert("silver", "pp",
+        Seq((1L, s"a$i", i)).toDF("k", "payload", "v"), Seq("k"), "v")
+    val plan = wh.changeFeed("silver", "pp", sinceVersion = 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_commit_part"),
+      s"feed tail must prune on _commit_part, plan:\n$plan")
+    // and the pruned read returns exactly the post-cursor commits
+    val vs = wh.changeFeed("silver", "pp", sinceVersion = 2L)
+      .select($"_commit_version").distinct().collect().map(_.getLong(0)).toSet
+    assert(vs == Set(3L))
+  }
+
   test("incremental MV refresh from the feed equals a full recompute; cursor makes re-refresh a no-op") {
     import graft.operators.MaterializedAgg
     import spark.implicits._
