@@ -170,7 +170,61 @@ object ScaleSmoke {
     spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** PQ compression evidence: measured parquet bytes of the raw
+    * embedding column vs the PQ code column (array<int> and the
+    * 4-bit-packed single INT form — ksub=16 → 4 bits/code × m=8 = one
+    * 32-bit word per vector), plus the ADC scan vs brute-force scan
+    * time over the same top-k. Results pasted into SCALE.md.
+    */
+  private[tools] def pqBytes(spark: SparkSession): Unit = {
+    import graft.operators.{Pq, Similarity}
+    val src = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, src)
+    val cb  = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16, dsub = 8, seed = 42L)
+    val out = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_pq_bytes").toString
+    val t0 = System.nanoTime()
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$out/raw")
+    val tRaw = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", cb)
+    codes.write.mode("overwrite").parquet(s"$out/codes")
+    val tCodes = (System.nanoTime() - t1) / 1e9
+    // 4-bit pack: 8 codes of [0,16) in one INT — the honest minimal layout
+    val packed = codes.select(col("id"),
+      (0 until 8).map(j =>
+        shiftleft(element_at(col("codes"), j + 1).cast("int"), 4 * j))
+        .reduce((a, b) => a.bitwiseOR(b)).as("packed"))
+    packed.write.mode("overwrite").parquet(s"$out/packed")
+    def bytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(path).getLength
+    }
+    val (bRaw, bCodes, bPacked) = (bytes(s"$out/raw"), bytes(s"$out/codes"), bytes(s"$out/packed"))
+    val n = spark.read.parquet(s"$out/raw").count()
+    println(f"PQBYTES rows=$n raw=${bRaw}B codes=${bCodes}B packed=${bPacked}B " +
+      f"ratio_codes=${bRaw.toDouble / bCodes}%.1f ratio_packed=${bRaw.toDouble / bPacked}%.1f " +
+      f"write_raw=$tRaw%.1f s write_codes=$tCodes%.1f s")
+    // scan cost: ADC top-k over persisted codes vs brute force over raw
+    val queries = emb.filter(col("vec_id") < 8)
+    def time(f: => Long): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val tAdc = time(Pq.topK(spark.read.parquet(s"$out/codes"), queries,
+      "vec_id", "embedding", k = 10, cb).count())
+    val tBrute = time(Similarity.bruteForceTopK(
+      spark.read.parquet(s"$out/raw"), queries, "vec_id", "embedding", k = 10).count())
+    println(f"PQSCAN adc=$tAdc%.2f s brute=$tBrute%.2f s (sf0.1, 8 queries, k=10)")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pq")) {
+      val spark = Engine.session(8)
+      pqBytes(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("skew")) {
       // 8 cores (not 32): the 32 reduce tasks then run in waves, so the
       // hot task's duration reflects its compute, not 32-thread CPU
