@@ -912,11 +912,44 @@ object Oracles {
         |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
   )
 
+  // q88: selection is by EXACT count (the CMS contributes the
+  // within_bound evidence, whose contract holds deterministically at
+  // these sizes) — same shape as q49/q50's sketch contracts.
+  private val q88Sql: String =
+    """SELECT event_type, count(*) AS exact_n, 1 AS within_bound
+      |FROM events GROUP BY 1
+      |HAVING count(*) >= 0.10 * (SELECT count(*) FROM events)
+      |ORDER BY 1""".stripMargin
+
   /** Queries that provably reproduce another query's output reuse its
     * SQL (q87 = IVF-PQ at nprobe = nlist ≡ q86's flat ADC ranking).
     */
+  // q89: the projection VALUES are bit-exact — ±1.0 signs from the
+  // shared sha256 rule, and `list_inner_product` accumulates double
+  // left-to-right exactly like the codegen DotProduct (verified
+  // bit-exact on adversarial mixed-magnitude inputs), so both engines
+  // run the identical IEEE op sequence. No decimal casts: double→
+  // decimal TIE rounding diverges between engines (Spark rounds the
+  // shortest repr, DuckDB the binary expansion) — fixed-order floats
+  // are the portable form.
+  private val q89Sql: String =
+    """WITH r AS (
+      |  SELECT j, list(CASE WHEN substring(sha256(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':42'), 1, 1) < '8'
+      |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS srow
+      |  FROM (SELECT CAST(a.j AS INT) AS j, CAST(b.i AS INT) AS i
+      |        FROM range(16) a(j), range(64) b(i))
+      |  GROUP BY j
+      |)
+      |SELECT e.vec_id, r.j AS out_dim,
+      |       list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), r.srow) AS proj
+      |FROM embeddings e, r
+      |ORDER BY vec_id, out_dim""".stripMargin
+
   val all: Map[String, String] =
-    preAlias + ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk"))
+    preAlias +
+      ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk")) +
+      ("q88_heavy_hitters" -> q88Sql) +
+      ("q89_random_projection" -> q89Sql)
 }
 
 

@@ -273,6 +273,32 @@ object QueriesDedup {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Johnson–Lindenstrauss random projection under a VALUE-exact
+    * oracle — and it is the PRODUCTION path itself under the gate:
+    * [[Similarity.signProjection]] (one codegen [[Similarity.dot]] per
+    * output dim over [[Similarity.signMatrix]]'s deterministic ±1
+    * rows; pure map work, no shuffle). The projection VALUES hash-match
+    * because a dot against ±1.0 is a fixed left-to-right sequence of
+    * IEEE double ops — and DuckDB's `list_inner_product` accumulates
+    * exactly that way (verified bit-exact over adversarial
+    * mixed-magnitude trials), so both engines emit the identical
+    * doubles with no decimal scaffolding. (A first cut summed
+    * DECIMAL(18,12)-cast terms instead and lost 16/8000 rows to
+    * double→decimal TIE-rounding divergence — Spark rounds the
+    * shortest decimal repr, DuckDB the full binary expansion; the
+    * fixed-order float path is the one that is portable.) JL
+    * pairwise-distance contract pinned in DedupSpec. Long-form output
+    * (vec_id, out_dim, proj).
+    */
+  def q89_random_projection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        posexplode(Similarity.signProjection($"embedding", dOut = 16, dim = 64))
+          .as(Seq("out_dim", "proj")))
+      .orderBy($"vec_id", $"out_dim")
+  }
+
   /** Incremental dedup against a PERSISTED band index — the exact
     * daily-ingest lifecycle: sign the corpus once, write the index
     * tables ([[Dedup.nearDupSets]] + [[Dedup.nearDupBandRows]]) to

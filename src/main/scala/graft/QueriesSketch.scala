@@ -106,4 +106,41 @@ object QueriesSketch {
       )
       .orderBy($"event_type")
   }
+
+  /** Heavy-hitter detection over a MERGED count-min sketch
+    * ([[graft.operators.Sketches.countMinMerged]]) — the frequency
+    * complement to q49/q50/q55's distinct-count sketches: which keys
+    * dominate the stream. Two independently-built slice sketches
+    * (even/odd event_id — two days' ingest) merge without re-scanning
+    * either slice; candidates are the keys at ≥ 10 % share (at most
+    * ⌈1/φ⌉ = 10 of them, the textbook bound — a driver-side loop over
+    * them is metadata work, like the PQ codebook), each bound-checked
+    * against its exact count: CMS guarantees `exact ≤ est` always and
+    * `est ≤ exact + eps·N` at the configured confidence. Selection is
+    * by EXACT count, so the key set is oracle-exact like q49's
+    * contract; the sketch carries the within_bound evidence.
+    */
+  def q88_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val ev  = Tables.events(spark, dir)
+    val eps = 0.001
+    val cms = Sketches.countMinMerged(ev, "event_type", pmod($"event_id", lit(2)), eps,
+      confidence = 0.99, seed = 42)
+    val total = cms.totalCount()
+    val heavy = ev
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("exact_n"))
+      .filter($"exact_n" >= total * 0.10)
+      .collect() // ≤ 1/φ rows by the heavy-hitter bound
+      .map { r =>
+        val key   = r.getString(0)
+        val exact = r.getLong(1)
+        val est   = cms.estimateCount(key)
+        (key, exact,
+          if (est >= exact && est <= exact + (eps * total).toLong + 1) 1 else 0)
+      }
+    heavy.toSeq.toDF("event_type", "exact_n", "within_bound")
+      .orderBy($"event_type")
+  }
 }

@@ -190,6 +190,37 @@ object Similarity {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
+  /** Deterministic ±1 sign matrix for Johnson–Lindenstrauss random
+    * projection (Achlioptas 2003: database-friendly projections — a
+    * sign matrix preserves pairwise distances like a gaussian one).
+    * Entry (j, i) is +1 iff the first hex digit of
+    * sha256("j:i:seed") < '8' — a rule any engine can replay exactly
+    * (the q59/q86 portability trick), which is what lets the
+    * projection itself carry a value-exact oracle.
+    */
+  def signMatrix(dOut: Int, dim: Int, seed: Long = 42L): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    Array.tabulate(dOut, dim) { (j, i) =>
+      val hex = md.digest(s"$j:$i:$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1 else -1
+    }
+  }
+
+  /** JL sign projection, production form: dOut codegen [[dot]]s of the
+    * vector against the ±1 rows — one scan, no shuffle, the
+    * dimensionality-reduction step that runs BEFORE the ANN/dedup
+    * ladder when raw embeddings are wider than the index needs
+    * (768–4096 dims down to 16–64; pairwise geometry survives within
+    * the JL distortion bound, pinned in DedupSpec). Output: the
+    * projected array<double> column. The oracle-exact relational twin
+    * (decimal-summed, q89) is in QueriesDedup.
+    */
+  def signProjection(vec: Column, dOut: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = signMatrix(dOut, dim, seed)
+    array(planes.map(row => dot(vec, typedlit(row.map(_.toDouble)))).toSeq: _*)
+  }
+
   /** Sign-bucket id of a vector under the hyperplanes: bit p = sign of
     * v·w_p. Returns a bucket string of '0'/'1'.
     */

@@ -43,4 +43,34 @@ object Sketches {
     ledger
       .groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_distinct"))
+
+  /** Merged count-min FREQUENCY sketch: one CMS built per slice (each
+    * slice scans only its own rows — the per-day/per-partition ingest
+    * shape, like [[runSketch]]), merged into a single sketch whose
+    * point estimates obey `exact ≤ est ≤ exact + eps·N` (lower bound
+    * always, upper with the configured confidence). Frequency is what
+    * HLL can't answer: which keys DOMINATE — the heavy-domain /
+    * heavy-user question a curation pipeline asks before mixture
+    * weighting (q65), and the skew detector that tells you a join key
+    * needs salting (SCALE.md's crossover) BEFORE the straggler hits.
+    * The sketch is a few KB regardless of key cardinality; slices
+    * merge without re-scanning history.
+    */
+  def countMinMerged(
+      df: DataFrame,
+      keyCol: String,
+      sliceCol: org.apache.spark.sql.Column,
+      eps: Double,
+      confidence: Double,
+      seed: Int
+  ): org.apache.spark.util.sketch.CountMinSketch = {
+    val rows = df
+      .groupBy(sliceCol.as("slice"))
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)).as("cms"))
+      .collect() // one sketch blob per slice — KB-sized metadata
+    rows
+      .map(r => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+  }
 }

@@ -380,4 +380,48 @@ class DedupSpec extends SparkSpec {
     val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert(math.abs(got - expected) < 1e-12)
   }
+
+  test("JL sign projection: codegen path is bit-exact vs a plain Scala loop; pairwise geometry survives") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    // codegen path vs an independent plain-Scala left-to-right loop —
+    // must be BIT-exact (same IEEE op sequence), which is also what
+    // q89's oracle relies on cross-engine
+    val signs = Similarity.signMatrix(16, 64)
+    val got = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding",
+        Similarity.signProjection($"embedding", dOut = 16, dim = 64).as("pv"))
+      .collect()
+    got.foreach { r =>
+      val v  = r.getSeq[Float](1)
+      val pv = r.getSeq[Double](2)
+      for (j <- 0 until 16) {
+        var acc = 0.0
+        for (i <- 0 until 64) acc += v(i).toDouble * signs(j)(i).toDouble
+        assert(pv(j) == acc, s"vec ${r.getLong(0)} dim $j: codegen ${pv(j)} != scala $acc")
+      }
+    }
+    // JL contract (Achlioptas 2003): for pairs, the scaled projected
+    // squared distance (×dim/dOut... the sign matrix is unnormalized, so
+    // E[|Px|²] = dOut·|x|²; compare |Pa−Pb|²/dOut against |a−b|²) stays
+    // within a loose distortion band for the vast majority of pairs at k=16
+    val projected = emb
+      .select($"vec_id", Similarity.signProjection($"embedding", 16, 64).as("pv"))
+    val sample = emb.filter($"vec_id" < 40)
+      .select($"vec_id".as("ida"), $"embedding".as("va"))
+      .join(projected.filter($"vec_id" < 40).select($"vec_id".as("ida"), $"pv".as("pa")), Seq("ida"))
+    val pairs = sample
+      .join(sample.select($"ida".as("idb"), $"va".as("vb"), $"pa".as("pb")), $"ida" < $"idb")
+      .select(
+        (Similarity.dot($"va" , $"va") + Similarity.dot($"vb", $"vb")
+          - lit(2.0) * Similarity.dot($"va", $"vb")).as("d2"),
+        ((Similarity.dot($"pa", $"pa") + Similarity.dot($"pb", $"pb")
+          - lit(2.0) * Similarity.dot($"pa", $"pb")) / lit(16.0)).as("p2"))
+      .collect()
+    val ratios = pairs.map(r => r.getDouble(1) / r.getDouble(0))
+    val within = ratios.count(x => x > 0.3 && x < 1.7).toDouble / ratios.length
+    info(f"JL k=16: ${ratios.length} pairs, mean ratio ${ratios.sum / ratios.length}%.2f, within [0.3,1.7]: $within%.2f")
+    assert(within > 0.9, s"distance distortion at k=16 exceeded the loose JL band for ${1 - within} of pairs")
+  }
 }

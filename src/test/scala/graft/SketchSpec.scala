@@ -87,6 +87,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min merge: slice-built sketches estimate like a single build, bounds hold for every key") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val ev  = Tables.events(spark, dir)
+    val eps = 0.001
+    val merged = Sketches.countMinMerged(ev, "event_type", pmod($"event_id", lit(4)), eps,
+      confidence = 0.99, seed = 42)
+    val single = Sketches.countMinMerged(ev, "event_type", lit(0), eps,
+      confidence = 0.99, seed = 42)
+    val total = merged.totalCount()
+    assert(total == ev.count(), "totalCount must equal the stream length")
+    val exact = ev.groupBy($"event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val est = merged.estimateCount(k)
+      // merging 4 slice sketches must give the same estimates as one build
+      assert(est == single.estimateCount(k), s"$k: merged != single-build estimate")
+      // CMS point-query contract: never under, over by at most eps*N (+1 rounding)
+      assert(est >= n, s"$k: CMS must never underestimate ($est < $n)")
+      assert(est <= n + (eps * total).toLong + 1, s"$k: est $est exceeds exact $n + eps*N")
+    }
+    // a key never seen estimates within the additive bound of zero
+    assert(merged.estimateCount("no_such_event") <= (eps * total).toLong + 1)
+  }
+
   test("hll_union_agg merges MANY partial sketches (8 hash buckets) to the same answer") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.01"
