@@ -268,6 +268,20 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.tableAsOf("gold", "z", 0L).count() == n)
   }
 
+  test("fixture-once DML queries (q80/q82/q83) are call-invariant within a session") {
+    // the bench times these repeatedly against session-memoized base
+    // tables; the second call's merge loses by version rule / deletes
+    // nothing / nets the MV to zero — output must be identical
+    for (q <- Seq(
+        QueriesRel2.q80_change_feed _,
+        QueriesRel2.q82_delete_rows _,
+        QueriesRel2.q83_incremental_mv _)) {
+      val a = q(spark, sfDir).collect().map(_.toSeq).toSeq
+      val b = q(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, "repeated call must reproduce the first call's output exactly")
+    }
+  }
+
   test("schema evolution refuses a column type change") {
     import spark.implicits._
     val wh = freshWh()
