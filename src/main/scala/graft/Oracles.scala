@@ -945,11 +945,28 @@ object Oracles {
       |FROM embeddings e, r
       |ORDER BY vec_id, out_dim""".stripMargin
 
+  // q90: bit-exact mean pooling — chunks ordered by vec_id, summed
+  // left-to-right per position (list_sum is sequential, verified like
+  // q89's list_inner_product), one final divide by the chunk count.
+  private val q90Sql: String =
+    """WITH c AS (
+      |  SELECT vec_id % 50 AS doc, vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |  FROM embeddings
+      |), g AS (
+      |  SELECT doc, list(ev ORDER BY vec_id) AS chunks FROM c GROUP BY doc
+      |)
+      |SELECT doc, CAST(i AS INT) AS pos,
+      |       list_sum(list_transform(chunks, e -> e[CAST(i AS INT) + 1])) / len(chunks) AS pooled
+      |FROM g, range(64) r(i)
+      |ORDER BY doc, pos""".stripMargin
+
   val all: Map[String, String] =
     preAlias +
       ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk")) +
       ("q88_heavy_hitters" -> q88Sql) +
-      ("q89_random_projection" -> q89Sql)
+      ("q89_random_projection" -> q89Sql) +
+      ("q90_mean_pooling" -> q90Sql)
 }
 
 

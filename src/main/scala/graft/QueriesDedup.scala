@@ -299,6 +299,28 @@ object QueriesDedup {
       .orderBy($"vec_id", $"out_dim")
   }
 
+  /** Chunk→document embedding mean pooling under a VALUE-bit-exact
+    * oracle ([[Similarity.meanPoolOrdered]]): every 50th-class of
+    * vec_ids plays a document whose chunks pool into one vector.
+    * Determinism comes from fixing the ENTIRE op sequence — chunks
+    * sorted by id, per-position left-to-right double sum, one final
+    * divide — which DuckDB replays exactly (ordered `list(... ORDER
+    * BY)` + `list_sum`, verified left-to-right like q89's inner
+    * product). The order-free streaming-partial form
+    * ([[Similarity.meanPool]]) is the production default; DedupSpec
+    * pins the two within float-noise of each other and q90 pins the
+    * ordered form cross-engine.
+    */
+  def q90_mean_pooling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity
+      .meanPoolOrdered(
+        Tables.embeddings(spark, dir).withColumn("doc", $"vec_id" % 50),
+        "doc", "vec_id", "embedding", dim = 64)
+      .select($"grp".as("doc"), $"pos", $"pooled")
+      .orderBy($"doc", $"pos")
+  }
+
   /** Incremental dedup against a PERSISTED band index — the exact
     * daily-ingest lifecycle: sign the corpus once, write the index
     * tables ([[Dedup.nearDupSets]] + [[Dedup.nearDupBandRows]]) to

@@ -207,6 +207,51 @@ object Similarity {
     }
   }
 
+  /** Chunk→document embedding mean pooling, production form: one
+    * explode + per-(group, position) average — codegen, partial
+    * aggregation map-side, the standard step that turns chunk
+    * embeddings (q67's chunking output, embedded) back into one
+    * document vector. Double `avg` is aggregation-order-dependent
+    * across runs at the last ulp; when bit-reproducibility matters
+    * (content-addressed caches, cross-engine checks) use
+    * [[meanPoolOrdered]] (q90's form).
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String, dim: Int): DataFrame =
+    df
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("pooled"))
+
+  /** Mean pooling, DETERMINISTIC form: chunks collected per group,
+    * sorted by id, summed left-to-right in double per position, then
+    * divided by the chunk count — a fixed IEEE op sequence, so the
+    * result is bit-identical across runs, partitionings, and engines
+    * (DuckDB's ordered list_sum accumulates the same way — q90's
+    * value-exact oracle). The collect_list bounds state by the
+    * group's chunk count — fine when groups are documents (10²–10³
+    * chunks), not for million-row groups; there [[meanPool]]'s
+    * streaming-partial form is the right tool.
+    * Output (grp, pos, pooled) long-form.
+    */
+  def meanPoolOrdered(df: DataFrame, groupCol: String, idCol: String, vecCol: String, dim: Int): DataFrame =
+    df
+      .select(col(groupCol).as("grp"), struct(col(idCol), col(vecCol)).as("s"))
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(col("s"))).as("chunks"))
+      .select(
+        col("grp"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(dim - 1)),
+            i =>
+              aggregate(
+                col("chunks"),
+                lit(0.0).cast("double"),
+                (acc, c) => acc + element_at(c.getField(vecCol), i + 1).cast("double")
+              ) / size(col("chunks"))
+          )
+        ).as(Seq("pos", "pooled")))
+
   /** JL sign projection, production form: dOut codegen [[dot]]s of the
     * vector against the ±1 rows — one scan, no shuffle, the
     * dimensionality-reduction step that runs BEFORE the ANN/dedup

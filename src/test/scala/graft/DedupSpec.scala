@@ -381,6 +381,22 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("mean pooling: ordered deterministic form agrees with the streaming-partial avg form") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).withColumn("doc", $"vec_id" % 50)
+    val ordered = Similarity.meanPoolOrdered(emb, "doc", "vec_id", "embedding", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val fast = Similarity.meanPool(emb, "doc", "embedding", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(ordered.nonEmpty && ordered.keySet == fast.keySet)
+    val maxDiff = ordered.map { case (k, v) => math.abs(v - fast(k)) }.max
+    assert(maxDiff < 1e-12, s"pooling forms diverged beyond float noise: $maxDiff")
+    // and the ordered form is bit-stable across independent evaluations
+    val again = Similarity.meanPoolOrdered(emb, "doc", "vec_id", "embedding", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == ordered, "ordered pooling must be bit-deterministic")
+  }
+
   test("JL sign projection: codegen path is bit-exact vs a plain Scala loop; pairwise geometry survives") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
