@@ -961,12 +961,30 @@ object Oracles {
       |FROM g, range(64) r(i)
       |ORDER BY doc, pos""".stripMargin
 
+  // q91: τ-calibration histogram — q25's co-occurrence jaccard with
+  // floor(20·j) binning; j is one integer division so the binning is
+  // the same IEEE sequence in both engines.
+  private val q91Sql: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+      |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+      |       FROM tok WHERE len(toks) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT CAST(floor(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) * 20) AS INT) AS bin,
+      |       count(*) AS n_pairs
+      |FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, String] =
     preAlias +
       ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk")) +
       ("q88_heavy_hitters" -> q88Sql) +
       ("q89_random_projection" -> q89Sql) +
-      ("q90_mean_pooling" -> q90Sql)
+      ("q90_mean_pooling" -> q90Sql) +
+      ("q91_similarity_histogram" -> q91Sql)
 }
 
 

@@ -333,6 +333,31 @@ object QueriesDedup {
       .orderBy($"doc", $"pos")
   }
 
+  /** Similarity-threshold CALIBRATION: the histogram of pairwise
+    * n-gram Jaccard similarities over co-occurring pairs — the
+    * distribution a team inspects to CHOOSE τ before a dedup run
+    * (a bimodal histogram separates near-dups from background overlap;
+    * τ goes in the valley). Only pairs sharing ≥ 1 shingle enumerate
+    * (the q25 co-occurrence join — the zero bin is the uncounted
+    * complement, which is what makes the histogram computable at all:
+    * all-pairs is n² but co-occurring pairs are collision-bounded).
+    * Bin = floor(20·jaccard) (bin 20 = exact duplicates): jaccard is
+    * one integer division, so the binning arithmetic is the same IEEE
+    * sequence in every engine — value-exact oracle, no boundary
+    * hazard. At 100 TB, run it over a hash-sampled doc subset (q59's
+    * sampler) — the distribution converges long before the corpus
+    * does.
+    */
+  def q91_similarity_histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup
+      .ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.0)
+      .select(floor($"jaccard" * 20).cast("int").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"bin")
+  }
+
   /** Incremental dedup against a PERSISTED band index — the exact
     * daily-ingest lifecycle: sign the corpus once, write the index
     * tables ([[Dedup.nearDupSets]] + [[Dedup.nearDupBandRows]]) to
