@@ -68,9 +68,39 @@ object Sketches {
       .groupBy(sliceCol.as("slice"))
       .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)).as("cms"))
       .collect() // one sketch blob per slice — KB-sized metadata
-    rows
-      .map(r => org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))))
-      .reduce { (a, b) => a.mergeInPlace(b); a }
+    mergeCms(rows.map(_.getAs[Array[Byte]]("cms")))
   }
+
+  private def mergeCms(blobs: Seq[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch =
+    blobs
+      .map(b => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+
+  /** One run's contribution to a FREQUENCY ledger — the count-min twin
+    * of [[runSketch]]: a single-row (run_id, cms) frame, appendable to
+    * a warehouse table. Each run scans only its own slice; the
+    * eps/confidence/seed MUST match across runs (merge requires equal
+    * depth × width × seed).
+    */
+  def runFrequencySketch(
+      slice: DataFrame,
+      keyCol: String,
+      runId: String,
+      eps: Double,
+      confidence: Double,
+      seed: Int
+  ): DataFrame =
+    slice
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)).as("cms"))
+      .withColumn("run_id", lit(runId))
+
+  /** The running frequency sketch across every run in the ledger:
+    * read the (runs)-sized blob column, merge driver-side (KBs per
+    * blob, however many raw rows the runs scanned). Any key's
+    * frequency over the table's whole history is then an O(1) lookup —
+    * the heavy-hitter dashboard never re-scans a run.
+    */
+  def frequencyAcrossRuns(ledger: DataFrame): org.apache.spark.util.sketch.CountMinSketch =
+    mergeCms(ledger.select(col("cms")).collect().map(_.getAs[Array[Byte]]("cms")))
 }

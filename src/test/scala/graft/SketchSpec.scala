@@ -113,6 +113,30 @@ class SketchSpec extends SparkSpec {
     assert(merged.estimateCount("no_such_event") <= (eps * total).toLong + 1)
   }
 
+  test("frequency ledger: appended per-run CMS rows merge to the single-build sketch") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val wh = new graft.sources.Warehouse(
+      spark, java.nio.file.Files.createTempDirectory("graft_cms_wh").toString)
+    val ev  = Tables.events(spark, dir)
+    val eps = 0.001
+    // three pipeline runs, each sketching ONLY its own disjoint slice
+    for (run <- 0 to 2)
+      wh.append("gold", "freq_sketches",
+        Sketches.runFrequencySketch(ev.filter($"event_id" % 3 === run),
+          "event_type", s"run_$run", eps, confidence = 0.99, seed = 42))
+    val ledger = Sketches.frequencyAcrossRuns(wh.table("gold", "freq_sketches"))
+    val single = Sketches.countMinMerged(ev, "event_type", lit(0), eps,
+      confidence = 0.99, seed = 42)
+    assert(ledger.totalCount() == ev.count())
+    val keys = ev.select($"event_type").distinct().collect().map(_.getString(0))
+    keys.foreach { k =>
+      assert(ledger.estimateCount(k) == single.estimateCount(k),
+        s"$k: ledger-merged estimate must equal the single-build sketch")
+    }
+  }
+
   test("hll_union_agg merges MANY partial sketches (8 hash buckets) to the same answer") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.01"
