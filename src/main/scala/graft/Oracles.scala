@@ -978,13 +978,30 @@ object Oracles {
       |FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q92: BPE first-iteration merge candidates — exact integer pair
+  // counts, deterministic (count desc, pair) rank, binary string order
+  // in both engines.
+  private val q92Sql: String =
+    """WITH words AS (
+      |  SELECT w, count(*) AS wc FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w
+      |), pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |           i -> substring(w, CAST(i AS INT), 2))) AS pair, wc
+      |  FROM words WHERE length(w) >= 2
+      |)
+      |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val all: Map[String, String] =
     preAlias +
       ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk")) +
       ("q88_heavy_hitters" -> q88Sql) +
       ("q89_random_projection" -> q89Sql) +
       ("q90_mean_pooling" -> q90Sql) +
-      ("q91_similarity_histogram" -> q91Sql)
+      ("q91_similarity_histogram" -> q91Sql) +
+      ("q92_bpe_pair_counts" -> q92Sql)
 }
 
 

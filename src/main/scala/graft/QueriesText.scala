@@ -128,4 +128,43 @@ object QueriesText {
         regexp_count($"clean_text", lit("<(EMAIL|PHONE|IP|SSN)>")).cast("long"))
       .orderBy($"doc_id")
   }
+
+  /** The distributed step of BPE tokenizer training: corpus-wide
+    * adjacent-symbol-pair counting (Sennrich et al. 2016 — each merge
+    * iteration promotes the most frequent pair). The full training
+    * loop is driver-iterative over a SMALL vocab, but THIS step — one
+    * pair-count pass over the whole corpus — is the part that must
+    * distribute at 100 TB, and it is pure explode + groupBy: the
+    * corpus shuffles only (pair, count) partials, never text. Output:
+    * the top-20 first-iteration merge candidates (char pairs within
+    * whitespace words, weighted by word frequency), rank-ordered with
+    * a full tie-break — exact integer counts, hence a value-exact
+    * oracle.
+    */
+  def q92_bpe_pair_counts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables
+      .documents(spark, dir)
+      .select(explode(split($"text", "\\s+")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("wc"))
+    val pairs = words
+      // length filter BEFORE the sequence: Spark's sequence(1, 0) is
+      // the DESCENDING [1, 0], not empty — a 1-char word would emit
+      // garbage pairs instead of none
+      .filter(length($"w") >= 2)
+      .select($"wc",
+        explode(
+          transform(
+            sequence(lit(1), length($"w") - 1),
+            i => $"w".substr(i, lit(2))
+          )
+        ).as("pair"))
+    pairs
+      .groupBy($"pair")
+      .agg(sum($"wc").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
 }

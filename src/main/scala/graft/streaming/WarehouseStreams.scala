@@ -39,6 +39,40 @@ object WarehouseStreams {
       }
       .start()
 
+  /** Streaming frequency tracking: each micro-batch appends ONE
+    * count-min sketch row ([[graft.operators.Sketches.runFrequencySketch]])
+    * to the frequency ledger, having scanned only its own rows —
+    * the streaming twin of the per-run batch ledger. Any moment's
+    * heavy-hitter question is then [[graft.operators.Sketches.frequencyAcrossRuns]]
+    * over the KB-sized blob rows: O(1) per key, no batch re-scanned,
+    * and (CMS merge being lossless at fixed depth/width/seed) the
+    * running sketch EQUALS the single-build sketch over everything
+    * ingested so far — pinned in StreamingSpec. Skew in a live join
+    * key is visible while the stream runs, before the straggler hits.
+    */
+  def frequencySketchSink(
+      stream: DataFrame,
+      wh: Warehouse,
+      layer: String,
+      table: String,
+      keyCol: String,
+      eps: Double,
+      confidence: Double,
+      seed: Int,
+      checkpoint: String
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          wh.append(layer, table,
+            graft.operators.Sketches.runFrequencySketch(
+              batch, keyCol, s"batch_$id", eps, confidence, seed))
+          ()
+        }
+      }
+      .start()
+
   /** Continuously-maintained aggregate: every change-feed micro-batch
     * triggers an incremental [[graft.operators.MaterializedAgg.refresh]]
     * — the stream is the TRIGGER, the MV's version cursor is the

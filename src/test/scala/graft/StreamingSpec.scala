@@ -401,4 +401,35 @@ class StreamingSpec extends SparkSpec {
       .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
     assert(viaIndex == exact, "grown persisted index must reproduce brute force at nprobe=nlist")
   }
+
+  test("streaming frequency ledger equals the single-build sketch over everything ingested") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cms_stream").toString
+    val wh   = new graft.sources.Warehouse(spark, s"$root/wh")
+    val ev   = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"event_type")
+    val eps = 0.001
+    // land the corpus as 3 files → 3 micro-batches
+    for (r <- 0 to 2)
+      ev.filter($"event_id" % 3 === r).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = graft.streaming.WarehouseStreams.frequencySketchSink(
+      stream, wh, "gold", "freq", "event_type", eps, confidence = 0.99, seed = 42,
+      checkpoint = s"$root/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    // one ledger row per micro-batch, each a KB-sized blob
+    assert(wh.table("gold", "freq").count() == 3)
+    val streamed = Sketches.frequencyAcrossRuns(wh.table("gold", "freq"))
+    val single   = Sketches.countMinMerged(ev, "event_type", lit(0), eps,
+      confidence = 0.99, seed = 42)
+    assert(streamed.totalCount() == ev.count())
+    ev.select($"event_type").distinct().collect().map(_.getString(0)).foreach { k =>
+      assert(streamed.estimateCount(k) == single.estimateCount(k),
+        s"$k: streamed ledger must equal the single-build sketch")
+    }
+  }
 }
