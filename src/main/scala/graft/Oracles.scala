@@ -994,6 +994,18 @@ object Oracles {
       |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
       |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // q93: fuzzy entity matching — both engines' levenshtein is classic
+  // DP edit distance, so the integer distances and the match set are
+  // value-exact.
+  private val q93Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |w AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS word FROM names),
+      |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      |         FROM w a JOIN w b ON a.word = b.word AND a.p_name < b.p_name)
+      |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val all: Map[String, String] =
     preAlias +
       ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk")) +
@@ -1001,7 +1013,8 @@ object Oracles {
       ("q89_random_projection" -> q89Sql) +
       ("q90_mean_pooling" -> q90Sql) +
       ("q91_similarity_histogram" -> q91Sql) +
-      ("q92_bpe_pair_counts" -> q92Sql)
+      ("q92_bpe_pair_counts" -> q92Sql) +
+      ("q93_fuzzy_match" -> q93Sql)
 }
 
 

@@ -141,6 +141,30 @@ object QueriesText {
     * a full tie-break — exact integer counts, hence a value-exact
     * oracle.
     */
+  /** Fuzzy entity matching (entity resolution): which distinct part
+    * names are near-identical under edit distance ≤ 2. The composed
+    * shape is the one that survives scale: (1) EXACT collapse first —
+    * match on the distinct-name dictionary, never the row stream
+    * (64 names here stand in for the deduped entity dictionary);
+    * (2) shared-token BLOCKING — candidates are pairs sharing a word,
+    * an equi-join, never n²; (3) `levenshtein` verification on
+    * candidates only. Both engines implement classic DP edit distance
+    * (insert/delete/substitute), so the integer distances — and hence
+    * the match set — are value-exact cross-engine.
+    */
+  def q93_fuzzy_match(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir).select($"p_name").distinct()
+    val words = names.select($"p_name", explode(split($"p_name", " ")).as("word"))
+    words.as("a")
+      .join(words.as("b"), $"a.word" === $"b.word" && $"a.p_name" < $"b.p_name")
+      .select($"a.p_name".as("name_a"), $"b.p_name".as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 2)
+      .orderBy($"name_a", $"name_b")
+  }
+
   def q92_bpe_pair_counts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val words = Tables
