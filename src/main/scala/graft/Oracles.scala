@@ -886,10 +886,21 @@ object Oracles {
         |    FROM sub)
         |  WHERE rn <= 16
         |), enc AS (
+        |  -- rank by the SQUARED distance, summed left-to-right exactly
+        |  -- like PqEncode's `d += diff*diff` loop — list_distance takes
+        |  -- a sqrt that can collapse two strictly-ordered squared
+        |  -- distances into equal doubles, flipping the tie-break
         |  SELECT vec_id, j, c FROM (
         |    SELECT s.vec_id, s.j, ct.c,
         |           row_number() OVER (PARTITION BY s.vec_id, s.j
-        |             ORDER BY list_distance(s.sv, ct.sv), ct.c) AS rn
+        |             ORDER BY ((s.sv[1]-ct.sv[1])*(s.sv[1]-ct.sv[1])
+        |                     + (s.sv[2]-ct.sv[2])*(s.sv[2]-ct.sv[2])
+        |                     + (s.sv[3]-ct.sv[3])*(s.sv[3]-ct.sv[3])
+        |                     + (s.sv[4]-ct.sv[4])*(s.sv[4]-ct.sv[4])
+        |                     + (s.sv[5]-ct.sv[5])*(s.sv[5]-ct.sv[5])
+        |                     + (s.sv[6]-ct.sv[6])*(s.sv[6]-ct.sv[6])
+        |                     + (s.sv[7]-ct.sv[7])*(s.sv[7]-ct.sv[7])
+        |                     + (s.sv[8]-ct.sv[8])*(s.sv[8]-ct.sv[8])), ct.c) AS rn
         |    FROM sub s JOIN cent ct ON ct.j = s.j)
         |  WHERE rn = 1
         |), snap AS (

@@ -70,6 +70,10 @@ object Queries {
   /** Incremental high-water-mark filter + new-watermark computation
     * (SURVEY §2.2 P7 + §2.4 A2, the silver incremental-load pattern).
     * Predicate is pushed into the parquet scan (PushedFilters).
+    * The max aggregates the RAW timestamp and only the single output
+    * row is formatted — `max(date_format(...))` would pay a per-row
+    * string render for a one-row result (yyyy-MM-dd order equals
+    * timestamp order, so the two forms agree).
     */
   def q03_watermark_filter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -79,7 +83,12 @@ object Queries {
       .agg(
         count(lit(1)).as("n_rows"),
         dsum2($"l_quantity").as("sum_qty"),
-        max(date_format($"l_shipdate", "yyyy-MM-dd")).as("new_watermark")
+        max($"l_shipdate").as("__max_ship")
+      )
+      .select(
+        $"n_rows",
+        $"sum_qty",
+        date_format($"__max_ship", "yyyy-MM-dd").as("new_watermark")
       )
   }
 

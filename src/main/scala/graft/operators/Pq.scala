@@ -87,8 +87,12 @@ object Pq {
       val j  = r.getInt(0)
       val c  = r.getInt(1)
       val sv = r.getSeq[Double](2)
-      var i  = 0
-      while (i < dsub) { flat((j * ksub + c) * dsub + i) = sv(i); i += 1 }
+      // a corpus vector shorter than m·dsub yields a short slice here;
+      // leave the tail 0.0 — the same read-as-zero padding PqEncode/
+      // PqAdc apply, so training and encoding share one length contract
+      val lim = math.min(dsub, sv.size)
+      var i   = 0
+      while (i < lim) { flat((j * ksub + c) * dsub + i) = sv(i); i += 1 }
     }
     Codebook(m, ksub, dsub, flat)
   }

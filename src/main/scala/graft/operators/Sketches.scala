@@ -71,11 +71,16 @@ object Sketches {
     mergeCms(rows.map(_.getAs[Array[Byte]]("cms")))
   }
 
-  private def mergeCms(blobs: Seq[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch =
-    blobs
+  private def mergeCms(blobs: Seq[Array[Byte]]): org.apache.spark.util.sketch.CountMinSketch = {
+    val present = blobs.filter(_ != null)
+    require(present.nonEmpty,
+      "cannot merge an empty frequency-sketch set: the ledger has no runs yet " +
+        "(append a runFrequencySketch row first)")
+    present
       .map(b => org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(b)))
       .reduce { (a, b) => a.mergeInPlace(b); a }
+  }
 
   /** One run's contribution to a FREQUENCY ledger — the count-min twin
     * of [[runSketch]]: a single-row (run_id, cms) frame, appendable to

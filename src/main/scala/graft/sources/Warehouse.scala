@@ -21,7 +21,40 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Test-only crash injection for the swap-safety specs: set to a
+    * failpoint name ("after-stage-write" | "after-retire") and the next
+    * swap throws there ONCE — pinning that a crash between the two
+    * renames never loses data (WarehouseSpec chaos cases).
+    */
+  @volatile private[graft] var failpoint: String = null
+  private def maybeFail(point: String): Unit =
+    if (failpoint == point) {
+      failpoint = null
+      throw new RuntimeException(s"chaos: injected failure at $point")
+    }
+
   def tablePath(layer: String, table: String): String = s"$root/$layer/$table"
+
+  /** Hive partition columns of the live table layout, outermost first;
+    * empty for an unpartitioned table. Detected from the directory
+    * names (`col=value`), the same discovery Spark's reader runs — no
+    * extra metadata to keep in sync.
+    */
+  def partitionColumns(layer: String, table: String): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer[String]()
+    var cur  = new Path(tablePath(layer, table))
+    var go   = fs.exists(cur)
+    while (go) {
+      val entries = fs.listStatus(cur).filterNot(_.getPath.getName.startsWith("_"))
+      val dirs    = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      val names   = dirs.map(_.getPath.getName.split("=", 2)(0)).distinct
+      if (entries.nonEmpty && dirs.length == entries.length && names.length == 1) {
+        cols += names.head
+        cur = dirs.head.getPath
+      } else go = false
+    }
+    cols.toSeq
+  }
 
   def tableExists(layer: String, table: String): Boolean =
     fs.exists(new Path(tablePath(layer, table), "_SUCCESS"))
@@ -470,20 +503,47 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * even after the matching snapshot is vacuumed.
     *
     * Layout: the sidecar is hive-partitioned by `_commit_part` (the
-    * version, zero-padded so string order = numeric order — no cast on
-    * the partition attribute to defeat pruning), so a tail from
-    * version N is a PARTITION-PRUNED read of the commits after N, not
-    * a scan-all-then-filter of a feed that only ever grows. That is
+    * zero-padded version — Spark's partition-value inference reads it
+    * back as an integral type, and the tail predicate casts it to long
+    * explicitly, so the comparison is numeric at any digit count), so
+    * a tail from version N is a PARTITION-PRUNED read of the commits
+    * after N, not a scan-all-then-filter of a feed that only ever
+    * grows — partition predicates evaluate against the discovered
+    * partition VALUES at planning, never against data files. That is
     * what keeps incremental consumers O(delta) over the table's whole
     * life, not O(history). `_commit_version` stays a data column —
     * consumer schemas are unchanged.
+    *
+    * Feeds written by engine versions that predate the partitioned
+    * layout hold their data files at the sidecar ROOT; Spark refuses
+    * mixed root-files + partition-dirs discovery, so the first read
+    * MIGRATES legacy files into `_commit_part=` directories (derived
+    * from each row's `_commit_version`) once, then deletes them — no
+    * history is lost and the pruned tail applies to the whole feed.
     */
   def changeFeed(layer: String, table: String, sinceVersion: Long = -1L): DataFrame = {
     val p = tablePath(layer, table) + ".__changes"
     require(fs.exists(new Path(p)), s"$layer.$table has no change feed (no merges recorded)")
+    migrateLegacyFeed(p)
     spark.read.option("mergeSchema", "true").parquet(p)
-      .filter(col("_commit_part") > f"$sinceVersion%010d")
+      .filter(col("_commit_part").cast("long") > sinceVersion)
       .drop("_commit_part")
+  }
+
+  /** One-time upgrade of a pre-partitioned-layout feed: rewrite any
+    * root-level data files under `_commit_part=` hive directories.
+    */
+  private def migrateLegacyFeed(feedPath: String): Unit = {
+    val legacy = fs
+      .listStatus(new Path(feedPath))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    if (legacy.isEmpty) return
+    spark.read
+      .parquet(legacy.map(_.getPath.toString).toIndexedSeq: _*)
+      .withColumn("_commit_part", format_string("%010d", col("_commit_version")))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(feedPath)
+    legacy.foreach(s => fs.delete(s.getPath, false))
   }
 
   // ---- ops ledger (replaces Delta DESCRIBE HISTORY, SURVEY §2.1 S12) ----

@@ -130,6 +130,32 @@ class WarehouseSpec extends SparkSpec {
     assert(vs == Set(3L))
   }
 
+  test("changeFeed migrates a legacy root-file feed layout once, keeping the pruned tail") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "lg", Seq((1L, "a", 1)).toDF("k", "payload", "v"))
+    // simulate a feed written before the partitioned layout: data files
+    // at the sidecar ROOT, no _commit_part directories
+    val feedPath = wh.tablePath("silver", "lg") + ".__changes"
+    Seq((2L, "b", "insert", 5L), (3L, "c", "insert", 6L))
+      .toDF("k", "payload", "_change_type", "_commit_version")
+      .write.parquet(feedPath)
+    // first read migrates: full history visible with correct versions
+    val all = wh.changeFeed("silver", "lg")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("_commit_version"))).toSet
+    assert(all == Set((2L, 5L), (3L, 6L)))
+    // root data files are gone (migration ran once, not per read)
+    val fs = new org.apache.hadoop.fs.Path(feedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootFiles = fs.listStatus(new org.apache.hadoop.fs.Path(feedPath))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    assert(rootFiles.isEmpty, s"legacy files must be migrated away, found ${rootFiles.toSeq}")
+    // the migrated history is partition-pruned like natively-written commits
+    val tail = wh.changeFeed("silver", "lg", sinceVersion = 5L)
+    assert(tail.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(tail.collect().map(_.getAs[Long]("k")).toSeq == Seq(3L))
+  }
+
   test("incremental MV refresh from the feed equals a full recompute; cursor makes re-refresh a no-op") {
     import graft.operators.MaterializedAgg
     import spark.implicits._
@@ -268,14 +294,16 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.tableAsOf("gold", "z", 0L).count() == n)
   }
 
-  test("fixture-once DML queries (q80/q82/q83) are call-invariant within a session") {
+  test("fixture-once DML queries (q80/q82/q83/q84) are call-invariant within a session") {
     // the bench times these repeatedly against session-memoized base
     // tables; the second call's merge loses by version rule / deletes
-    // nothing / nets the MV to zero — output must be identical
+    // nothing / nets the MV to zero / repriced-flag gates the update —
+    // output must be identical
     for (q <- Seq(
         QueriesRel2.q80_change_feed _,
         QueriesRel2.q82_delete_rows _,
-        QueriesRel2.q83_incremental_mv _)) {
+        QueriesRel2.q83_incremental_mv _,
+        QueriesRel2.q84_update_rows _)) {
       val a = q(spark, sfDir).collect().map(_.toSeq).toSeq
       val b = q(spark, sfDir).collect().map(_.toSeq).toSeq
       assert(a.nonEmpty && a == b, "repeated call must reproduce the first call's output exactly")
