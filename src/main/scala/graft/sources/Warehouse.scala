@@ -122,6 +122,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * VACUUM).
     */
   private def retireAndSwap(layer: String, table: String, staging: Path): Unit = {
+    maybeFail("after-stage-write")
     val target = new Path(tablePath(layer, table))
     if (fs.exists(target)) {
       val prev    = latestVersion(s"$layer.$table")
@@ -130,9 +131,335 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       if (!fs.rename(target, retired))
         throw new java.io.IOException(s"rename $target -> $retired failed")
     }
+    maybeFail("after-retire")
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"rename $staging -> $target failed")
     pruneGenerations(layer, table)
+  }
+
+  // ---- partition-scoped DML (Delta file-granular rewrite parity) ----
+  //
+  // A partitioned table's upsert/update/delete rewrites ONLY the
+  // partition directories holding touched rows: one column-pruned pass
+  // finds the touched partitions (the "find touched files" scan Delta
+  // runs against its stats), the touched SLICE is rewritten to staging,
+  // and each touched directory stage-swaps individually. Untouched
+  // directories are never listed, read, or rewritten — a daily merge
+  // touching 0.1 % of a 100 TB table's run_dates costs O(touched
+  // partitions), not O(table). Pre-images retire into a SPARSE
+  // generation (marker `_GRAFT_SPARSE`) holding only the replaced
+  // directories; [[tableAsOf]] overlays sparse generations onto the
+  // live table to reconstruct past versions exactly.
+
+  private def partitionRelPath(pcols: Seq[String], vals: Seq[String]): String =
+    pcols.zip(vals).map { case (c, v) =>
+      // the exact escaping Spark's own partitioned writer applies, so
+      // computed names always match the directories on disk (nulls →
+      // __HIVE_DEFAULT_PARTITION__, specials percent-escaped)
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString(c, v)
+    }.mkString("/")
+
+  /** Distinct partition-value tuples among `rows`, in the string domain
+    * the directory names are written from. The select prunes the scan
+    * to the feeding predicate + partition columns; a predicate that
+    * constrains partition columns directly prunes directories too.
+    * Collected to the driver — bounded by the partition count, the same
+    * cardinality every partition-pruning planner holds in memory.
+    */
+  private def touchedPartitions(rows: DataFrame, pcols: Seq[String]): Seq[Seq[String]] =
+    rows
+      .select(pcols.map(c => col(c).cast("string")): _*)
+      .distinct()
+      .collect()
+      .map(r => pcols.indices.map(i => r.getString(i)).toSeq)
+      .toSeq
+
+  /** Predicate selecting exactly the given partition tuples. References
+    * only partition columns, so Catalyst evaluates it against discovered
+    * partition VALUES at planning (PartitionFilters) — zero data I/O
+    * outside the touched directories.
+    */
+  private def partitionPredicate(touched: Seq[Seq[String]], pcols: Seq[String]): Column =
+    touched
+      .map(vals =>
+        pcols.zip(vals).map { case (c, v) =>
+          if (v == null) col(c).isNull else col(c).cast("string") === lit(v)
+        }.reduce(_ && _))
+      .reduce(_ || _)
+
+  /** Relative paths of the hive leaf directories under `base`. */
+  private def leafPartitionDirs(base: Path, depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      if (d == 0) Seq("")
+      else if (!fs.exists(p)) Seq.empty
+      else
+        fs.listStatus(p)
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .toSeq
+          .flatMap(s =>
+            walk(s.getPath, d - 1).map(rest =>
+              if (rest.isEmpty) s.getPath.getName else s.getPath.getName + "/" + rest))
+    walk(base, depth).filter(_.nonEmpty)
+  }
+
+  /** Stage-swap ONLY the given partition directories — the partition-
+    * scoped composition of [[retireAndSwap]]. A touched partition the
+    * staging lacks simply retires (a delete emptied it); a staged
+    * partition the live table lacks renames in with nothing to retire
+    * (an insert created it). Crash safety matches the whole-table swap:
+    * the pre-image renames aside before its replacement lands, so no
+    * data is deleted mid-op and a crash between the two renames leaves
+    * that partition recoverable from the retired generation
+    * (chaos-pinned in WarehouseSpec).
+    */
+  private def swapPartitions(
+      layer: String,
+      table: String,
+      staging: Path,
+      touchedDirs: Seq[String]
+  ): Unit = {
+    maybeFail("after-stage-write")
+    val target  = new Path(tablePath(layer, table))
+    val prev    = latestVersion(s"$layer.$table")
+    val retired = new Path(tablePath(layer, table) + s".__v$prev")
+    fs.delete(retired, true) // idempotent re-run of the same version
+    fs.mkdirs(retired)
+    fs.createNewFile(new Path(retired, "_GRAFT_SPARSE"))
+    touchedDirs.foreach { rel =>
+      val live = new Path(target, rel)
+      if (fs.exists(live)) {
+        val ret = new Path(retired, rel)
+        fs.mkdirs(ret.getParent)
+        if (!fs.rename(live, ret))
+          throw new java.io.IOException(s"rename $live -> $ret failed")
+      }
+      maybeFail("after-retire")
+      val stg = new Path(staging, rel)
+      if (fs.exists(stg)) {
+        val dst = new Path(target, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(stg, dst))
+          throw new java.io.IOException(s"rename $stg -> $dst failed")
+      }
+    }
+    fs.delete(staging, true)
+    pruneGenerations(layer, table)
+  }
+
+  /** Depth of the hive directory tree under `p` (0 = unpartitioned). */
+  private def partitionDepth(p: Path): Int = {
+    var cur = p
+    var d   = 0
+    var go  = fs.exists(cur)
+    while (go) {
+      val dirs = fs.listStatus(cur).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (dirs.nonEmpty) { d += 1; cur = dirs.head.getPath }
+      else go = false
+    }
+    d
+  }
+
+  /** Roll back a swap that crashed mid-op. A COMPLETED op's newest
+    * retired generation is always `.__v{current-1}`, so finding
+    * `.__v{current}` means an op died between its renames before its
+    * ledger commit. Every pre-image that generation holds moves back
+    * into the live table (discarding any half-swapped replacement —
+    * the op never committed, so its output is re-derivable by
+    * re-running it), and the uncommitted op's change-feed partition is
+    * dropped — table, feed, and ledger return to exactly the last
+    * committed version. Runs automatically at the head of every
+    * mutating op; idempotent; returns whether a rollback happened.
+    */
+  def repairCrashedSwap(layer: String, table: String): Boolean = {
+    val cur = latestVersion(s"$layer.$table")
+    val gen = new Path(tablePath(layer, table) + s".__v$cur")
+    if (cur < 0 || !fs.exists(gen)) return false
+    val target = new Path(tablePath(layer, table))
+    if (fs.exists(new Path(gen, "_GRAFT_SPARSE"))) {
+      leafPartitionDirs(gen, partitionDepth(gen)).foreach { rel =>
+        val live = new Path(target, rel)
+        fs.delete(live, true) // uncommitted replacement, if the swap got that far
+        fs.mkdirs(live.getParent)
+        if (!fs.rename(new Path(gen, rel), live))
+          throw new java.io.IOException(s"rollback rename ${new Path(gen, rel)} -> $live failed")
+      }
+      fs.delete(gen, true)
+    } else {
+      fs.delete(target, true) // uncommitted replacement, if the swap got that far
+      if (!fs.rename(gen, target))
+        throw new java.io.IOException(s"rollback rename $gen -> $target failed")
+    }
+    // feed rows the uncommitted op appended (version cur+1) are phantom
+    fs.delete(
+      new Path(tablePath(layer, table) + ".__changes/" +
+        ("_commit_part=" + f"${cur + 1}%010d")), true)
+    true
+  }
+
+  /** Partition-scoped DELETE — see the section comment above. Returns
+    * the deleted-row count; a predicate matching nothing is a no-op
+    * (no rewrite, no version). Ledger `num_output_rows` records the
+    * rows REWRITTEN (the touched slice's survivors), not the table.
+    */
+  private def deletePartitioned(
+      layer: String,
+      table: String,
+      predicate: Column,
+      pcols: Seq[String]
+  ): Long = {
+    val target = tablePath(layer, table)
+    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    val hit    = coalesce(predicate, lit(false))
+    val touched = touchedPartitions(df.filter(hit), pcols)
+    if (touched.isEmpty) return 0L
+    val ver     = nextVersion(s"$layer.$table")
+    val slice   = df.filter(partitionPredicate(touched, pcols))
+    val staging = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    val keptObs = org.apache.spark.sql.Observation()
+    slice.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
+    val kept = keptObs.get("n").asInstanceOf[Long]
+    val obs  = org.apache.spark.sql.Observation()
+    slice.filter(hit)
+      .withColumn("_change_type", lit("delete"))
+      .withColumn("_commit_version", lit(ver))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(target + ".__changes")
+    val deleted = obs.get("n").asInstanceOf[Long]
+    swapPartitions(layer, table, staging, touched.map(partitionRelPath(pcols, _)))
+    logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver)
+    deleted
+  }
+
+  /** Partition-scoped UPDATE. Partition-column assignments are refused:
+    * they would move rows across directories, which is MERGE semantics
+    * ([[upsert]] handles moves correctly via its matched-key partition
+    * set). Returns the updated-row count; zero matches is a no-op.
+    */
+  private def updatePartitioned(
+      layer: String,
+      table: String,
+      predicate: Column,
+      assignments: Map[String, Column],
+      pcols: Seq[String]
+  ): Long = {
+    require(
+      !assignments.keys.exists(pcols.contains),
+      s"partition-scoped UPDATE cannot assign partition columns (${pcols.mkString(",")}): " +
+        "rows would move between partitions — use upsert (MERGE) instead")
+    val target = tablePath(layer, table)
+    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    assignments.keys.foreach(c =>
+      require(df.columns.contains(c), s"UPDATE assigns unknown column $c"))
+    val hit     = coalesce(predicate, lit(false))
+    val touched = touchedPartitions(df.filter(hit), pcols)
+    if (touched.isEmpty) return 0L
+    val ver     = nextVersion(s"$layer.$table")
+    val slice   = df.filter(partitionPredicate(touched, pcols))
+    val staging = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    val rewritten = slice.select(df.schema.fields.toSeq.map { f =>
+      assignments.get(f.name) match {
+        case Some(a) => when(hit, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None    => col(f.name)
+      }
+    }: _*)
+    val rowsObs = org.apache.spark.sql.Observation()
+    rewritten.observe(rowsObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
+    val outputRows = rowsObs.get("n").asInstanceOf[Long]
+    val pre = slice.filter(hit).withColumn("_change_type", lit("update_preimage"))
+    val post = slice.filter(hit)
+      .select(df.schema.fields.toSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(a) => a.cast(f.dataType).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+      .withColumn("_change_type", lit("update_postimage"))
+    val obs = org.apache.spark.sql.Observation()
+    pre.unionByName(post)
+      .withColumn("_commit_version", lit(ver))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(target + ".__changes")
+    val updated = obs.get("n").asInstanceOf[Long] / 2
+    swapPartitions(layer, table, staging, touched.map(partitionRelPath(pcols, _)))
+    logOp(layer, table, "UPDATE", inserted = 0, updated = updated,
+      outputRows = outputRows, version = ver)
+    updated
+  }
+
+  /** Partition-scoped MERGE. Touched = the source rows' partitions (the
+    * insert/update destinations) ∪ the partitions of target rows whose
+    * keys the source carries (the matched rows' CURRENT homes) — so a
+    * source row that changes a matched row's partition value rewrites
+    * BOTH directories and the row moves without duplication. The merge
+    * itself runs only over the touched slice.
+    */
+  private def upsertPartitioned(
+      layer: String,
+      table: String,
+      src: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      pcols: Seq[String]
+  ): Upsert.WriteMetrics = {
+    require(
+      pcols.forall(src.columns.contains),
+      s"partitioned MERGE source must carry the partition columns (${pcols.mkString(",")})")
+    val tgt0       = this.table(layer, table)
+    val unioned    = unionSchema(tgt0.schema, src.schema)
+    val srcAligned = alignTo(src, unioned)
+    val srcParts   = touchedPartitions(srcAligned, pcols)
+    val srcKeys    = srcAligned.select(keys.map(col): _*).distinct()
+    val matchedParts = touchedPartitions(
+      tgt0.join(srcKeys, keys.map(k => tgt0(k) <=> srcKeys(k)).reduce(_ && _), "left_semi"),
+      pcols)
+    val touched = (srcParts ++ matchedParts).distinct
+    if (touched.isEmpty) return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = 0)
+    val slicePred = partitionPredicate(touched, pcols)
+    val sliceTgt  = tgt0.filter(slicePred)
+    val mr = Upsert.mergeWithMetrics(alignTo(sliceTgt, unioned), srcAligned, keys, versionCol)
+    val m  = mr.metrics
+    val staging = new Path(tablePath(layer, table) + ".__staging")
+    fs.delete(staging, true)
+    val ver = nextVersion(s"$layer.$table")
+    try {
+      mr.result.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
+      val post = mr.merged
+        .filter(col(Upsert.ActionCol) =!= "keep")
+        .withColumn("_change_type",
+          when(col(Upsert.ActionCol) === "insert", lit("insert"))
+            .otherwise(lit("update_postimage")))
+        .drop(Upsert.ActionCol)
+      val updatedKeys = mr.merged
+        .filter(col(Upsert.ActionCol) === "update")
+        .select(keys.map(col): _*)
+      val pre = sliceTgt
+        .join(updatedKeys, keys.map(k => sliceTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+        .select(unioned.fieldNames.map(n =>
+          if (tgt0.columns.contains(n)) col(n)
+          else lit(null).cast(unioned(n).dataType).as(n)): _*)
+        .withColumn("_change_type", lit("update_preimage"))
+      post.unionByName(pre)
+        .withColumn("_commit_version", lit(ver))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(tablePath(layer, table) + ".__changes")
+    } finally mr.unpersist()
+    // staged directories can only be the touched set (the merge result's
+    // partition values come from src ∪ matched targets), but union with
+    // what was actually written so a missed value can never clobber-skip
+    val dirs =
+      (touched.map(partitionRelPath(pcols, _)) ++ leafPartitionDirs(staging, pcols.length)).distinct
+    swapPartitions(layer, table, staging, dirs)
+    logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows, version = ver)
+    m
   }
 
   private def pruneGenerations(layer: String, table: String): Unit = {
@@ -161,6 +488,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * own input mid-plan) and idempotent on re-run.
     */
   def createOrReplace(layer: String, table: String, df: DataFrame): Long = {
+    repairCrashedSwap(layer, table)
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     // row count as an observe() metric from the write job itself — a
@@ -187,6 +515,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       df: DataFrame,
       partitionCols: Seq[String]
   ): Long = {
+    repairCrashedSwap(layer, table)
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     val obs = org.apache.spark.sql.Observation()
@@ -209,6 +538,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * file-count delta.
     */
   def compact(layer: String, table: String, targetRowsPerFile: Long = 1_000_000L): Long = {
+    repairCrashedSwap(layer, table)
     val target = tablePath(layer, table)
     val before = spark.read.parquet(target)
     val rows   = before.count()
@@ -241,6 +571,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * from derived tables. Returns the deleted-row count.
     */
   def delete(layer: String, table: String, predicate: Column): Long = {
+    repairCrashedSwap(layer, table)
+    val pcols = partitionColumns(layer, table)
+    if (pcols.nonEmpty) return deletePartitioned(layer, table, predicate, pcols)
     val target  = tablePath(layer, table)
     val df      = spark.read.option("mergeSchema", "true").parquet(target)
     val staging = new Path(target + ".__staging")
@@ -284,6 +617,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       predicate: Column,
       assignments: Map[String, Column]
   ): Long = {
+    repairCrashedSwap(layer, table)
+    val pcols = partitionColumns(layer, table)
+    if (pcols.nonEmpty) return updatePartitioned(layer, table, predicate, assignments, pcols)
     val target = tablePath(layer, table)
     val df     = spark.read.option("mergeSchema", "true").parquet(target)
     assignments.keys.foreach(c =>
@@ -348,6 +684,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       targetRowsPerFile: Long = 1_000_000L,
       bits: Int = 8
   ): Long = {
+    repairCrashedSwap(layer, table)
     require(cols.nonEmpty && cols.size <= 4, "zorder supports 1-4 columns")
     val target = tablePath(layer, table)
     val df     = spark.read.option("mergeSchema", "true").parquet(target)
@@ -407,6 +744,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * reads Delta's commit metrics, which are likewise free).
     */
   def append(layer: String, table: String, df: DataFrame): Long = {
+    repairCrashedSwap(layer, table)
     // schema evolution: a widened source appends its new columns (old
     // files surface them as null via the merged read); a source missing
     // target columns is null-backfilled so every file carries the full
@@ -446,10 +784,13 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       keys: Seq[String],
       versionCol: String
   ): Upsert.WriteMetrics = {
+    repairCrashedSwap(layer, table)
     if (!tableExists(layer, table)) {
       val n = createOrReplace(layer, table, src)
       return Upsert.WriteMetrics(inserted = n, updated = 0, kept = 0)
     }
+    val pcols = partitionColumns(layer, table)
+    if (pcols.nonEmpty) return upsertPartitioned(layer, table, src, keys, versionCol, pcols)
     // schema evolution: both sides align to the union schema before
     // the merge (new source columns null-backfill old target rows,
     // missing source columns tolerated) — free here, since an upsert
@@ -594,15 +935,81 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   def tableAsOf(layer: String, table: String, version: Long): DataFrame = {
     val current = latestVersion(s"$layer.$table")
     require(version <= current, s"version $version of $layer.$table does not exist yet")
-    if (version == current) this.table(layer, table)
-    else {
-      val p = new Path(tablePath(layer, table) + s".__v$version")
-      require(
-        fs.exists(p),
-        s"version $version of $layer.$table is not retained " +
-          s"(current=$current, keepGenerations=$keepGenerations)")
-      spark.read.parquet(p.toString)
+    if (version == current) return this.table(layer, table)
+    val p = new Path(tablePath(layer, table) + s".__v$version")
+    if (fs.exists(p) && !fs.exists(new Path(p, "_GRAFT_SPARSE")))
+      return spark.read.parquet(p.toString)
+    reconstructAsOf(layer, table, version, current)
+  }
+
+  /** Overlay reconstruction for partition-scoped history. Each
+    * partition's state at `version` is its copy in the EARLIEST retired
+    * generation ≥ `version` that holds it — the pre-image taken by the
+    * first rewrite after `version` (untouched in between, so identical
+    * to its state at `version`); a partition no generation holds was
+    * never rewritten since, so its LIVE directory still is that state.
+    * A full (non-sparse) snapshot bounds the search: a partition absent
+    * from it did not exist at that version. Refuses if any replacing
+    * op's generation after `version` has been vacuumed (the overlay
+    * would silently read too-new data). Appends fold into the
+    * predecessor, exactly like the whole-table time-travel contract.
+    */
+  private def reconstructAsOf(
+      layer: String,
+      table: String,
+      version: Long,
+      current: Long
+  ): DataFrame = {
+    val layerDir = new Path(s"$root/$layer")
+    val prefix   = table + ".__v"
+    val gens = fs
+      .listStatus(layerDir)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLongOption }
+      .flatten
+      .filter(_ >= version)
+      .sorted
+    val replacingAfter = history(s"$layer.$table")
+      .filter(col("version") > version && col("operation") =!= "APPEND")
+      .select(col("version")).collect().map(_.getLong(0)).toSet
+    val needed = replacingAfter.map(_ - 1L).filter(_ >= version)
+    require(
+      needed.forall(gens.contains),
+      s"version $version of $layer.$table is not retained " +
+        s"(current=$current, keepGenerations=$keepGenerations)")
+    val pcols = partitionColumns(layer, table)
+    require(pcols.nonEmpty,
+      s"version $version of $layer.$table is not retained " +
+        s"(current=$current, keepGenerations=$keepGenerations)")
+    val depth  = pcols.length
+    val taken  = scala.collection.mutable.HashSet[String]()
+    val byRoot = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    var closed = false
+    for (g <- gens if !closed) {
+      val rootP = new Path(tablePath(layer, table) + s".__v$g")
+      val fresh = leafPartitionDirs(rootP, depth).filterNot(taken)
+      if (fresh.nonEmpty) byRoot(rootP.toString) = fresh
+      taken ++= fresh
+      // a full snapshot holds EVERY partition that existed at its
+      // version — nothing beyond it can be older state
+      if (!fs.exists(new Path(rootP, "_GRAFT_SPARSE"))) closed = true
     }
+    if (!closed) {
+      val liveRoot = new Path(tablePath(layer, table))
+      val fresh    = leafPartitionDirs(liveRoot, depth).filterNot(taken)
+      if (fresh.nonEmpty) byRoot(liveRoot.toString) = fresh
+    }
+    require(byRoot.nonEmpty, s"version $version of $layer.$table has no partitions to read")
+    byRoot
+      .map { case (rootStr, dirs) =>
+        // basePath per root so the partition columns materialize from
+        // the directory names exactly as a direct table read would
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", rootStr)
+          .parquet(dirs.map(d => s"$rootStr/$d"): _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Roll the table back to a retained past `version` (Delta RESTORE
@@ -615,12 +1022,15 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * emitted — CDC consumers resync from the restored snapshot.
     */
   def restore(layer: String, table: String, version: Long): Long = {
+    repairCrashedSwap(layer, table)
     val snap    = tableAsOf(layer, table, version) // validates retention
+    val pcols   = partitionColumns(layer, table)   // preserve the live layout
     val staging = new Path(tablePath(layer, table) + ".__restore_staging")
     fs.delete(staging, true)
     val obs = org.apache.spark.sql.Observation()
-    snap.observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val writer = snap.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
+    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer).parquet(staging.toString)
     val rows = obs.get("n").asInstanceOf[Long]
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "RESTORE", inserted = rows, updated = 0, outputRows = rows)
