@@ -22,9 +22,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Test-only crash injection for the swap-safety specs: set to a
-    * failpoint name ("after-stage-write" | "after-retire") and the next
-    * swap throws there ONCE — pinning that a crash between the two
-    * renames never loses data (WarehouseSpec chaos cases).
+    * failpoint name ("after-stage-write" | "after-retire" |
+    * "after-swap") and the next swap throws there ONCE — pinning that a
+    * crash before, between, or after the renames never loses data and
+    * always rolls back to the last committed version (WarehouseSpec
+    * "chaos:" cases exercise all three points on both the whole-table
+    * and partition-scoped swaps).
     */
   @volatile private[graft] var failpoint: String = null
   private def maybeFail(point: String): Unit =
@@ -134,6 +137,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     maybeFail("after-retire")
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"rename $staging -> $target failed")
+    maybeFail("after-swap")
     pruneGenerations(layer, table)
   }
 
@@ -148,19 +152,23 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   // touching 0.1 % of a 100 TB table's run_dates costs O(touched
   // partitions), not O(table). Pre-images retire into a SPARSE
   // generation (marker `_GRAFT_SPARSE`) holding only the replaced
-  // directories; [[tableAsOf]] overlays sparse generations onto the
-  // live table to reconstruct past versions exactly.
-
-  private def partitionRelPath(pcols: Seq[String], vals: Seq[String]): String =
-    pcols.zip(vals).map { case (c, v) =>
-      // the exact escaping Spark's own partitioned writer applies, so
-      // computed names always match the directories on disk (nulls →
-      // __HIVE_DEFAULT_PARTITION__, specials percent-escaped)
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString(c, v)
-    }.mkString("/")
+  // directories plus a `_GRAFT_CREATED` manifest of the directories the
+  // op CREATED (no pre-image) — what lets [[repairCrashedSwap]] roll an
+  // interrupted op back to exactly the last committed version, inserts
+  // included. [[tableAsOf]] overlays sparse generations onto the live
+  // table to reconstruct past versions exactly.
+  //
+  // Directory names are never recomputed from values: the touched set
+  // is matched back against the ACTUAL on-disk leaf directories in the
+  // inferred-type string domain ([[retireDirsFor]]). A spelling that
+  // does not round-trip through partition-value inference (`day=05`
+  // read as int 5, `x=1.50` as decimal) therefore still retires — the
+  // previous compute-the-name design staged `day=5` while live `day=05`
+  // survived: silent row duplication (chaos + spelling cases pinned in
+  // WarehouseSpec).
 
   /** Distinct partition-value tuples among `rows`, in the string domain
-    * the directory names are written from. The select prunes the scan
+    * of the table's INFERRED partition types. The select prunes the scan
     * to the feeding predicate + partition columns; a predicate that
     * constrains partition columns directly prunes directories too.
     * Collected to the driver — bounded by the partition count, the same
@@ -177,15 +185,73 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   /** Predicate selecting exactly the given partition tuples. References
     * only partition columns, so Catalyst evaluates it against discovered
     * partition VALUES at planning (PartitionFilters) — zero data I/O
-    * outside the touched directories.
+    * outside the touched directories. One encoded key per tuple feeding
+    * a single `isin` (InSet at scale): a merge touching 10k run_dates is
+    * one set-membership expression, not a 10k-term OR-of-ANDs tree.
     */
-  private def partitionPredicate(touched: Seq[Seq[String]], pcols: Seq[String]): Column =
-    touched
-      .map(vals =>
-        pcols.zip(vals).map { case (c, v) =>
-          if (v == null) col(c).isNull else col(c).cast("string") === lit(v)
-        }.reduce(_ && _))
-      .reduce(_ || _)
+  private def partitionPredicate(touched: Seq[Seq[String]], pcols: Seq[String]): Column = {
+    val nullMark = "\u0000"
+    if (pcols.lengthCompare(1) == 0) {
+      val vals = touched.map(_.head)
+      val c    = col(pcols.head).cast("string")
+      val in   = vals.filter(_ != null) match {
+        case Seq()    => lit(false)
+        case nonNull  => c.isin(nonNull: _*)
+      }
+      if (vals.contains(null)) in || c.isNull else in
+    } else {
+      val key = concat_ws("\u0001",
+        pcols.map(c => coalesce(col(c).cast("string"), lit(nullMark))): _*)
+      key.isin(touched.map(_.map(v => if (v == null) nullMark else v).mkString("\u0001")): _*)
+    }
+  }
+
+  /** Normalize a raw directory-name value into the inferred type's
+    * string form with Spark's own cast (driver-side literal eval — no
+    * job): `"05"` under an int-inferred column → `"5"`, matching what
+    * [[touchedPartitions]] reads back from the same directory.
+    */
+  private def normalizePartitionValue(
+      raw: String,
+      t: org.apache.spark.sql.types.DataType
+  ): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    if (raw == null) return null
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    try {
+      val parsed = Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+        org.apache.spark.sql.types.StringType), t, tz).eval(null)
+      if (parsed == null) raw
+      else Cast(Literal.create(parsed, t), org.apache.spark.sql.types.StringType, tz)
+        .eval(null).toString
+    } catch { case _: Exception => raw } // unparseable ⇒ inference kept strings
+  }
+
+  /** The live leaf directories whose parsed partition values match a
+    * touched tuple — the RETIRE set of a partition-scoped swap. Both
+    * sides compare in the inferred-type string domain, so every on-disk
+    * spelling of a touched value (zero-padded ints, trailing-zero
+    * decimals, escaped specials, `__HIVE_DEFAULT_PARTITION__`) is found
+    * and replaced. Driver-side work is O(partition count).
+    */
+  private def retireDirsFor(
+      target: Path,
+      pcols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      touched: Seq[Seq[String]]
+  ): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val ptypes     = pcols.map(c => schema(c).dataType)
+    val touchedSet = touched.map(_.toList).toSet
+    leafPartitionDirs(target, pcols.length).filter { rel =>
+      val parsed = rel.split("/").toList.zip(ptypes).map { case (seg, t) =>
+        val raw = ExternalCatalogUtils.unescapePathName(seg.split("=", 2)(1))
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else normalizePartitionValue(raw, t)
+      }
+      touchedSet.contains(parsed)
+    }
+  }
 
   /** Relative paths of the hive leaf directories under `base`. */
   private def leafPartitionDirs(base: Path, depth: Int): Seq[String] = {
@@ -203,29 +269,44 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   }
 
   /** Stage-swap ONLY the given partition directories — the partition-
-    * scoped composition of [[retireAndSwap]]. A touched partition the
-    * staging lacks simply retires (a delete emptied it); a staged
-    * partition the live table lacks renames in with nothing to retire
-    * (an insert created it). Crash safety matches the whole-table swap:
-    * the pre-image renames aside before its replacement lands, so no
-    * data is deleted mid-op and a crash between the two renames leaves
-    * that partition recoverable from the retired generation
-    * (chaos-pinned in WarehouseSpec).
+    * scoped composition of [[retireAndSwap]]. `retireDirs` are the live
+    * directories being replaced ([[retireDirsFor]]); the staged
+    * directories are listed from the staging tree itself. A retired
+    * partition the staging lacks simply retires (a delete emptied it);
+    * a staged partition the live table lacks renames in with nothing to
+    * retire (an insert created it — recorded in the generation's
+    * `_GRAFT_CREATED` manifest so [[repairCrashedSwap]] can remove it
+    * on rollback). Crash safety matches the whole-table swap: every
+    * pre-image renames aside before any replacement lands, so no data
+    * is deleted mid-op and a crash at any failpoint (after-stage-write /
+    * after-retire / after-swap) rolls back to exactly the last
+    * committed version (chaos-pinned in WarehouseSpec).
     */
   private def swapPartitions(
       layer: String,
       table: String,
       staging: Path,
-      touchedDirs: Seq[String]
+      retireDirs: Seq[String],
+      depth: Int
   ): Unit = {
     maybeFail("after-stage-write")
-    val target  = new Path(tablePath(layer, table))
-    val prev    = latestVersion(s"$layer.$table")
-    val retired = new Path(tablePath(layer, table) + s".__v$prev")
+    val target    = new Path(tablePath(layer, table))
+    val stageDirs = leafPartitionDirs(staging, depth)
+    val prev      = latestVersion(s"$layer.$table")
+    val retired   = new Path(tablePath(layer, table) + s".__v$prev")
     fs.delete(retired, true) // idempotent re-run of the same version
     fs.mkdirs(retired)
+    // marker FIRST: a half-built generation must never be mistaken for
+    // a whole-table one (repair would swap it over the live table)
     fs.createNewFile(new Path(retired, "_GRAFT_SPARSE"))
-    touchedDirs.foreach { rel =>
+    val created =
+      stageDirs.filterNot(retireDirs.contains).filterNot(rel => fs.exists(new Path(target, rel)))
+    if (created.nonEmpty) {
+      val out = fs.create(new Path(retired, "_GRAFT_CREATED"), true)
+      try out.write(created.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    retireDirs.foreach { rel =>
       val live = new Path(target, rel)
       if (fs.exists(live)) {
         val ret = new Path(retired, rel)
@@ -233,15 +314,23 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         if (!fs.rename(live, ret))
           throw new java.io.IOException(s"rename $live -> $ret failed")
       }
-      maybeFail("after-retire")
-      val stg = new Path(staging, rel)
-      if (fs.exists(stg)) {
-        val dst = new Path(target, rel)
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(stg, dst))
-          throw new java.io.IOException(s"rename $stg -> $dst failed")
-      }
     }
+    maybeFail("after-retire")
+    stageDirs.foreach { rel =>
+      val dst = new Path(target, rel)
+      if (fs.exists(dst)) {
+        // a live spelling the retire matching missed — take its
+        // pre-image rather than nesting the rename inside it
+        val ret = new Path(retired, rel)
+        fs.mkdirs(ret.getParent)
+        if (!fs.rename(dst, ret))
+          throw new java.io.IOException(s"rename $dst -> $ret failed")
+      }
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(staging, rel), dst))
+        throw new java.io.IOException(s"rename ${new Path(staging, rel)} -> $dst failed")
+    }
+    maybeFail("after-swap")
     fs.delete(staging, true)
     pruneGenerations(layer, table)
   }
@@ -263,37 +352,67 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * retired generation is always `.__v{current-1}`, so finding
     * `.__v{current}` means an op died between its renames before its
     * ledger commit. Every pre-image that generation holds moves back
-    * into the live table (discarding any half-swapped replacement —
-    * the op never committed, so its output is re-derivable by
-    * re-running it), and the uncommitted op's change-feed partition is
-    * dropped — table, feed, and ledger return to exactly the last
-    * committed version. Runs automatically at the head of every
-    * mutating op; idempotent; returns whether a rollback happened.
+    * into the live table, any directory the op CREATED (the sparse
+    * generation's `_GRAFT_CREATED` manifest — an insert-made partition
+    * has no pre-image to restore) is deleted, and any half-swapped
+    * replacement is discarded — the op never committed, so its output
+    * is re-derivable by re-running it.
+    *
+    * Separately, EVERY change-feed partition newer than the committed
+    * ledger version is purged: ops write their feed rows before their
+    * swap commits, so a crash in that window leaves committed-looking
+    * feed rows for a version the ledger never records — with no `.__v`
+    * directory to betray them. A retry would append the same rows
+    * again and CDC consumers would double-apply ([[changeFeed]] also
+    * hides them read-side). Table, feed, and ledger return to exactly
+    * the last committed version. Runs automatically at the head of
+    * every mutating op; idempotent; returns whether anything was
+    * repaired.
     */
   def repairCrashedSwap(layer: String, table: String): Boolean = {
-    val cur = latestVersion(s"$layer.$table")
-    val gen = new Path(tablePath(layer, table) + s".__v$cur")
-    if (cur < 0 || !fs.exists(gen)) return false
-    val target = new Path(tablePath(layer, table))
-    if (fs.exists(new Path(gen, "_GRAFT_SPARSE"))) {
-      leafPartitionDirs(gen, partitionDepth(gen)).foreach { rel =>
-        val live = new Path(target, rel)
-        fs.delete(live, true) // uncommitted replacement, if the swap got that far
-        fs.mkdirs(live.getParent)
-        if (!fs.rename(new Path(gen, rel), live))
-          throw new java.io.IOException(s"rollback rename ${new Path(gen, rel)} -> $live failed")
+    val cur      = latestVersion(s"$layer.$table")
+    val target   = new Path(tablePath(layer, table))
+    val gen      = new Path(tablePath(layer, table) + s".__v$cur")
+    var repaired = false
+    if (cur >= 0 && fs.exists(gen)) {
+      repaired = true
+      if (fs.exists(new Path(gen, "_GRAFT_SPARSE"))) {
+        val manifest = new Path(gen, "_GRAFT_CREATED")
+        if (fs.exists(manifest)) {
+          val in = fs.open(manifest)
+          val created =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          created.filter(_.nonEmpty).foreach(rel => fs.delete(new Path(target, rel), true))
+        }
+        leafPartitionDirs(gen, partitionDepth(gen)).foreach { rel =>
+          val live = new Path(target, rel)
+          fs.delete(live, true) // uncommitted replacement, if the swap got that far
+          fs.mkdirs(live.getParent)
+          if (!fs.rename(new Path(gen, rel), live))
+            throw new java.io.IOException(s"rollback rename ${new Path(gen, rel)} -> $live failed")
+        }
+        fs.delete(gen, true)
+      } else {
+        fs.delete(target, true) // uncommitted replacement, if the swap got that far
+        if (!fs.rename(gen, target))
+          throw new java.io.IOException(s"rollback rename $gen -> $target failed")
       }
-      fs.delete(gen, true)
-    } else {
-      fs.delete(target, true) // uncommitted replacement, if the swap got that far
-      if (!fs.rename(gen, target))
-        throw new java.io.IOException(s"rollback rename $gen -> $target failed")
     }
-    // feed rows the uncommitted op appended (version cur+1) are phantom
-    fs.delete(
-      new Path(tablePath(layer, table) + ".__changes/" +
-        ("_commit_part=" + f"${cur + 1}%010d")), true)
-    true
+    // phantom feed rows: any feed partition beyond the committed
+    // version is an uncommitted op's output — a pre-swap crash leaves
+    // no generation, so this check is unconditional
+    val feed = new Path(tablePath(layer, table) + ".__changes")
+    if (fs.exists(feed)) {
+      fs.listStatus(feed)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_commit_part="))
+        .foreach { s =>
+          s.getPath.getName.stripPrefix("_commit_part=").toLongOption.foreach { v =>
+            if (v > cur) { fs.delete(s.getPath, true); repaired = true }
+          }
+        }
+    }
+    repaired
   }
 
   /** Partition-scoped DELETE — see the section comment above. Returns
@@ -329,7 +448,8 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .write.mode(SaveMode.Append).partitionBy("_commit_part")
       .parquet(target + ".__changes")
     val deleted = obs.get("n").asInstanceOf[Long]
-    swapPartitions(layer, table, staging, touched.map(partitionRelPath(pcols, _)))
+    swapPartitions(layer, table, staging,
+      retireDirsFor(new Path(target), pcols, df.schema, touched), pcols.length)
     logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver)
     deleted
   }
@@ -388,7 +508,8 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .write.mode(SaveMode.Append).partitionBy("_commit_part")
       .parquet(target + ".__changes")
     val updated = obs.get("n").asInstanceOf[Long] / 2
-    swapPartitions(layer, table, staging, touched.map(partitionRelPath(pcols, _)))
+    swapPartitions(layer, table, staging,
+      retireDirsFor(new Path(target), pcols, df.schema, touched), pcols.length)
     logOp(layer, table, "UPDATE", inserted = 0, updated = updated,
       outputRows = outputRows, version = ver)
     updated
@@ -452,12 +573,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         .write.mode(SaveMode.Append).partitionBy("_commit_part")
         .parquet(tablePath(layer, table) + ".__changes")
     } finally mr.unpersist()
-    // staged directories can only be the touched set (the merge result's
-    // partition values come from src ∪ matched targets), but union with
-    // what was actually written so a missed value can never clobber-skip
-    val dirs =
-      (touched.map(partitionRelPath(pcols, _)) ++ leafPartitionDirs(staging, pcols.length)).distinct
-    swapPartitions(layer, table, staging, dirs)
+    // retire = live dirs matching the touched tuples; the staged dirs
+    // (what the merge actually wrote) are listed inside the swap itself
+    swapPartitions(layer, table, staging,
+      retireDirsFor(new Path(tablePath(layer, table)), pcols, tgt0.schema, touched), pcols.length)
     logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows, version = ver)
     m
   }
@@ -546,12 +665,13 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
+    val pcols = partitionColumns(layer, table) // preserve the live layout
     val obs = org.apache.spark.sql.Observation()
-    before
+    val writer = before
       .repartition(nFiles.toInt)
       .observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite)
-      .parquet(staging.toString)
+    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer).parquet(staging.toString)
     val back = obs.get("n").asInstanceOf[Long]
     require(back == rows, s"compaction changed row count: $rows -> $back")
     retireAndSwap(layer, table, staging)
@@ -723,18 +843,104 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .reduce(_.bitwiseOR(_))
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
+    val pcols = partitionColumns(layer, table) // preserve the live layout
     val obs = org.apache.spark.sql.Observation()
-    df.withColumn("__z", z)
+    val writer = df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      .write.mode(SaveMode.Overwrite)
+    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer).parquet(staging.toString)
     val back = obs.get("n").asInstanceOf[Long]
     require(back == rows, s"zorder changed row count: $rows -> $back")
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "ZORDER", inserted = 0, updated = 0, outputRows = rows)
     rows
+  }
+
+  // ---- data-skipping file pruning (Delta file-stats parity) ----
+
+  private def statsPath(layer: String, table: String): Path =
+    new Path(tablePath(layer, table) + ".__stats")
+
+  private def normFile(s: String): String = new Path(s).toUri.getPath
+
+  /** Build the per-file min/max statistics sidecar (`<table>.__stats`):
+    * one row per data file with `min_<col>`/`max_<col>` for each given
+    * column — the engine's answer to Delta's per-file stats in the
+    * transaction log, and what makes [[zorder]] PAY OFF: clustering
+    * shrinks each file's value span, so a selective predicate's range
+    * intersects few files and [[scanPruned]] plans a scan over exactly
+    * those, instead of relying on row-group-level skipping inside a
+    * full file listing. One pass over the stat columns (the
+    * `input_file_name` groupBy shuffles file-count rows, not data);
+    * the sidecar swaps in via staging like every other write. Returns
+    * the number of files profiled.
+    */
+  def collectStats(layer: String, table: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "collectStats needs at least one column")
+    val df   = this.table(layer, table)
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val stats = df
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val p       = statsPath(layer, table)
+    val staging = new Path(p.toString + ".__staging")
+    fs.delete(staging, true)
+    val obs = org.apache.spark.sql.Observation()
+    stats.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(p, true)
+    if (!fs.rename(staging, p))
+      throw new java.io.IOException(s"rename $staging -> $p failed")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Data-skipping scan: rows with `colName` BETWEEN lo AND hi, read
+    * from ONLY the files whose [min, max] intersects the range — the
+    * read side of [[collectStats]] and the piece that turns a z-ordered
+    * layout into skipped I/O (a selective range after [[zorder]] reads
+    * a strict file subset — spec-asserted). Stale or missing stats
+    * (file set changed since [[collectStats]], or the column was never
+    * profiled) recompute automatically, so the result is ALWAYS exactly
+    * `table.filter(between)` — pruning is a plan property, never a
+    * correctness property. Files whose stats row is all-null (no
+    * non-null values of the column) are skipped: NULL never matches a
+    * range predicate.
+    */
+  def scanPruned(layer: String, table: String, colName: String, lo: Any, hi: Any): DataFrame = {
+    val df      = this.table(layer, table)
+    val p       = statsPath(layer, table)
+    val current = df.inputFiles.map(normFile).toSet
+    def stats() = spark.read.parquet(p.toString)
+    val fresh = fs.exists(p) && {
+      val s = stats()
+      s.columns.contains(s"min_$colName") &&
+      s.select(col("file")).collect().map(r => normFile(r.getString(0))).toSet == current
+    }
+    if (!fresh) {
+      val prior =
+        if (!fs.exists(p)) Seq.empty
+        else stats().columns.collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }.toSeq
+      collectStats(layer, table, (prior :+ colName).distinct)
+    }
+    val surviving = stats()
+      .filter(!(col(s"max_$colName") < lit(lo) || col(s"min_$colName") > lit(hi)))
+      .select(col("file"))
+      .collect()
+      .map(_.getString(0))
+      .toIndexedSeq
+    val pred = col(colName).between(lit(lo), lit(hi))
+    if (surviving.isEmpty) df.filter(lit(false))
+    else
+      spark.read
+        .option("mergeSchema", "true")
+        // basePath so a partitioned table's directory columns
+        // materialize exactly as a whole-table read would
+        .option("basePath", tablePath(layer, table))
+        .parquet(surviving: _*)
+        .filter(pred)
   }
 
   /** INSERT INTO ... SELECT (reference silver_google_scholar.py:148).
@@ -753,8 +959,13 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       if (!tableExists(layer, table)) df
       else alignTo(df, unionSchema(this.table(layer, table).schema, df.schema))
     val obs = org.apache.spark.sql.Observation()
-    aligned.observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(tablePath(layer, table))
+    // a partitioned table keeps its layout: root-level data files in a
+    // hive tree are a mixed layout Spark's discovery refuses to read
+    val pcols  = partitionColumns(layer, table)
+    val writer = aligned.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append)
+    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
+      .parquet(tablePath(layer, table))
     val n = obs.get("n").asInstanceOf[Long]
     logOp(layer, table, "APPEND", inserted = n, updated = 0, outputRows = n)
     n
@@ -866,25 +1077,72 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val p = tablePath(layer, table) + ".__changes"
     require(fs.exists(new Path(p)), s"$layer.$table has no change feed (no merges recorded)")
     migrateLegacyFeed(p)
+    // upper bound at the committed ledger version: ops write feed rows
+    // BEFORE their swap commits, so a crashed op's phantom partition
+    // (repaired away at the next op head) is invisible to readers too
     spark.read.option("mergeSchema", "true").parquet(p)
-      .filter(col("_commit_part").cast("long") > sinceVersion)
+      .filter(col("_commit_part").cast("long") > sinceVersion &&
+        col("_commit_part").cast("long") <= latestVersion(s"$layer.$table"))
       .drop("_commit_part")
   }
 
   /** One-time upgrade of a pre-partitioned-layout feed: rewrite any
     * root-level data files under `_commit_part=` hive directories.
+    *
+    * Crash-idempotent via a rename manifest: migrated rows are staged
+    * beside the feed, then a manifest listing every (staged file →
+    * destination) move plus the legacy sources is committed BEFORE any
+    * move runs. A crash before the manifest restarts from scratch
+    * (staging is overwritten); a crash after it replays the manifest —
+    * renames with fixed names and deletes are both idempotent — so
+    * re-migration can never re-append rows it already moved (the naive
+    * append-then-delete had exactly that duplication window).
     */
   private def migrateLegacyFeed(feedPath: String): Unit = {
+    val manifest = new Path(feedPath + ".__migration_manifest")
+    val staging  = new Path(feedPath + ".__migration_staging")
+    def replay(): Unit = {
+      val in = fs.open(manifest)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).foreach { line =>
+        line.split("\t", 3) match {
+          case Array("mv", src, dst) =>
+            val (s, d) = (new Path(src), new Path(dst))
+            if (fs.exists(s)) { // absent ⇒ an earlier replay moved it
+              fs.mkdirs(d.getParent)
+              if (!fs.rename(s, d))
+                throw new java.io.IOException(s"feed migration rename $s -> $d failed")
+            }
+          case Array("rm", p) => fs.delete(new Path(p), false); ()
+          case _              => ()
+        }
+      }
+      fs.delete(staging, true)
+      fs.delete(manifest, false)
+    }
+    if (fs.exists(manifest)) { replay(); return }
     val legacy = fs
       .listStatus(new Path(feedPath))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     if (legacy.isEmpty) return
+    fs.delete(staging, true)
     spark.read
       .parquet(legacy.map(_.getPath.toString).toIndexedSeq: _*)
       .withColumn("_commit_part", format_string("%010d", col("_commit_version")))
-      .write.mode(SaveMode.Append).partitionBy("_commit_part")
-      .parquet(feedPath)
-    legacy.foreach(s => fs.delete(s.getPath, false))
+      .write.mode(SaveMode.Overwrite).partitionBy("_commit_part")
+      .parquet(staging.toString)
+    val moves = leafPartitionDirs(staging, 1).flatMap { rel =>
+      fs.listStatus(new Path(staging, rel))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => s"mv\t${s.getPath}\t${new Path(s"$feedPath/$rel", s.getPath.getName)}")
+    }
+    val rms = legacy.map(s => s"rm\t${s.getPath}").toSeq
+    val out = fs.create(manifest, true)
+    try out.write((moves ++ rms).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    replay()
   }
 
   // ---- ops ledger (replaces Delta DESCRIBE HISTORY, SURVEY §2.1 S12) ----
@@ -990,6 +1248,17 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       val fresh = leafPartitionDirs(rootP, depth).filterNot(taken)
       if (fresh.nonEmpty) byRoot(rootP.toString) = fresh
       taken ++= fresh
+      // directories the op at generation g CREATED (its _GRAFT_CREATED
+      // manifest) did not exist at any version ≤ g: block every later
+      // source — including the live table — from supplying them
+      val manifest = new Path(rootP, "_GRAFT_CREATED")
+      if (fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val created =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        taken ++= created.filter(_.nonEmpty)
+      }
       // a full snapshot holds EVERY partition that existed at its
       // version — nothing beyond it can be older state
       if (!fs.exists(new Path(rootP, "_GRAFT_SPARSE"))) closed = true

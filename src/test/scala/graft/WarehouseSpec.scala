@@ -133,7 +133,11 @@ class WarehouseSpec extends SparkSpec {
   test("changeFeed migrates a legacy root-file feed layout once, keeping the pruned tail") {
     import spark.implicits._
     val wh = freshWh()
-    wh.createOrReplace("silver", "lg", Seq((1L, "a", 1)).toDF("k", "payload", "v"))
+    // versions 0..6 so the fabricated legacy feed rows (versions 5, 6)
+    // sit at or below the committed ledger version — feed partitions
+    // BEYOND the ledger are phantom by definition and hidden/purged
+    for (i <- 0 to 6)
+      wh.createOrReplace("silver", "lg", Seq((1L, s"a$i", 1)).toDF("k", "payload", "v"))
     // simulate a feed written before the partitioned layout: data files
     // at the sidecar ROOT, no _commit_part directories
     val feedPath = wh.tablePath("silver", "lg") + ".__changes"
@@ -317,5 +321,259 @@ class WarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       wh.append("silver", "tc", Seq((2L, "not an int")).toDF("k", "v"))
     }
+  }
+
+  // ---- partition-scoped DML ----
+
+  private def hfs =
+    new org.apache.hadoop.fs.Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (path, length, mtime) of every file under `path` — byte-identity
+    * evidence for the untouched-partition contract.
+    */
+  private def sig(path: String): Seq[(String, Long, Long)] = {
+    def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+      if (!hfs.exists(p)) Seq.empty
+      else
+        hfs.listStatus(p).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq((s.getPath.toString, s.getLen, s.getModificationTime))
+        }
+    walk(new org.apache.hadoop.fs.Path(path)).sortBy(_._1)
+  }
+
+  test("partitioned delete rewrites only touched partitions; untouched files byte-identical") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplacePartitioned("silver", "pd",
+      Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C")).toDF("k", "seg"), Seq("seg"))
+    val beforeB = sig(wh.tablePath("silver", "pd") + "/seg=B")
+    val beforeC = sig(wh.tablePath("silver", "pd") + "/seg=C")
+    assert(beforeB.nonEmpty && beforeC.nonEmpty)
+    val n = wh.delete("silver", "pd", $"k" === 2L)
+    assert(n == 1)
+    assert(wh.table("silver", "pd").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+    // the op rewrote seg=A only: B and C files are the SAME files
+    assert(sig(wh.tablePath("silver", "pd") + "/seg=B") == beforeB)
+    assert(sig(wh.tablePath("silver", "pd") + "/seg=C") == beforeC)
+    // CDC + ledger + overlay time travel all cover the partitioned path
+    val feed = wh.changeFeed("silver", "pd")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"))).toSet
+    assert(feed == Set((2L, "delete")))
+    assert(wh.lastOperation("silver.pd").get.getAs[String]("operation") == "DELETE")
+    assert(wh.tableAsOf("silver", "pd", 0L).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("partitioned delete that empties a partition retires its directory") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplacePartitioned("silver", "pe",
+      Seq((1L, "A"), (2L, "B")).toDF("k", "seg"), Seq("seg"))
+    assert(wh.delete("silver", "pe", $"seg" === "A") == 1)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(wh.tablePath("silver", "pe"), "seg=A")),
+      "an emptied partition's directory must retire, not linger")
+    assert(wh.table("silver", "pe").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((2L, "B")))
+  }
+
+  test("partitioned merge moves rows across partitions and creates partitions, no duplication") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplacePartitioned("silver", "pm",
+      Seq((1L, "a1", 0L, "A"), (2L, "b1", 0L, "B"), (3L, "c1", 0L, "D"))
+        .toDF("k", "payload", "v", "seg"),
+      Seq("seg"))
+    val beforeD = sig(wh.tablePath("silver", "pm") + "/seg=D")
+    // k=1 moves A -> B; k=9 inserts into a NEW partition C; D untouched
+    val m = wh.upsert("silver", "pm",
+      Seq((1L, "a2", 1L, "B"), (9L, "i1", 1L, "C")).toDF("k", "payload", "v", "seg"),
+      Seq("k"), "v")
+    assert(m.inserted == 1 && m.updated == 1)
+    val rows = wh.table("silver", "pm")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"), r.getAs[String]("seg")))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a2", "B"), (2L, "b1", "B"), (3L, "c1", "D"), (9L, "i1", "C")),
+      s"got $rows") // k=1 must exist ONCE, in its new partition
+    assert(sig(wh.tablePath("silver", "pm") + "/seg=D") == beforeD, "untouched partition rewritten")
+    assert(wh.tableAsOf("silver", "pm", 0L).collect().map(_.getAs[Long]("k")).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("partitioned update rewrites touched partitions in place; partition assignment refused") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplacePartitioned("silver", "pu",
+      Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "A")).toDF("k", "x", "seg"), Seq("seg"))
+    val beforeB = sig(wh.tablePath("silver", "pu") + "/seg=B")
+    val n = wh.update("silver", "pu", $"seg" === "A" && $"k" =!= 1L, Map("x" -> ($"x" * 2)))
+    assert(n == 1)
+    val rows = wh.table("silver", "pu")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("x"))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 20.0), (3L, 60.0)))
+    assert(sig(wh.tablePath("silver", "pu") + "/seg=B") == beforeB)
+    val feed = wh.changeFeed("silver", "pu")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("x"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed == Set((3L, 30.0, "update_preimage"), (3L, 60.0, "update_postimage")))
+    intercept[IllegalArgumentException] {
+      wh.update("silver", "pu", $"k" === 1L, Map("seg" -> lit("B")))
+    }
+  }
+
+  test("zero-padded partition spellings retire under inference (day=05 read as int 5)") {
+    import spark.implicits._
+    val wh = freshWh()
+    // a STRING source column whose values are zero-padded digits: the
+    // writer lays out day=05, the reader infers int 5 — the spelling
+    // does not round-trip through values, only through the dir listing
+    wh.createOrReplacePartitioned("silver", "zp",
+      Seq((1L, "05"), (2L, "05"), (3L, "06")).toDF("k", "day"), Seq("day"))
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(wh.tablePath("silver", "zp"), "day=05")))
+    val n = wh.delete("silver", "zp", $"k" === 1L)
+    assert(n == 1)
+    val rows = wh.table("silver", "zp")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Number]("day").intValue())).sortBy(_._1).toSeq
+    // the old day=05 directory must have retired: k=2 appears ONCE and
+    // k=1 is gone (the compute-the-name design left both alive: k=1
+    // undeleted and k=2 duplicated)
+    assert(rows == Seq((2L, 5), (3L, 6)), s"got $rows")
+  }
+
+  test("decimal-spelled partition directories (x=1.50) retire under inference") {
+    import spark.implicits._
+    val wh   = freshWh()
+    val root = wh.tablePath("silver", "dp")
+    // externally-written layout with trailing-zero decimal spellings
+    Seq((1L, "a")).toDF("k", "payload").write.parquet(s"$root/x=1.50")
+    Seq((2L, "b")).toDF("k", "payload").write.parquet(s"$root/x=2.50")
+    hfs.createNewFile(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+    val n = wh.delete("silver", "dp", $"k" === 1L)
+    assert(n == 1)
+    val rows = wh.table("silver", "dp").collect().map(_.getAs[Long]("k")).toSeq
+    assert(rows == Seq(2L), s"got $rows")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, "x=1.50")),
+      "the touched spelled directory must retire")
+  }
+
+  test("chaos: whole-table swap crash at every failpoint rolls back to the committed version") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "cw", // version 0
+      Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "payload", "v"))
+    def snap = wh.table("silver", "cw").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val v0 = Seq((1L, "a"), (2L, "b"))
+    for (point <- Seq("after-stage-write", "after-retire", "after-swap")) {
+      wh.failpoint = point
+      val e = intercept[RuntimeException] {
+        wh.upsert("silver", "cw",
+          Seq((2L, "b2", 1L), (3L, "c", 1L)).toDF("k", "payload", "v"), Seq("k"), "v")
+      }
+      assert(e.getMessage.contains(point))
+      // phantom feed rows (written before the swap) are invisible
+      assert(wh.changeFeed("silver", "cw").count() == 0, s"phantom feed rows after $point")
+      assert(wh.repairCrashedSwap("silver", "cw"), s"nothing repaired after $point")
+      assert(snap == v0, s"table corrupted by crash at $point")
+      assert(wh.currentVersion("silver", "cw") == 0L)
+    }
+    // the retried op lands cleanly, feed holds exactly one copy
+    val m = wh.upsert("silver", "cw",
+      Seq((2L, "b2", 1L), (3L, "c", 1L)).toDF("k", "payload", "v"), Seq("k"), "v")
+    assert(m.inserted == 1 && m.updated == 1)
+    assert(snap == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    val feed = wh.changeFeed("silver", "cw")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"))).toSeq
+    assert(feed.sorted == Seq((2L, "update_postimage"), (2L, "update_preimage"),
+      (3L, "insert")), s"feed must hold exactly one copy, got $feed")
+  }
+
+  test("chaos: partitioned swap crash rolls back, including insert-created partitions") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplacePartitioned("silver", "cp",
+      Seq((1L, "a", 0L, "A"), (2L, "b", 0L, "B")).toDF("k", "payload", "v", "seg"), Seq("seg"))
+    def snap = wh.table("silver", "cp").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[String]("seg"))).toSeq
+    val v0   = Seq((1L, "a", "A"), (2L, "b", "B"))
+    val segC = new org.apache.hadoop.fs.Path(wh.tablePath("silver", "cp"), "seg=C")
+    for (point <- Seq("after-stage-write", "after-retire", "after-swap")) {
+      wh.failpoint = point
+      intercept[RuntimeException] {
+        wh.upsert("silver", "cp",
+          Seq((1L, "a2", 1L, "A"), (9L, "i", 1L, "C")).toDF("k", "payload", "v", "seg"),
+          Seq("k"), "v")
+      }
+      assert(wh.changeFeed("silver", "cp").count() == 0, s"phantom feed rows after $point")
+      assert(wh.repairCrashedSwap("silver", "cp"), s"nothing repaired after $point")
+      assert(snap == v0, s"table corrupted by crash at $point")
+      assert(!hfs.exists(segC),
+        s"insert-created partition must roll back after crash at $point")
+    }
+    val m = wh.upsert("silver", "cp",
+      Seq((1L, "a2", 1L, "A"), (9L, "i", 1L, "C")).toDF("k", "payload", "v", "seg"),
+      Seq("k"), "v")
+    assert(m.inserted == 1 && m.updated == 1)
+    assert(snap == Seq((1L, "a2", "A"), (2L, "b", "B"), (9L, "i", "C")))
+    assert(wh.changeFeed("silver", "cp").count() == 3) // one pre, one post, one insert
+  }
+
+  test("overlay time travel reconstructs versions across sparse generations; vacuumed refuses") {
+    import spark.implicits._
+    val wh = freshWh(keep = 5)
+    wh.createOrReplacePartitioned("silver", "ot", // version 0
+      Seq((1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "B")).toDF("k", "x", "seg"), Seq("seg"))
+    wh.delete("silver", "ot", $"k" === 2L)                         // version 1 (touches A)
+    wh.update("silver", "ot", $"k" === 3L, Map("x" -> ($"x" * 2))) // version 2 (touches B)
+    def at(v: Long) = wh.tableAsOf("silver", "ot", v)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("x"))).sortBy(_._1).toSeq
+    assert(at(2L) == Seq((1L, 10.0), (3L, 60.0)))
+    assert(at(1L) == Seq((1L, 10.0), (3L, 30.0)), "v1 = post-delete, pre-update overlay")
+    assert(at(0L) == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)), "v0 = both sparse overlays")
+    // vacuumed: keep=1 prunes the sparse pre-images — refuse, never
+    // silently serve too-new data
+    val wv = freshWh(keep = 1)
+    wv.createOrReplacePartitioned("silver", "ov",
+      Seq((1L, "A"), (2L, "B")).toDF("k", "seg"), Seq("seg"))
+    wv.delete("silver", "ov", $"k" === 1L)
+    wv.delete("silver", "ov", $"k" === 2L)
+    intercept[IllegalArgumentException](wv.tableAsOf("silver", "ov", 0L))
+  }
+
+  test("append to a partitioned table keeps the hive layout") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplacePartitioned("silver", "pa",
+      Seq((1L, "A")).toDF("k", "seg"), Seq("seg"))
+    wh.append("silver", "pa", Seq((2L, "B")).toDF("k", "seg"))
+    assert(wh.partitionColumns("silver", "pa") == Seq("seg"))
+    assert(wh.table("silver", "pa").collect().map(r => (r.getLong(0), r.getAs[String]("seg")))
+      .sortBy(_._1).toSeq == Seq((1L, "A"), (2L, "B")))
+  }
+
+  test("scanPruned reads a strict file subset after zorder, values exact; stale stats recompute") {
+    import spark.implicits._
+    val wh = freshWh()
+    val n  = 100000L
+    val df = spark.range(n).select(
+      ($"id" % 1000).as("a"),
+      pmod(xxhash64($"id"), lit(1000)).as("b"))
+    // worst-case layout for predicates on b: sorted by a
+    wh.createOrReplace("gold", "sk", df.orderBy("a").repartitionByRange(16, $"a"))
+    wh.zorder("gold", "sk", Seq("a", "b"), targetRowsPerFile = n / 16)
+    wh.collectStats("gold", "sk", Seq("a", "b"))
+    val allFiles = wh.table("gold", "sk").inputFiles.length
+    val pruned   = wh.scanPruned("gold", "sk", "b", 100L, 150L)
+    assert(pruned.inputFiles.length < allFiles,
+      s"selective range must skip files (${pruned.inputFiles.length} of $allFiles read)")
+    val expect = wh.table("gold", "sk").filter($"b".between(100L, 150L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == expect)
+    // rewrite invalidates: stats recompute automatically, result stays exact
+    wh.compact("gold", "sk", targetRowsPerFile = n / 4)
+    val after = wh.scanPruned("gold", "sk", "b", 100L, 150L)
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == expect)
+    // empty-range fast path
+    assert(wh.scanPruned("gold", "sk", "b", 5000L, 6000L).count() == 0)
   }
 }
