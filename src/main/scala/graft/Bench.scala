@@ -23,23 +23,65 @@ object Bench {
     // so a count-actioned bench under-times queries whose cost sits in
     // the final projection (signature emission, string building); the
     // noop format materializes every output row without writing.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // Noise sentinel: one fixed trivial probe (region scan through the
+    // noop sink) timed at start / middle / end of the run. Steady state
+    // is ~tens of ms; a sentinel drifting far above that (or start/mid/
+    // end disagreeing by >2x) marks the WHOLE artifact as contaminated
+    // by a host-level stall wave — machine-detectable, so a bad window
+    // can never masquerade as a plan regression again (round 7's
+    // 179 s-vs-71 s artifact was exactly that).
+    def sentinelOnce(): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      noop(spark.read.parquet(s"$sfDir/region.parquet"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // warm the probe's plan: measure the machine, not codegen
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        rowsOut: Boolean): (Double, Long) = {
+      val t0 = System.nanoTime()
+      var rows = -1L
+      try {
+        val df = fn(spark, sfDir)
+        if (rowsOut) {
+          // row count as an observe metric of the SAME noop job — no
+          // second execution, negligible overhead, and the count lands
+          // in the artifact (a query returning 0 rows is a red flag no
+          // total-seconds number surfaces)
+          val obs = org.apache.spark.sql.Observation()
+          noop(df.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))
+          rows = obs.get("n").asInstanceOf[Long]
+        } else noop(df)
+      } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAILED: query $name threw ${e.getClass.getName}: ${e.getMessage}")
           throw e
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, rows)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to 3).map(_ => timeOnce(name, fn)).min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val entries = SparkEntry.queries.toSeq
+    val half    = entries.length / 2
+    def runHalf(slice: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      slice.map { case (name, fn) =>
+        val first = timeOnce(name, fn, rowsOut = true)
+        val rest  = (1 to 2).map(_ => timeOnce(name, fn, rowsOut = false)._1)
+        (name, (first._1 +: rest).min, first._2)
+      }
+    val sentStart = sentinelOnce()
+    val firstHalf = runHalf(entries.take(half))
+    val sentMid   = sentinelOnce()
+    val secondHalf = runHalf(entries.drop(half))
+    val sentEnd   = sentinelOnce()
+    val results   = firstHalf ++ secondHalf
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val rows = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val sentinel = s"""{"start":$sentStart,"mid":$sentMid,"end":$sentEnd}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sentinel":$sentinel,"sf":"$sfDir"}"""
     println(line)
     // also persist per-query numbers: stdout tail-capture has truncated
     // them before (17/78 lost in round 5) — the file is the durable copy

@@ -1017,6 +1017,71 @@ object Oracles {
       |FROM cand WHERE levenshtein(name_a, name_b) <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  // q94/q95: the partitioned DML twins recompute the same final states
+  // as q82/q84 — identical SQL, different engine path under test.
+  private val q94Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val q95Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |       CASE WHEN o_orderpriority = '1-URGENT'
+      |            THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // q96: partitioned merge with cross-partition moves (every 100th
+  // order re-homes to 0-MOVED) and inserts into a created partition
+  // (9-NEW) — the oracle recomputes the merged table from scratch.
+  private val q96Sql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 100 = 0 THEN '0-MOVED' ELSE o_orderpriority END
+      |         AS o_orderpriority,
+      |       CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 5 ELSE o_totalprice END
+      |         AS o_totalprice
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, '9-NEW', o_totalprice
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // q97: q80's expected-delta oracle with the partition column carried
+  // through (inserts land in the created SYNTH partition).
+  private val q97Sql: String =
+    """WITH posts AS (
+      |  SELECT c_custkey, c_name || ' v2' AS c_name, c_mktsegment,
+      |         'update_postimage' AS _change_type
+      |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0),
+      |pres AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, 'update_preimage' AS _change_type
+      |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0),
+      |inserts AS (
+      |  SELECT c_custkey + 1000000 AS c_custkey, c_name, 'SYNTH' AS c_mktsegment,
+      |         'insert' AS _change_type
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT * FROM posts UNION ALL SELECT * FROM pres UNION ALL SELECT * FROM inserts
+      |ORDER BY c_custkey, _change_type""".stripMargin
+
+  // q98: data skipping is a plan property — the oracle is the plain
+  // range filter the pruned scan must reproduce exactly.
+  private val q98Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 200
+      |ORDER BY o_orderkey""".stripMargin
+
+  // q99: the planted-copies construction makes the pruned IVF-PQ top-10
+  // enumerable in closed form — ten bit-identical-direction copies per
+  // query fill every rank, ordered by the id tie-break (see the query's
+  // scaladoc for the argument; the empirical score margin is pinned in
+  // PqSpec).
+  private val q99Sql: String =
+    """SELECT CAST(q AS BIGINT) AS query_id, CAST(i + 1 AS INT) AS rank,
+      |       CAST(1000000 + q * 100 + i AS BIGINT) AS neighbor_id
+      |FROM range(8) a(q), range(10) b(i)
+      |ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, String] =
     preAlias +
       ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk")) +
@@ -1025,7 +1090,13 @@ object Oracles {
       ("q90_mean_pooling" -> q90Sql) +
       ("q91_similarity_histogram" -> q91Sql) +
       ("q92_bpe_pair_counts" -> q92Sql) +
-      ("q93_fuzzy_match" -> q93Sql)
+      ("q93_fuzzy_match" -> q93Sql) +
+      ("q94_delete_partitioned" -> q94Sql) +
+      ("q95_update_partitioned" -> q95Sql) +
+      ("q96_merge_partitioned" -> q96Sql) +
+      ("q97_feed_partitioned" -> q97Sql) +
+      ("q98_data_skipping" -> q98Sql) +
+      ("q99_ann_ivfpq_pruned" -> q99Sql)
 }
 
 

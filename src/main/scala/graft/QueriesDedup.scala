@@ -285,6 +285,38 @@ object QueriesDedup {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-PQ at a genuinely PRUNED operating point (nprobe = 4 of
+    * nlist = 16 — each query scans ~1/4 of the cells) under an exact
+    * oracle, via q79's planted-copies construction: every query vector
+    * gets ten half-scale copies at known ids. Halving is a power-of-two
+    * scale, so each copy's NORMALIZED vector is bit-identical to the
+    * query's — identical cell assignment (the copies live exactly where
+    * the query probes first), identical PQ codes, identical ADC score.
+    * The ten copies therefore fill the top-10 at ANY nprobe ≥ 1, ranked
+    * among themselves by the deterministic id tie-break — so the exact
+    * expected output is enumerable in closed form, which is what lets a
+    * pruned approximate index carry a value-exact oracle. (That no
+    * organic vector out-scores a self-copy under ADC is an empirical
+    * margin on this corpus — self-score ≈ 1 vs organic cosine < 0.7
+    * with quantization error far smaller than the gap — asserted per-sf
+    * in PqSpec alongside the pruning-fraction probe.)
+    */
+  def q99_ann_ivfpq_pruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cb  = pqCodebook(spark, dir)
+    val copies = emb
+      .filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding", explode(sequence(lit(0), lit(9))).as("i"))
+      .select(
+        ($"vec_id" * 100 + $"i" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(copies)
+    Pq.ivfPqTopK(corpus, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10, cb,
+      nlist = 16, nprobe = 4)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Johnson–Lindenstrauss random projection under a VALUE-exact
     * oracle — and it is the PRODUCTION path itself under the gate:
     * [[Similarity.signProjection]] (one codegen [[Similarity.dot]] per

@@ -672,6 +672,157 @@ object QueriesRel2 {
       .orderBy($"lang", $"source")
   }
 
+  /** Partition-scoped DELETE under the oracle gate (q82's partitioned
+    * twin): the customer base is laid out hive-partitioned by
+    * c_mktsegment, so [[graft.sources.Warehouse.delete]] auto-routes to
+    * the partition-scoped path — the touched-partition scan is pruned
+    * by the predicate's own partition conjunct, ONLY the BUILDING
+    * directory is rewritten (the other four segments' files are never
+    * read or moved — byte-identity pinned in WarehouseSpec), and the
+    * pre-image retires into a sparse generation. At 100 TB this is the
+    * difference between a delete costing O(touched partition) and
+    * O(table). The oracle recomputes the survivors in SQL.
+    */
+  def q94_delete_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q94_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplacePartitioned("silver", "cust",
+        Tables.customer(spark, dir).select($"c_custkey", $"c_acctbal", $"c_mktsegment"),
+        Seq("c_mktsegment"))
+    }
+    // re-runs delete zero rows (no-op, no version) — call-invariant
+    wh.delete("silver", "cust", $"c_mktsegment" === "BUILDING" && $"c_acctbal" < 0)
+    wh.table("silver", "cust")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  /** Partition-scoped UPDATE under the oracle gate (q84's partitioned
+    * twin): orders partitioned by o_orderpriority; the predicate's
+    * partition conjunct prunes the touched-partition scan to the
+    * 1-URGENT directory and only that directory rewrites. Same
+    * repriced-flag idempotence discipline as q84 (re-runs update zero
+    * rows → no-op). The oracle recomputes the CASE expression —
+    * per-row double multiply, hash-exact.
+    */
+  def q95_update_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q95_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplacePartitioned("silver", "ord",
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_totalprice", lit(0).as("repriced"), $"o_orderpriority"),
+        Seq("o_orderpriority"))
+    }
+    wh.update("silver", "ord", $"o_orderpriority" === "1-URGENT" && $"repriced" === 0,
+      Map("o_totalprice" -> ($"o_totalprice" * 1.1), "repriced" -> lit(1)))
+    wh.table("silver", "ord")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Partition-scoped MERGE under the oracle gate — the hardest DML
+    * shape: every 100th order MOVES to a new partition value (the
+    * merge rewrites both its old home and the destination, the row
+    * never duplicates) and every 7th order key inserts a synthetic
+    * sibling into a partition the table didn't have (created by the
+    * swap, rolled back by repair if the op crashes). Touched = source
+    * partitions ∪ matched rows' current homes; untouched priorities
+    * are never rewritten. Re-runs lose by version rule — output is
+    * call-invariant. The oracle recomputes the merged table in SQL.
+    */
+  def q96_merge_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q96_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplacePartitioned("silver", "ordm",
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_totalprice", lit(0L).as("version"), $"o_orderpriority"),
+        Seq("o_orderpriority"))
+    }
+    val base = Tables.orders(spark, dir)
+    val moves = base
+      .filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey", ($"o_totalprice" + 5).as("o_totalprice"),
+        lit(1L).as("version"), lit("0-MOVED").as("o_orderpriority"))
+    val inserts = base
+      .filter($"o_orderkey" % 7 === 0)
+      .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_totalprice",
+        lit(1L).as("version"), lit("9-NEW").as("o_orderpriority"))
+    wh.upsert("silver", "ordm", moves.unionByName(inserts), Seq("o_orderkey"), "version")
+    wh.table("silver", "ordm")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Change data feed from a PARTITIONED merge under the oracle gate
+    * (q80's partitioned twin): the partition-scoped upsert must record
+    * exactly the same CDF rows as the whole-table path — updates that
+    * win the version rule (pre+post images), losers absent, brand-new
+    * keys (landing in a created SYNTH partition) as inserts. Reads the
+    * latest non-empty commit, like q80.
+    */
+  def q97_feed_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot   = Scratch.dir(spark, "q97_wh", dir)
+    val wh       = new graft.sources.Warehouse(spark, whRoot)
+    val customer = Tables.customer(spark, dir)
+    Scratch.once(whRoot) {
+      wh.createOrReplacePartitioned("silver", "custf",
+        customer.select($"c_custkey", $"c_name", lit(0L).as("version"), $"c_mktsegment"),
+        Seq("c_mktsegment"))
+    }
+    val updates = customer
+      .filter($"c_custkey" % 3 === 0)
+      .select(
+        $"c_custkey",
+        concat($"c_name", lit(" v2")).as("c_name"),
+        when($"c_custkey" % 6 === 0, 0L).otherwise(1L).as("version"),
+        $"c_mktsegment")
+    val inserts = customer
+      .filter($"c_custkey" % 7 === 0)
+      .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name",
+        lit(1L).as("version"), lit("SYNTH").as("c_mktsegment"))
+    wh.upsert("silver", "custf", updates.unionByName(inserts), Seq("c_custkey"), "version")
+    val feed   = wh.changeFeed("silver", "custf")
+    val latest = feed.agg(max($"_commit_version")).head().getLong(0)
+    feed
+      .filter($"_commit_version" === latest)
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"_change_type")
+      .orderBy($"c_custkey", $"_change_type")
+  }
+
+  /** Data-skipping scan under the oracle gate: the orders table is
+    * z-ordered on (o_custkey, o_totalprice) and profiled into the
+    * per-file min/max sidecar ([[graft.sources.Warehouse.collectStats]]
+    * — both ingest-time work, built once); the timed body is
+    * [[graft.sources.Warehouse.scanPruned]], which lists ONLY the
+    * files whose [min, max] intersects the key range and reads
+    * nothing else — file-level skipping on top of parquet's row-group
+    * stats, the piece that makes z-order pay off at 100 TB
+    * (strict-subset read pinned in WarehouseSpec). The oracle is the
+    * plain range filter: pruning is a plan property, never a value
+    * property.
+    */
+  def q98_data_skipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q98_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("gold", "ord",
+        Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"))
+      wh.zorder("gold", "ord", Seq("o_custkey", "o_totalprice"), targetRowsPerFile = 2000)
+      wh.collectStats("gold", "ord", Seq("o_custkey", "o_totalprice"))
+    }
+    wh.scanPruned("gold", "ord", "o_custkey", 100L, 200L)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   /** Point-in-interval range join ([[graft.operators.RangeJoin]]):
     * every 100th event opens a 2-hour window; all events inside any
     * window are matched to it. The bucket width equals the window

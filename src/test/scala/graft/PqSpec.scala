@@ -96,6 +96,47 @@ class PqSpec extends SparkSpec {
     info(f"IVF-PQ recall@10 at nprobe/nlist=1/4 vs flat ADC: ${recall.sum / recall.size}%.2f")
   }
 
+  test("q99 planted-copies construction: copies fill the pruned top-10 with a real score margin") {
+    // the oracle argument, asserted: ten half-scale copies of each
+    // query share its normalized vector bit-exactly, so they carry the
+    // maximal ADC self-score; no organic vector may reach it, and the
+    // probe must be genuinely pruned (nprobe < nlist)
+    val queries = emb.filter($"vec_id" < 8)
+    val copies = queries
+      .select($"vec_id", $"embedding", explode(sequence(lit(0), lit(9))).as("i"))
+      .select(
+        ($"vec_id" * 100 + $"i" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(copies)
+    val got = QueriesDedup.q99_ann_ivfpq_pruned(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val expect = for (q <- 0L until 8L; i <- 0 until 10)
+      yield (q, i + 1, 1000000L + q * 100 + i)
+    assert(got == expect, "pruned top-10 must be exactly the planted copies, id-ordered")
+    // margin: best ORGANIC ADC score strictly below the copy self-score
+    val codes = Pq.encodeCorpus(corpus, "vec_id", "embedding", cb)
+    val qn = queries.select($"vec_id".as("query_id"), Similarity.normalized($"embedding").as("qn"))
+    val scored = codes.join(broadcast(qn), $"query_id" =!= $"id")
+      .select($"query_id", $"id", Pq.adc($"qn", $"codes", cb).as("s"))
+    // own copies of query q live at [1000000 + 100q, 1000000 + 100q + 9];
+    // every OTHER candidate (organic rows AND other queries' copies)
+    // must score strictly below them
+    val ownLo  = lit(1000000L) + $"query_id" * 100
+    val isOwn  = $"id" >= ownLo && $"id" <= ownLo + 9
+    val self   = scored.filter(isOwn).groupBy($"query_id").agg(min($"s").as("selfs"))
+    val others = scored.filter(!isOwn).groupBy($"query_id").agg(max($"s").as("others"))
+    val margins = self.join(others, "query_id")
+      .select(($"selfs" - $"others").as("m")).collect().map(_.getDouble(0))
+    info(f"min copy-vs-rest ADC margin: ${margins.min}%.3f")
+    assert(margins.min > 0.05, s"planted-copy margin too thin: ${margins.min}")
+    // and the operating point actually prunes: 4 of 16 cells per query
+    val cent = Similarity.centroids(corpus, "vec_id", "embedding", 16, 42L, kmeansIters = 0)
+    val probed = Similarity.probeCells(queries, cent, "vec_id", "embedding", nprobe = 4)
+      .groupBy($"query_id").agg(countDistinct($"cell").as("nc"))
+      .collect().map(_.getLong(1))
+    assert(probed.forall(_ == 4), s"each query must probe exactly 4 of 16 cells, got ${probed.toSeq}")
+  }
+
   test("PQ recall@10 vs exact search is reasonable and Lloyd refinement does not regress it") {
     def topkSets(c: Pq.Codebook): Map[Long, Set[Long]] = {
       val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", c)

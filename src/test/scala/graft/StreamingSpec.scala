@@ -277,6 +277,62 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty, "streamed CDC must equal the batch change feed")
   }
 
+  test("streaming merge sink onto a partitioned table rewrites only each batch's partitions") {
+    import graft.streaming.WarehouseStreams
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_wpstream").toString
+    val wh   = new graft.sources.Warehouse(spark, s"$root/wh")
+    wh.createOrReplacePartitioned("silver", "t",
+      Seq((1L, "a", 0L, "A"), (2L, "b", 0L, "B")).toDF("k", "payload", "v", "seg"), Seq("seg"))
+    val hfs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sig(path: String): Seq[(String, Long, Long)] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        if (!hfs.exists(p)) Seq.empty
+        else hfs.listStatus(p).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq((s.getPath.toString, s.getLen, s.getModificationTime))
+        }
+      walk(new org.apache.hadoop.fs.Path(path)).sortBy(_._1)
+    }
+    val segA = wh.tablePath("silver", "t") + "/seg=A"
+    val segB = wh.tablePath("silver", "t") + "/seg=B"
+    // micro-batch 1 touches ONLY partition A, batch 2 ONLY partition B
+    Seq((1L, "a2", 1L, "A")).toDF("k", "payload", "v", "seg")
+      .coalesce(1).write.parquet(s"$root/in1")
+    Seq((2L, "b2", 1L, "B")).toDF("k", "payload", "v", "seg")
+      .coalesce(1).write.parquet(s"$root/in2")
+    val in = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(src: String): Unit =
+      spark.read.parquet(src).coalesce(1).write.mode("append").parquet(in)
+    val bBefore = sig(segB)
+    assert(bBefore.nonEmpty)
+    land(s"$root/in1")
+    val stream = spark.readStream
+      .schema(Seq((1L, "a", 0L, "A")).toDF("k", "payload", "v", "seg").schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = WarehouseStreams.mergeSink(stream, wh, "silver", "t", Seq("k"), "v", s"$root/ckpt")
+    q.processAllAvailable()
+    // batch 1 (touches A) must leave B's files byte-identical
+    assert(sig(segB) == bBefore, "batch 1 rewrote an untouched partition")
+    val aAfter1 = sig(segA)
+    assert(aAfter1.nonEmpty)
+    land(s"$root/in2")
+    q.processAllAvailable()
+    q.stop()
+    // batch 2 (touches B) must leave A's files byte-identical — each
+    // micro-batch costs O(its touched partitions), which is what makes
+    // a streaming MERGE sustainable against a 100 TB partitioned table
+    assert(sig(segA) == aAfter1, "batch 2 rewrote an untouched partition")
+    assert(sig(segB) != bBefore, "batch 2 should have rewritten B")
+    val rows = wh.table("silver", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, "a2", 1L), (2L, "b2", 1L)))
+    // ledger: one MERGE per micro-batch, both partition-scoped
+    assert(wh.history("silver.t").filter($"operation" === "MERGE").count() == 2)
+  }
+
   test("continuously-maintained MV tracks merges through the feed stream") {
     import graft.streaming.WarehouseStreams
     import graft.operators.MaterializedAgg

@@ -50,4 +50,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(TextFunctions.cleanTechTerms("biofuel") == 40)
     assert(TextFunctions.cleanTechTerms("technology") == 30)
   }
+
+  test("bpeTrain learns the hand-computed merges (Sennrich corpus), greedy and tie-broken") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // vocab {low:5, lowest:2, newer:6, wider:3}; by hand:
+    //   iter 1: er = 6 (newer) + 3 (wider) = 9            -> (e, r)
+    //   iter 2: lo = ow = 7 tie, 'lo' < 'ow' alphabetical -> (l, o)
+    //   iter 3: lo+w = 5 (low) + 2 (lowest) = 7           -> (lo, w)
+    val text = (List.fill(5)("low") ++ List.fill(2)("lowest") ++
+      List.fill(6)("newer") ++ List.fill(3)("wider")).mkString(" ")
+    val merges = Bpe.bpeTrain(Seq(text).toDF("text"), "text", numMerges = 3)
+    assert(merges == Seq(
+      Bpe.Merge("e", "r", 9L),
+      Bpe.Merge("l", "o", 7L),
+      Bpe.Merge("lo", "w", 7L)), s"got $merges")
+    // greedy left-to-right non-overlap: "aaaa" -> [aa][aa], "aaa" ->
+    // [aa][a]. Pair counts: iter 1 'aa' = 3 pairs x wc 2 (aaaa) +
+    // 2 pairs x wc 1 (aaa) = 8; iter 2 (aa,aa) = 2 beats (aa,a) = 1.
+    val m = Bpe.bpeTrain(Seq("aaaa aaaa aaa").toDF("text"), "text", numMerges = 2)
+    assert(m.head == Bpe.Merge("a", "a", 8L), s"got $m")
+    assert(m(1) == Bpe.Merge("aa", "aa", 2L), s"got $m")
+    // the first trained merge IS q92's top-1 candidate by construction
+    val q92top = QueriesText.q92_bpe_pair_counts(spark, sfDir).head()
+    val first  = Bpe.bpeTrain(Tables.documents(spark, sfDir), "text", numMerges = 1).head
+    assert(first.left + first.right == q92top.getString(0) && first.count == q92top.getLong(1))
+  }
 }

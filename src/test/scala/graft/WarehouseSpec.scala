@@ -307,7 +307,12 @@ class WarehouseSpec extends SparkSpec {
         QueriesRel2.q80_change_feed _,
         QueriesRel2.q82_delete_rows _,
         QueriesRel2.q83_incremental_mv _,
-        QueriesRel2.q84_update_rows _)) {
+        QueriesRel2.q84_update_rows _,
+        QueriesRel2.q94_delete_partitioned _,
+        QueriesRel2.q95_update_partitioned _,
+        QueriesRel2.q96_merge_partitioned _,
+        QueriesRel2.q97_feed_partitioned _,
+        QueriesRel2.q98_data_skipping _)) {
       val a = q(spark, sfDir).collect().map(_.toSeq).toSeq
       val b = q(spark, sfDir).collect().map(_.toSeq).toSeq
       assert(a.nonEmpty && a == b, "repeated call must reproduce the first call's output exactly")
