@@ -61,7 +61,12 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, rows)
     }
-    val entries = SparkEntry.queries.toSeq
+    // optional name filter (substring match) for focused timing during
+    // development: `runMain graft.Bench q98` times only matching queries
+    val entries = args.headOption match {
+      case Some(f) => SparkEntry.queries.toSeq.filter(_._1.contains(f))
+      case None    => SparkEntry.queries.toSeq
+    }
     val half    = entries.length / 2
     def runHalf(slice: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       slice.map { case (name, fn) =>

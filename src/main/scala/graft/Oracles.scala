@@ -1082,6 +1082,14 @@ object Oracles {
       |FROM range(8) a(q), range(10) b(i)
       |ORDER BY query_id, rank""".stripMargin
 
+  // q100: bloom skipping is a plan property — the oracle is the plain
+  // IN-list lookup the pruned scan must reproduce exactly.
+  private val q100Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE c_custkey IN (7, 23, 76, 119, 149)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, String] =
     preAlias +
       ("q87_ann_ivfpq_topk" -> preAlias("q86_ann_pq_topk")) +
@@ -1096,7 +1104,8 @@ object Oracles {
       ("q96_merge_partitioned" -> q96Sql) +
       ("q97_feed_partitioned" -> q97Sql) +
       ("q98_data_skipping" -> q98Sql) +
-      ("q99_ann_ivfpq_pruned" -> q99Sql)
+      ("q99_ann_ivfpq_pruned" -> q99Sql) +
+      ("q100_bloom_skipping" -> q100Sql)
 }
 
 

@@ -823,6 +823,36 @@ object QueriesRel2 {
       .orderBy($"o_orderkey")
   }
 
+  /** Bloom-filter file skipping under the oracle gate — the EQUALITY
+    * twin of q98: min/max stats cannot prune a point lookup on a
+    * high-cardinality key whose span every file covers, so the customer
+    * table (compacted into many small files, none sorted by key) is
+    * profiled into the per-file bloom sidecar
+    * ([[graft.sources.Warehouse.collectBloom]] — ingest-time, built
+    * once) and the timed body is
+    * [[graft.sources.Warehouse.scanPrunedEq]]: only files whose bloom
+    * admits one of the probed keys are read, then the real `isin`
+    * re-filters — false positives cost I/O, never correctness
+    * (strict-subset read pinned in WarehouseSpec). The 100 TB shape of
+    * "find these five users among a million files". The oracle is the
+    * plain IN-list filter: pruning is a plan property, never a value
+    * property.
+    */
+  def q100_bloom_skipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q100_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("gold", "cust",
+        Tables.customer(spark, dir).select($"c_custkey", $"c_name", $"c_acctbal"))
+      wh.compact("gold", "cust", targetRowsPerFile = 100)
+      wh.collectBloom("gold", "cust", "c_custkey")
+    }
+    wh.scanPrunedEq("gold", "cust", "c_custkey", Seq(7L, 23L, 76L, 119L, 149L))
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
   /** Point-in-interval range join ([[graft.operators.RangeJoin]]):
     * every 100th event opens a 2-hour window; all events inside any
     * window are matched to it. The bucket width equals the window

@@ -703,6 +703,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // !predicate would silently drop NULL-evaluating rows from BOTH
     // the survivors and the feed — rows vanishing unrecorded
     val hit = coalesce(predicate, lit(false))
+    // zero-match early exit, mirroring the partitioned path's
+    // empty-touched no-op (no version, no rewrite, no feed rows): the
+    // existence probe is one pushed-predicate scan of the predicate
+    // columns — cents against the full rewrite it saves, and what makes
+    // an idempotence-gated re-run (q84's reprice flag) genuinely free
+    if (df.filter(hit).limit(1).isEmpty) return 0L
     val keptObs = org.apache.spark.sql.Observation()
     df.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -745,6 +751,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     assignments.keys.foreach(c =>
       require(df.columns.contains(c), s"UPDATE assigns unknown column $c"))
     val hit = coalesce(predicate, lit(false))
+    // zero-match early exit (see delete): a gated re-run pays one
+    // pushed-predicate existence probe, never the whole-table rewrite
+    if (df.filter(hit).limit(1).isEmpty) return 0L
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
@@ -914,23 +923,29 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val p       = statsPath(layer, table)
     val current = df.inputFiles.map(normFile).toSet
     def stats() = spark.read.parquet(p.toString)
-    val fresh = fs.exists(p) && {
+    // one sidecar job answers BOTH freshness (full file set must match
+    // the live listing) and the prune (per-file intersect flag) — the
+    // file list must come to the driver either way, so a second
+    // read-and-collect would be pure overhead on the probe path
+    def tryPrune(): Option[IndexedSeq[String]] = {
+      if (!fs.exists(p)) return None
       val s = stats()
-      s.columns.contains(s"min_$colName") &&
-      s.select(col("file")).collect().map(r => normFile(r.getString(0))).toSet == current
+      if (!s.columns.contains(s"min_$colName")) return None
+      val rows = s
+        .select(col("file"),
+          (!(col(s"max_$colName") < lit(lo) || col(s"min_$colName") > lit(hi))).as("s"))
+        .collect()
+      if (rows.map(r => normFile(r.getString(0))).toSet != current) None
+      else Some(rows.filter(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq)
     }
-    if (!fresh) {
+    val surviving = tryPrune().getOrElse {
       val prior =
         if (!fs.exists(p)) Seq.empty
         else stats().columns.collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }.toSeq
       collectStats(layer, table, (prior :+ colName).distinct)
+      tryPrune().getOrElse(
+        throw new IllegalStateException(s"stats sidecar $p stale immediately after rebuild"))
     }
-    val surviving = stats()
-      .filter(!(col(s"max_$colName") < lit(lo) || col(s"min_$colName") > lit(hi)))
-      .select(col("file"))
-      .collect()
-      .map(_.getString(0))
-      .toIndexedSeq
     val pred = col(colName).between(lit(lo), lit(hi))
     if (surviving.isEmpty) df.filter(lit(false))
     else
@@ -938,6 +953,130 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         .option("mergeSchema", "true")
         // basePath so a partitioned table's directory columns
         // materialize exactly as a whole-table read would
+        .option("basePath", tablePath(layer, table))
+        .parquet(surviving: _*)
+        .filter(pred)
+  }
+
+  // ---- bloom-filter file skipping (Delta bloom-index parity) ----
+
+  private def bloomPath(layer: String, table: String, colName: String): Path =
+    new Path(tablePath(layer, table) + s".__bloom_$colName")
+
+  /** Build a per-file BLOOM sidecar over `colName` — the equality twin
+    * of [[collectStats]]: min/max ranges cannot prune a point lookup on
+    * a high-cardinality key that every file's span covers (the GDPR
+    * find-this-user shape), a bloom filter can. One row per data file:
+    * (file, m bits, k hashes, sparse bitmap as `map<word -> long>`).
+    *
+    * Built entirely from codegen'd SQL primitives — no UDF, no
+    * driver-side sketch objects: each row explodes to its k hash
+    * positions (chained `xxhash64(i, v)`), positions fold into 64-bit
+    * words via `bit_or`, and map-side partial aggregation collapses a
+    * partition's contribution to at most m/64 words per file BEFORE the
+    * shuffle — the shuffle carries O(files x m/64) words, never O(rows).
+    * `m` is sized per file from its row count (~`bitsPerKey` bits each,
+    * pow-2 for cheap masking), so small and large files both hit the
+    * designed false-positive rate (~1% at the default 10 bits/key,
+    * k = 7); the sidecar is ~m/8 bytes per file — KBs — and swaps in
+    * via staging like every write. Returns the number of files profiled.
+    */
+  def collectBloom(layer: String, table: String, colName: String, bitsPerKey: Int = 10): Long = {
+    require(bitsPerKey >= 1, "bitsPerKey must be >= 1")
+    val df = this.table(layer, table)
+    val k  = math.max(1, math.round(bitsPerKey * math.log(2)).toInt)
+    // per-file m: one small driver-side file->rows map (file-count rows,
+    // the same cardinality every planner holds), rejoined by broadcast
+    val fileRows = df
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+      .select(col("file"),
+        call_function("shiftleft", lit(1L),
+          ceil(log2(greatest(col("rows") * bitsPerKey, lit(1024)))).cast("int")).as("m"))
+    val rows = df
+      .select(input_file_name().as("file"), col(colName).as("v"))
+      .join(broadcast(fileRows), "file")
+    val words = rows
+      .select(col("file"), col("m"),
+        explode(array((0 until k).map(i => pmod(xxhash64(lit(i), col("v")), col("m"))): _*))
+          .as("pos"))
+      .select(col("file"), col("m"),
+        shiftright(col("pos"), 6).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("bit"))
+      .groupBy(col("file"), col("m"), col("word"))
+      .agg(bit_or(col("bit")).as("bits"))
+    val blooms = words
+      .groupBy(col("file"), col("m"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("bitmap"))
+      .select(col("file"), col("m"), lit(k).as("k"), col("bitmap"))
+    val p       = bloomPath(layer, table, colName)
+    val staging = new Path(p.toString + ".__staging")
+    fs.delete(staging, true)
+    val obs = org.apache.spark.sql.Observation()
+    blooms.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(p, true)
+    if (!fs.rename(staging, p))
+      throw new java.io.IOException(s"rename $staging -> $p failed")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Point-lookup scan: rows with `colName` in `values`, read from ONLY
+    * the files whose bloom filter admits at least one of the values —
+    * the read side of [[collectBloom]]. The probe evaluates the SAME
+    * `xxhash64` chain the build used, as SQL expressions over the
+    * KB-sized sidecar (literals cast to the column type so an `Int`
+    * probe of a `bigint` column hashes identically); a missing word in
+    * the sparse bitmap is zero bits. Stale or missing sidecars (file
+    * set changed, column never profiled) rebuild automatically, and the
+    * surviving files re-filter with the real predicate — so the result
+    * is ALWAYS exactly `table.filter(col isin values)`: bloom false
+    * positives cost I/O, never correctness. At 100 TB this turns
+    * find-these-keys (GDPR lookup/delete pre-scan, CDC key audit) from
+    * read-every-file into read-~1%-of-files.
+    */
+  def scanPrunedEq(layer: String, table: String, colName: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "scanPrunedEq needs at least one probe value")
+    val df      = this.table(layer, table)
+    val vtype   = df.schema(colName).dataType
+    val p       = bloomPath(layer, table, colName)
+    val current = df.inputFiles.map(normFile).toSet
+    def sidecar() = spark.read.parquet(p.toString)
+    def admits(k: Int)(v: Any): Column =
+      (0 until k)
+        .map { i =>
+          val pos = pmod(xxhash64(lit(i), lit(v).cast(vtype)), col("m"))
+          coalesce(try_element_at(col("bitmap"), shiftright(pos, 6).cast("int")), lit(0L))
+            .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
+        }
+        .reduce(_ && _)
+    // two KB-sized sidecar jobs total: one row-peek for k (needed at
+    // expression-build time), then a single pass computing the per-file
+    // admit flag AND the file list the freshness comparison needs
+    // driver-side anyway (see scanPruned)
+    def tryPrune(): Option[IndexedSeq[String]] = {
+      if (!fs.exists(p)) return None
+      val s = sidecar()
+      val kMax = s.select(max(col("k"))).head() match {
+        case r if r.isNullAt(0) => return None // empty sidecar
+        case r                  => r.getInt(0)
+      }
+      val rows = s
+        .select(col("file"), values.map(admits(kMax)).reduce(_ || _).as("s"))
+        .collect()
+      if (rows.map(r => normFile(r.getString(0))).toSet != current) None
+      else Some(rows.filter(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq)
+    }
+    val surviving = tryPrune().getOrElse {
+      collectBloom(layer, table, colName)
+      tryPrune().getOrElse(
+        throw new IllegalStateException(s"bloom sidecar $p stale immediately after rebuild"))
+    }
+    val pred = col(colName).isin(values: _*)
+    if (surviving.isEmpty) df.filter(lit(false))
+    else
+      spark.read
+        .option("mergeSchema", "true")
         .option("basePath", tablePath(layer, table))
         .parquet(surviving: _*)
         .filter(pred)
@@ -1011,6 +1150,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val mr      = Upsert.mergeWithMetrics(alignTo(tgt0, unioned), alignTo(src, unioned),
       keys, versionCol)
     val m       = mr.metrics
+    // zero-change early exit: the metrics action has already run on the
+    // cached merge, so a merge where every source row loses the version
+    // rule (an idempotent re-run) is detected for free — skip the
+    // rewrite, the feed append, and the version bump, mirroring the
+    // partitioned path's empty-touched no-op
+    if (m.inserted == 0 && m.updated == 0) { mr.unpersist(); return m }
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")

@@ -581,4 +581,45 @@ class WarehouseSpec extends SparkSpec {
     // empty-range fast path
     assert(wh.scanPruned("gold", "sk", "b", 5000L, 6000L).count() == 0)
   }
+
+  test("scanPrunedEq blooms a strict file subset for point lookups, values exact; stale recompute") {
+    import spark.implicits._
+    val wh = freshWh()
+    val n  = 100000L
+    // high-cardinality unique key in RANDOM layout: every file's
+    // [min, max] span covers any probe, so range stats prune nothing --
+    // exactly the case bloom skipping exists for
+    val df = spark.range(n).select(
+      xxhash64($"id").as("key"),
+      ($"id" % 97).as("payload"))
+    wh.createOrReplace("gold", "bl", df.repartition(20))
+    wh.collectStats("gold", "bl", Seq("key"))
+    wh.collectBloom("gold", "bl", "key")
+    val allFiles = wh.table("gold", "bl").inputFiles.length
+    assert(allFiles >= 20)
+    val probes = Seq(5L, 4242L, 77777L).map { id =>
+      spark.range(id, id + 1).select(xxhash64($"id")).head().getLong(0)
+    }
+    // min/max stats are useless here (probe inside every file's span)...
+    val ranged = wh.scanPruned("gold", "bl", "key", probes.min, probes.min)
+    assert(ranged.inputFiles.length == allFiles,
+      "random layout should defeat range stats (else this spec tests nothing)")
+    // ...the bloom prunes hard: 3 keys live in at most 3 files (+ rare FPs)
+    val pruned = wh.scanPrunedEq("gold", "bl", "key", probes)
+    assert(pruned.inputFiles.length < allFiles / 2,
+      s"bloom must skip most files (${pruned.inputFiles.length} of $allFiles read)")
+    val expect = wh.table("gold", "bl").filter($"key".isin(probes: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(expect.length == 3)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == expect)
+    // an Int literal probing a bigint column must hash like the build did
+    val intProbe = wh.scanPrunedEq("gold", "bl", "payload", Seq(42))
+    assert(intProbe.count() == wh.table("gold", "bl").filter($"payload" === 42).count())
+    // rewrite invalidates: the sidecar recomputes, result stays exact
+    wh.compact("gold", "bl", targetRowsPerFile = n / 4)
+    val after = wh.scanPrunedEq("gold", "bl", "key", probes)
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == expect)
+    // absent key: typically zero files survive, always zero rows
+    assert(wh.scanPrunedEq("gold", "bl", "key", Seq(-1L)).count() == 0)
+  }
 }
