@@ -1105,7 +1105,10 @@ object Oracles {
       ("q97_feed_partitioned" -> q97Sql) +
       ("q98_data_skipping" -> q98Sql) +
       ("q99_ann_ivfpq_pruned" -> q99Sql) +
-      ("q100_bloom_skipping" -> q100Sql)
+      ("q100_bloom_skipping" -> q100Sql) +
+      // q101: same full-recompute oracle as q83 — the partitioned
+      // writer's feed must drive the MV to the identical final state
+      ("q101_incremental_mv_partitioned" -> preAlias("q83_incremental_mv"))
 }
 
 

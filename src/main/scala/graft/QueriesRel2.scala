@@ -692,7 +692,8 @@ object QueriesRel2 {
         Tables.customer(spark, dir).select($"c_custkey", $"c_acctbal", $"c_mktsegment"),
         Seq("c_mktsegment"))
     }
-    // re-runs delete zero rows (no-op, no version) — call-invariant
+    // re-runs delete zero rows (zero-metric commit, no rewrite) —
+    // call-invariant
     wh.delete("silver", "cust", $"c_mktsegment" === "BUILDING" && $"c_acctbal" < 0)
     wh.table("silver", "cust")
       .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
@@ -794,6 +795,50 @@ object QueriesRel2 {
       .filter($"_commit_version" === latest)
       .select($"c_custkey", $"c_name", $"c_mktsegment", $"_change_type")
       .orderBy($"c_custkey", $"_change_type")
+  }
+
+  /** Incremental MV maintenance over a PARTITIONED base under the
+    * oracle gate (q83's partitioned twin — the last DML-family
+    * composition): the orders fact table is hive-partitioned by
+    * o_orderpriority, the reprice merge and the delete auto-route to
+    * the partition-scoped engine (O(touched) rewrite, q94–q97
+    * semantics), and [[graft.operators.MaterializedAgg.refresh]]
+    * consumes their change feed end-to-end — the partition-pruned
+    * commit tail of a partition-scoped writer drives the same signed-
+    * delta arithmetic as the whole-table path. The oracle recomputes
+    * the final per-customer aggregate from scratch in SQL; incremental
+    * maintenance off a partitioned writer's feed must land on exactly
+    * the full-recompute answer, decimal-exact. Re-runs are
+    * state-invariant by the q83 argument (only once-deleted keys
+    * re-insert, the delete removes them again, the refresh nets the
+    * deltas to zero).
+    */
+  def q101_incremental_mv_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MaterializedAgg
+    val whRoot = Scratch.dir(spark, "q101_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplacePartitioned("silver", "ordp",
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            lit(0L).as("version"), $"o_orderpriority"),
+        Seq("o_orderpriority"))
+      MaterializedAgg.build(wh, "silver", "ordp", "gold", "custspendp",
+        Seq("o_custkey"), "o_totalprice")
+    }
+    wh.upsert("silver", "ordp",
+      Tables.orders(spark, dir)
+        .filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_custkey", ($"o_totalprice" + 100).as("o_totalprice"),
+          lit(1L).as("version"), $"o_orderpriority"),
+      Seq("o_orderkey"), "version")
+    wh.delete("silver", "ordp", $"o_orderkey" % 17 === 0)
+    MaterializedAgg.refresh(wh, "silver", "ordp", "gold", "custspendp",
+      Seq("o_custkey"), "o_totalprice")
+    wh.table("gold", "custspendp")
+      .select($"o_custkey", $"sum_v".cast("double").as("spend"), $"n")
+      .orderBy($"o_custkey")
   }
 
   /** Data-skipping scan under the oracle gate: the orders table is

@@ -416,9 +416,13 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   }
 
   /** Partition-scoped DELETE — see the section comment above. Returns
-    * the deleted-row count; a predicate matching nothing is a no-op
-    * (no rewrite, no version). Ledger `num_output_rows` records the
-    * rows REWRITTEN (the touched slice's survivors), not the table.
+    * the deleted-row count; a predicate matching nothing skips the
+    * rewrite/feed/generation but still logs a `DELETE 0` ledger commit
+    * with a version bump (Delta records a DELETE commit even at zero
+    * matched rows — the one no-op convention across all six DML entry
+    * points; a version with no generation folds into its predecessor
+    * on time travel, like APPEND). Ledger `num_output_rows` records
+    * the rows REWRITTEN (the touched slice's survivors), not the table.
     */
   private def deletePartitioned(
       layer: String,
@@ -430,7 +434,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val df     = spark.read.option("mergeSchema", "true").parquet(target)
     val hit    = coalesce(predicate, lit(false))
     val touched = touchedPartitions(df.filter(hit), pcols)
-    if (touched.isEmpty) return 0L
+    if (touched.isEmpty) {
+      logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
     val ver     = nextVersion(s"$layer.$table")
     val slice   = df.filter(partitionPredicate(touched, pcols))
     val staging = new Path(target + ".__staging")
@@ -450,14 +457,17 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val deleted = obs.get("n").asInstanceOf[Long]
     swapPartitions(layer, table, staging,
       retireDirsFor(new Path(target), pcols, df.schema, touched), pcols.length)
-    logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver)
+    logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver,
+      deleted = deleted)
     deleted
   }
 
   /** Partition-scoped UPDATE. Partition-column assignments are refused:
     * they would move rows across directories, which is MERGE semantics
     * ([[upsert]] handles moves correctly via its matched-key partition
-    * set). Returns the updated-row count; zero matches is a no-op.
+    * set). Returns the updated-row count; zero matches skips the
+    * rewrite but logs an `UPDATE 0` commit (the unified no-op
+    * convention — see [[deletePartitioned]]).
     */
   private def updatePartitioned(
       layer: String,
@@ -476,7 +486,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       require(df.columns.contains(c), s"UPDATE assigns unknown column $c"))
     val hit     = coalesce(predicate, lit(false))
     val touched = touchedPartitions(df.filter(hit), pcols)
-    if (touched.isEmpty) return 0L
+    if (touched.isEmpty) {
+      logOp(layer, table, "UPDATE", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
     val ver     = nextVersion(s"$layer.$table")
     val slice   = df.filter(partitionPredicate(touched, pcols))
     val staging = new Path(target + ".__staging")
@@ -542,11 +555,27 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       tgt0.join(srcKeys, keys.map(k => tgt0(k) <=> srcKeys(k)).reduce(_ && _), "left_semi"),
       pcols)
     val touched = (srcParts ++ matchedParts).distinct
-    if (touched.isEmpty) return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = 0)
+    if (touched.isEmpty) {
+      logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
+      return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = 0)
+    }
     val slicePred = partitionPredicate(touched, pcols)
     val sliceTgt  = tgt0.filter(slicePred)
     val mr = Upsert.mergeWithMetrics(alignTo(sliceTgt, unioned), srcAligned, keys, versionCol)
     val m  = mr.metrics
+    // zero-change early exit (the unified no-op convention, same as the
+    // unpartitioned path): the metrics action already ran on the cached
+    // merge, so a re-run where every source row loses the version rule
+    // is detected for free — skip the touched-slice rewrite, the empty
+    // feed partition, and the swap entirely; every partition file stays
+    // byte-identical. Still log a MERGE 0/0 commit with a version bump
+    // (Delta records a MERGE commit even at zero changed rows; the
+    // reference reads DESCRIBE HISTORY after every run).
+    if (m.inserted == 0 && m.updated == 0) {
+      mr.unpersist()
+      logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
+      return m
+    }
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
@@ -704,11 +733,16 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // the survivors and the feed — rows vanishing unrecorded
     val hit = coalesce(predicate, lit(false))
     // zero-match early exit, mirroring the partitioned path's
-    // empty-touched no-op (no version, no rewrite, no feed rows): the
-    // existence probe is one pushed-predicate scan of the predicate
-    // columns — cents against the full rewrite it saves, and what makes
-    // an idempotence-gated re-run (q84's reprice flag) genuinely free
-    if (df.filter(hit).limit(1).isEmpty) return 0L
+    // empty-touched no-op (no rewrite, no feed rows, no generation —
+    // but a `DELETE 0` ledger commit with a version bump, the unified
+    // no-op convention Delta also follows): the existence probe is one
+    // pushed-predicate scan of the predicate columns — cents against
+    // the full rewrite it saves, and what makes an idempotence-gated
+    // re-run (q84's reprice flag) genuinely free
+    if (df.filter(hit).limit(1).isEmpty) {
+      logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
     val keptObs = org.apache.spark.sql.Observation()
     df.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -724,7 +758,8 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .parquet(target + ".__changes")
     val deleted = obs.get("n").asInstanceOf[Long]
     retireAndSwap(layer, table, staging)
-    logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver)
+    logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver,
+      deleted = deleted)
     deleted
   }
 
@@ -752,8 +787,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       require(df.columns.contains(c), s"UPDATE assigns unknown column $c"))
     val hit = coalesce(predicate, lit(false))
     // zero-match early exit (see delete): a gated re-run pays one
-    // pushed-predicate existence probe, never the whole-table rewrite
-    if (df.filter(hit).limit(1).isEmpty) return 0L
+    // pushed-predicate existence probe plus an `UPDATE 0` ledger
+    // commit, never the whole-table rewrite
+    if (df.filter(hit).limit(1).isEmpty) {
+      logOp(layer, table, "UPDATE", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
@@ -1153,9 +1192,19 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // zero-change early exit: the metrics action has already run on the
     // cached merge, so a merge where every source row loses the version
     // rule (an idempotent re-run) is detected for free — skip the
-    // rewrite, the feed append, and the version bump, mirroring the
-    // partitioned path's empty-touched no-op
-    if (m.inserted == 0 && m.updated == 0) { mr.unpersist(); return m }
+    // rewrite, the feed append, and the retired generation, but STILL
+    // record a MERGE 0/0 ledger commit with a version bump: Delta logs
+    // a MERGE commit even when operationMetrics are all zero, and the
+    // reference reads DESCRIBE HISTORY after every run
+    // (silver_arxiv.py:175-184) — a re-run must report "inserted 0 /
+    // updated 0", not surface the previous op as its last history row.
+    // A version with no generation folds into its predecessor on
+    // time travel, exactly like APPEND.
+    if (m.inserted == 0 && m.updated == 0) {
+      mr.unpersist()
+      logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
+      return m
+    }
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
@@ -1302,15 +1351,35 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       inserted: Long,
       updated: Long,
       outputRows: Long,
-      version: Long = -1L // -1 = assign the next version here
+      version: Long = -1L, // -1 = assign the next version here
+      deleted: Long = 0L   // Delta's numDeletedRows — what makes a real
+                           // DELETE distinguishable from a no-op commit
   ): Unit = {
     import spark.implicits._
     val ver = if (version >= 0) version else nextVersion(s"$layer.$table")
-    val row = Seq((s"$layer.$table", op, inserted, updated, outputRows, System.currentTimeMillis()))
-      .toDF("table_name", "operation", "num_inserted", "num_updated", "num_output_rows", "ts_millis")
+    val row = Seq((s"$layer.$table", op, inserted, updated, deleted, outputRows,
+        System.currentTimeMillis()))
+      .toDF("table_name", "operation", "num_inserted", "num_updated", "num_deleted",
+        "num_output_rows", "ts_millis")
       .withColumn("version", lit(ver))
     row.write.mode(SaveMode.Append).parquet(tablePath(ledgerLayer, ledgerTable))
   }
+
+  /** Ledger versions in (`version`, current] whose op actually REWROTE
+    * table data — i.e. retired a generation at commit. APPENDs and
+    * zero-change DML commits (the unified no-op convention: MERGE /
+    * DELETE / UPDATE with all-zero metrics) rewrite nothing, retire
+    * nothing, and fold into their predecessor on time travel; every
+    * other op (CTAS, COMPACT, ZORDER, RESTORE — and DML with non-zero
+    * metrics) left a `.__v{v-1}` generation, so its absence means
+    * VACUUM pruned history, which time travel must refuse.
+    */
+  private def rewritingAfter(tableName: String, version: Long): Set[Long] =
+    history(tableName)
+      .filter(col("version") > version && col("operation") =!= "APPEND" &&
+        (!col("operation").isin("MERGE", "DELETE", "UPDATE") ||
+          col("num_inserted") + col("num_updated") + col("num_deleted") > 0))
+      .select(col("version")).collect().map(_.getLong(0)).toSet
 
   /** Latest ledger version for a table; -1 before its first op. */
   private def latestVersion(tableName: String): Long =
@@ -1342,7 +1411,20 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val p = new Path(tablePath(layer, table) + s".__v$version")
     if (fs.exists(p) && !fs.exists(new Path(p, "_GRAFT_SPARSE")))
       return spark.read.parquet(p.toString)
-    reconstructAsOf(layer, table, version, current)
+    if (partitionColumns(layer, table).nonEmpty)
+      return reconstructAsOf(layer, table, version, current)
+    // whole-table fold: ops after `version` that rewrote nothing
+    // (APPENDs, zero-change DML commits) left no `.__v{version}` —
+    // the state at `version` is the next retained FULL snapshot if a
+    // later rewrite took one (appends between fold forward into it,
+    // per the contract), else the live table itself
+    val rewriting = rewritingAfter(s"$layer.$table", version)
+    if (rewriting.isEmpty) return this.table(layer, table)
+    val g = new Path(tablePath(layer, table) + s".__v${rewriting.min - 1L}")
+    require(fs.exists(g) && !fs.exists(new Path(g, "_GRAFT_SPARSE")),
+      s"version $version of $layer.$table is not retained " +
+        s"(current=$current, keepGenerations=$keepGenerations)")
+    spark.read.parquet(g.toString)
   }
 
   /** Overlay reconstruction for partition-scoped history. Each
@@ -1372,9 +1454,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .flatten
       .filter(_ >= version)
       .sorted
-    val replacingAfter = history(s"$layer.$table")
-      .filter(col("version") > version && col("operation") =!= "APPEND")
-      .select(col("version")).collect().map(_.getLong(0)).toSet
+    // only ops that actually rewrote data retired a generation — a
+    // zero-change DML commit (the unified no-op convention) retires
+    // nothing, so its missing `.__v` is a fold, not a vacuumed hole
+    val replacingAfter = rewritingAfter(s"$layer.$table", version)
     val needed = replacingAfter.map(_ - 1L).filter(_ >= version)
     require(
       needed.forall(gens.contains),
@@ -1455,8 +1538,8 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   def history(tableName: String): DataFrame = {
     if (!fs.exists(new Path(tablePath(ledgerLayer, ledgerTable)))) {
       import spark.implicits._
-      return Seq.empty[(String, String, Long, Long, Long, Long, Long)]
-        .toDF("table_name", "operation", "num_inserted", "num_updated",
+      return Seq.empty[(String, String, Long, Long, Long, Long, Long, Long)]
+        .toDF("table_name", "operation", "num_inserted", "num_updated", "num_deleted",
           "num_output_rows", "ts_millis", "version")
     }
     spark.read

@@ -312,7 +312,8 @@ class WarehouseSpec extends SparkSpec {
         QueriesRel2.q95_update_partitioned _,
         QueriesRel2.q96_merge_partitioned _,
         QueriesRel2.q97_feed_partitioned _,
-        QueriesRel2.q98_data_skipping _)) {
+        QueriesRel2.q98_data_skipping _,
+        QueriesRel2.q101_incremental_mv_partitioned _)) {
       val a = q(spark, sfDir).collect().map(_.toSeq).toSeq
       val b = q(spark, sfDir).collect().map(_.toSeq).toSeq
       assert(a.nonEmpty && a == b, "repeated call must reproduce the first call's output exactly")
@@ -443,6 +444,62 @@ class WarehouseSpec extends SparkSpec {
     // k=1 is gone (the compute-the-name design left both alive: k=1
     // undeleted and k=2 duplicated)
     assert(rows == Seq((2L, 5), (3L, 6)), s"got $rows")
+  }
+
+  test("no-op DML logs a zero-metric commit, rewrites nothing, and folds on time travel") {
+    import spark.implicits._
+    val wh = freshWh()
+    // partitioned table: a losing merge re-run must leave EVERY
+    // partition file byte-identical (no touched-slice rewrite, no
+    // empty feed partition, no retired generation) while still
+    // recording a MERGE 0/0 ledger commit — Delta logs a MERGE commit
+    // even at zero changed rows, and the reference reads DESCRIBE
+    // HISTORY after every run
+    wh.createOrReplacePartitioned("silver", "np", // version 0
+      Seq((1L, "a", 1L, "A"), (2L, "b", 1L, "B")).toDF("k", "payload", "v", "seg"), Seq("seg"))
+    val src = Seq((1L, "a2", 2L, "A"), (3L, "c", 2L, "B")).toDF("k", "payload", "v", "seg")
+    val m1  = wh.upsert("silver", "np", src, Seq("k"), "v") // version 1: real merge
+    assert(m1.inserted == 1 && m1.updated == 1)
+    val before     = sig(wh.tablePath("silver", "np"))
+    val feedBefore = sig(wh.tablePath("silver", "np") + ".__changes")
+    val m2         = wh.upsert("silver", "np", src, Seq("k"), "v") // version 2: loses by version rule
+    assert(m2.inserted == 0 && m2.updated == 0)
+    assert(sig(wh.tablePath("silver", "np")) == before,
+      "a zero-change merge must not rewrite any partition file")
+    assert(sig(wh.tablePath("silver", "np") + ".__changes") == feedBefore,
+      "a zero-change merge must not write feed rows or an empty feed partition")
+    val last = wh.lastOperation("silver.np").get
+    assert(last.getAs[String]("operation") == "MERGE")
+    assert(last.getAs[Long]("version") == 2L)
+    assert(last.getAs[Long]("num_inserted") == 0L && last.getAs[Long]("num_updated") == 0L)
+    // the no-op version folds into its predecessor: both read the live
+    // table, and the version BEFORE the no-op stays reconstructable
+    assert(wh.tableAsOf("silver", "np", 2L).count() == 3)
+    assert(wh.tableAsOf("silver", "np", 1L).count() == 3)
+    assert(wh.tableAsOf("silver", "np", 0L).count() == 2)
+
+    // unpartitioned: delete/update with zero matches follow the SAME
+    // convention — zero-metric commit with a version bump, no rewrite
+    wh.createOrReplace("silver", "nu", Seq((1L, "x"), (2L, "y")).toDF("k", "tag")) // v0
+    val liveBefore = sig(wh.tablePath("silver", "nu"))
+    assert(wh.delete("silver", "nu", $"tag" === "absent") == 0L) // v1
+    assert(wh.update("silver", "nu", $"tag" === "absent", Map("tag" -> lit("z"))) == 0L) // v2
+    assert(sig(wh.tablePath("silver", "nu")) == liveBefore, "no-op DML must not rewrite")
+    val ops = wh.history("silver.nu").orderBy("version").collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("operation"),
+        r.getAs[Long]("num_deleted"), r.getAs[Long]("num_updated"))).toSeq
+    assert(ops == Seq((0L, "CREATE OR REPLACE", 0L, 0L),
+      (1L, "DELETE", 0L, 0L), (2L, "UPDATE", 0L, 0L)))
+    // time travel folds through the trailing no-ops to the live table
+    for (v <- 0L to 2L) assert(wh.tableAsOf("silver", "nu", v).count() == 2)
+    // a real delete logs num_deleted (Delta's numDeletedRows) — the
+    // metric that distinguishes a rewrite from a no-op in the ledger
+    assert(wh.delete("silver", "nu", $"tag" === "x") == 1L) // v3: real rewrite
+    assert(wh.lastOperation("silver.nu").get.getAs[Long]("num_deleted") == 1L)
+    // pre-rewrite state is retained; the no-op versions fold into it
+    for (v <- 0L to 2L)
+      assert(wh.tableAsOf("silver", "nu", v).count() == 2, s"version $v must fold to the v0 snapshot")
+    assert(wh.tableAsOf("silver", "nu", 3L).count() == 1)
   }
 
   test("decimal-spelled partition directories (x=1.50) retire under inference") {
