@@ -20,20 +20,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to micros (DuckDB
-    * truncates the same way, so oracle comparisons agree). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build
-    * ([[Engine.session]], `Verify`, `Bench`) — accessors never mutate
-    * session conf.
+  /** events.ts has shipped as two different parquet physical types across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark surfaces as BIGINT
+    * nanos under `spark.sql.legacy.parquet.nanosAsLong=true` (set at session
+    * build: [[Engine.session]], `Verify`, `Bench`) — and TIMESTAMP(MICROS)
+    * NTZ. Branch on the scanned type so both generations analyze:
+    *   - LongType (nanos-as-long): truncate nanos→micros, matching DuckDB's
+    *     own truncation so oracle comparisons agree.
+    *   - TimestampNTZ / Timestamp: cast to TimestampType; under the UTC
+    *     session timezone this is value-identical to the truncated output.
+    * Accessors never mutate session conf.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build (see Engine.session)"
-    )
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

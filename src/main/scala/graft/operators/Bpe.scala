@@ -3,20 +3,20 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** BPE tokenizer training (Sennrich et al. 2016) — the full driver
+/** BPE tokenizer training (Sennrich et al. 2016) -- the full driver
   * loop around q92's distributed pair-counting step. The reference
   * pipeline's text stage stops at token counting; a training-data
   * engine needs the tokenizer-training primitive itself.
   *
   * Scale shape: the corpus collapses ONCE to the distinct-word
-  * dictionary with frequencies — the classic BPE training state,
-  * |vocab| rows (millions at 100 TB), never |corpus| — and every
+  * dictionary with frequencies -- the classic BPE training state,
+  * |vocab| rows (millions at 100 TB), never |corpus| -- and every
   * iteration after that touches only the dictionary: one
   * explode+groupBy pair count (only (pair, count) partials shuffle), a
   * driver-side argmax of a single row, and one higher-order-function
   * pass applying the merge to the symbol arrays. The dictionary is
   * re-materialized each iteration ([[Materialize]]) so the plan stays
-  * constant-size instead of growing with the merge count — the same
+  * constant-size instead of growing with the merge count -- the same
   * iterative-loop discipline as [[Graph]]'s component fixpoints.
   */
 object Bpe {
@@ -31,7 +31,7 @@ object Bpe {
   private val Sep = "\u0000"
 
   /** Left-to-right, non-overlapping application of merge (a, b) -> ab
-    * to a symbol array — the greedy pass BPE defines ("aaa" under
+    * to a symbol array -- the greedy pass BPE defines ("aaa" under
     * (a,a) becomes ["aa","a"]). A single codegen-friendly fold: the
     * accumulator carries the emitted prefix and one pending symbol.
     */
@@ -65,7 +65,7 @@ object Bpe {
       .select(split(col("w"), "").as("syms"), col("wc"))
 
   /** Train `numMerges` BPE merges over the corpus. Deterministic: the
-    * argmax tie-breaks on (count desc, pair asc) — the same rank rule
+    * argmax tie-breaks on (count desc, pair asc) -- the same rank rule
     * as q92's candidate list, whose top-1 is by construction this
     * loop's first merge. Stops early if no pair remains.
     */

@@ -556,6 +556,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       pcols)
     val touched = (srcParts ++ matchedParts).distinct
     if (touched.isEmpty) {
+      // touched empty ⟺ the source has zero rows. Documented divergence:
+      // a ZERO-ROW source carrying a new column does not evolve the
+      // schema here (Delta would update metadata); with no rows there is
+      // no partition slice to rewrite the column into, and rewriting the
+      // whole table for an empty source is the wrong trade at scale.
+      // Any nonzero-row source with a new column DOES evolve (below).
       logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
       return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = 0)
     }
@@ -571,7 +577,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // byte-identical. Still log a MERGE 0/0 commit with a version bump
     // (Delta records a MERGE commit even at zero changed rows; the
     // reference reads DESCRIBE HISTORY after every run).
-    if (m.inserted == 0 && m.updated == 0) {
+    // ...unless the source carries a NEW column: Delta's MERGE commit
+    // updates table metadata even at zero changed rows, so a source-only
+    // column must still evolve the schema — force the slice rewrite
+    // (mergeSchema on table() then surfaces the column table-wide).
+    val newCols = unioned.fieldNames.filterNot(tgt0.columns.contains)
+    if (m.inserted == 0 && m.updated == 0 && newCols.isEmpty) {
       mr.unpersist()
       logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
       return m
@@ -1200,7 +1211,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // updated 0", not surface the previous op as its last history row.
     // A version with no generation folds into its predecessor on
     // time travel, exactly like APPEND.
-    if (m.inserted == 0 && m.updated == 0) {
+    // ...unless the source carries a NEW column: Delta's MERGE commit
+    // updates table metadata even at zero changed rows, so a source-only
+    // column must still evolve the schema — fall through to the rewrite,
+    // which null-backfills the column across the table.
+    val newCols = unioned.fieldNames.filterNot(tgt0.columns.contains)
+    if (m.inserted == 0 && m.updated == 0 && newCols.isEmpty) {
       mr.unpersist()
       logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
       return m
@@ -1378,7 +1394,11 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     history(tableName)
       .filter(col("version") > version && col("operation") =!= "APPEND" &&
         (!col("operation").isin("MERGE", "DELETE", "UPDATE") ||
-          col("num_inserted") + col("num_updated") + col("num_deleted") > 0))
+          col("num_inserted") + col("num_updated") + col("num_deleted") > 0 ||
+          // schema-evolution-forced rewrite: zero row changes but the
+          // table WAS rewritten (new source-only column) — such commits
+          // log their kept row count, true no-ops always log 0
+          col("num_output_rows") > 0))
       .select(col("version")).collect().map(_.getLong(0)).toSet
 
   /** Latest ledger version for a table; -1 before its first op. */
@@ -1534,7 +1554,13 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     rows
   }
 
-  /** All ledger entries for a table — the engine's DESCRIBE HISTORY. */
+  /** All ledger entries for a table — the engine's DESCRIBE HISTORY.
+    * Read with mergeSchema and backfill `num_deleted` (added after the
+    * 7-column ledger era) to 0: a warehouse carrying mixed-generation
+    * ledger files must neither fail to resolve the column nor surface
+    * nulls — a null metric in [[rewritingAfter]]'s `sum > 0` predicate
+    * would misclassify a legacy real DELETE as a non-rewriting fold.
+    */
   def history(tableName: String): DataFrame = {
     if (!fs.exists(new Path(tablePath(ledgerLayer, ledgerTable)))) {
       import spark.implicits._
@@ -1542,9 +1568,20 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         .toDF("table_name", "operation", "num_inserted", "num_updated", "num_deleted",
           "num_output_rows", "ts_millis", "version")
     }
-    spark.read
+    val raw = spark.read
+      .option("mergeSchema", "true")
       .parquet(tablePath(ledgerLayer, ledgerTable))
-      .filter(col("table_name") === tableName)
+    // Legacy DELETE rows predate both the column AND the zero-change
+    // no-op convention — those commits always rewrote, so backfill 1
+    // ("unknown but nonzero") rather than 0, which would let tableAsOf
+    // fold past a retired generation and serve too-new data.
+    val withDeleted =
+      if (raw.columns.contains("num_deleted"))
+        raw.withColumn("num_deleted", coalesce(col("num_deleted"),
+          when(col("operation") === "DELETE", lit(1L)).otherwise(lit(0L))))
+      else raw.withColumn("num_deleted",
+        when(col("operation") === "DELETE", lit(1L)).otherwise(lit(0L)))
+    withDeleted.filter(col("table_name") === tableName)
   }
 
   /** Latest operation metrics (reference `order by version desc limit 1`,

@@ -679,4 +679,65 @@ class WarehouseSpec extends SparkSpec {
     // absent key: typically zero files survive, always zero rows
     assert(wh.scanPrunedEq("gold", "bl", "key", Seq(-1L)).count() == 0)
   }
+
+  test("history migrates legacy 7-column ledger files (pre-num_deleted era)") {
+    import spark.implicits._
+    val wh = freshWh()
+    // current-schema ledger row (8 columns, from a real op)
+    wh.createOrReplace("silver", "leg", Seq((1L, "a")).toDF("k", "v"))
+    // hand-append a legacy-era file WITHOUT num_deleted, as a pre-upgrade
+    // engine wrote it: a CTAS then a real DELETE for another table
+    Seq(
+      ("silver.old", "CTAS", 5L, 0L, 5L, 1000L, 0L),
+      ("silver.old", "DELETE", 0L, 0L, 3L, 2000L, 1L))
+      .toDF("table_name", "operation", "num_inserted", "num_updated",
+        "num_output_rows", "ts_millis", "version")
+      .write.mode("append").parquet(wh.tablePath("_ops", "ledger"))
+    // mixed 7/8-column ledger must resolve; legacy rows backfill:
+    // DELETE → 1 (always rewrote pre-convention), everything else → 0
+    val old = wh.history("silver.old").orderBy("version").collect()
+      .map(r => (r.getAs[String]("operation"), r.getAs[Long]("num_deleted")))
+    assert(old.toSeq == Seq(("CTAS", 0L), ("DELETE", 1L)))
+    // current-schema rows are untouched and lastOperation still resolves
+    assert(wh.lastOperation("silver.leg").get.getAs[Long]("num_deleted") == 0L)
+    assert(wh.lastOperation("silver.old").get.getAs[String]("operation") == "DELETE")
+    // the live table's time travel still works over the mixed ledger
+    // (appends fold forward into the predecessor per the engine contract)
+    wh.append("silver", "leg", Seq((2L, "b")).toDF("k", "v"))
+    assert(wh.tableAsOf("silver", "leg", 0L).count() == 2L)
+  }
+
+  test("zero-change merge with a source-only column still evolves the schema") {
+    import spark.implicits._
+    val wh = freshWh()
+    // unpartitioned: idempotent re-run (same keys, same versions) that
+    // carries a NEW column → 0/0 metrics, but the column must land
+    wh.createOrReplace("silver", "ev", Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "payload", "v"))
+    val m = wh.upsert("silver", "ev",
+      Seq((1L, "a", 1, "x")).toDF("k", "payload", "v", "extra"), Seq("k"), "v")
+    assert(m.inserted == 0 && m.updated == 0)
+    val t = wh.table("silver", "ev")
+    assert(t.columns.contains("extra"), "new source column must evolve the table schema")
+    // kept rows do not take source values (Delta: unmatched-by-condition)
+    assert(t.filter($"extra".isNotNull).count() == 0)
+    // the forced rewrite retired a generation → time travel to v0 reads it
+    assert(!wh.tableAsOf("silver", "ev", 0L).columns.contains("extra"))
+    // a plain 0/0 re-run with NO new column stays a true no-op commit
+    val before = wh.table("silver", "ev").inputFiles.toSet
+    val m2 = wh.upsert("silver", "ev",
+      Seq((1L, "a", 1, "x")).toDF("k", "payload", "v", "extra"), Seq("k"), "v")
+    assert(m2.inserted == 0 && m2.updated == 0)
+    assert(wh.table("silver", "ev").inputFiles.toSet == before, "no-op must not rewrite files")
+
+    // partitioned path: same contract
+    wh.createOrReplacePartitioned("silver", "pe",
+      Seq((1L, "p0", "a", 1), (2L, "p1", "b", 1)).toDF("k", "pt", "payload", "v"), Seq("pt"))
+    val pm = wh.upsert("silver", "pe",
+      Seq((1L, "p0", "a", 1, 9.5)).toDF("k", "pt", "payload", "v", "score"), Seq("k"), "v")
+    assert(pm.inserted == 0 && pm.updated == 0)
+    val pt = wh.table("silver", "pe")
+    assert(pt.columns.contains("score"), "partitioned merge must evolve schema too")
+    assert(pt.filter($"score".isNotNull).count() == 0)
+    assert(pt.count() == 2L)
+  }
 }
