@@ -1108,7 +1108,10 @@ object Oracles {
       ("q100_bloom_skipping" -> q100Sql) +
       // q101: same full-recompute oracle as q83 — the partitioned
       // writer's feed must drive the MV to the identical final state
-      ("q101_incremental_mv_partitioned" -> preAlias("q83_incremental_mv"))
+      ("q101_incremental_mv_partitioned" -> preAlias("q83_incremental_mv")) +
+      // q102: same full-recompute oracle again — a STREAMED refresh
+      // (mvRefreshSink trigger) must land on the identical final state
+      ("q102_streaming_mv_refresh" -> preAlias("q83_incremental_mv"))
 }
 
 

@@ -922,4 +922,49 @@ object QueriesRel2 {
       .select($"window_id", $"event_id")
       .orderBy($"window_id", $"event_id")
   }
+
+  /** Streaming MV maintenance under the oracle gate — the Structured-
+    * Streaming twin of q83/q101, closing the last spec-only gap in the
+    * Delta-parity layer: the same reprice merge + delete land feed
+    * files, but the refresh is driven by
+    * [[graft.streaming.WarehouseStreams.mvRefreshSink]] — a file-source
+    * readStream over the change-feed sidecar whose foreachBatch fires
+    * the cursor-guarded [[graft.operators.MaterializedAgg.refresh]]
+    * (the stream is the TRIGGER, the MV's version cursor is the
+    * exactly-once guard). The oracle recomputes the final per-customer
+    * aggregate from scratch in SQL: a streamed refresh must land on
+    * exactly the full-recompute answer, decimal-exact. Re-runs are
+    * state-invariant by the q83 argument, and the restarted stream
+    * finds no new feed files past its checkpoint (and the refresh
+    * cursor no-ops regardless). Reference anchor: the incremental-load
+    * semantics of silver_arxiv.py:130-152, here as a continuously-
+    * maintained derivation instead of a scheduled batch.
+    */
+  def q102_streaming_mv_refresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MaterializedAgg
+    import graft.streaming.WarehouseStreams
+    val whRoot = Scratch.dir(spark, "q102_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "ordm",
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", lit(0L).as("version")))
+      MaterializedAgg.build(wh, "silver", "ordm", "gold", "custspendm",
+        Seq("o_custkey"), "o_totalprice")
+    }
+    wh.upsert("silver", "ordm",
+      Tables.orders(spark, dir)
+        .filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_custkey", ($"o_totalprice" + 100).as("o_totalprice"),
+          lit(1L).as("version")),
+      Seq("o_orderkey"), "version")
+    wh.delete("silver", "ordm", $"o_orderkey" % 17 === 0)
+    val q = WarehouseStreams.mvRefreshSink(spark, wh, "silver", "ordm",
+      "gold", "custspendm", Seq("o_custkey"), "o_totalprice", s"$whRoot/ckpt_mv")
+    try q.processAllAvailable() finally q.stop()
+    wh.table("gold", "custspendm")
+      .select($"o_custkey", $"sum_v".cast("double").as("spend"), $"n")
+      .orderBy($"o_custkey")
+  }
 }
