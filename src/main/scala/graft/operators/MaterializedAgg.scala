@@ -76,31 +76,36 @@ object MaterializedAgg {
     val spark = wh.table(mvLayer, mvTable).sparkSession
     import spark.implicits._
     val since = wh.table(mvLayer, stateTable(mvTable)).head().getLong(0)
-    val feed  = wh.changeFeed(srcLayer, srcTable, since)
-    val stats = feed
-      .agg(count(lit(1)).as("n"), max(col("_commit_version")).as("v"))
-      .head()
-    val applied = stats.getLong(0)
-    if (applied == 0) return 0L
-    val newVersion = stats.getLong(1)
-    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1)
-      .otherwise(-1) // update_preimage, delete
-    val delta = feed
-      .groupBy(keys.map(col): _*)
-      .agg(
-        sum((sign * col(valueCol)).cast(DecimalType(18, 2))).cast(Sum).as("d_sum"),
-        sum(sign.cast("long")).as("d_n"))
-    val merged = wh
-      .table(mvLayer, mvTable)
-      .join(delta, keys, "full_outer")
-      .select(
-        keys.map(col) ++ Seq(
-          (coalesce(col("sum_v"), lit(0).cast(Sum)) + coalesce(col("d_sum"), lit(0).cast(Sum)))
-            .cast(Sum).as("sum_v"),
-          (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")): _*)
-      .filter(col("n") > 0) // fully-deleted keys leave the MV, like a real GROUP BY
-    wh.createOrReplace(mvLayer, mvTable, merged)
-    wh.createOrReplace(mvLayer, stateTable(mvTable), Seq(newVersion).toDF("last_version"))
-    applied
+    // cache the tail: it is read twice (stats probe, then delta agg)
+    // and is O(delta) by construction — the one thing in this path
+    // that IS safe to hold in memory at any table size
+    val feed = wh.changeFeed(srcLayer, srcTable, since).cache()
+    try {
+      val stats = feed
+        .agg(count(lit(1)).as("n"), max(col("_commit_version")).as("v"))
+        .head()
+      val applied = stats.getLong(0)
+      if (applied == 0) return 0L
+      val newVersion = stats.getLong(1)
+      val sign = when(col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(-1) // update_preimage, delete
+      val delta = feed
+        .groupBy(keys.map(col): _*)
+        .agg(
+          sum((sign * col(valueCol)).cast(DecimalType(18, 2))).cast(Sum).as("d_sum"),
+          sum(sign.cast("long")).as("d_n"))
+      val merged = wh
+        .table(mvLayer, mvTable)
+        .join(delta, keys, "full_outer")
+        .select(
+          keys.map(col) ++ Seq(
+            (coalesce(col("sum_v"), lit(0).cast(Sum)) + coalesce(col("d_sum"), lit(0).cast(Sum)))
+              .cast(Sum).as("sum_v"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")): _*)
+        .filter(col("n") > 0) // fully-deleted keys leave the MV, like a real GROUP BY
+      wh.createOrReplace(mvLayer, mvTable, merged)
+      wh.createOrReplace(mvLayer, stateTable(mvTable), Seq(newVersion).toDF("last_version"))
+      applied
+    } finally { feed.unpersist(); () }
   }
 }

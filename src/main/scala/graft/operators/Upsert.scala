@@ -94,21 +94,30 @@ object Upsert {
     def outputRows: Long = inserted + updated + kept
   }
 
-  /** Cached merge: `merged` (with [[ActionCol]]) is the cached plan the
-    * metrics were counted from; write [[result]] while the cache is
-    * warm, then call [[unpersist]] — the caller owns the lifetime, so
-    * the cache entry is evicted exactly once per merge.
+  /** The merge plan (`merged`, with [[ActionCol]]) and its metrics.
+    *
+    * `merged` is the UNCACHED deterministic plan — consumers (result
+    * write, feed post/pre) each re-run it and Catalyst prunes every
+    * pass to the columns that consumer touches. Deliberately NOT
+    * `.cache()`: caching the merged table materializes the ENTIRE
+    * post-merge table full-width in executor memory/disk — at 100 TB
+    * that cache IS the table, the one thing a merge must never hold
+    * twice. Recomputation is sound because every input is an immutable
+    * parquet snapshot until the staged swap lands (write-then-swap),
+    * and the join + CASE projection is deterministic.
     */
   final case class MergeResult(merged: DataFrame, metrics: WriteMetrics) {
     /** Output rows without the action column. */
     def result: DataFrame = merged.drop(ActionCol)
-    /** Evict the cached merge relation (the exact plan that was cached). */
-    def unpersist(): Unit = { merged.unpersist(); () }
+    /** Kept for caller symmetry; the plan is uncached (see above). */
+    def unpersist(): Unit = ()
   }
 
-  /** Run the merge and return the cached result + metrics. One job: the
-    * action column is aggregated from the same plan that produces the
-    * output, and the cache makes the subsequent write reuse it.
+  /** Run the metrics pass and return the plan + metrics. The metrics
+    * aggregation references ONLY [[ActionCol]], so Catalyst prunes the
+    * join to keys + version + presence marks — a narrow O(table) pass,
+    * not a full-width materialization; the zero-change early exit in
+    * the warehouse then skips every later full-width pass entirely.
     */
   def mergeWithMetrics(
       tgt: DataFrame,
@@ -116,7 +125,7 @@ object Upsert {
       keys: Seq[String],
       versionCol: String
   ): MergeResult = {
-    val merged = plan(tgt, src, keys, versionCol).cache()
+    val merged = plan(tgt, src, keys, versionCol)
     val counts = merged
       .groupBy(col(ActionCol))
       .count()

@@ -570,9 +570,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val mr = Upsert.mergeWithMetrics(alignTo(sliceTgt, unioned), srcAligned, keys, versionCol)
     val m  = mr.metrics
     // zero-change early exit (the unified no-op convention, same as the
-    // unpartitioned path): the metrics action already ran on the cached
-    // merge, so a re-run where every source row loses the version rule
-    // is detected for free — skip the touched-slice rewrite, the empty
+    // unpartitioned path): the metrics pass is a narrow column-pruned
+    // aggregation, so a re-run where every source row loses the version
+    // rule is detected cheaply — skip the touched-slice rewrite, the empty
     // feed partition, and the swap entirely; every partition file stays
     // byte-identical. Still log a MERGE 0/0 commit with a version bump
     // (Delta records a MERGE commit even at zero changed rows; the
@@ -1168,9 +1168,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * Every merge also records its change rows (the Delta Change Data
     * Feed replacement): rows whose action is insert/update are
     * appended to `<table>.__changes` with `_change_type` ∈
-    * {insert, update_postimage} and `_commit_version` — written from
-    * the same cached merge plan the metrics came from, so the feed
-    * costs one filtered projection, not a re-merge. Kept rows are
+    * {insert, update_postimage} and `_commit_version` — a filtered
+    * re-run of the same deterministic merge plan the metrics came
+    * from (column-pruned by Catalyst per pass; the plan is never
+    * cached full-width — see [[Upsert.MergeResult]]). Kept rows are
     * never written (a consumer tails only what changed — the property
     * that makes incremental downstream refresh linear in the delta,
     * not the table). CTAS and APPEND don't write feed rows: a CTAS is
@@ -1200,9 +1201,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val mr      = Upsert.mergeWithMetrics(alignTo(tgt0, unioned), alignTo(src, unioned),
       keys, versionCol)
     val m       = mr.metrics
-    // zero-change early exit: the metrics action has already run on the
-    // cached merge, so a merge where every source row loses the version
-    // rule (an idempotent re-run) is detected for free — skip the
+    // zero-change early exit: the metrics pass is a narrow column-pruned
+    // aggregation, so a merge where every source row loses the version
+    // rule (an idempotent re-run) is detected cheaply — skip the
     // rewrite, the feed append, and the retired generation, but STILL
     // record a MERGE 0/0 ledger commit with a version bump: Delta logs
     // a MERGE commit even when operationMetrics are all zero, and the
@@ -1251,7 +1252,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         .withColumn("_commit_part", lit(f"$ver%010d"))
         .write.mode(SaveMode.Append).partitionBy("_commit_part")
         .parquet(tablePath(layer, table) + ".__changes")
-    } finally mr.unpersist() // evict the cached merge plan itself, not a derived projection
+    } finally mr.unpersist()
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows, version = ver)
     m
