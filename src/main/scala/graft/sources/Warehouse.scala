@@ -4,6 +4,7 @@ import graft.operators.Upsert
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Parquet-backed table layer — the engine's replacement for the
   * reference's Unity-Catalog-managed Delta tables (SURVEY §2.1 S3/S4/
@@ -641,6 +642,53 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     ()
   }
 
+  /** File-granular copy-on-write support for unpartitioned DML:
+    * the set of data files that contain at least one predicate-matching
+    * row, from one pushed-predicate scan (`input_file_name()` is
+    * evaluated at the scan, before any shuffle, so it is exact). Paths
+    * are normalized through [[Path]] so they compare equal to
+    * `df.inputFiles` entries regardless of URI spelling.
+    */
+  private def touchedFiles(df: DataFrame, hit: Column): Set[String] =
+    df.filter(hit).select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toString).toSet
+
+  /** Byte-copy `files` into `staging` on the EXECUTORS — a distributed
+    * server-side copy with zero decode/shuffle/encode, the cheap half
+    * of file-granular COW (the untouched files of a DELETE/UPDATE).
+    * Basenames are preserved; Spark's fresh-UUID part names for the
+    * rewritten files make collisions impossible. Each executor task
+    * resolves the FileSystem from its own Hadoop conf, as file tasks do.
+    */
+  private def copyFilesInto(files: Seq[String], staging: Path): Unit = {
+    if (files.isEmpty) return
+    fs.mkdirs(staging)
+    val dst = staging.toString
+    spark.sparkContext
+      .parallelize(files, math.min(files.size, 32).max(1))
+      .foreach { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val src  = new Path(f)
+        val sfs  = src.getFileSystem(conf)
+        val dfs  = new Path(dst).getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(
+          sfs, src, dfs, new Path(dst, src.getName), false, conf)
+        ()
+      }
+  }
+
+  /** Read exactly `files` of the table, aligned to the table's full
+    * (merged) schema — older files may predate evolved columns, which
+    * surface as typed nulls, the same contract as a whole-table read.
+    */
+  private def readFilesAligned(files: Seq[String], full: StructType): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    raw.select(full.fields.toSeq.map { f =>
+      if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** CREATE OR REPLACE TABLE AS SELECT (reference bronze_arxiv.py:102).
     * Writes to a staging dir first, then swaps — safe when `df` reads
     * from the table being replaced (a plain overwrite would delete its
@@ -721,8 +769,11 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
 
   /** DELETE FROM ... WHERE (Delta parity — and the right-to-be-
     *-forgotten primitive a training-data warehouse is legally required
-    * to have): staged rewrite of the surviving rows through the same
-    * swap as every other write, so the pre-delete generation stays
+    * to have): file-granular copy-on-write through the same staged
+    * swap as every other write — only files containing matched rows
+    * are decoded and rewritten, the rest byte-copy into the new
+    * generation (Delta's rewrite-touched-files-only, expressed in the
+    * snapshot-dir model) — so the pre-delete generation stays
     * [[tableAsOf]]-readable until pruned and a crash never loses the
     * table. Deleted rows are recorded in the change feed as
     * `_change_type = 'delete'` (Delta CDF does the same) — a
@@ -743,22 +794,36 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // !predicate would silently drop NULL-evaluating rows from BOTH
     // the survivors and the feed — rows vanishing unrecorded
     val hit = coalesce(predicate, lit(false))
-    // zero-match early exit, mirroring the partitioned path's
-    // empty-touched no-op (no rewrite, no feed rows, no generation —
-    // but a `DELETE 0` ledger commit with a version bump, the unified
-    // no-op convention Delta also follows): the existence probe is one
-    // pushed-predicate scan of the predicate columns — cents against
-    // the full rewrite it saves, and what makes an idempotence-gated
-    // re-run (q84's reprice flag) genuinely free
-    if (df.filter(hit).limit(1).isEmpty) {
+    // File-granular copy-on-write (Delta's rewrite-touched-files-only,
+    // in the snapshot-dir model): one pushed-predicate scan finds the
+    // files that contain matching rows — it doubles as the zero-match
+    // existence probe. Only those files are decoded and rewritten;
+    // every other file is byte-copied into the staging generation on
+    // the executors (no decode, no shuffle). With a clustered layout
+    // (z-order + a selective predicate) a 100 TB DELETE rewrites the
+    // touched percent and streams the rest — against a table whose
+    // predicate spans every file this degenerates to exactly the old
+    // full rewrite, copies included... minus none (touched = all).
+    val touched = touchedFiles(df, hit)
+    if (touched.isEmpty) {
+      // zero-match no-op: a `DELETE 0` ledger commit with a version
+      // bump, no rewrite, no feed rows (unified no-op convention)
       logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = 0)
       return 0L
     }
+    val untouched = df.inputFiles.map(new Path(_).toString).filterNot(touched).toSeq
+    val touchedDf = readFilesAligned(touched.toSeq, df.schema)
     val keptObs = org.apache.spark.sql.Observation()
-    df.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
+    touchedDf.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val kept = keptObs.get("n").asInstanceOf[Long]
-    val deletedRows = df.filter(hit)
+    copyFilesInto(untouched, staging)
+    val keptRewritten = keptObs.get("n").asInstanceOf[Long]
+    // untouched rows never decode: their count comes from parquet
+    // footer metadata (a zero-column scan), not a data read
+    val keptCarried =
+      if (untouched.isEmpty) 0L
+      else spark.read.parquet(untouched: _*).count()
+    val deletedRows = touchedDf.filter(hit)
       .withColumn("_change_type", lit("delete"))
       .withColumn("_commit_version", lit(ver))
     val obs = org.apache.spark.sql.Observation()
@@ -769,8 +834,8 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .parquet(target + ".__changes")
     val deleted = obs.get("n").asInstanceOf[Long]
     retireAndSwap(layer, table, staging)
-    logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver,
-      deleted = deleted)
+    logOp(layer, table, "DELETE", inserted = 0, updated = 0,
+      outputRows = keptRewritten + keptCarried, version = ver, deleted = deleted)
     deleted
   }
 
@@ -797,17 +862,20 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     assignments.keys.foreach(c =>
       require(df.columns.contains(c), s"UPDATE assigns unknown column $c"))
     val hit = coalesce(predicate, lit(false))
-    // zero-match early exit (see delete): a gated re-run pays one
-    // pushed-predicate existence probe plus an `UPDATE 0` ledger
-    // commit, never the whole-table rewrite
-    if (df.filter(hit).limit(1).isEmpty) {
+    // file-granular COW, exactly like DELETE: the touched-file probe is
+    // the zero-match existence probe, untouched files byte-copy into
+    // the staging generation without ever decoding
+    val touched = touchedFiles(df, hit)
+    if (touched.isEmpty) {
       logOp(layer, table, "UPDATE", inserted = 0, updated = 0, outputRows = 0)
       return 0L
     }
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
-    val rewritten = df.select(df.schema.fields.toSeq.map { f =>
+    val untouched = df.inputFiles.map(new Path(_).toString).filterNot(touched).toSeq
+    val touchedDf = readFilesAligned(touched.toSeq, df.schema)
+    val rewritten = touchedDf.select(df.schema.fields.toSeq.map { f =>
       assignments.get(f.name) match {
         case Some(a) => when(hit, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None    => col(f.name)
@@ -816,9 +884,13 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val rowsObs = org.apache.spark.sql.Observation()
     rewritten.observe(rowsObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val outputRows = rowsObs.get("n").asInstanceOf[Long]
-    val pre = df.filter(hit).withColumn("_change_type", lit("update_preimage"))
-    val post = df.filter(hit)
+    copyFilesInto(untouched, staging)
+    val rewrittenRows = rowsObs.get("n").asInstanceOf[Long]
+    val carriedRows =
+      if (untouched.isEmpty) 0L
+      else spark.read.parquet(untouched: _*).count()
+    val pre = touchedDf.filter(hit).withColumn("_change_type", lit("update_preimage"))
+    val post = touchedDf.filter(hit)
       .select(df.schema.fields.toSeq.map { f =>
         assignments.get(f.name) match {
           case Some(a) => a.cast(f.dataType).as(f.name)
@@ -836,7 +908,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val updated = obs.get("n").asInstanceOf[Long] / 2
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "UPDATE", inserted = 0, updated = updated,
-      outputRows = outputRows, version = ver)
+      outputRows = rewrittenRows + carriedRows, version = ver)
     updated
   }
 

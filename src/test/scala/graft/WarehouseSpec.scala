@@ -707,6 +707,51 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.tableAsOf("silver", "leg", 0L).count() == 2L)
   }
 
+  test("DELETE/UPDATE rewrite only the files containing matched rows (file-granular COW)") {
+    import spark.implicits._
+    val wh = freshWh(keep = 3)
+    // range-partitioned layout: 4 files, each holding a disjoint key range
+    val base = spark.range(0, 4000)
+      .select($"id".as("k"), ($"id" % 7).cast("long").as("v"))
+      .repartitionByRange(4, $"k")
+    wh.createOrReplace("silver", "cow", base)
+    val gen0 = wh.table("silver", "cow").inputFiles.map(f => f.split('/').last).toSet
+    assert(gen0.size == 4, s"expected 4 files, got ${gen0.size}")
+
+    // delete keys < 500: they live in exactly one range file
+    val deleted = wh.delete("silver", "cow", $"k" < 500)
+    assert(deleted == 500L)
+    val gen1 = wh.table("silver", "cow").inputFiles.map(f => f.split('/').last).toSet
+    assert((gen0 intersect gen1).size == 3,
+      s"3 untouched files must carry over byte-identical (names preserved); " +
+        s"carried=${(gen0 intersect gen1).size}")
+    assert(wh.table("silver", "cow").count() == 3500L)
+    assert(wh.table("silver", "cow").filter($"k" < 500).count() == 0L)
+    // ledger records the true surviving row count across both file sets
+    assert(wh.lastOperation("silver.cow").get.getAs[Long]("num_output_rows") == 3500L)
+    // feed carries exactly the deleted rows
+    assert(wh.changeFeed("silver", "cow", 0L)
+      .filter($"_change_type" === "delete").count() == 500L)
+    // time travel to the pre-delete generation still sees everything
+    assert(wh.tableAsOf("silver", "cow", 0L).count() == 4000L)
+
+    // update a slice of a single file: only that file is rewritten
+    val updated = wh.update("silver", "cow",
+      $"k" >= 3500 && $"k" < 3600, Map("v" -> lit(99L)))
+    assert(updated == 100L)
+    val gen2 = wh.table("silver", "cow").inputFiles.map(f => f.split('/').last).toSet
+    assert((gen1 intersect gen2).size == gen1.size - 1,
+      "exactly one file (the touched range) must be rewritten by the UPDATE")
+    assert(wh.table("silver", "cow").filter($"v" === 99L).count() == 100L)
+    assert(wh.table("silver", "cow").count() == 3500L)
+    assert(wh.lastOperation("silver.cow").get.getAs[Long]("num_output_rows") == 3500L)
+    // both feed images recorded for the touched rows only
+    val imgs = wh.changeFeed("silver", "cow", 1L)
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(imgs == Map("update_preimage" -> 100L, "update_postimage" -> 100L))
+  }
+
   test("zero-change merge with a source-only column still evolves the schema") {
     import spark.implicits._
     val wh = freshWh()
