@@ -443,12 +443,27 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val slice   = df.filter(partitionPredicate(touched, pcols))
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
+    // file-granular COW *within* the touched partitions, compounding
+    // the partition scoping: only files that contain matched rows are
+    // decoded and rewritten; the other files of the touched dirs
+    // byte-copy into the staged leaf dirs (untouched partitions were
+    // never in scope at all). basePath keeps the hive partition
+    // columns inferable on the touched-file read.
+    val retireDirs = retireDirsFor(new Path(target), pcols, df.schema, touched)
+    val touchedF   = touchedFiles(slice, hit)
+    val carryPairs = dataFilesUnder(new Path(target), retireDirs)
+      .filterNot(p => touchedF.contains(p._1))
+    val touchedDf = readFilesAligned(touchedF.toSeq, df.schema, basePath = Some(target))
     val keptObs = org.apache.spark.sql.Observation()
-    slice.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
+    touchedDf.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
-    val kept = keptObs.get("n").asInstanceOf[Long]
-    val obs  = org.apache.spark.sql.Observation()
-    slice.filter(hit)
+    copyFilesInto(carryPairs, staging)
+    val keptRewritten = keptObs.get("n").asInstanceOf[Long]
+    val keptCarried =
+      if (carryPairs.isEmpty) 0L
+      else spark.read.option("basePath", target).parquet(carryPairs.map(_._1): _*).count()
+    val obs = org.apache.spark.sql.Observation()
+    touchedDf.filter(hit)
       .withColumn("_change_type", lit("delete"))
       .withColumn("_commit_version", lit(ver))
       .withColumn("_commit_part", lit(f"$ver%010d"))
@@ -456,10 +471,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .write.mode(SaveMode.Append).partitionBy("_commit_part")
       .parquet(target + ".__changes")
     val deleted = obs.get("n").asInstanceOf[Long]
-    swapPartitions(layer, table, staging,
-      retireDirsFor(new Path(target), pcols, df.schema, touched), pcols.length)
-    logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = kept, version = ver,
-      deleted = deleted)
+    swapPartitions(layer, table, staging, retireDirs, pcols.length)
+    logOp(layer, table, "DELETE", inserted = 0, updated = 0,
+      outputRows = keptRewritten + keptCarried, version = ver, deleted = deleted)
     deleted
   }
 
@@ -495,7 +509,15 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val slice   = df.filter(partitionPredicate(touched, pcols))
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
-    val rewritten = slice.select(df.schema.fields.toSeq.map { f =>
+    // file-granular COW within the touched partitions (see
+    // [[deletePartitioned]]): decode only the files holding matched
+    // rows, byte-copy the rest of the touched dirs
+    val retireDirs = retireDirsFor(new Path(target), pcols, df.schema, touched)
+    val touchedF   = touchedFiles(slice, hit)
+    val carryPairs = dataFilesUnder(new Path(target), retireDirs)
+      .filterNot(p => touchedF.contains(p._1))
+    val touchedDf = readFilesAligned(touchedF.toSeq, df.schema, basePath = Some(target))
+    val rewritten = touchedDf.select(df.schema.fields.toSeq.map { f =>
       assignments.get(f.name) match {
         case Some(a) => when(hit, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None    => col(f.name)
@@ -504,9 +526,13 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val rowsObs = org.apache.spark.sql.Observation()
     rewritten.observe(rowsObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
-    val outputRows = rowsObs.get("n").asInstanceOf[Long]
-    val pre = slice.filter(hit).withColumn("_change_type", lit("update_preimage"))
-    val post = slice.filter(hit)
+    copyFilesInto(carryPairs, staging)
+    val rewrittenRows = rowsObs.get("n").asInstanceOf[Long]
+    val carriedRows =
+      if (carryPairs.isEmpty) 0L
+      else spark.read.option("basePath", target).parquet(carryPairs.map(_._1): _*).count()
+    val pre = touchedDf.filter(hit).withColumn("_change_type", lit("update_preimage"))
+    val post = touchedDf.filter(hit)
       .select(df.schema.fields.toSeq.map { f =>
         assignments.get(f.name) match {
           case Some(a) => a.cast(f.dataType).as(f.name)
@@ -522,10 +548,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       .write.mode(SaveMode.Append).partitionBy("_commit_part")
       .parquet(target + ".__changes")
     val updated = obs.get("n").asInstanceOf[Long] / 2
-    swapPartitions(layer, table, staging,
-      retireDirsFor(new Path(target), pcols, df.schema, touched), pcols.length)
+    swapPartitions(layer, table, staging, retireDirs, pcols.length)
     logOp(layer, table, "UPDATE", inserted = 0, updated = updated,
-      outputRows = outputRows, version = ver)
+      outputRows = rewrittenRows + carriedRows, version = ver)
     updated
   }
 
@@ -642,37 +667,53 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     ()
   }
 
-  /** File-granular copy-on-write support for unpartitioned DML:
-    * the set of data files that contain at least one predicate-matching
-    * row, from one pushed-predicate scan (`input_file_name()` is
-    * evaluated at the scan, before any shuffle, so it is exact). Paths
-    * are normalized through [[Path]] so they compare equal to
-    * `df.inputFiles` entries regardless of URI spelling.
+  /** Normalize a data-file path string to its decoded hadoop form.
+    * `input_file_name()` / `Dataset.inputFiles` return URL-ENCODED
+    * paths (a hive partition value with a space arrives as `%20`),
+    * while `FileStatus.getPath` and the read API work in the decoded
+    * domain — so decode once when the string parses as a URI, and take
+    * it raw otherwise (a raw path with an unencoded space fails URI
+    * parsing, which is exactly the already-decoded case).
+    */
+  private def normDataFile(s: String): String =
+    try new Path(new java.net.URI(s)).toString
+    catch { case _: java.net.URISyntaxException => new Path(s).toString }
+
+  /** File-granular copy-on-write support: the set of data files that
+    * contain at least one predicate-matching row, from one
+    * pushed-predicate scan (`input_file_name()` is evaluated at the
+    * scan, before any shuffle, so it is exact). Decoded-domain paths.
     */
   private def touchedFiles(df: DataFrame, hit: Column): Set[String] =
     df.filter(hit).select(input_file_name().as("f")).distinct()
-      .collect().map(r => new Path(r.getString(0)).toString).toSet
+      .collect().map(r => normDataFile(r.getString(0))).toSet
 
-  /** Byte-copy `files` into `staging` on the EXECUTORS — a distributed
+  /** Byte-copy files into `staging` on the EXECUTORS — a distributed
     * server-side copy with zero decode/shuffle/encode, the cheap half
     * of file-granular COW (the untouched files of a DELETE/UPDATE).
+    * Each element is (absolute source file, relative destination dir
+    * under staging — "" for the root, "pt=v/…" for a hive leaf).
     * Basenames are preserved; Spark's fresh-UUID part names for the
     * rewritten files make collisions impossible. Each executor task
     * resolves the FileSystem from its own Hadoop conf, as file tasks do.
     */
-  private def copyFilesInto(files: Seq[String], staging: Path): Unit = {
+  private def copyFilesInto(files: Seq[(String, String)], staging: Path): Unit = {
     if (files.isEmpty) return
-    fs.mkdirs(staging)
+    // dirs are created on the driver once, not raced from executors
+    files.map(_._2).distinct.foreach { rel =>
+      fs.mkdirs(if (rel.isEmpty) staging else new Path(staging, rel)); ()
+    }
     val dst = staging.toString
     spark.sparkContext
       .parallelize(files, math.min(files.size, 32).max(1))
-      .foreach { f =>
+      .foreach { case (f, rel) =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val src  = new Path(f)
+        val dir  = if (rel.isEmpty) new Path(dst) else new Path(dst, rel)
         val sfs  = src.getFileSystem(conf)
-        val dfs  = new Path(dst).getFileSystem(conf)
+        val dfs  = dir.getFileSystem(conf)
         org.apache.hadoop.fs.FileUtil.copy(
-          sfs, src, dfs, new Path(dst, src.getName), false, conf)
+          sfs, src, dfs, new Path(dir, src.getName), false, conf)
         ()
       }
   }
@@ -680,14 +721,40 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   /** Read exactly `files` of the table, aligned to the table's full
     * (merged) schema — older files may predate evolved columns, which
     * surface as typed nulls, the same contract as a whole-table read.
+    * `basePath` (the table root) keeps hive partition columns inferable
+    * when the files sit in partition leaf dirs.
     */
-  private def readFilesAligned(files: Seq[String], full: StructType): DataFrame = {
-    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+  private def readFilesAligned(
+      files: Seq[String],
+      full: StructType,
+      basePath: Option[String] = None
+  ): DataFrame = {
+    val reader = basePath.foldLeft(spark.read.option("mergeSchema", "true"))(
+      (r, bp) => r.option("basePath", bp))
+    val raw = reader.parquet(files: _*)
     raw.select(full.fields.toSeq.map { f =>
       if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
   }
+
+  /** Data files (with their relative leaf dir) under the given hive
+    * leaf dirs of `target` — the COW carry-over candidates of a
+    * partition-scoped DML op.
+    */
+  private def dataFilesUnder(target: Path, relDirs: Seq[String]): Seq[(String, String)] =
+    relDirs.flatMap { rel =>
+      val dir = new Path(target, rel)
+      if (!fs.exists(dir)) Seq.empty
+      else
+        fs.listStatus(dir)
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(s => (new Path(s.getPath.toString).toString, rel))
+          .toSeq
+    }
 
   /** CREATE OR REPLACE TABLE AS SELECT (reference bronze_arxiv.py:102).
     * Writes to a staging dir first, then swaps — safe when `df` reads
@@ -811,12 +878,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       logOp(layer, table, "DELETE", inserted = 0, updated = 0, outputRows = 0)
       return 0L
     }
-    val untouched = df.inputFiles.map(new Path(_).toString).filterNot(touched).toSeq
+    val untouched = df.inputFiles.map(normDataFile).filterNot(touched).toSeq
     val touchedDf = readFilesAligned(touched.toSeq, df.schema)
     val keptObs = org.apache.spark.sql.Observation()
     touchedDf.filter(!hit).observe(keptObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    copyFilesInto(untouched, staging)
+    copyFilesInto(untouched.map((_, "")), staging)
     val keptRewritten = keptObs.get("n").asInstanceOf[Long]
     // untouched rows never decode: their count comes from parquet
     // footer metadata (a zero-column scan), not a data read
@@ -873,7 +940,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
-    val untouched = df.inputFiles.map(new Path(_).toString).filterNot(touched).toSeq
+    val untouched = df.inputFiles.map(normDataFile).filterNot(touched).toSeq
     val touchedDf = readFilesAligned(touched.toSeq, df.schema)
     val rewritten = touchedDf.select(df.schema.fields.toSeq.map { f =>
       assignments.get(f.name) match {
@@ -884,7 +951,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val rowsObs = org.apache.spark.sql.Observation()
     rewritten.observe(rowsObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    copyFilesInto(untouched, staging)
+    copyFilesInto(untouched.map((_, "")), staging)
     val rewrittenRows = rowsObs.get("n").asInstanceOf[Long]
     val carriedRows =
       if (untouched.isEmpty) 0L

@@ -752,6 +752,60 @@ class WarehouseSpec extends SparkSpec {
     assert(imgs == Map("update_preimage" -> 100L, "update_postimage" -> 100L))
   }
 
+  test("partitioned DELETE/UPDATE carry untouched files of touched partitions (COW within the slice)") {
+    import spark.implicits._
+    val wh = freshWh(keep = 3)
+    // 2 partitions × 4 deterministic range files each: one writer task,
+    // sorted by (pt, k), split every 1000 rows — so file i of a dir
+    // holds exactly k-range [i*1000, (i+1)*1000) and a narrow predicate
+    // touches one file of one dir
+    val base = spark.range(0, 8000)
+      .select($"id".as("k"), when($"id" < 4000, "0").otherwise("1").as("pt"),
+        ($"id" % 7).cast("long").as("v"))
+      .coalesce(1).sortWithinPartitions($"pt", $"k")
+    val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 1000L)
+    try wh.createOrReplacePartitioned("silver", "pcow", base, Seq("pt"))
+    finally prevMax match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None    => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    def files(pt: String) = wh.table("silver", "pcow").inputFiles
+      .filter(_.contains(s"pt=$pt")).map(f => f.split('/').last).toSet
+    val p0gen0 = files("0"); val p1gen0 = files("1")
+    assert(p0gen0.size == 4 && p1gen0.size == 4,
+      s"expected 4 files per partition, got ${p0gen0.size}/${p1gen0.size}")
+
+    // delete keys < 1000: partition pt=0 only, and only its lowest range file
+    val deleted = wh.delete("silver", "pcow", $"k" < 1000 && $"pt" === "0")
+    assert(deleted == 1000L)
+    val p0gen1 = files("0"); val p1gen1 = files("1")
+    assert(p1gen1 == p1gen0, "untouched partition must be untouched")
+    assert((p0gen0 intersect p0gen1).size == 3,
+      s"3 of 4 files in the touched partition must carry over; carried=${(p0gen0 intersect p0gen1).size}")
+    assert(wh.table("silver", "pcow").count() == 7000L)
+    // ledger outputRows = surviving rows of the touched SLICE (pt=0)
+    assert(wh.lastOperation("silver.pcow").get.getAs[Long]("num_output_rows") == 3000L)
+    assert(wh.changeFeed("silver", "pcow", 0L)
+      .filter($"_change_type" === "delete").count() == 1000L)
+    assert(wh.tableAsOf("silver", "pcow", 0L).count() == 8000L)
+
+    // update a slice localized to one file of pt=1
+    val updated = wh.update("silver", "pcow",
+      $"k" >= 7000 && $"k" < 7100 && $"pt" === "1", Map("v" -> lit(42L)))
+    assert(updated == 100L)
+    val p1gen2 = files("1")
+    assert((p1gen1 intersect p1gen2).size == 3,
+      "exactly one file of the touched partition must be rewritten by the UPDATE")
+    assert(files("0") == p0gen1, "the other partition stays untouched")
+    assert(wh.table("silver", "pcow").filter($"v" === 42L).count() == 100L)
+    assert(wh.table("silver", "pcow").count() == 7000L)
+    val imgs = wh.changeFeed("silver", "pcow", 1L)
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(imgs == Map("update_preimage" -> 100L, "update_postimage" -> 100L))
+  }
+
   test("zero-change merge with a source-only column still evolves the schema") {
     import spark.implicits._
     val wh = freshWh()
