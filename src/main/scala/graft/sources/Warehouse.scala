@@ -593,7 +593,30 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     }
     val slicePred = partitionPredicate(touched, pcols)
     val sliceTgt  = tgt0.filter(slicePred)
-    val mr = Upsert.mergeWithMetrics(alignTo(sliceTgt, unioned), srcAligned, keys, versionCol)
+    // File-granular COW within the touched slice (see the unpartitioned
+    // path): only slice files holding a source key enter the merge —
+    // a matched row that MOVES partition is in such a file, so both its
+    // old home (rewritten without it) and its new home (insert into the
+    // staged dir) commit correctly. The rest of the touched dirs
+    // byte-copy. A source-only NEW column forces a full slice rewrite.
+    val newCols    = unioned.fieldNames.filterNot(tgt0.columns.contains)
+    val retireDirs = retireDirsFor(new Path(tablePath(layer, table)), pcols, tgt0.schema, touched)
+    val sliceFilePairs = dataFilesUnder(new Path(tablePath(layer, table)), retireDirs)
+    val matchedFiles: Set[String] =
+      if (newCols.nonEmpty) sliceFilePairs.map(_._1).toSet
+      else {
+        val sliceF = sliceTgt.withColumn("__graft_file", input_file_name())
+        sliceF
+          .join(srcKeys, keys.map(k => sliceF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
+          .select(col("__graft_file")).distinct()
+          .collect().map(r => normDataFile(r.getString(0))).toSet
+      }
+    val carryPairs = sliceFilePairs.filterNot(p => matchedFiles.contains(p._1))
+    val touchedTgt =
+      if (matchedFiles.isEmpty) sliceTgt.limit(0)
+      else readFilesAligned(matchedFiles.toSeq, tgt0.schema,
+        basePath = Some(tablePath(layer, table)))
+    val mr = Upsert.mergeWithMetrics(alignTo(touchedTgt, unioned), srcAligned, keys, versionCol)
     val m  = mr.metrics
     // zero-change early exit (the unified no-op convention, same as the
     // unpartitioned path): the metrics pass is a narrow column-pruned
@@ -603,11 +626,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // byte-identical. Still log a MERGE 0/0 commit with a version bump
     // (Delta records a MERGE commit even at zero changed rows; the
     // reference reads DESCRIBE HISTORY after every run).
-    // ...unless the source carries a NEW column: Delta's MERGE commit
-    // updates table metadata even at zero changed rows, so a source-only
-    // column must still evolve the schema — force the slice rewrite
-    // (mergeSchema on table() then surfaces the column table-wide).
-    val newCols = unioned.fieldNames.filterNot(tgt0.columns.contains)
+    // (the newCols probe above also forces the slice rewrite on a
+    // zero-change merge with a source-only column — mergeSchema on
+    // table() then surfaces the evolved column table-wide)
     if (m.inserted == 0 && m.updated == 0 && newCols.isEmpty) {
       mr.unpersist()
       logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
@@ -616,8 +637,15 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
+    // footer-only count BEFORE the feed write (minimal commit window —
+    // see WarehouseStreams.mvRefreshSink)
+    val carried =
+      if (carryPairs.isEmpty) 0L
+      else spark.read.option("basePath", tablePath(layer, table))
+        .parquet(carryPairs.map(_._1): _*).count()
     try {
       mr.result.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
+      copyFilesInto(carryPairs, staging)
       val post = mr.merged
         .filter(col(Upsert.ActionCol) =!= "keep")
         .withColumn("_change_type",
@@ -627,8 +655,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       val updatedKeys = mr.merged
         .filter(col(Upsert.ActionCol) === "update")
         .select(keys.map(col): _*)
-      val pre = sliceTgt
-        .join(updatedKeys, keys.map(k => sliceTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+      val pre = touchedTgt
+        .join(updatedKeys,
+          keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
         .select(unioned.fieldNames.map(n =>
           if (tgt0.columns.contains(n)) col(n)
           else lit(null).cast(unioned(n).dataType).as(n)): _*)
@@ -641,9 +670,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     } finally mr.unpersist()
     // retire = live dirs matching the touched tuples; the staged dirs
     // (what the merge actually wrote) are listed inside the swap itself
-    swapPartitions(layer, table, staging,
-      retireDirsFor(new Path(tablePath(layer, table)), pcols, tgt0.schema, touched), pcols.length)
-    logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows, version = ver)
+    swapPartitions(layer, table, staging, retireDirs, pcols.length)
+    logOp(layer, table, "MERGE", m.inserted, m.updated,
+      outputRows = m.outputRows + carried, version = ver)
     m
   }
 
@@ -1337,9 +1366,32 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // rewrites the table generation anyway
     val tgt0    = this.table(layer, table)
     val unioned = unionSchema(tgt0.schema, src.schema)
-    val mr      = Upsert.mergeWithMetrics(alignTo(tgt0, unioned), alignTo(src, unioned),
+    // File-granular COW for MERGE: a target file needs rewriting only
+    // if it holds a row whose key the source carries — one narrow
+    // (keys + file) semi-join pass finds them; every other file
+    // byte-copies into the new generation and its rows never enter the
+    // merge join (they would all be "keep"). Inserts write into the
+    // fresh part files regardless. A source-only NEW column forces the
+    // full rewrite instead: evolution must null-backfill every file.
+    val newCols = unioned.fieldNames.filterNot(tgt0.columns.contains)
+    val allFiles = tgt0.inputFiles.map(normDataFile).toSeq
+    val matchedFiles: Set[String] =
+      if (newCols.nonEmpty) allFiles.toSet
+      else {
+        val srcKeys = src.select(keys.map(col): _*).distinct()
+        val tgtF    = tgt0.withColumn("__graft_file", input_file_name())
+        tgtF
+          .join(srcKeys, keys.map(k => tgtF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
+          .select(col("__graft_file")).distinct()
+          .collect().map(r => normDataFile(r.getString(0))).toSet
+      }
+    val untouched = allFiles.filterNot(matchedFiles)
+    val touchedTgt =
+      if (matchedFiles.isEmpty) tgt0.limit(0)
+      else readFilesAligned(matchedFiles.toSeq, tgt0.schema)
+    val mr = Upsert.mergeWithMetrics(alignTo(touchedTgt, unioned), alignTo(src, unioned),
       keys, versionCol)
-    val m       = mr.metrics
+    val m  = mr.metrics
     // zero-change early exit: the metrics pass is a narrow column-pruned
     // aggregation, so a merge where every source row loses the version
     // rule (an idempotent re-run) is detected cheaply — skip the
@@ -1351,11 +1403,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     // updated 0", not surface the previous op as its last history row.
     // A version with no generation folds into its predecessor on
     // time travel, exactly like APPEND.
-    // ...unless the source carries a NEW column: Delta's MERGE commit
-    // updates table metadata even at zero changed rows, so a source-only
-    // column must still evolve the schema — fall through to the rewrite,
-    // which null-backfills the column across the table.
-    val newCols = unioned.fieldNames.filterNot(tgt0.columns.contains)
+    // (the newCols check above also forces the rewrite on a zero-change
+    // merge whose source carries a new column — Delta's MERGE commit
+    // updates table metadata even at zero changed rows)
     if (m.inserted == 0 && m.updated == 0 && newCols.isEmpty) {
       mr.unpersist()
       logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
@@ -1364,8 +1414,15 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
+    // footer-only count BEFORE the feed write: the feed-to-ledger
+    // commit window must stay minimal — a streaming feed consumer
+    // waits on the commit (see WarehouseStreams.mvRefreshSink)
+    val carried =
+      if (untouched.isEmpty) 0L
+      else spark.read.parquet(untouched: _*).count()
     try {
       mr.result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      copyFilesInto(untouched.map((_, "")), staging)
       val post = mr.merged
         .filter(col(Upsert.ActionCol) =!= "keep")
         .withColumn("_change_type",
@@ -1373,15 +1430,17 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
             .otherwise(lit("update_postimage")))
         .drop(Upsert.ActionCol)
       // update_preimage (full Delta CDF semantics): the replaced
-      // target rows, via a semi join of the pre-merge table against
-      // the updated keys (small by definition — it broadcasts).
+      // target rows, via a semi join of the pre-merge TOUCHED files
+      // against the updated keys (small by definition — it
+      // broadcasts; updated rows only live in touched files).
       // Without preimages a feed consumer cannot SUBTRACT an update,
       // which is what incremental aggregate maintenance needs.
       val updatedKeys = mr.merged
         .filter(col(Upsert.ActionCol) === "update")
         .select(keys.map(col): _*)
-      val pre = tgt0
-        .join(updatedKeys, keys.map(k => tgt0(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+      val pre = touchedTgt
+        .join(updatedKeys,
+          keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
         .select(unioned.fieldNames.map(n =>
           if (tgt0.columns.contains(n)) col(n)
           else lit(null).cast(unioned(n).dataType).as(n)): _*)
@@ -1393,7 +1452,8 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         .parquet(tablePath(layer, table) + ".__changes")
     } finally mr.unpersist()
     retireAndSwap(layer, table, staging)
-    logOp(layer, table, "MERGE", m.inserted, m.updated, m.outputRows, version = ver)
+    logOp(layer, table, "MERGE", m.inserted, m.updated,
+      outputRows = m.outputRows + carried, version = ver)
     m
   }
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.sources.Warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming ↔ warehouse integration: the micro-batch MERGE sink
@@ -79,6 +80,18 @@ object WarehouseStreams {
     * exactly-once guard (a replayed trigger finds nothing newer than
     * the cursor and no-ops), so the derived table tracks the source
     * at O(delta) per merge without ever re-scanning it.
+    *
+    * Commit-awareness: the warehouse writes feed files BEFORE its
+    * ledger commit (a pre-commit crash purges the phantom partition,
+    * never loses a committed one), so a trigger can race into the
+    * write-to-commit window — the batch's files would be consumed
+    * while `changeFeed` still (correctly) hides the uncommitted
+    * version, and no later trigger would come. The sink therefore
+    * waits (bounded) for the ledger to reach the batch's max
+    * `_commit_version` before refreshing. If the writer truly crashed
+    * pre-commit, the wait times out and the cursor-guarded refresh
+    * ignores the phantom rows — which is the correct outcome, and any
+    * later real commit re-triggers and catches the cursor up.
     */
   def mvRefreshSink(
       spark: SparkSession,
@@ -89,11 +102,17 @@ object WarehouseStreams {
       mvTable: String,
       keys: Seq[String],
       valueCol: String,
-      checkpoint: String
+      checkpoint: String,
+      commitWaitMs: Long = 30000
   ): StreamingQuery =
     changeFeedStream(spark, wh, srcLayer, srcTable).writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (_: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val head   = batch.agg(max(col("_commit_version"))).head()
+        val target = if (head.isNullAt(0)) -1L else head.getLong(0)
+        val deadline = System.currentTimeMillis() + commitWaitMs
+        while (target > wh.currentVersion(srcLayer, srcTable) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
         graft.operators.MaterializedAgg
           .refresh(wh, srcLayer, srcTable, mvLayer, mvTable, keys, valueCol)
         ()

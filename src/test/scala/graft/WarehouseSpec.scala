@@ -806,6 +806,71 @@ class WarehouseSpec extends SparkSpec {
     assert(imgs == Map("update_preimage" -> 100L, "update_postimage" -> 100L))
   }
 
+  test("MERGE rewrites only files holding matched keys (file-granular COW)") {
+    import spark.implicits._
+    val wh = freshWh(keep = 3)
+    val base = spark.range(0, 4000)
+      .select($"id".as("k"), ($"id" % 7).cast("long").as("v"), lit(0L).as("ver"))
+      .repartitionByRange(4, $"k")
+    wh.createOrReplace("silver", "mcow", base)
+    val gen0 = wh.table("silver", "mcow").inputFiles.map(_.split('/').last).toSet
+    assert(gen0.size == 4)
+    // source: update two keys that sit in ONE range file, insert one new key
+    val src = Seq((10L, 100L, 1L), (20L, 200L, 1L), (99999L, 1L, 1L)).toDF("k", "v", "ver")
+    val m = wh.upsert("silver", "mcow", src, Seq("k"), "ver")
+    assert(m.inserted == 1 && m.updated == 2)
+    val gen1 = wh.table("silver", "mcow").inputFiles.map(_.split('/').last).toSet
+    assert((gen0 intersect gen1).size == 3,
+      s"files without matched keys must carry over; carried=${(gen0 intersect gen1).size}")
+    val t = wh.table("silver", "mcow")
+    assert(t.count() == 4001L)
+    assert(t.filter($"k" === 10L).head().getLong(1) == 100L)
+    assert(t.filter($"k" === 99999L).count() == 1L)
+    // ledger output rows span rewritten + carried
+    assert(wh.lastOperation("silver.mcow").get.getAs[Long]("num_output_rows") == 4001L)
+    // feed: 1 insert, 2 update pairs
+    val imgs = wh.changeFeed("silver", "mcow", 0L)
+      .groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(imgs == Map("insert" -> 1L, "update_postimage" -> 2L, "update_preimage" -> 2L))
+    assert(wh.tableAsOf("silver", "mcow", 0L).count() == 4000L)
+  }
+
+  test("partitioned MERGE carries unmatched files of touched partitions") {
+    import spark.implicits._
+    val wh = freshWh(keep = 3)
+    val base = spark.range(0, 8000)
+      .select($"id".as("k"), when($"id" < 4000, "a").otherwise("b").as("pt"),
+        ($"id" % 7).cast("long").as("v"), lit(0L).as("ver"))
+      .coalesce(1).sortWithinPartitions($"pt", $"k")
+    val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 1000L)
+    try wh.createOrReplacePartitioned("silver", "mpcow", base, Seq("pt"))
+    finally prevMax match {
+      case Some(vv) => spark.conf.set("spark.sql.files.maxRecordsPerFile", vv)
+      case None     => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    def files(pt: String) = wh.table("silver", "mpcow").inputFiles
+      .filter(_.contains(s"pt=$pt")).map(_.split('/').last).toSet
+    val p0gen0 = files("a"); val p1gen0 = files("b")
+    assert(p0gen0.size == 4 && p1gen0.size == 4)
+    // update keys 100/200 (pt=a, first range file); insert a fresh key into pt=b
+    val src = Seq((100L, "a", 1L, 1L), (200L, "a", 2L, 1L), (90000L, "b", 3L, 1L))
+      .toDF("k", "pt", "v", "ver")
+    val m = wh.upsert("silver", "mpcow", src, Seq("k"), "ver")
+    assert(m.inserted == 1 && m.updated == 2)
+    val p0gen1 = files("a"); val p1gen1 = files("b")
+    assert((p0gen0 intersect p0gen1).size == 3,
+      s"pt=a must carry its 3 unmatched files; carried=${(p0gen0 intersect p0gen1).size}")
+    assert((p1gen0 intersect p1gen1).size == 4,
+      s"pt=b holds no matched keys: all 4 files carry, plus the insert's new file; " +
+        s"carried=${(p1gen0 intersect p1gen1).size}")
+    assert(wh.table("silver", "mpcow").count() == 8001L)
+    assert(wh.table("silver", "mpcow").filter($"k" === 100L).head().getAs[Long]("v") == 1L)
+    assert(wh.lastOperation("silver.mpcow").get.getAs[Long]("num_output_rows") == 8001L)
+    assert(wh.tableAsOf("silver", "mpcow", 0L).count() == 8000L)
+  }
+
   test("zero-change merge with a source-only column still evolves the schema") {
     import spark.implicits._
     val wh = freshWh()
