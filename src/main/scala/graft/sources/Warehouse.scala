@@ -577,9 +577,19 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val srcAligned = alignTo(src, unioned)
     val srcParts   = touchedPartitions(srcAligned, pcols)
     val srcKeys    = srcAligned.select(keys.map(col): _*).distinct()
-    val matchedParts = touchedPartitions(
-      tgt0.join(srcKeys, keys.map(k => tgt0(k) <=> srcKeys(k)).reduce(_ && _), "left_semi"),
-      pcols)
+    // ONE semi-join pass yields both the matched partitions (the
+    // matched rows' current homes) and the matched FILES (the COW
+    // rewrite set) — `input_file_name()` rides along the same scan, so
+    // file-granular COW costs no extra pass over the pre-COW plan
+    val tgtF = tgt0.withColumn("__graft_file", input_file_name())
+    val matchedRows = tgtF
+      .join(srcKeys, keys.map(k => tgtF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
+      .select((pcols.map(c => col(c).cast("string")) :+ col("__graft_file")): _*)
+      .distinct().collect()
+    val matchedParts: Seq[Seq[String]] =
+      matchedRows.map(r => pcols.indices.map(r.getString).toSeq).toSeq.distinct
+    val matchedKeyFiles: Set[String] =
+      matchedRows.map(r => normDataFile(r.getString(pcols.length))).toSet
     val touched = (srcParts ++ matchedParts).distinct
     if (touched.isEmpty) {
       // touched empty ⟺ the source has zero rows. Documented divergence:
@@ -604,13 +614,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     val sliceFilePairs = dataFilesUnder(new Path(tablePath(layer, table)), retireDirs)
     val matchedFiles: Set[String] =
       if (newCols.nonEmpty) sliceFilePairs.map(_._1).toSet
-      else {
-        val sliceF = sliceTgt.withColumn("__graft_file", input_file_name())
-        sliceF
-          .join(srcKeys, keys.map(k => sliceF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
-          .select(col("__graft_file")).distinct()
-          .collect().map(r => normDataFile(r.getString(0))).toSet
-      }
+      else matchedKeyFiles
     val carryPairs = sliceFilePairs.filterNot(p => matchedFiles.contains(p._1))
     val touchedTgt =
       if (matchedFiles.isEmpty) sliceTgt.limit(0)
