@@ -124,6 +124,14 @@ object WarehouseStreams {
     * arrives as its files land — the consumer processes O(delta) per
     * trigger and never rescans the table. The feed must already exist
     * (at least one merge) to fix the schema.
+    *
+    * At-least-once caveat for RAW consumers: feed files are written
+    * BEFORE the writer's ledger commit, so a trigger can deliver rows
+    * of a version whose commit is still in flight (or that a crashed
+    * writer will never commit — those partitions get purged at the
+    * next op). A consumer that must act only on committed data should
+    * gate on `Warehouse.currentVersion` ≥ the batch's max
+    * `_commit_version`, exactly as [[mvRefreshSink]] does.
     */
   def changeFeedStream(spark: SparkSession, wh: Warehouse, layer: String, table: String): DataFrame = {
     val p = wh.tablePath(layer, table) + ".__changes"
