@@ -1111,21 +1111,66 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     */
   def collectStats(layer: String, table: String, cols: Seq[String]): Long = {
     require(cols.nonEmpty, "collectStats needs at least one column")
-    val df   = this.table(layer, table)
+    writeSidecar(statsPath(layer, table), statsFor(this.table(layer, table), cols))
+  }
+
+  /** Per-file min/max stats rows for an arbitrary slice of the table
+    * (the whole table on a full build, only the DML-rewritten files on
+    * an incremental [[refreshStats]]).
+    */
+  private def statsFor(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val stats = df
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-    val p       = statsPath(layer, table)
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stage-swap a sidecar table into place; returns its row count. */
+  private def writeSidecar(p: Path, rows: DataFrame): Long = {
     val staging = new Path(p.toString + ".__staging")
     fs.delete(staging, true)
     val obs = org.apache.spark.sql.Observation()
-    stats.observe(obs, count(lit(1)).as("n"))
+    rows.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     fs.delete(p, true)
     if (!fs.rename(staging, p))
       throw new java.io.IOException(s"rename $staging -> $p failed")
     obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Incrementally refresh the stats sidecar: rows for files still
+    * present are retained VERBATIM (file-granular COW keeps their
+    * bytes, so their stats stay true), stats are computed only for
+    * files the sidecar has never seen (a DML's rewritten output), and
+    * rows for vanished files drop. Cost O(changed files' rows), not
+    * O(table) — the piece that keeps the skipping layer cheap under a
+    * steady DML stream at 100 TB. Falls back to a full
+    * [[collectStats]] when the sidecar is missing or lacks one of the
+    * requested columns (a new column must be profiled in every file).
+    */
+  def refreshStats(layer: String, table: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "refreshStats needs at least one column")
+    val p = statsPath(layer, table)
+    if (!fs.exists(p)) return collectStats(layer, table, cols)
+    val existing  = spark.read.parquet(p.toString)
+    val priorCols = existing.columns.collect {
+      case n if n.startsWith("min_") => n.stripPrefix("min_")
+    }.toSeq
+    val allCols = (priorCols ++ cols).distinct
+    if (!cols.forall(priorCols.contains)) return collectStats(layer, table, allCols)
+    val df            = this.table(layer, table)
+    val existingFiles = existing.select(col("file")).collect().map(_.getString(0))
+    val existingNorm  = existingFiles.map(normFile).toSet
+    val currentRaw    = df.inputFiles.toSeq
+    val currentNorm   = currentRaw.map(normFile).toSet
+    val retainedRaw   = existingFiles.filter(f => currentNorm.contains(normFile(f))).toSeq
+    val missingRaw    = currentRaw.filterNot(f => existingNorm.contains(normFile(f)))
+    if (missingRaw.isEmpty && retainedRaw.length == existingFiles.length)
+      return existingFiles.length.toLong // already fresh
+    val retained = existing.filter(col("file").isin(retainedRaw: _*))
+    if (missingRaw.isEmpty) return writeSidecar(p, retained)
+    val fresh = statsFor(
+      readFilesAligned(missingRaw, df.schema, basePath = Some(tablePath(layer, table))),
+      allCols)
+    writeSidecar(p, retained.unionByName(fresh))
   }
 
   /** Data-skipping scan: rows with `colName` BETWEEN lo AND hi, read
@@ -1161,10 +1206,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       else Some(rows.filter(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq)
     }
     val surviving = tryPrune().getOrElse {
-      val prior =
-        if (!fs.exists(p)) Seq.empty
-        else stats().columns.collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }.toSeq
-      collectStats(layer, table, (prior :+ colName).distinct)
+      // incremental: COW DMLs leave most files (and their stats rows)
+      // intact — only never-seen files are profiled; a brand-new
+      // column or missing sidecar falls back to the full build inside
+      refreshStats(layer, table, Seq(colName))
       tryPrune().getOrElse(
         throw new IllegalStateException(s"stats sidecar $p stale immediately after rebuild"))
     }
@@ -1205,8 +1250,15 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     */
   def collectBloom(layer: String, table: String, colName: String, bitsPerKey: Int = 10): Long = {
     require(bitsPerKey >= 1, "bitsPerKey must be >= 1")
-    val df = this.table(layer, table)
-    val k  = math.max(1, math.round(bitsPerKey * math.log(2)).toInt)
+    writeSidecar(bloomPath(layer, table, colName),
+      bloomFor(this.table(layer, table), colName, bitsPerKey))
+  }
+
+  /** Per-file bloom rows for an arbitrary slice of the table (whole
+    * table on a full build, only rewritten files on [[refreshBloom]]).
+    */
+  private def bloomFor(df: DataFrame, colName: String, bitsPerKey: Int): DataFrame = {
+    val k = math.max(1, math.round(bitsPerKey * math.log(2)).toInt)
     // per-file m: one small driver-side file->rows map (file-count rows,
     // the same cardinality every planner holds), rejoined by broadcast
     val fileRows = df
@@ -1227,20 +1279,43 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("bit"))
       .groupBy(col("file"), col("m"), col("word"))
       .agg(bit_or(col("bit")).as("bits"))
-    val blooms = words
+    words
       .groupBy(col("file"), col("m"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits")))).as("bitmap"))
       .select(col("file"), col("m"), lit(k).as("k"), col("bitmap"))
-    val p       = bloomPath(layer, table, colName)
-    val staging = new Path(p.toString + ".__staging")
-    fs.delete(staging, true)
-    val obs = org.apache.spark.sql.Observation()
-    blooms.observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(p, true)
-    if (!fs.rename(staging, p))
-      throw new java.io.IOException(s"rename $staging -> $p failed")
-    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Incremental bloom-sidecar refresh — the [[refreshStats]] twin:
+    * COW-carried files keep their rows verbatim, only never-seen files
+    * build blooms, vanished files drop. Falls back to a full
+    * [[collectBloom]] on a missing sidecar or a changed hash count
+    * (different `bitsPerKey`).
+    */
+  def refreshBloom(layer: String, table: String, colName: String, bitsPerKey: Int = 10): Long = {
+    val p = bloomPath(layer, table, colName)
+    if (!fs.exists(p)) return collectBloom(layer, table, colName, bitsPerKey)
+    val k        = math.max(1, math.round(bitsPerKey * math.log(2)).toInt)
+    val existing = spark.read.parquet(p.toString)
+    val kPrior = existing.select(max(col("k"))).head() match {
+      case r if r.isNullAt(0) => return collectBloom(layer, table, colName, bitsPerKey)
+      case r                  => r.getInt(0)
+    }
+    if (kPrior != k) return collectBloom(layer, table, colName, bitsPerKey)
+    val df            = this.table(layer, table)
+    val existingFiles = existing.select(col("file")).collect().map(_.getString(0))
+    val existingNorm  = existingFiles.map(normFile).toSet
+    val currentRaw    = df.inputFiles.toSeq
+    val currentNorm   = currentRaw.map(normFile).toSet
+    val retainedRaw   = existingFiles.filter(f => currentNorm.contains(normFile(f))).toSeq
+    val missingRaw    = currentRaw.filterNot(f => existingNorm.contains(normFile(f)))
+    if (missingRaw.isEmpty && retainedRaw.length == existingFiles.length)
+      return existingFiles.length.toLong
+    val retained = existing.filter(col("file").isin(retainedRaw: _*))
+    if (missingRaw.isEmpty) return writeSidecar(p, retained)
+    val fresh = bloomFor(
+      readFilesAligned(missingRaw, df.schema, basePath = Some(tablePath(layer, table))),
+      colName, bitsPerKey)
+    writeSidecar(p, retained.unionByName(fresh))
   }
 
   /** Point-lookup scan: rows with `colName` in `values`, read from ONLY
@@ -1290,7 +1365,7 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       else Some(rows.filter(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq)
     }
     val surviving = tryPrune().getOrElse {
-      collectBloom(layer, table, colName)
+      refreshBloom(layer, table, colName) // incremental; full build inside when needed
       tryPrune().getOrElse(
         throw new IllegalStateException(s"bloom sidecar $p stale immediately after rebuild"))
     }

@@ -680,6 +680,64 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.scanPrunedEq("gold", "bl", "key", Seq(-1L)).count() == 0)
   }
 
+  test("sidecar refresh after COW DML is incremental: carried files keep their rows verbatim") {
+    import spark.implicits._
+    val wh = freshWh(keep = 3)
+    val base = spark.range(0, 4000).select($"id".as("k"), ($"id" % 7).cast("long").as("v"))
+      .coalesce(1).sortWithinPartitions($"k")
+    val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 1000L)
+    try wh.createOrReplace("gold", "inc", base)
+    finally prevMax match {
+      case Some(vv) => spark.conf.set("spark.sql.files.maxRecordsPerFile", vv)
+      case None     => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    wh.collectStats("gold", "inc", Seq("k"))
+    wh.collectBloom("gold", "inc", "k")
+    val statsP = wh.tablePath("gold", "inc") + ".__stats"
+    val bloomP = wh.tablePath("gold", "inc") + ".__bloom_k"
+    // doctor the stats row of a file the delete will NOT touch: widen
+    // its min conservatively — a full recompute would erase this marker,
+    // verbatim retention preserves it
+    val doctored = spark.read.parquet(statsP).collect().map { r =>
+      val f = r.getAs[String]("file")
+      if (r.getAs[Long]("min_k") == 2000L) (f, -999999L, r.getAs[Long]("max_k"))
+      else (f, r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))
+    }.toSeq
+    assert(doctored.exists(_._2 == -999999L), "expected a file starting at k=2000")
+    val tmp = doctored.toDF("file", "min_k", "max_k")
+    tmp.write.mode("overwrite").parquet(statsP + ".__doctor")
+    spark.read.parquet(statsP + ".__doctor").write.mode("overwrite").parquet(statsP)
+    // capture the bloom row of the same carried file
+    val carriedFile = doctored.find(_._2 == -999999L).get._1
+    val bloomBefore = spark.read.parquet(bloomP)
+      .filter($"file" === carriedFile).select($"m", $"k", $"bitmap").head()
+
+    // COW delete hits only the first range file; 3 files carry over
+    assert(wh.delete("gold", "inc", $"k" < 500) == 500L)
+
+    // stale sidecars refresh incrementally inside the pruned scans
+    val expect = wh.table("gold", "inc").filter($"k".between(2100, 2200))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val got = wh.scanPruned("gold", "inc", "k", 2100, 2200)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expect && expect.length == 101)
+    val statsAfter = spark.read.parquet(statsP).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[Long]("min_k")).toMap
+    assert(statsAfter(carriedFile) == -999999L,
+      "carried file's doctored stats row must survive verbatim (no recompute)")
+    assert(statsAfter.size == wh.table("gold", "inc").inputFiles.length,
+      "sidecar must cover exactly the current files")
+    assert(statsAfter.values.exists(_ >= 500L), "the rewritten file gets a fresh row")
+
+    val probe = wh.scanPrunedEq("gold", "inc", "k", Seq(2150L))
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(2150L))
+    val bloomAfter = spark.read.parquet(bloomP)
+      .filter($"file" === carriedFile).select($"m", $"k", $"bitmap").head()
+    assert(bloomAfter == bloomBefore,
+      "carried file's bloom row must survive verbatim (no recompute)")
+  }
+
   test("history migrates legacy 7-column ledger files (pre-num_deleted era)") {
     import spark.implicits._
     val wh = freshWh()
