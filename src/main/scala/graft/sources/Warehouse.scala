@@ -727,8 +727,9 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * Each element is (absolute source file, relative destination dir
     * under staging — "" for the root, "pt=v/…" for a hive leaf).
     * Basenames are preserved; Spark's fresh-UUID part names for the
-    * rewritten files make collisions impossible. Each executor task
-    * resolves the FileSystem from its own Hadoop conf, as file tasks do.
+    * rewritten files make collisions impossible. The driver's Hadoop
+    * conf ships to the executors (broadcast, like every file task) so
+    * object-store credentials and fs settings resolve identically.
     */
   private def copyFilesInto(files: Seq[(String, String)], staging: Path): Unit = {
     if (files.isEmpty) return
@@ -737,10 +738,21 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       fs.mkdirs(if (rel.isEmpty) staging else new Path(staging, rel)); ()
     }
     val dst = staging.toString
+    // Configuration is not Serializable — ship its effective entries
+    // and rebuild per task (what Spark's own SerializableConfiguration
+    // does, which is private[spark])
+    val confEntries: Array[(String, String)] = {
+      val it  = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.toArray
+    }
+    val confBc = spark.sparkContext.broadcast(confEntries)
     spark.sparkContext
       .parallelize(files, math.min(files.size, 32).max(1))
       .foreach { case (f, rel) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
         val src  = new Path(f)
         val dir  = if (rel.isEmpty) new Path(dst) else new Path(dst, rel)
         val sfs  = src.getFileSystem(conf)

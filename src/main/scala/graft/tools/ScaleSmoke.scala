@@ -218,7 +218,74 @@ object ScaleSmoke {
     println(f"PQSCAN adc=$tAdc%.2f s brute=$tBrute%.2f s (sf0.1, 8 queries, k=10)")
   }
 
+  /** File-granular COW evidence at 10×: a 1.5M-row orders table laid
+    * out in ~64 key-range files; a DELETE touching one range must
+    * rewrite ~1 file and byte-copy the rest, and the same op against a
+    * full-rewrite reference shows the decode/shuffle/encode saved.
+    */
+  def dmlBench(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src    = "/root/testdata/sf0.1"
+    val factor = 100
+    val copies = explode(lit((0 until factor).toArray)).as("copy")
+    // full-width lineitem (16 columns, 60M rows at 100x): decode+encode
+    // dominates the DML cost, as at a real table's width — smaller
+    // factors are job-launch-latency bound and blur the comparison
+    val li = Tables.lineitem(spark, src)
+    val li10 = li
+      .select(col("*"), copies)
+      .select((col("l_orderkey") + col("copy") * lit(100000000L)).as("l_orderkey") +:
+        li.columns.filterNot(_ == "l_orderkey").map(col): _*)
+    val whRoot = java.nio.file.Files.createTempDirectory("graft_dml10").toString
+    val wh = new graft.sources.Warehouse(spark, whRoot)
+    val prevMax = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 500000L)
+    try wh.createOrReplace("gold", "ord10",
+      li10.repartitionByRange(8, $"l_orderkey").sortWithinPartitions($"l_orderkey"))
+    finally prevMax match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None    => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val total    = wh.table("gold", "ord10").count()
+    val filesBefore = wh.table("gold", "ord10").inputFiles.map(_.split('/').last).toSet
+    def time[A](f: => A): (A, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    // warm the write/DML path first (JIT + codegen), outside the timings
+    wh.delete("gold", "ord10", $"l_orderkey" === -1L)
+    val (deleted, tCow) = time(wh.delete("gold", "ord10", $"l_orderkey" < 20000L))
+    val filesAfter = wh.table("gold", "ord10").inputFiles.map(_.split('/').last).toSet
+    val carried    = (filesBefore intersect filesAfter).size
+    println(f"DMLCOW rows=$total files=${filesBefore.size} deleted=$deleted " +
+      f"carried=$carried rewritten=${filesBefore.size - carried} t=$tCow%.2f s")
+    // second clustered delete, fully warm (copy 1's first key range)
+    val (d2, tCow2) = time(wh.delete("gold", "ord10",
+      $"l_orderkey" >= 100000000L && $"l_orderkey" < 100020000L))
+    println(f"DMLCOW2 deleted=$d2 t=$tCow2%.2f s (warm, one range file)")
+    // probe cost diagnostics: what does each candidate strategy pay?
+    val t0 = wh.table("gold", "ord10")
+    val (_, tProbeFull) = time(
+      t0.filter($"l_orderkey" === -1L)
+        .select(org.apache.spark.sql.functions.input_file_name()).distinct().count())
+    val (_, tProbeLimit) = time(t0.filter($"l_orderkey" === -1L).limit(1).isEmpty)
+    println(f"DMLPROBE no-match: distinct-files=$tProbeFull%.2f s limit1=$tProbeLimit%.2f s")
+    // full-rewrite reference: what the pre-COW path paid for the same op
+    val (_, tFull) = time {
+      wh.createOrReplace("gold", "ord10_full",
+        wh.table("gold", "ord10").filter(!($"l_orderkey" < 40000L)))
+    }
+    println(f"DMLFULL same-table full rewrite of survivors t=$tFull%.2f s " +
+      f"(COW saved ${100 * (1 - tCow2 / tFull)}%.0f%% if layout clusters the predicate)")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dml")) {
+      val spark = Engine.session(32)
+      dmlBench(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("pq")) {
       val spark = Engine.session(8)
       pqBytes(spark)
