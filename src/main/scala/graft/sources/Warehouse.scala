@@ -681,18 +681,71 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
   }
 
   private def pruneGenerations(layer: String, table: String): Unit = {
+    pruneGenerationsTo(layer, table, keepGenerations); ()
+  }
+
+  private def pruneGenerationsTo(layer: String, table: String, retain: Int): Long = {
     val layerDir = new Path(s"$root/$layer")
     val prefix   = table + ".__v"
-    if (!fs.exists(layerDir)) return
+    if (!fs.exists(layerDir)) return 0L
     val gens = fs
       .listStatus(layerDir)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLongOption.map((n, _)) }
       .flatten
       .sortBy(-_._2)
-    gens.drop(keepGenerations).foreach { case (n, _) =>
+    val victims = gens.drop(retain)
+    victims.foreach { case (n, _) =>
       fs.delete(new Path(s"$root/$layer/$n"), true)
     }
+    victims.length.toLong
+  }
+
+  /** Explicit VACUUM (Delta `VACUUM` parity in the snapshot-dir model):
+    * drop all but the newest `retainGenerations` retired generations
+    * NOW, instead of waiting for the automatic per-write pruning bound.
+    * Time travel to a vacuumed version refuses (never silently serves
+    * wrong data — pinned in WarehouseSpec); the change feed is
+    * unaffected (it is append-only history, Delta keeps CDF through
+    * VACUUM too). Records a `VACUUM` ledger commit with the number of
+    * generations removed; returns that count.
+    */
+  def vacuum(layer: String, table: String, retainGenerations: Int = 0): Long = {
+    require(retainGenerations >= 0, "retainGenerations must be >= 0")
+    val removed = pruneGenerationsTo(layer, table, retainGenerations)
+    logOp(layer, table, "VACUUM", inserted = 0, updated = 0, outputRows = removed)
+    removed
+  }
+
+  /** DESCRIBE DETAIL parity: one row of physical table facts —
+    * format, file count, total bytes, partition columns, retained
+    * generation count, and the current ledger version. All from
+    * driver-side listings (O(files)), no data read.
+    */
+  def detail(layer: String, table: String): DataFrame = {
+    import spark.implicits._
+    val live  = new Path(tablePath(layer, table))
+    require(fs.exists(live), s"$layer.$table does not exist")
+    def walkBytes(p: Path): (Long, Long) = {
+      val st = fs.listStatus(p)
+      val files = st.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      val dirs  = st.filter(_.isDirectory)
+      val sub   = dirs.map(d => walkBytes(d.getPath))
+      (files.length.toLong + sub.map(_._1).sum, files.map(_.getLen).sum + sub.map(_._2).sum)
+    }
+    val (numFiles, bytes) = walkBytes(live)
+    val layerDir = new Path(s"$root/$layer")
+    val prefix   = table + ".__v"
+    val gens =
+      if (!fs.exists(layerDir)) 0L
+      else fs.listStatus(layerDir).count(s =>
+        s.getPath.getName.startsWith(prefix) &&
+          s.getPath.getName.stripPrefix(prefix).toLongOption.nonEmpty).toLong
+    Seq((s"$layer.$table", "parquet", numFiles, bytes,
+      partitionColumns(layer, table).mkString(","), gens,
+      latestVersion(s"$layer.$table")))
+      .toDF("name", "format", "num_files", "size_in_bytes",
+        "partition_columns", "retained_generations", "current_version")
   }
 
   def dropTable(layer: String, table: String): Unit = {
@@ -1683,7 +1736,8 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     */
   private def rewritingAfter(tableName: String, version: Long): Set[Long] =
     history(tableName)
-      .filter(col("version") > version && col("operation") =!= "APPEND" &&
+      .filter(col("version") > version &&
+        !col("operation").isin("APPEND", "VACUUM") && // neither retires a generation
         (!col("operation").isin("MERGE", "DELETE", "UPDATE") ||
           col("num_inserted") + col("num_updated") + col("num_deleted") > 0 ||
           // schema-evolution-forced rewrite: zero row changes but the

@@ -738,6 +738,36 @@ class WarehouseSpec extends SparkSpec {
       "carried file's bloom row must survive verbatim (no recompute)")
   }
 
+  test("explicit vacuum drops retired generations; detail reports physical facts") {
+    import spark.implicits._
+    val wh = freshWh(keep = 3)
+    for (v <- 0 to 3)
+      wh.createOrReplace("gold", "vd", Seq((v, s"gen$v")).toDF("n", "tag"))
+    val d0 = wh.detail("gold", "vd").head()
+    assert(d0.getAs[String]("name") == "gold.vd")
+    assert(d0.getAs[Long]("num_files") > 0 && d0.getAs[Long]("size_in_bytes") > 0)
+    assert(d0.getAs[String]("partition_columns").isEmpty)
+    assert(d0.getAs[Long]("retained_generations") == 3L)
+    assert(d0.getAs[Long]("current_version") == 3L)
+    // drop all but the newest retired generation, NOW
+    assert(wh.vacuum("gold", "vd", retainGenerations = 1) == 2L)
+    assert(wh.lastOperation("gold.vd").get.getAs[String]("operation") == "VACUUM")
+    assert(wh.detail("gold", "vd").head().getAs[Long]("retained_generations") == 1L)
+    // the retained snapshot still reads; vacuumed ones refuse
+    assert(wh.tableAsOf("gold", "vd", 2L).head().getString(1) == "gen2")
+    intercept[IllegalArgumentException](wh.tableAsOf("gold", "vd", 1L))
+    intercept[IllegalArgumentException](wh.tableAsOf("gold", "vd", 0L))
+    // the VACUUM commit itself folds on time travel (it rewrote nothing):
+    // version 3 (pre-vacuum live state) still resolves through it
+    assert(wh.tableAsOf("gold", "vd", 3L).head().getString(1) == "gen3")
+    // partitioned table reports its partition columns
+    wh.createOrReplacePartitioned("silver", "vp",
+      Seq((1L, "a", "p0"), (2L, "b", "p1")).toDF("k", "v", "pt"), Seq("pt"))
+    val dp = wh.detail("silver", "vp").head()
+    assert(dp.getAs[String]("partition_columns") == "pt")
+    assert(dp.getAs[Long]("num_files") >= 2)
+  }
+
   test("history migrates legacy 7-column ledger files (pre-num_deleted era)") {
     import spark.implicits._
     val wh = freshWh()
