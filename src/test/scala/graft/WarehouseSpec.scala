@@ -736,6 +736,20 @@ class WarehouseSpec extends SparkSpec {
       .filter($"file" === carriedFile).select($"m", $"k", $"bitmap").head()
     assert(bloomAfter == bloomBefore,
       "carried file's bloom row must survive verbatim (no recompute)")
+
+    // edge: an UPDATE touching EVERY file leaves zero retained rows —
+    // the refresh degenerates to a full rebuild and stays exact
+    assert(wh.update("gold", "inc", $"k" >= 0L, Map("v" -> ($"v" + 1L))) == 3500L)
+    val expect2 = wh.table("gold", "inc").filter($"k".between(2100, 2200))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val got2 = wh.scanPruned("gold", "inc", "k", 2100, 2200)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == expect2 && expect2.length == 101)
+    val statsAll = spark.read.parquet(statsP).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[Long]("min_k")).toMap
+    assert(statsAll.size == wh.table("gold", "inc").inputFiles.length)
+    assert(!statsAll.values.exists(_ == -999999L),
+      "all files rewritten: the doctored row must be gone (fresh profile)")
   }
 
   test("explicit vacuum drops retired generations; detail reports physical facts") {
