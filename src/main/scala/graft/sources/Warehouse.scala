@@ -17,10 +17,120 @@ import org.apache.spark.sql.types.StructType
   * (see [[graft.operators.Upsert]]); nothing here collects data to the
   * driver except the ledger's single-row metric append.
   */
-final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 2) {
+final class Warehouse(
+    spark: SparkSession,
+    root: String,
+    keepGenerations: Int = 2,
+    lockWaitMs: Long = 60_000L,
+    lockStaleMs: Long = 600_000L
+) {
 
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- single-writer concurrency control (Delta multi-writer parity) --
+  //
+  // Every mutating public op runs under a per-table writer lock, so
+  // concurrent writers — other threads of this JVM or other driver JVMs
+  // sharing the warehouse root — serialize per table instead of
+  // corrupting the ledger (two racers both claiming version N+1) or the
+  // swap (one racer retiring the other's freshly-committed generation).
+  // Delta resolves multi-writer optimistically (commit file N+1 is
+  // claimed atomically, conflicts re-checked, transaction retried); the
+  // snapshot-dir model's rename-based swap cannot be re-checked after
+  // the rename, so the engine is pessimistic: one writer per table at a
+  // time. What matters at cluster scale is unchanged — writes to
+  // DIFFERENT tables stay fully parallel (the lock is per table), and a
+  // single table's write throughput is bounded by its one swap anyway.
+  // Readers never lock: the rename design already gives a mid-plan
+  // reader snapshot stability.
+  //
+  // The lock is an atomically-created marker at
+  // `<root>/_graft_locks/<layer>.<table>.lock`: exclusive-create FILE on
+  // cluster filesystems (HDFS `create(overwrite=false)` is atomic at the
+  // NameNode; object stores with conditional PUT likewise), atomic
+  // MKDIR on the local scheme (POSIX mkdir fails EEXIST, whereas
+  // RawLocalFileSystem's create(overwrite=false) is check-then-act).
+  // A writer that dies mid-op leaves its lock behind: a later writer
+  // breaks locks older than `lockStaleMs` and rolls the dead writer's
+  // partial swap back ([[repairCrashedSwap]]) before taking over — so
+  // `lockStaleMs` must exceed the longest expected write. Acquisition
+  // waits up to `lockWaitMs` with backoff, then throws
+  // [[Warehouse.ConcurrentWriteException]] (the caller decides whether
+  // to retry — Delta surfaces the same decision). Reentrant per thread:
+  // upsert's first-merge bootstrap delegates to createOrReplace under
+  // the already-held lock.
+
+  private val heldLocks = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
+  }
+
+  private def lockPath(name: String): Path =
+    new Path(s"$root/_graft_locks/$name.lock")
+
+  /** Atomic claim of the lock marker; false = somebody else holds it. */
+  private def tryClaimLock(p: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try { java.nio.file.Files.createDirectory(local); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      fs.mkdirs(p.getParent)
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+  /** Age of the held lock; -1 if it vanished (holder just released). */
+  private def lockAgeMs(p: Path): Long =
+    try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => -1L }
+
+  /** Run `body` as the table's exclusive writer (see the design note
+    * above). Public so an orchestrator can pin a multi-op transaction
+    * (e.g. DELETE + COMPACT as one critical section) to a single hold.
+    */
+  def withWriterLock[T](layer: String, table: String)(body: => T): T = {
+    val name = s"$layer.$table"
+    val held = heldLocks.get()
+    if (held.contains(name)) return body
+    val p        = lockPath(name)
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var backoff  = 5L
+    var claimed  = false
+    var brokeStale = false
+    while (!claimed) {
+      if (tryClaimLock(p)) claimed = true
+      else {
+        val age = lockAgeMs(p)
+        if (age >= lockStaleMs) {
+          // holder is presumed dead — break the lock; the loop re-claims
+          // (racing breakers are fine: delete is idempotent, claim is
+          // atomic, and the winner repairs before writing)
+          fs.delete(p, true)
+          brokeStale = true
+        } else if (System.currentTimeMillis() > deadline) {
+          throw new Warehouse.ConcurrentWriteException(
+            s"writer lock on $name still held after ${lockWaitMs}ms " +
+              s"(holder age ${age}ms) — another writer is active; retry, " +
+              "or raise lockWaitMs")
+        } else {
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 100L)
+        }
+      }
+    }
+    held.add(name)
+    try {
+      if (brokeStale) repairCrashedSwap(layer, table)
+      body
+    } finally {
+      held.remove(name)
+      fs.delete(p, true)
+      ()
+    }
+  }
 
   /** Test-only crash injection for the swap-safety specs: set to a
     * failpoint name ("after-stage-write" | "after-retire" |
@@ -370,7 +480,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * every mutating op; idempotent; returns whether anything was
     * repaired.
     */
-  def repairCrashedSwap(layer: String, table: String): Boolean = {
+  def repairCrashedSwap(layer: String, table: String): Boolean =
+    withWriterLock(layer, table)(repairCrashedSwapImpl(layer, table))
+
+  private def repairCrashedSwapImpl(layer: String, table: String): Boolean = {
     val cur      = latestVersion(s"$layer.$table")
     val target   = new Path(tablePath(layer, table))
     val gen      = new Path(tablePath(layer, table) + s".__v$cur")
@@ -710,7 +823,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * VACUUM too). Records a `VACUUM` ledger commit with the number of
     * generations removed; returns that count.
     */
-  def vacuum(layer: String, table: String, retainGenerations: Int = 0): Long = {
+  def vacuum(layer: String, table: String, retainGenerations: Int = 0): Long =
+    withWriterLock(layer, table)(vacuumImpl(layer, table, retainGenerations))
+
+  private def vacuumImpl(layer: String, table: String, retainGenerations: Int): Long = {
     require(retainGenerations >= 0, "retainGenerations must be >= 0")
     val removed = pruneGenerationsTo(layer, table, retainGenerations)
     logOp(layer, table, "VACUUM", inserted = 0, updated = 0, outputRows = removed)
@@ -748,10 +864,11 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
         "partition_columns", "retained_generations", "current_version")
   }
 
-  def dropTable(layer: String, table: String): Unit = {
-    fs.delete(new Path(tablePath(layer, table)), true)
-    ()
-  }
+  def dropTable(layer: String, table: String): Unit =
+    withWriterLock(layer, table) {
+      fs.delete(new Path(tablePath(layer, table)), true)
+      ()
+    }
 
   /** Normalize a data-file path string to its decoded hadoop form.
     * `input_file_name()` / `Dataset.inputFiles` return URL-ENCODED
@@ -859,7 +976,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * from the table being replaced (a plain overwrite would delete its
     * own input mid-plan) and idempotent on re-run.
     */
-  def createOrReplace(layer: String, table: String, df: DataFrame): Long = {
+  def createOrReplace(layer: String, table: String, df: DataFrame): Long =
+    withWriterLock(layer, table)(createOrReplaceImpl(layer, table, df))
+
+  private def createOrReplaceImpl(layer: String, table: String, df: DataFrame): Long = {
     repairCrashedSwap(layer, table)
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
@@ -882,6 +1002,15 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * shows PartitionFilters instead of reading every file.
     */
   def createOrReplacePartitioned(
+      layer: String,
+      table: String,
+      df: DataFrame,
+      partitionCols: Seq[String]
+  ): Long =
+    withWriterLock(layer, table)(
+      createOrReplacePartitionedImpl(layer, table, df, partitionCols))
+
+  private def createOrReplacePartitionedImpl(
       layer: String,
       table: String,
       df: DataFrame,
@@ -909,7 +1038,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * rename as every other write, ledger op `COMPACT` records the
     * file-count delta.
     */
-  def compact(layer: String, table: String, targetRowsPerFile: Long = 1_000_000L): Long = {
+  def compact(layer: String, table: String, targetRowsPerFile: Long = 1_000_000L): Long =
+    withWriterLock(layer, table)(compactImpl(layer, table, targetRowsPerFile))
+
+  private def compactImpl(layer: String, table: String, targetRowsPerFile: Long): Long = {
     repairCrashedSwap(layer, table)
     val target = tablePath(layer, table)
     val before = spark.read.parquet(target)
@@ -946,7 +1078,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * a feed that only carries upserts silently re-leaks deleted data
     * from derived tables. Returns the deleted-row count.
     */
-  def delete(layer: String, table: String, predicate: Column): Long = {
+  def delete(layer: String, table: String, predicate: Column): Long =
+    withWriterLock(layer, table)(deleteImpl(layer, table, predicate))
+
+  private def deleteImpl(layer: String, table: String, predicate: Column): Long = {
     repairCrashedSwap(layer, table)
     val pcols = partitionColumns(layer, table)
     if (pcols.nonEmpty) return deletePartitioned(layer, table, predicate, pcols)
@@ -1014,6 +1149,14 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * Returns the updated-row count.
     */
   def update(
+      layer: String,
+      table: String,
+      predicate: Column,
+      assignments: Map[String, Column]
+  ): Long =
+    withWriterLock(layer, table)(updateImpl(layer, table, predicate, assignments))
+
+  private def updateImpl(
       layer: String,
       table: String,
       predicate: Column,
@@ -1099,6 +1242,15 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
       cols: Seq[String],
       targetRowsPerFile: Long = 1_000_000L,
       bits: Int = 8
+  ): Long =
+    withWriterLock(layer, table)(zorderImpl(layer, table, cols, targetRowsPerFile, bits))
+
+  private def zorderImpl(
+      layer: String,
+      table: String,
+      cols: Seq[String],
+      targetRowsPerFile: Long,
+      bits: Int
   ): Long = {
     repairCrashedSwap(layer, table)
     require(cols.nonEmpty && cols.size <= 4, "zorder supports 1-4 columns")
@@ -1174,10 +1326,11 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * the sidecar swaps in via staging like every other write. Returns
     * the number of files profiled.
     */
-  def collectStats(layer: String, table: String, cols: Seq[String]): Long = {
-    require(cols.nonEmpty, "collectStats needs at least one column")
-    writeSidecar(statsPath(layer, table), statsFor(this.table(layer, table), cols))
-  }
+  def collectStats(layer: String, table: String, cols: Seq[String]): Long =
+    withWriterLock(layer, table) {
+      require(cols.nonEmpty, "collectStats needs at least one column")
+      writeSidecar(statsPath(layer, table), statsFor(this.table(layer, table), cols))
+    }
 
   /** Per-file min/max stats rows for an arbitrary slice of the table
     * (the whole table on a full build, only the DML-rewritten files on
@@ -1211,7 +1364,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * [[collectStats]] when the sidecar is missing or lacks one of the
     * requested columns (a new column must be profiled in every file).
     */
-  def refreshStats(layer: String, table: String, cols: Seq[String]): Long = {
+  def refreshStats(layer: String, table: String, cols: Seq[String]): Long =
+    withWriterLock(layer, table)(refreshStatsImpl(layer, table, cols))
+
+  private def refreshStatsImpl(layer: String, table: String, cols: Seq[String]): Long = {
     require(cols.nonEmpty, "refreshStats needs at least one column")
     val p = statsPath(layer, table)
     if (!fs.exists(p)) return collectStats(layer, table, cols)
@@ -1313,11 +1469,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * k = 7); the sidecar is ~m/8 bytes per file — KBs — and swaps in
     * via staging like every write. Returns the number of files profiled.
     */
-  def collectBloom(layer: String, table: String, colName: String, bitsPerKey: Int = 10): Long = {
-    require(bitsPerKey >= 1, "bitsPerKey must be >= 1")
-    writeSidecar(bloomPath(layer, table, colName),
-      bloomFor(this.table(layer, table), colName, bitsPerKey))
-  }
+  def collectBloom(layer: String, table: String, colName: String, bitsPerKey: Int = 10): Long =
+    withWriterLock(layer, table) {
+      require(bitsPerKey >= 1, "bitsPerKey must be >= 1")
+      writeSidecar(bloomPath(layer, table, colName),
+        bloomFor(this.table(layer, table), colName, bitsPerKey))
+    }
 
   /** Per-file bloom rows for an arbitrary slice of the table (whole
     * table on a full build, only rewritten files on [[refreshBloom]]).
@@ -1356,7 +1513,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * [[collectBloom]] on a missing sidecar or a changed hash count
     * (different `bitsPerKey`).
     */
-  def refreshBloom(layer: String, table: String, colName: String, bitsPerKey: Int = 10): Long = {
+  def refreshBloom(layer: String, table: String, colName: String, bitsPerKey: Int = 10): Long =
+    withWriterLock(layer, table)(refreshBloomImpl(layer, table, colName, bitsPerKey))
+
+  private def refreshBloomImpl(layer: String, table: String, colName: String, bitsPerKey: Int): Long = {
     val p = bloomPath(layer, table, colName)
     if (!fs.exists(p)) return collectBloom(layer, table, colName, bitsPerKey)
     val k        = math.max(1, math.round(bitsPerKey * math.log(2)).toInt)
@@ -1450,7 +1610,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * would execute the whole plan twice (the reference's pre/post-count
     * reads Delta's commit metrics, which are likewise free).
     */
-  def append(layer: String, table: String, df: DataFrame): Long = {
+  def append(layer: String, table: String, df: DataFrame): Long =
+    withWriterLock(layer, table)(appendImpl(layer, table, df))
+
+  private def appendImpl(layer: String, table: String, df: DataFrame): Long = {
     repairCrashedSwap(layer, table)
     // schema evolution: a widened source appends its new columns (old
     // files surface them as null via the merged read); a source missing
@@ -1491,6 +1654,15 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * only MERGE interleaves changes into existing data.
     */
   def upsert(
+      layer: String,
+      table: String,
+      src: DataFrame,
+      keys: Seq[String],
+      versionCol: String
+  ): Upsert.WriteMetrics =
+    withWriterLock(layer, table)(upsertImpl(layer, table, src, keys, versionCol))
+
+  private def upsertImpl(
       layer: String,
       table: String,
       src: DataFrame,
@@ -1883,7 +2055,10 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     * new version; like Delta, no row-level change-feed entries are
     * emitted — CDC consumers resync from the restored snapshot.
     */
-  def restore(layer: String, table: String, version: Long): Long = {
+  def restore(layer: String, table: String, version: Long): Long =
+    withWriterLock(layer, table)(restoreImpl(layer, table, version))
+
+  private def restoreImpl(layer: String, table: String, version: Long): Long = {
     repairCrashedSwap(layer, table)
     val snap    = tableAsOf(layer, table, version) // validates retention
     val pcols   = partitionColumns(layer, table)   // preserve the live layout
@@ -1934,4 +2109,12 @@ final class Warehouse(spark: SparkSession, root: String, keepGenerations: Int = 
     */
   def lastOperation(tableName: String): Option[org.apache.spark.sql.Row] =
     history(tableName).orderBy(desc("version")).limit(1).collect().headOption
+}
+
+object Warehouse {
+  /** A writer could not take a table's lock within `lockWaitMs` —
+    * another writer is active (Delta's ConcurrentWriteException
+    * parity). The operation made no changes; the caller may retry.
+    */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 }

@@ -1,0 +1,158 @@
+package graft
+
+import graft.sources.Warehouse
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+/** Multi-writer semantics of the warehouse's per-table writer lock
+  * (Delta multi-writer parity, expressed pessimistically — see the
+  * design note in Warehouse): concurrent writers to the SAME table
+  * serialize (ledger versions stay unique and dense, no lost updates),
+  * writers to DIFFERENT tables stay parallel, a waiter that cannot get
+  * the lock throws ConcurrentWriteException, and a dead writer's stale
+  * lock is broken (with crash repair) instead of wedging the table
+  * forever.
+  */
+class ConcurrencySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def freshWh(waitMs: Long = 60_000L, staleMs: Long = 600_000L) = {
+    val root = Files.createTempDirectory("graft_ccspec").toString
+    (new Warehouse(spark, root, 2, waitMs, staleMs), root)
+  }
+
+  /** Run `body` in a named thread, returning the thread and a slot the
+    * body's failure lands in (assertions in bare threads are otherwise
+    * silently swallowed).
+    */
+  private def fork(name: String)(body: => Unit): (Thread, Array[Throwable]) = {
+    val err = Array[Throwable](null)
+    val t = new Thread(
+      () => try body catch { case e: Throwable => err(0) = e }, name)
+    t.start()
+    (t, err)
+  }
+
+  test("concurrent appends to one table serialize: no lost rows, unique dense versions") {
+    import spark.implicits._
+    val (wh, _) = freshWh()
+    wh.createOrReplace("silver", "cc_app", Seq((0L, "base")).toDF("k", "s"))
+    val threads = (1 to 2).map { tid =>
+      fork(s"appender-$tid") {
+        for (i <- 1 to 4)
+          wh.append("silver", "cc_app",
+            Seq.tabulate(10)(j => (tid * 1000L + i * 10L + j, s"t$tid")).toDF("k", "s"))
+      }
+    }
+    threads.foreach(_._1.join(120_000))
+    threads.foreach(t => assert(t._2(0) == null, s"writer failed: ${t._2(0)}"))
+    assert(wh.table("silver", "cc_app").count() == 1 + 80)
+    val versions = wh.history("silver.cc_app")
+      .orderBy("version").collect().map(_.getAs[Long]("version")).toSeq
+    // 1 CTAS + 8 APPENDs, each a distinct contiguous version — the
+    // exact corruption an unlocked race produces is two writers both
+    // logging version N+1
+    assert(versions == (0L to 8L), s"ledger versions corrupted: $versions")
+  }
+
+  test("concurrent upserts on disjoint keys serialize to the sequential result") {
+    import spark.implicits._
+    val (wh, _) = freshWh()
+    wh.createOrReplace("silver", "cc_ups",
+      (1L to 100L).map(k => (k, "orig", 0)).toDF("k", "payload", "v"))
+    val a = fork("upserter-a") {
+      wh.upsert("silver", "cc_ups",
+        (1L to 50L).map(k => (k, "A", 1)).toDF("k", "payload", "v"), Seq("k"), "v")
+    }
+    val b = fork("upserter-b") {
+      wh.upsert("silver", "cc_ups",
+        (51L to 100L).map(k => (k, "B", 1)).toDF("k", "payload", "v"), Seq("k"), "v")
+    }
+    Seq(a, b).foreach(_._1.join(120_000))
+    Seq(a, b).foreach(t => assert(t._2(0) == null, s"writer failed: ${t._2(0)}"))
+    val got = wh.table("silver", "cc_ups").groupBy("payload").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // an unlocked race loses one side's whole merge (the later swap
+    // retires the earlier writer's generation)
+    assert(got == Map("A" -> 50L, "B" -> 50L), s"lost update: $got")
+    assert(wh.currentVersion("silver", "cc_ups") == 2L)
+  }
+
+  test("a waiter that cannot take the lock throws ConcurrentWriteException and changes nothing") {
+    import spark.implicits._
+    val (wh, _) = freshWh(waitMs = 300L)
+    wh.createOrReplace("silver", "cc_to", Seq((1L, "x")).toDF("k", "s"))
+    val locked   = new CountDownLatch(1)
+    val release  = new CountDownLatch(1)
+    val holder = fork("holder") {
+      wh.withWriterLock("silver", "cc_to") {
+        locked.countDown()
+        release.await(60, TimeUnit.SECONDS)
+        ()
+      }
+    }
+    assert(locked.await(30, TimeUnit.SECONDS))
+    val e = intercept[Warehouse.ConcurrentWriteException] {
+      wh.append("silver", "cc_to", Seq((2L, "y")).toDF("k", "s"))
+    }
+    assert(e.getMessage.contains("silver.cc_to"))
+    release.countDown()
+    holder._1.join(60_000)
+    assert(holder._2(0) == null)
+    // the refused append changed nothing: same row count, same version
+    assert(wh.table("silver", "cc_to").count() == 1)
+    assert(wh.currentVersion("silver", "cc_to") == 0L)
+  }
+
+  test("locks are per table: a held lock on one table does not block another") {
+    import spark.implicits._
+    // waitMs is short on purpose — if t2's append had to wait for t1's
+    // lock it would throw instead of succeeding
+    val (wh, _) = freshWh(waitMs = 500L)
+    wh.createOrReplace("silver", "cc_t2", Seq((1L, "x")).toDF("k", "s"))
+    val release = new CountDownLatch(1)
+    val locked  = new CountDownLatch(1)
+    val holder = fork("holder-t1") {
+      wh.withWriterLock("silver", "cc_t1") {
+        locked.countDown()
+        release.await(60, TimeUnit.SECONDS)
+        ()
+      }
+    }
+    assert(locked.await(30, TimeUnit.SECONDS))
+    assert(wh.append("silver", "cc_t2", Seq((2L, "y")).toDF("k", "s")) == 1L)
+    release.countDown()
+    holder._1.join(60_000)
+    assert(holder._2(0) == null)
+  }
+
+  test("a dead writer's stale lock is broken and the table stays writable") {
+    import spark.implicits._
+    val (wh, root) = freshWh(waitMs = 10_000L, staleMs = 200L)
+    wh.createOrReplace("silver", "cc_stale", Seq((1L, "x")).toDF("k", "s"))
+    // simulate a writer that died holding the lock: the marker exists
+    // but no process will ever release it
+    val lock = Paths.get(s"$root/_graft_locks/silver.cc_stale.lock")
+    Files.createDirectories(lock.getParent)
+    Files.createDirectory(lock)
+    Thread.sleep(350) // let it age past staleMs
+    assert(wh.append("silver", "cc_stale", Seq((2L, "y")).toDF("k", "s")) == 1L)
+    assert(wh.table("silver", "cc_stale").count() == 2)
+    assert(!Files.exists(lock), "broken+reacquired lock must be released after the op")
+  }
+
+  test("reentrancy: upsert's bootstrap CTAS runs under the already-held lock") {
+    import spark.implicits._
+    val (wh, _) = freshWh(waitMs = 500L) // short: a self-deadlock would throw
+    val m = wh.upsert("silver", "cc_boot",
+      Seq((1L, "a", 1)).toDF("k", "payload", "v"), Seq("k"), "v")
+    assert(m.inserted == 1L)
+    // and an explicit nested hold is a no-op rather than a deadlock
+    wh.withWriterLock("silver", "cc_boot") {
+      wh.withWriterLock("silver", "cc_boot") {
+        wh.append("silver", "cc_boot", Seq((2L, "b", 1)).toDF("k", "payload", "v"))
+      }
+    }
+    assert(wh.table("silver", "cc_boot").count() == 2)
+  }
+}
