@@ -1111,7 +1111,23 @@ object Oracles {
       ("q101_incremental_mv_partitioned" -> preAlias("q83_incremental_mv")) +
       // q102: same full-recompute oracle again — a STREAMED refresh
       // (mvRefreshSink trigger) must land on the identical final state
-      ("q102_streaming_mv_refresh" -> preAlias("q83_incremental_mv"))
+      ("q102_streaming_mv_refresh" -> preAlias("q83_incremental_mv")) +
+      ("q103_quarantine_append" -> q103Sql)
+
+  /** q103: recompute the expect-or-drop quarantine split in SQL —
+    * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,
+    * tags joined in constraint-declaration order (len_ok first).
+    */
+  private def q103Sql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+      |       n_chars,
+      |       concat_ws(',',
+      |         CASE WHEN n_chars < 100 THEN 'len_ok' END,
+      |         CASE WHEN doc_id % 7 = 0 THEN 'lang IS NOT NULL' END) AS violated
+      |FROM documents
+      |WHERE doc_id % 3 <> 0 AND (n_chars < 100 OR doc_id % 7 = 0)
+      |ORDER BY doc_id""".stripMargin
 }
 
 

@@ -967,4 +967,39 @@ object QueriesRel2 {
       .select($"o_custkey", $"sum_v".cast("double").as("spend"), $"n")
       .orderBy($"o_custkey")
   }
+
+  /** DLT-expectations "expect or drop" under the oracle gate: a table
+    * carrying a CHECK (`len_ok`: n_chars >= 100) and a NOT NULL
+    * (`lang`) constraint ingests a mixed batch via
+    * [[graft.sources.Warehouse.appendOrQuarantine]] — passing rows
+    * land in the table, violating rows land in `docs__quarantine`
+    * tagged with the violated constraint names in declaration order.
+    * The batch plants NULL lang on every doc_id % 7 == 0 row
+    * (deterministic, q81's planting discipline) so BOTH constraint
+    * kinds fire, some rows violating both at once. The oracle
+    * recomputes the split in SQL: the quarantine must agree
+    * row-for-row, tag-for-tag.
+    */
+  def q103_quarantine_append(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q103_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      val docs = Tables.documents(spark, dir)
+      wh.createOrReplace("silver", "docs",
+        docs.filter($"doc_id" % 3 === 0 && $"n_chars" >= 100)
+          .select($"doc_id", $"lang", $"n_chars"))
+      wh.addCheckConstraint("silver", "docs", "len_ok", "n_chars >= 100")
+      wh.addNotNullConstraint("silver", "docs", "lang")
+      val incoming = docs.filter($"doc_id" % 3 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, lit(null).cast("string"))
+            .otherwise($"lang").as("lang"),
+          $"n_chars")
+      wh.appendOrQuarantine("silver", "docs", incoming)
+    }
+    wh.table("silver", "docs__quarantine")
+      .select($"doc_id", $"lang", $"n_chars", $"_violated".as("violated"))
+      .orderBy($"doc_id")
+  }
 }

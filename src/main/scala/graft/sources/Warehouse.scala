@@ -66,6 +66,18 @@ final class Warehouse(
       new java.util.HashSet[String]()
   }
 
+  /** Latest ledger version, cached ONLY while this thread holds the
+    * table's writer lock: invalidated at acquire (so the op's first
+    * lookup re-reads the ledger and sees other writers' commits),
+    * advanced by [[logOp]] at commit, dropped at release. A single
+    * warehouse op consults the version several times (crash repair,
+    * claim, retire naming) — each was a full O(commits) ledger scan
+    * (a Spark job); under the lock the ledger cannot move, so one
+    * scan per op is enough. Unlocked readers never touch the cache.
+    */
+  private val lockedVersionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def lockPath(name: String): Path =
     new Path(s"$root/_graft_locks/$name.lock")
 
@@ -122,11 +134,13 @@ final class Warehouse(
       }
     }
     held.add(name)
+    lockedVersionCache.remove(name) // re-read the ledger under OUR hold
     try {
       if (brokeStale) repairCrashedSwap(layer, table)
       body
     } finally {
       held.remove(name)
+      lockedVersionCache.remove(name)
       fs.delete(p, true)
       ()
     }
@@ -864,9 +878,22 @@ final class Warehouse(
         "partition_columns", "retained_generations", "current_version")
   }
 
+  /** Drop the table's entire physical state: live data, retired
+    * generations, and every sidecar (`.__changes` feed, stats, blooms,
+    * constraints) — a dropped-then-recreated table must not inherit a
+    * stale change feed or contract. Ledger history rows remain as the
+    * audit trail, so a recreated table's versions continue rather than
+    * restart (time travel across the drop refuses — the generations
+    * are gone).
+    */
   def dropTable(layer: String, table: String): Unit =
     withWriterLock(layer, table) {
-      fs.delete(new Path(tablePath(layer, table)), true)
+      val layerDir = new Path(s"$root/$layer")
+      if (fs.exists(layerDir))
+        fs.listStatus(layerDir)
+          .map(_.getPath)
+          .filter(p => p.getName == table || p.getName.startsWith(table + ".__"))
+          .foreach(fs.delete(_, true))
       ()
     }
 
@@ -981,6 +1008,7 @@ final class Warehouse(
 
   private def createOrReplaceImpl(layer: String, table: String, df: DataFrame): Long = {
     repairCrashedSwap(layer, table)
+    enforceConstraints(layer, table, df, "CREATE OR REPLACE")
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     // row count as an observe() metric from the write job itself — a
@@ -1017,6 +1045,7 @@ final class Warehouse(
       partitionCols: Seq[String]
   ): Long = {
     repairCrashedSwap(layer, table)
+    enforceConstraints(layer, table, df, "CREATE OR REPLACE")
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     val obs = org.apache.spark.sql.Observation()
@@ -1163,6 +1192,16 @@ final class Warehouse(
       assignments: Map[String, Column]
   ): Long = {
     repairCrashedSwap(layer, table)
+    if (constraints(layer, table).nonEmpty) {
+      // post-images of the matched slice — the only new row images an
+      // UPDATE introduces; checked before either rewrite path stages
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(tablePath(layer, table))
+      val post = assignments.foldLeft(base.filter(coalesce(predicate, lit(false)))) {
+        case (d, (c, v)) => d.withColumn(c, v.cast(base.schema(c).dataType))
+      }
+      enforceConstraints(layer, table, post, "UPDATE")
+    }
     val pcols = partitionColumns(layer, table)
     if (pcols.nonEmpty) return updatePartitioned(layer, table, predicate, assignments, pcols)
     val target = tablePath(layer, table)
@@ -1306,6 +1345,230 @@ final class Warehouse(
     logOp(layer, table, "ZORDER", inserted = 0, updated = 0, outputRows = rows)
     rows
   }
+
+  // ---- constraints (Delta CHECK / NOT NULL invariant parity) ----
+  //
+  // `ALTER TABLE ADD CONSTRAINT` semantics: adding a constraint
+  // validates the EXISTING data first (refuses to record if any row
+  // violates, like Delta), and every later write validates its incoming
+  // row images BEFORE any data lands — strictly before the staged swap,
+  // so a violating batch changes nothing (no version bump, no feed
+  // rows). CHECK follows the SQL standard: a row violates only when the
+  // predicate evaluates to FALSE — NULL passes (use a NOT NULL
+  // constraint for null rejection, the same split Delta makes between
+  // CHECK constraints and column invariants). Enforcement covers the
+  // ops that introduce new row images: CTAS/replace (full data), APPEND
+  // and MERGE (the incoming batch — existing rows were validated when
+  // the constraint was added), and UPDATE (the assigned post-images).
+  // DELETE cannot violate; COMPACT / ZORDER / RESTORE are
+  // value-preserving.
+  //
+  // Storage is a tiny driver-side sidecar `<table>.__constraints`
+  // (escaped tab-separated name/kind/expr) — O(constraints) bytes read
+  // once per write, the same cost class as the ledger lookup. Like the
+  // stats sidecar it lives BESIDE the table dir, so a generation swap
+  // or full REPLACE keeps the table's contract (Delta keeps constraints
+  // in table properties through REPLACE too); [[dropTable]] removes it.
+
+  private def constraintsPath(layer: String, table: String): Path =
+    new Path(tablePath(layer, table) + ".__constraints")
+
+  private def escField(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\t' => "\\t"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c    => c.toString
+  }
+
+  private def unescField(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b += '\\'
+          case 't'  => b += '\t'
+          case 'n'  => b += '\n'
+          case 'r'  => b += '\r'
+          case o    => b += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** The table's recorded constraints as (name, kind, expression);
+    * kind ∈ {CHECK, NOT NULL} (expression holds the column name for
+    * NOT NULL).
+    */
+  def constraints(layer: String, table: String): Seq[(String, String, String)] = {
+    val p = constraintsPath(layer, table)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val f = line.split('\t') // fields are escaped; raw tabs never appear
+        require(f.length == 3, s"corrupt constraints sidecar line: $line")
+        (unescField(f(0)), unescField(f(1)), unescField(f(2)))
+      }.toSeq
+    }
+  }
+
+  private def writeConstraintsSidecar(
+      layer: String, table: String, cs: Seq[(String, String, String)]): Unit =
+    if (cs.isEmpty) { fs.delete(constraintsPath(layer, table), false); () }
+    else {
+      val out = fs.create(constraintsPath(layer, table), true)
+      try out.write(cs.map { case (n, k, e) =>
+        s"${escField(n)}\t${escField(k)}\t${escField(e)}"
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Record a CHECK constraint after validating the existing data
+    * against it (Delta `ALTER TABLE ADD CONSTRAINT`): throws
+    * [[Warehouse.ConstraintViolationException]] and records nothing if
+    * any current row evaluates the predicate to FALSE.
+    */
+  def addCheckConstraint(layer: String, table: String, name: String, sqlExpr: String): Unit =
+    withWriterLock(layer, table) {
+      require(name.nonEmpty && sqlExpr.nonEmpty, "constraint needs a name and an expression")
+      val existing = constraints(layer, table)
+      require(!existing.exists(_._1 == name), s"constraint '$name' already exists")
+      if (tableExists(layer, table))
+        // also analysis-validates the expression against the live schema
+        failOnViolations(s"$layer.$table", "ADD CONSTRAINT",
+          this.table(layer, table), Seq(name -> expr(sqlExpr)))
+      writeConstraintsSidecar(layer, table, existing :+ ((name, "CHECK", sqlExpr)))
+    }
+
+  /** Record a NOT NULL invariant on a column (validating existing
+    * data first). Unlike CHECK, a later write that omits the column
+    * entirely VIOLATES it (the stored rows would hold NULL), matching
+    * Delta's column-invariant behavior.
+    */
+  def addNotNullConstraint(layer: String, table: String, colName: String): Unit =
+    withWriterLock(layer, table) {
+      require(colName.nonEmpty, "NOT NULL constraint needs a column")
+      val existing = constraints(layer, table)
+      val name     = s"$colName IS NOT NULL"
+      require(!existing.exists(_._1 == name), s"constraint '$name' already exists")
+      if (tableExists(layer, table)) {
+        val live = this.table(layer, table)
+        require(live.columns.contains(colName),
+          s"NOT NULL constraint on unknown column $colName")
+        failOnViolations(s"$layer.$table", "ADD CONSTRAINT", live,
+          Seq(name -> col(colName).isNotNull))
+      }
+      writeConstraintsSidecar(layer, table, existing :+ ((name, "NOT NULL", colName)))
+    }
+
+  /** Drop a constraint by name; true if it existed. */
+  def dropConstraint(layer: String, table: String, name: String): Boolean =
+    withWriterLock(layer, table) {
+      val existing = constraints(layer, table)
+      val kept     = existing.filterNot(_._1 == name)
+      if (kept.size != existing.size) { writeConstraintsSidecar(layer, table, kept); true }
+      else false
+    }
+
+  /** Validate incoming row images against the table's recorded
+    * constraints in ONE aggregate pass; throws naming every violated
+    * constraint, BEFORE the caller stages any data. A CHECK whose
+    * columns this write doesn't carry passes vacuously (schema
+    * evolution null-backfills them, and NULL satisfies CHECK); an
+    * absent NOT NULL column is an outright violation.
+    */
+  private def enforceConstraints(
+      layer: String, table: String, rows: DataFrame, op: String): Unit = {
+    val cs = constraints(layer, table)
+    if (cs.isEmpty) return
+    val missingNotNull = cs.collect {
+      case (n, "NOT NULL", c) if !rows.columns.contains(c) => n
+    }
+    if (missingNotNull.nonEmpty)
+      throw new Warehouse.ConstraintViolationException(
+        s"$op on $layer.$table violates: ${missingNotNull.mkString(", ")} " +
+          "(column absent from the written batch — stored rows would be NULL)")
+    val checks: Seq[(String, Column)] = cs.flatMap {
+      case (n, "NOT NULL", c) => Some(n -> col(c).isNotNull)
+      case (n, _, e) =>
+        // a CHECK over columns this batch doesn't carry passes vacuously
+        try { rows.select(expr(e)); Some(n -> expr(e)) }
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    if (checks.nonEmpty) failOnViolations(s"$layer.$table", op, rows, checks)
+  }
+
+  /** One aggregate over `rows` counting, per constraint, rows whose
+    * predicate is FALSE (NULL passes — SQL CHECK semantics; NOT NULL
+    * predicates never evaluate to NULL).
+    */
+  private def failOnViolations(
+      tableName: String, op: String, rows: DataFrame,
+      checks: Seq[(String, Column)]): Unit = {
+    val aggs = checks.map { case (_, ok) =>
+      sum(when(ok === false, 1L).otherwise(0L)) }
+    val r = rows.agg(aggs.head, aggs.tail: _*).head()
+    val bad = checks.zipWithIndex.collect {
+      case ((n, _), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+        s"$n (${r.getLong(i)} rows)"
+    }
+    if (bad.nonEmpty)
+      throw new Warehouse.ConstraintViolationException(
+        s"$op on $tableName violates: ${bad.mkString("; ")} — nothing was written")
+  }
+
+  /** DLT-style "expect or drop" append (the third leg of the
+    * expectations triad: [[append]] under constraints is
+    * expect-or-fail, no constraints is expect): rows passing every
+    * recorded constraint append to the table; violating rows, tagged
+    * with the comma-joined names of the constraints they violate
+    * (`_violated`, in constraint-declaration order), append to
+    * `<table>__quarantine` in the same layer — a REAL table: list it,
+    * query it, replay it after fixing upstream. The 100 TB posture: a
+    * handful of bad rows must not fail a day's ingest, but silently
+    * dropping them loses the quality signal — the quarantine table IS
+    * the data-quality ledger. One classification pass over the batch
+    * (each constraint one codegen'd predicate), then the two appends;
+    * cost scales with the delta, never the table. Returns
+    * (appended, quarantined).
+    */
+  def appendOrQuarantine(layer: String, table: String, df: DataFrame): (Long, Long) =
+    withWriterLock(layer, table) {
+      val cs = constraints(layer, table)
+      if (cs.isEmpty) (appendImpl(layer, table, df), 0L)
+      else {
+        // same per-constraint semantics as enforceConstraints: CHECK
+        // violates on FALSE (NULL passes; absent columns vacuous),
+        // NOT NULL violates on null values or a wholly absent column
+        val checks: Seq[(String, Column)] = cs.map {
+          case (n, "NOT NULL", c) =>
+            n -> (if (df.columns.contains(c)) col(c).isNotNull else lit(false))
+          case (n, _, e) =>
+            n -> (try { df.select(expr(e)); coalesce(expr(e), lit(true)) }
+                  catch { case _: org.apache.spark.sql.AnalysisException => lit(true) })
+        }
+        val tags = array(checks.map { case (n, ok) => when(ok === false, lit(n)) }: _*)
+        val tagged = df.withColumn("_violated", filter(tags, x => x.isNotNull))
+        val good = tagged.filter(size(col("_violated")) === 0).drop("_violated")
+        val bad = tagged.filter(size(col("_violated")) > 0)
+          .withColumn("_violated", concat_ws(",", col("_violated")))
+        // good rows pass by construction; appendImpl's own enforcement
+        // re-proves it (one extra agg over the delta — cheap insurance)
+        val nGood = appendImpl(layer, table, good)
+        val nBad =
+          if (bad.isEmpty) 0L // don't materialize an empty quarantine
+          else append(layer, table + "__quarantine", bad)
+        (nGood, nBad)
+      }
+    }
 
   // ---- data-skipping file pruning (Delta file-stats parity) ----
 
@@ -1615,6 +1878,7 @@ final class Warehouse(
 
   private def appendImpl(layer: String, table: String, df: DataFrame): Long = {
     repairCrashedSwap(layer, table)
+    enforceConstraints(layer, table, df, "APPEND")
     // schema evolution: a widened source appends its new columns (old
     // files surface them as null via the merged read); a source missing
     // target columns is null-backfilled so every file carries the full
@@ -1671,9 +1935,15 @@ final class Warehouse(
   ): Upsert.WriteMetrics = {
     repairCrashedSwap(layer, table)
     if (!tableExists(layer, table)) {
-      val n = createOrReplace(layer, table, src)
+      val n = createOrReplace(layer, table, src) // enforces constraints itself
       return Upsert.WriteMetrics(inserted = n, updated = 0, kept = 0)
     }
+    // every new row image a merge can store comes from the incoming
+    // batch (kept rows were validated when the constraint was added) —
+    // validated whole, so a row a conditional merge would discard still
+    // rejects the batch: stricter than Delta's written-rows-only check,
+    // and cheaper than running the merge plan just to find the winners
+    enforceConstraints(layer, table, src, "MERGE")
     val pcols = partitionColumns(layer, table)
     if (pcols.nonEmpty) return upsertPartitioned(layer, table, src, keys, versionCol, pcols)
     // schema evolution: both sides align to the union schema before
@@ -1895,6 +2165,11 @@ final class Warehouse(
         "num_output_rows", "ts_millis")
       .withColumn("version", lit(ver))
     row.write.mode(SaveMode.Append).parquet(tablePath(ledgerLayer, ledgerTable))
+    // advance the under-lock cache to the committed version (max: an
+    // explicit `version` may replay an already-logged commit)
+    if (heldLocks.get().contains(s"$layer.$table"))
+      lockedVersionCache.merge(s"$layer.$table", ver,
+        (a, b) => if (a >= b) a else b)
   }
 
   /** Ledger versions in (`version`, current] whose op actually REWROTE
@@ -1918,13 +2193,27 @@ final class Warehouse(
           col("num_output_rows") > 0))
       .select(col("version")).collect().map(_.getLong(0)).toSet
 
-  /** Latest ledger version for a table; -1 before its first op. */
-  private def latestVersion(tableName: String): Long =
-    if (!fs.exists(new Path(tablePath(ledgerLayer, ledgerTable)))) -1L
-    else {
-      val hist = history(tableName)
-      if (hist.isEmpty) -1L else hist.agg(max("version")).head().getLong(0)
+  /** Latest ledger version for a table; -1 before its first op.
+    * While this thread holds the table's writer lock the value is
+    * served from [[lockedVersionCache]] after one ledger scan (the
+    * ledger cannot move under our hold); unlocked callers always
+    * scan — another JVM may have committed since.
+    */
+  private def latestVersion(tableName: String): Long = {
+    val locked = heldLocks.get().contains(tableName)
+    if (locked) {
+      val c = lockedVersionCache.get(tableName)
+      if (c != null) return c.longValue()
     }
+    val v =
+      if (!fs.exists(new Path(tablePath(ledgerLayer, ledgerTable)))) -1L
+      else {
+        val hist = history(tableName)
+        if (hist.isEmpty) -1L else hist.agg(max("version")).head().getLong(0)
+      }
+    if (locked) lockedVersionCache.put(tableName, v)
+    v
+  }
 
   private def nextVersion(tableName: String): Long = latestVersion(tableName) + 1L
 
@@ -2117,4 +2406,10 @@ object Warehouse {
     * parity). The operation made no changes; the caller may retry.
     */
   final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  /** A write's incoming rows (or the existing data, at ADD CONSTRAINT
+    * time) violate a recorded CHECK / NOT NULL constraint. Thrown
+    * before any data lands — the table is unchanged.
+    */
+  final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 }
