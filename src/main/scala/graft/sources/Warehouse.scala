@@ -2222,6 +2222,43 @@ final class Warehouse(
     */
   def currentVersion(layer: String, table: String): Long = latestVersion(s"$layer.$table")
 
+  /** Resolve a wall-clock instant to the ledger version in effect at
+    * that time — Delta `TIMESTAMP AS OF` semantics: the greatest
+    * commit whose ledger timestamp is <= the instant (commits at the
+    * same millisecond resolve to the later version). Throws if the
+    * instant predates the table's first commit, exactly like Delta's
+    * before-first-commit error. One ledger scan, O(commits).
+    */
+  def versionAsOfTimestamp(layer: String, table: String, tsMillis: Long): Long = {
+    val h = history(s"$layer.$table").filter(col("ts_millis") <= tsMillis)
+    require(!h.isEmpty,
+      s"$layer.$table has no commit at or before timestamp $tsMillis")
+    h.agg(max("version")).head().getLong(0)
+  }
+
+  /** Read the table as it stood at a wall-clock instant (Delta
+    * `SELECT ... TIMESTAMP AS OF`): resolves the instant to its
+    * ledger version, then time-travels there — same retention rules
+    * as [[tableAsOf]].
+    */
+  def tableAsOfTimestamp(layer: String, table: String, tsMillis: Long): DataFrame =
+    tableAsOf(layer, table, versionAsOfTimestamp(layer, table, tsMillis))
+
+  /** RESTORE to the state at a wall-clock instant (Delta
+    * `RESTORE ... TO TIMESTAMP AS OF`).
+    */
+  def restoreToTimestamp(layer: String, table: String, tsMillis: Long): Long =
+    restore(layer, table, versionAsOfTimestamp(layer, table, tsMillis))
+
+  /** Change rows committed strictly AFTER a wall-clock instant (the
+    * timestamp form of [[changeFeed]]'s version cursor — Delta CDF's
+    * `startingTimestamp`, exclusive at the resolved version so a
+    * consumer that processed through time T never re-reads T's own
+    * commit).
+    */
+  def changeFeedSinceTimestamp(layer: String, table: String, tsMillis: Long): DataFrame =
+    changeFeed(layer, table, versionAsOfTimestamp(layer, table, tsMillis))
+
   /** Read the table as of a past ledger `version` (Delta time travel).
     * Replacing writes (CREATE OR REPLACE, MERGE, COMPACT) retire the
     * outgoing generation under `<table>.__v<version>`, so the last
