@@ -2157,14 +2157,37 @@ final class Warehouse(
       deleted: Long = 0L   // Delta's numDeletedRows — what makes a real
                            // DELETE distinguishable from a no-op commit
   ): Unit = {
-    import spark.implicits._
     val ver = if (version >= 0) version else nextVersion(s"$layer.$table")
-    val row = Seq((s"$layer.$table", op, inserted, updated, deleted, outputRows,
-        System.currentTimeMillis()))
-      .toDF("table_name", "operation", "num_inserted", "num_updated", "num_deleted",
-        "num_output_rows", "ts_millis")
-      .withColumn("version", lit(ver))
-    row.write.mode(SaveMode.Append).parquet(tablePath(ledgerLayer, ledgerTable))
+    // One metrics row per commit, written DRIVER-SIDE with parquet-java
+    // (ExampleParquetWriter) instead of a Spark job: a 1-row toDF write
+    // costs a full job submission (~100-200 ms of scheduler latency),
+    // and a DML-heavy pipeline pays it on every commit. The file is
+    // footer-compatible with the Spark-written ledger generations
+    // (int64 / UTF8 binary), so history()'s mergeSchema read unions
+    // both eras transparently; a UUID file name keeps concurrent
+    // cross-table commits (different locks!) collision-free.
+    val dir = new Path(tablePath(ledgerLayer, ledgerTable))
+    fs.mkdirs(dir)
+    val file = new Path(dir, s"part-graft-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration))
+      .withType(Warehouse.LedgerSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(Warehouse.LedgerSchema)
+      g.append("table_name", s"$layer.$table")
+      g.append("operation", op)
+      g.append("num_inserted", inserted)
+      g.append("num_updated", updated)
+      g.append("num_deleted", deleted)
+      g.append("num_output_rows", outputRows)
+      g.append("ts_millis", System.currentTimeMillis())
+      g.append("version", ver)
+      writer.write(g)
+    } finally writer.close()
     // advance the under-lock cache to the committed version (max: an
     // explicit `version` may replay an already-logged commit)
     if (heldLocks.get().contains(s"$layer.$table"))
@@ -2438,6 +2461,24 @@ final class Warehouse(
 }
 
 object Warehouse {
+  /** Parquet schema of a ledger metrics row — the exact column
+    * names/types the Spark-written ledger era used (`toDF` of longs
+    * and strings), so driver-side rows and job-written rows union
+    * under mergeSchema.
+    */
+  private[sources] val LedgerSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message ledger {
+        |  required binary table_name (UTF8);
+        |  required binary operation (UTF8);
+        |  required int64 num_inserted;
+        |  required int64 num_updated;
+        |  required int64 num_deleted;
+        |  required int64 num_output_rows;
+        |  required int64 ts_millis;
+        |  required int64 version;
+        |}""".stripMargin)
+
   /** A writer could not take a table's lock within `lockWaitMs` —
     * another writer is active (Delta's ConcurrentWriteException
     * parity). The operation made no changes; the caller may retry.
