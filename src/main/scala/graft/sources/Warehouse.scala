@@ -1346,6 +1346,25 @@ final class Warehouse(
     rows
   }
 
+  /** Hold several tables' writer locks at once — the closest thing the
+    * snapshot-dir model has to a multi-table transaction (one thing
+    * Delta itself does not give you): e.g. refresh a fact and its MV
+    * under one critical section so no competing writer interleaves
+    * between the two commits. Locks are acquired in sorted name order,
+    * so two multi-table writers with overlapping sets can never
+    * deadlock (the classic resource-ordering argument); reentrant like
+    * [[withWriterLock]]. Readers still never block — what this
+    * serializes is writer-vs-writer interleaving only.
+    */
+  def withWriterLocks[T](tables: Seq[(String, String)])(body: => T): T = {
+    val sorted = tables.distinct.sortBy { case (l, t) => s"$l.$t" }
+    def loop(rest: List[(String, String)]): T = rest match {
+      case Nil            => body
+      case (l, t) :: tail => withWriterLock(l, t)(loop(tail))
+    }
+    loop(sorted.toList)
+  }
+
   // ---- constraints (Delta CHECK / NOT NULL invariant parity) ----
   //
   // `ALTER TABLE ADD CONSTRAINT` semantics: adding a constraint

@@ -141,6 +141,55 @@ class ConcurrencySpec extends SparkSpec {
     assert(!Files.exists(lock), "broken+reacquired lock must be released after the op")
   }
 
+  test("two Warehouse instances on one root (the two-driver-JVM shape) serialize through the marker") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ccspec2").toString
+    val whA  = new Warehouse(spark, root)
+    val whB  = new Warehouse(spark, root) // no shared in-process state
+    whA.createOrReplace("silver", "cc_two", Seq((0L, "base")).toDF("k", "s"))
+    val a = fork("inst-a") {
+      for (i <- 1 to 4)
+        whA.append("silver", "cc_two", Seq((100L + i, "a")).toDF("k", "s"))
+    }
+    val b = fork("inst-b") {
+      for (i <- 1 to 4)
+        whB.append("silver", "cc_two", Seq((200L + i, "b")).toDF("k", "s"))
+    }
+    Seq(a, b).foreach(_._1.join(120_000))
+    Seq(a, b).foreach(t => assert(t._2(0) == null, s"writer failed: ${t._2(0)}"))
+    assert(whA.table("silver", "cc_two").count() == 9)
+    val versions = whA.history("silver.cc_two")
+      .orderBy("version").collect().map(_.getAs[Long]("version")).toSeq
+    assert(versions == (0L to 8L), s"cross-instance ledger corrupted: $versions")
+  }
+
+  test("withWriterLocks: overlapping multi-table writers acquire in sorted order and never deadlock") {
+    import spark.implicits._
+    val (wh, _) = freshWh()
+    wh.createOrReplace("silver", "cc_m1", Seq((0L, "x")).toDF("k", "s"))
+    wh.createOrReplace("silver", "cc_m2", Seq((0L, "x")).toDF("k", "s"))
+    // both threads take BOTH locks, declared in opposite orders — an
+    // unsorted implementation deadlocks here almost every run
+    val a = fork("multi-a") {
+      for (_ <- 1 to 3)
+        wh.withWriterLocks(Seq(("silver", "cc_m1"), ("silver", "cc_m2"))) {
+          wh.append("silver", "cc_m1", Seq((1L, "a")).toDF("k", "s"))
+          wh.append("silver", "cc_m2", Seq((1L, "a")).toDF("k", "s"))
+        }
+    }
+    val b = fork("multi-b") {
+      for (_ <- 1 to 3)
+        wh.withWriterLocks(Seq(("silver", "cc_m2"), ("silver", "cc_m1"))) {
+          wh.append("silver", "cc_m2", Seq((2L, "b")).toDF("k", "s"))
+          wh.append("silver", "cc_m1", Seq((2L, "b")).toDF("k", "s"))
+        }
+    }
+    Seq(a, b).foreach(_._1.join(120_000))
+    Seq(a, b).foreach(t => assert(t._2(0) == null, s"writer failed: ${t._2(0)}"))
+    assert(wh.table("silver", "cc_m1").count() == 7)
+    assert(wh.table("silver", "cc_m2").count() == 7)
+  }
+
   test("reentrancy: upsert's bootstrap CTAS runs under the already-held lock") {
     import spark.implicits._
     val (wh, _) = freshWh(waitMs = 500L) // short: a self-deadlock would throw
