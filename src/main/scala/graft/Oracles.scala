@@ -1112,7 +1112,13 @@ object Oracles {
       // q102: same full-recompute oracle again — a STREAMED refresh
       // (mvRefreshSink trigger) must land on the identical final state
       ("q102_streaming_mv_refresh" -> preAlias("q83_incremental_mv")) +
-      ("q103_quarantine_append" -> q103Sql)
+      ("q103_quarantine_append" -> q103Sql) +
+      // q104: both generated-column populations (backfill rewrite +
+      // computed-on-append) must equal DuckDB's own sha-256 of the rows
+      ("q104_generated_column" ->
+        """SELECT doc_id, sha256(text) AS text_sha
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

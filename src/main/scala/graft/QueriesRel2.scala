@@ -1002,4 +1002,27 @@ object QueriesRel2 {
       .select($"doc_id", $"lang", $"n_chars", $"_violated".as("violated"))
       .orderBy($"doc_id")
   }
+
+  /** Generated columns under the oracle gate (Delta `GENERATED ALWAYS
+    * AS` parity): a `text_sha = sha2(text, 256)` column declared on an
+    * existing table BACKFILLS via one staged rewrite, and a subsequent
+    * append that omits the column gets it computed during the write —
+    * both populations must land on exactly what DuckDB computes from
+    * the raw rows (sha-256 hex is cross-engine exact, the q04
+    * discipline).
+    */
+  def q104_generated_column(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q104_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      val docs = Tables.documents(spark, dir)
+      wh.createOrReplace("silver", "gdocs", // declared AFTER create: backfill path
+        docs.filter($"doc_id" % 3 === 0).select($"doc_id", $"text"))
+      wh.addGeneratedColumn("silver", "gdocs", "text_sha", "sha2(text, 256)")
+      wh.append("silver", "gdocs", // omits text_sha: computed-on-write path
+        docs.filter($"doc_id" % 3 =!= 0).select($"doc_id", $"text"))
+    }
+    wh.table("silver", "gdocs").select($"doc_id", $"text_sha").orderBy($"doc_id")
+  }
 }

@@ -1006,8 +1006,9 @@ final class Warehouse(
   def createOrReplace(layer: String, table: String, df: DataFrame): Long =
     withWriterLock(layer, table)(createOrReplaceImpl(layer, table, df))
 
-  private def createOrReplaceImpl(layer: String, table: String, df: DataFrame): Long = {
+  private def createOrReplaceImpl(layer: String, table: String, df0: DataFrame): Long = {
     repairCrashedSwap(layer, table)
+    val df = applyGenerated(layer, table, df0, "CREATE OR REPLACE")
     enforceConstraints(layer, table, df, "CREATE OR REPLACE")
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
@@ -1041,10 +1042,11 @@ final class Warehouse(
   private def createOrReplacePartitionedImpl(
       layer: String,
       table: String,
-      df: DataFrame,
+      df0: DataFrame,
       partitionCols: Seq[String]
   ): Long = {
     repairCrashedSwap(layer, table)
+    val df = applyGenerated(layer, table, df0, "CREATE OR REPLACE")
     enforceConstraints(layer, table, df, "CREATE OR REPLACE")
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
@@ -1192,6 +1194,22 @@ final class Warehouse(
       assignments: Map[String, Column]
   ): Long = {
     repairCrashedSwap(layer, table)
+    val gens = generatedColumns(layer, table)
+    if (gens.nonEmpty) {
+      // assignments evaluate against PRE-update rows (one projection,
+      // SQL UPDATE semantics) — an inline generated-column recompute
+      // would read stale sources, so derivation-touching updates are
+      // refused; rewrite via createOrReplace to change a derivation
+      val keys = assignments.keySet.map(_.toLowerCase)
+      gens.foreach { case (c, e) =>
+        require(!keys.contains(c.toLowerCase),
+          s"cannot UPDATE generated column $c (GENERATED ALWAYS AS $e)")
+        val overlap = exprDeps(e).intersect(keys)
+        require(overlap.isEmpty,
+          s"UPDATE assigns ${overlap.mkString(", ")}, which generated column " +
+            s"$c derives from — rewrite via createOrReplace to keep $c consistent")
+      }
+    }
     if (constraints(layer, table).nonEmpty) {
       // post-images of the matched slice — the only new row images an
       // UPDATE introduces; checked before either rewrite path stages
@@ -1559,8 +1577,13 @@ final class Warehouse(
     * cost scales with the delta, never the table. Returns
     * (appended, quarantined).
     */
-  def appendOrQuarantine(layer: String, table: String, df: DataFrame): (Long, Long) =
+  def appendOrQuarantine(layer: String, table: String, df0: DataFrame): (Long, Long) =
     withWriterLock(layer, table) {
+      // generated columns materialize BEFORE classification, so a
+      // constraint over a generated column sees real values (a carried
+      // mismatch still refuses the whole batch — it is writer error,
+      // not data quality)
+      val df = applyGenerated(layer, table, df0, "APPEND")
       val cs = constraints(layer, table)
       if (cs.isEmpty) (appendImpl(layer, table, df), 0L)
       else {
@@ -1588,6 +1611,126 @@ final class Warehouse(
         (nGood, nBad)
       }
     }
+
+  // ---- generated columns (Delta generated-column parity) ----
+  //
+  // A column declared as `GENERATED ALWAYS AS (expr)`: writers may omit
+  // it (the engine computes it during the write) or carry it (the
+  // carried values are validated against the expression and a mismatch
+  // refuses the batch — Delta's exact contract). Declared via
+  // [[addGeneratedColumn]] at any point, not just CREATE: if the live
+  // table lacks the column the declaration BACKFILLS it through one
+  // staged rewrite (safe under the swap protocol, one extra commit);
+  // if the column exists its values must already match. UPDATEs that
+  // assign a generated column, or any column its expression derives
+  // from, are refused — the projection evaluates assignments against
+  // pre-update rows, so an inline recompute would read stale sources;
+  // a derivation-changing rewrite goes through createOrReplace, which
+  // recomputes. Stored in a `<table>.__generated` sidecar (same
+  // escaped-TSV, same lifecycle as `.__constraints`).
+
+  private def generatedPath(layer: String, table: String): Path =
+    new Path(tablePath(layer, table) + ".__generated")
+
+  /** The table's generated columns as (name, expression), in
+    * declaration order.
+    */
+  def generatedColumns(layer: String, table: String): Seq[(String, String)] = {
+    val p = generatedPath(layer, table)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val f = line.split('\t')
+        require(f.length == 2, s"corrupt generated sidecar line: $line")
+        (unescField(f(0)), unescField(f(1)))
+      }.toSeq
+    }
+  }
+
+  private def writeGeneratedSidecar(
+      layer: String, table: String, gens: Seq[(String, String)]): Unit =
+    if (gens.isEmpty) { fs.delete(generatedPath(layer, table), false); () }
+    else {
+      val out = fs.create(generatedPath(layer, table), true)
+      try out.write(gens.map { case (n, e) => s"${escField(n)}\t${escField(e)}" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Column names a SQL expression references (pre-analysis — the
+    * UPDATE guard needs them before any plan is resolved).
+    */
+  private def exprDeps(e: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(e).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase
+    }.toSet
+
+  /** Declare `colName` as GENERATED ALWAYS AS (sqlExpr). Existing
+    * column → values must already match (refused otherwise, nothing
+    * recorded); absent column → backfilled via one staged rewrite
+    * preserving the partition layout.
+    */
+  def addGeneratedColumn(layer: String, table: String, colName: String, sqlExpr: String): Unit =
+    withWriterLock(layer, table) {
+      require(colName.nonEmpty && sqlExpr.nonEmpty,
+        "generated column needs a name and an expression")
+      val existing = generatedColumns(layer, table)
+      require(!existing.exists(_._1 == colName),
+        s"generated column '$colName' already declared")
+      require(!exprDeps(sqlExpr).contains(colName.toLowerCase),
+        s"generated column $colName cannot derive from itself")
+      if (tableExists(layer, table)) {
+        val live = this.table(layer, table)
+        if (live.columns.contains(colName))
+          failOnViolations(s"$layer.$table", "ADD GENERATED COLUMN", live,
+            Seq(s"generated $colName mismatch" -> (col(colName) <=> expr(sqlExpr))))
+        else {
+          val pcols = partitionColumns(layer, table)
+          val filled = live.withColumn(colName, expr(sqlExpr))
+          if (pcols.nonEmpty)
+            createOrReplacePartitionedImpl(layer, table, filled, pcols)
+          else createOrReplaceImpl(layer, table, filled)
+        }
+      }
+      writeGeneratedSidecar(layer, table, existing :+ ((colName, sqlExpr)))
+    }
+
+  /** Drop a generated-column declaration (the data column stays, it
+    * just stops being maintained); true if it existed.
+    */
+  def dropGeneratedColumn(layer: String, table: String, colName: String): Boolean =
+    withWriterLock(layer, table) {
+      val existing = generatedColumns(layer, table)
+      val kept     = existing.filterNot(_._1 == colName)
+      if (kept.size != existing.size) { writeGeneratedSidecar(layer, table, kept); true }
+      else false
+    }
+
+  /** Materialize the table's generated columns on an incoming batch:
+    * omitted columns are computed, carried columns are validated
+    * against their expression in one aggregate pass (null-safe
+    * equality) and a mismatch refuses the batch.
+    */
+  private def applyGenerated(
+      layer: String, table: String, df: DataFrame, op: String): DataFrame = {
+    val gens = generatedColumns(layer, table)
+    if (gens.isEmpty) return df
+    val out = gens.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
+    }
+    val carried = gens.filter { case (c, _) => df.columns.contains(c) }
+    if (carried.nonEmpty)
+      failOnViolations(s"$layer.$table", op, out,
+        carried.map { case (c, e) =>
+          s"generated $c mismatch" -> (col(c) <=> expr(e))
+        })
+    out
+  }
 
   // ---- data-skipping file pruning (Delta file-stats parity) ----
 
@@ -1895,8 +2038,9 @@ final class Warehouse(
   def append(layer: String, table: String, df: DataFrame): Long =
     withWriterLock(layer, table)(appendImpl(layer, table, df))
 
-  private def appendImpl(layer: String, table: String, df: DataFrame): Long = {
+  private def appendImpl(layer: String, table: String, df0: DataFrame): Long = {
     repairCrashedSwap(layer, table)
+    val df = applyGenerated(layer, table, df0, "APPEND")
     enforceConstraints(layer, table, df, "APPEND")
     // schema evolution: a widened source appends its new columns (old
     // files surface them as null via the merged read); a source missing
@@ -1948,15 +2092,16 @@ final class Warehouse(
   private def upsertImpl(
       layer: String,
       table: String,
-      src: DataFrame,
+      src0: DataFrame,
       keys: Seq[String],
       versionCol: String
   ): Upsert.WriteMetrics = {
     repairCrashedSwap(layer, table)
     if (!tableExists(layer, table)) {
-      val n = createOrReplace(layer, table, src) // enforces constraints itself
+      val n = createOrReplace(layer, table, src0) // generates + enforces itself
       return Upsert.WriteMetrics(inserted = n, updated = 0, kept = 0)
     }
+    val src = applyGenerated(layer, table, src0, "MERGE")
     // every new row image a merge can store comes from the incoming
     // batch (kept rows were validated when the constraint was added) —
     // validated whole, so a row a conditional merge would discard still
