@@ -1118,7 +1118,14 @@ object Oracles {
       ("q104_generated_column" ->
         """SELECT doc_id, sha256(text) AS text_sha
           |FROM documents
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin) +
+      // q105/q106: the q82 DELETE and q84 UPDATE scenarios through the
+      // merge-on-read mechanics (deletion vectors) — identical final
+      // states by design, so they share those oracles verbatim; what
+      // changes is the machinery under the gate (tombstone write +
+      // DV-subtracting read for q105; MOR update + REORG fold for q106)
+      ("q105_delete_mor" -> preAlias("q82_delete_rows")) +
+      ("q106_update_mor" -> preAlias("q84_update_rows"))
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -1025,4 +1025,54 @@ object QueriesRel2 {
     }
     wh.table("silver", "gdocs").select($"doc_id", $"text_sha").orderBy($"doc_id")
   }
+
+  /** Merge-on-read DELETE under the oracle gate (Delta deletion-vector
+    * parity, the q82 scenario through the other mechanics): the same
+    * predicate deletes via [[graft.sources.Warehouse.deleteMor]] —
+    * O(matched) tombstone rows written, ZERO data files rewritten —
+    * and the survivors read through the broadcast anti-join the scan
+    * applies. The oracle recomputes the survivors in SQL, so the gate
+    * covers both the tombstone WRITE and the DV-subtracting READ.
+    * Re-runs are no-ops (the matched set is already tombstoned).
+    */
+  def q105_delete_mor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q105_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "cust",
+        Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment", $"c_acctbal"))
+    }
+    wh.deleteMor("silver", "cust", $"c_mktsegment" === "BUILDING" && $"c_acctbal" < 0)
+    wh.table("silver", "cust")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  /** Merge-on-read UPDATE + REORG under the oracle gate: the q84
+    * reprice runs via [[graft.sources.Warehouse.updateMor]] (old
+    * positions tombstone, post-images append as new files — no
+    * existing file rewritten), then [[graft.sources.Warehouse.reorg]]
+    * folds the tombstones back in, rewriting ONLY the files that
+    * carry them. The oracle recomputes the CASE expression — so the
+    * gate covers the MOR update, the manifest bookkeeping, and the
+    * materialized post-reorg read. The `repriced` flag makes re-runs
+    * zero-match no-ops, exactly like q84.
+    */
+  def q106_update_mor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q106_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "ord",
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", lit(0).as("repriced")))
+    }
+    wh.updateMor("silver", "ord", $"o_orderpriority" === "1-URGENT" && $"repriced" === 0,
+      Map("o_totalprice" -> ($"o_totalprice" * 1.1), "repriced" -> lit(1)))
+    wh.reorg("silver", "ord")
+    wh.table("silver", "ord")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
 }

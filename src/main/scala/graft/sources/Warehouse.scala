@@ -191,6 +191,19 @@ final class Warehouse(
     // mergeSchema: an evolved table's older files lack the newer
     // columns — the merged read surfaces them as nulls. Cost is one
     // footer read per file at planning (parallelized), not data I/O.
+    // Tables with live deletion vectors additionally subtract their
+    // tombstones (a broadcast anti-join — see the DV section); for
+    // everything else applyDv is a free pass-through.
+    applyDv(rawTable(layer, table), layer, table, Long.MaxValue,
+      partitionColumns(layer, table).length)
+
+  /** The raw merged file scan, tombstones NOT subtracted. Internal
+    * paths that do per-file math (`inputFiles` freshness checks, stats
+    * profiling, COW planning behind the [[materializeDv]] barrier)
+    * need the bare scan — an anti-join in the plan would pollute
+    * `inputFiles` with the sidecar's own files.
+    */
+  private def rawTable(layer: String, table: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(tablePath(layer, table))
 
   // ---- schema evolution (Delta `mergeSchema` semantics) ----
@@ -540,6 +553,35 @@ final class Warehouse(
           }
         }
     }
+    // phantom deletion-vector partitions: a MOR op writes tombstones —
+    // and, for UPDATE_MOR, moves its appended post-image files in
+    // under the partition's _GRAFT_FILES manifest — BEFORE its ledger
+    // commit. A crash in that window must roll ALL of it back:
+    // purging the tombstones alone would resurrect the pre-images
+    // NEXT TO the already-landed post-images (silent duplication).
+    val dvp = dvPath(layer, table)
+    if (fs.exists(dvp)) {
+      fs.listStatus(dvp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_commit_part="))
+        .foreach { s =>
+          s.getPath.getName.stripPrefix("_commit_part=").toLongOption.foreach { v =>
+            if (v > cur) {
+              val manifest = new Path(s.getPath, "_GRAFT_FILES")
+              if (fs.exists(manifest)) {
+                val in = fs.open(manifest)
+                val appended =
+                  try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                    .filter(_.nonEmpty).toList
+                  finally in.close()
+                appended.foreach(rel => fs.delete(new Path(target, rel), false))
+              }
+              fs.delete(s.getPath, true)
+              repaired = true
+            }
+          }
+        }
+    }
+    fs.delete(new Path(tablePath(layer, table) + ".__mor_staging"), true)
     repaired
   }
 
@@ -1073,6 +1115,7 @@ final class Warehouse(
     withWriterLock(layer, table)(compactImpl(layer, table, targetRowsPerFile))
 
   private def compactImpl(layer: String, table: String, targetRowsPerFile: Long): Long = {
+    materializeDv(layer, table) // rewrite never runs against live tombstones
     repairCrashedSwap(layer, table)
     val target = tablePath(layer, table)
     val before = spark.read.parquet(target)
@@ -1114,6 +1157,7 @@ final class Warehouse(
 
   private def deleteImpl(layer: String, table: String, predicate: Column): Long = {
     repairCrashedSwap(layer, table)
+    materializeDv(layer, table) // rewrite never runs against live tombstones
     val pcols = partitionColumns(layer, table)
     if (pcols.nonEmpty) return deletePartitioned(layer, table, predicate, pcols)
     val target  = tablePath(layer, table)
@@ -1194,6 +1238,7 @@ final class Warehouse(
       assignments: Map[String, Column]
   ): Long = {
     repairCrashedSwap(layer, table)
+    materializeDv(layer, table) // rewrite never runs against live tombstones
     val gens = generatedColumns(layer, table)
     if (gens.nonEmpty) {
       // assignments evaluate against PRE-update rows (one projection,
@@ -1277,6 +1322,446 @@ final class Warehouse(
     updated
   }
 
+  // ---- deletion vectors (Delta merge-on-read DML parity) ----
+  //
+  // Copy-on-write DML (delete/update/upsert above) pays O(touched file
+  // bytes) per commit: every file holding one matched row decodes and
+  // rewrites. Delta's deletion vectors invert the cost: a DELETE writes
+  // only the POSITIONS of the deleted rows (a per-file bitmap sidecar)
+  // and the scan subtracts them — commit cost O(matched rows), zero
+  // data rewritten. The engine's equivalent: a `<table>.__dv` sidecar,
+  // hive-partitioned by zero-padded commit version like the change
+  // feed, one row per deleted position — (file_name, pos) in the
+  // domain of parquet `_metadata.file_name` / `_metadata.row_index`.
+  // Positions are stable because data files are immutable: COW carries
+  // files by byte-copy (same basename, same bytes) and rewrites under
+  // FRESH part-file names (per-job UUID), so a DV row either still
+  // matches its file exactly or matches nothing at all — never a
+  // different row.
+  //
+  // Read-side application is one BROADCAST left-anti join on
+  // (file_name, row_index) against the corpus scan: the corpus side
+  // never shuffles, data filters still push to the parquet scan, and
+  // the build side is bounded by the rows deleted since the last
+  // rewrite — Delta's own DV regime (accumulate smallish tombstone
+  // sets, REORG when they grow). The version-bounded rule that makes
+  // this compose with time travel:
+  //
+  //   visible(asOf) = files(asOf) MINUS dv rows in (lastRewrite(asOf), asOf]
+  //
+  // where lastRewrite(asOf) is the last REWRITING commit at or before
+  // `asOf`. Every rewriting op materializes live DVs first (the
+  // [[materializeDv]] barrier at the head of delete/update/upsert/
+  // compact/zorder — REPLACE and RESTORE produce all-new files, which
+  // achieves the same), so DV partitions at or before a rewrite are
+  // CONSUMED by it: current reads broadcast only the post-rewrite
+  // tail, never the table's whole deletion history, and a retired
+  // generation read at `asOf` applies exactly the tombstones that
+  // were live then. DV partitions are append-only and never deleted
+  // (retired generations need them); their dead weight after a REORG
+  // is one directory listing, not a broadcast.
+  //
+  // [[updateMor]] extends the scheme to UPDATE the way Delta DVs do:
+  // old positions tombstone, post-image rows append as NEW files. The
+  // appended basenames are recorded in a `_GRAFT_FILES` manifest
+  // inside the commit's DV partition, which buys two properties COW
+  // gets from staging: crash rollback ([[repairCrashedSwap]] purges a
+  // phantom DV partition AND deletes its manifest's files), and EXACT
+  // time travel (a read at `asOf` hides files appended by MOR commits
+  // after `asOf` — no append-style fold-forward for MOR updates).
+
+  private def dvPath(layer: String, table: String): Path =
+    new Path(tablePath(layer, table) + ".__dv")
+
+  /** DV partition versions present on disk, ascending. */
+  private def dvVersions(layer: String, table: String): Seq[Long] = {
+    val p = dvPath(layer, table)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_commit_part="))
+        .flatMap(_.getPath.getName.stripPrefix("_commit_part=").toLongOption)
+        .toSeq
+        .sorted
+  }
+
+  private def dvPartDir(layer: String, table: String, v: Long): Path =
+    new Path(dvPath(layer, table), f"_commit_part=$v%010d")
+
+  /** Ledger predicate for commits that REWROTE table data (retired a
+    * generation) — shared by [[rewritingAfter]] and the DV version
+    * bounds. APPEND/VACUUM and the merge-on-read ops never rewrite;
+    * DML commits rewrite iff their metrics (or an evolution-forced
+    * rewrite's kept-row count) are non-zero.
+    */
+  private def rewritingOpPred: Column =
+    !col("operation").isin("APPEND", "VACUUM", "DELETE_MOR", "UPDATE_MOR") &&
+      (!col("operation").isin("MERGE", "DELETE", "UPDATE") ||
+        col("num_inserted") + col("num_updated") + col("num_deleted") > 0 ||
+        col("num_output_rows") > 0)
+
+  /** (last rewriting commit ≤ asOf, last committed version ≤ asOf) in
+    * one ledger scan; (-1, -1) before the first commit. The cap keeps
+    * an unlocked reader from applying a crashed writer's phantom DV
+    * partition (version claimed, ledger row never written) — the same
+    * read-side hiding [[changeFeed]] does for phantom feed partitions.
+    */
+  private def dvBounds(tableName: String, asOf: Long): (Long, Long) = {
+    val h = history(tableName)
+      .filter(col("version") <= asOf)
+      .agg(
+        max(when(rewritingOpPred, col("version"))).as("floor"),
+        max(col("version")).as("cap"))
+      .head()
+    (if (h.isNullAt(0)) -1L else h.getLong(0), if (h.isNullAt(1)) -1L else h.getLong(1))
+  }
+
+  /** Tombstone rows applicable at `asOf` — (file_name, pos) of DV
+    * partitions in (lastRewrite(asOf), min(asOf, committed)] — or None
+    * when nothing applies (the overwhelmingly common case: one driver
+    * directory listing, zero jobs).
+    */
+  private def dvRowsFor(layer: String, table: String, asOf: Long): Option[DataFrame] = {
+    val all = dvVersions(layer, table)
+    if (all.isEmpty) return None
+    val (floor, cap) = dvBounds(s"$layer.$table", asOf)
+    val vs = all.filter(v => v > floor && v <= math.min(asOf, cap))
+    if (vs.isEmpty) None
+    else {
+      val p = dvPath(layer, table)
+      Some(
+        spark.read
+          .option("basePath", p.toString)
+          .parquet(vs.map(v => dvPartDir(layer, table, v).toString): _*)
+          .select(col("file_name").as("__dv_file"), col("pos").as("__dv_pos")))
+    }
+  }
+
+  /** Table-relative keys of data files APPENDED by MOR commits strictly
+    * after `asOf` (each DV partition's `_GRAFT_FILES` manifest) — what
+    * a time-travel read must hide to show the pre-update state exactly.
+    */
+  private def dvFilesAfter(layer: String, table: String, asOf: Long): Seq[String] =
+    dvVersions(layer, table).filter(_ > asOf).flatMap { v =>
+      val m = new Path(dvPartDir(layer, table, v), "_GRAFT_FILES")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    }
+
+  /** Anti-join `withMeta` (carrying __dv_f/__dv_p metadata columns)
+    * against tombstones; keeps the metadata columns for callers that
+    * still need positions (deleteMor/updateMor write them back out).
+    */
+  private def dvAntiJoin(withMeta: DataFrame, dv: DataFrame): DataFrame =
+    withMeta.join(
+      broadcast(dv),
+      col("__dv_f") === col("__dv_file") && col("__dv_p") === col("__dv_pos"),
+      "left_anti")
+
+  /** DV file key: the trailing `depth + 1` path segments of the file —
+    * `pt=a/part-XXX.parquet` for one partition level, the bare
+    * basename unpartitioned. Basenames alone are NOT unique on a
+    * partitioned table (one write job reuses its task file names
+    * across partition directories), but the partition-relative path
+    * is — and it is exactly what survives a byte-copy carry and a
+    * generation swap (both preserve the leaf dirs, only the table
+    * ROOT changes), while any rewrite issues fresh names.
+    */
+  private def withDvMeta(df: DataFrame, depth: Int): DataFrame =
+    df.withColumn("__dv_f",
+        substring_index(col("_metadata.file_path"), "/", -(depth + 1)))
+      .withColumn("__dv_p", col("_metadata.row_index"))
+
+  /** The DV file key of an absolute file path, driver-side. */
+  private def dvFileKey(file: String, depth: Int): String =
+    file.split('/').takeRight(depth + 1).mkString("/")
+
+  /** Rows of `df` (a direct file-source scan of this table, with hive
+    * leaf dirs `depth` deep) visible at `asOf`: tombstoned positions
+    * subtracted, MOR-appended files from after `asOf` hidden. Schema
+    * is unchanged. No-op (zero jobs, the original scan plan) when the
+    * table has no applicable DV state.
+    */
+  private def applyDv(
+      df: DataFrame,
+      layer: String,
+      table: String,
+      asOf: Long,
+      depth: => Int // by-name: only computed when DV state exists
+  ): DataFrame = {
+    val laterFiles = dvFilesAfter(layer, table, asOf)
+    val tombstones = dvRowsFor(layer, table, asOf)
+    if (laterFiles.isEmpty && tombstones.isEmpty) return df
+    val withMeta = withDvMeta(df, depth)
+    val hidden =
+      if (laterFiles.isEmpty) withMeta
+      else withMeta.filter(!col("__dv_f").isin(laterFiles: _*))
+    (tombstones match {
+      case Some(dv) => dvAntiJoin(hidden, dv)
+      case None     => hidden
+    }).drop("__dv_f", "__dv_p")
+  }
+
+  /** Materialization barrier: every copy-on-write op calls this first,
+    * so a rewrite never runs against live tombstones — the invariant
+    * behind the (lastRewrite, asOf] read rule. One directory probe
+    * when the table has no DV state.
+    */
+  private def materializeDv(layer: String, table: String): Unit =
+    if (dvVersions(layer, table).nonEmpty) { reorgImpl(layer, table); () }
+
+  /** DELETE via deletion vectors (Delta merge-on-read DELETE): one
+    * pushed-predicate scan finds the matched positions; only those
+    * (file, pos) tombstones and the change-feed delete rows are
+    * written — no file is decoded-and-rewritten, no generation
+    * retires, commit cost is O(matched rows) where [[delete]] pays
+    * O(touched file bytes). The read side subtracts tombstones with a
+    * broadcast anti-join (see the section note). Call [[reorg]] to
+    * fold accumulated tombstones back into the files when their
+    * broadcast grows past comfort. NULL predicate keeps the row, the
+    * zero-match commit follows the unified no-op convention, and
+    * deletions land in the change feed exactly like the COW path —
+    * downstream consumers cannot tell which mechanics ran.
+    */
+  def deleteMor(layer: String, table: String, predicate: Column): Long =
+    withWriterLock(layer, table)(deleteMorImpl(layer, table, predicate))
+
+  private def deleteMorImpl(layer: String, table: String, predicate: Column): Long = {
+    repairCrashedSwap(layer, table)
+    val target = tablePath(layer, table)
+    val raw    = spark.read.option("mergeSchema", "true").parquet(target)
+    val hit    = coalesce(predicate, lit(false))
+    val depth  = partitionColumns(layer, table).length
+    val visible = dvRowsFor(layer, table, Long.MaxValue) match {
+      case Some(dv) => dvAntiJoin(withDvMeta(raw, depth), dv)
+      case None     => withDvMeta(raw, depth)
+    }
+    val matched = visible.filter(hit)
+    if (matched.isEmpty) {
+      logOp(layer, table, "DELETE_MOR", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
+    val ver = nextVersion(s"$layer.$table")
+    val m   = matched.persist()
+    try {
+      val obs = org.apache.spark.sql.Observation()
+      m.select(col("__dv_f").as("file_name"), col("__dv_p").as("pos"))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(dvPath(layer, table).toString)
+      val deleted = obs.get("n").asInstanceOf[Long]
+      m.drop("__dv_f", "__dv_p")
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(ver))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(target + ".__changes")
+      logOp(layer, table, "DELETE_MOR", inserted = 0, updated = 0,
+        outputRows = 0, version = ver, deleted = deleted)
+      deleted
+    } finally { m.unpersist(); () }
+  }
+
+  /** UPDATE via deletion vectors (Delta merge-on-read UPDATE): matched
+    * rows tombstone at their old positions and their post-images
+    * append as NEW part files — commit cost O(matched rows), no
+    * existing file rewritten (where [[update]] rewrites every touched
+    * file). The appended file list rides in the commit's DV-partition
+    * manifest, so a crash rolls the whole commit back and time travel
+    * hides the new files exactly (see section note). Same feed images,
+    * constraint enforcement, generated-column guards, NULL-predicate
+    * and no-op conventions as the COW path.
+    */
+  def updateMor(
+      layer: String,
+      table: String,
+      predicate: Column,
+      assignments: Map[String, Column]
+  ): Long =
+    withWriterLock(layer, table)(updateMorImpl(layer, table, predicate, assignments))
+
+  private def updateMorImpl(
+      layer: String,
+      table: String,
+      predicate: Column,
+      assignments: Map[String, Column]
+  ): Long = {
+    repairCrashedSwap(layer, table)
+    val gens = generatedColumns(layer, table)
+    if (gens.nonEmpty) {
+      val keys = assignments.keySet.map(_.toLowerCase)
+      gens.foreach { case (c, e) =>
+        require(!keys.contains(c.toLowerCase),
+          s"cannot UPDATE generated column $c (GENERATED ALWAYS AS $e)")
+        val overlap = exprDeps(e).intersect(keys)
+        require(overlap.isEmpty,
+          s"UPDATE assigns ${overlap.mkString(", ")}, which generated column " +
+            s"$c derives from — rewrite via createOrReplace to keep $c consistent")
+      }
+    }
+    val target = tablePath(layer, table)
+    val raw    = spark.read.option("mergeSchema", "true").parquet(target)
+    assignments.keys.foreach(c =>
+      require(raw.columns.contains(c), s"UPDATE assigns unknown column $c"))
+    val hit   = coalesce(predicate, lit(false))
+    val depth = partitionColumns(layer, table).length
+    val visible = dvRowsFor(layer, table, Long.MaxValue) match {
+      case Some(dv) => dvAntiJoin(withDvMeta(raw, depth), dv)
+      case None     => withDvMeta(raw, depth)
+    }
+    val matched = visible.filter(hit)
+    if (matched.isEmpty) {
+      logOp(layer, table, "UPDATE_MOR", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
+    val ver = nextVersion(s"$layer.$table")
+    val m   = matched.persist()
+    try {
+      val pre  = m.drop("__dv_f", "__dv_p")
+      val post = pre.select(raw.schema.fields.toSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(a) => a.cast(f.dataType).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+      // new row images validated BEFORE anything lands — a violating
+      // batch changes nothing, the COW contract
+      enforceConstraints(layer, table, post, "UPDATE")
+      // 1. tombstones first: until the ledger row commits, everything
+      // this op wrote is identifiable (phantom DV partition + its
+      // manifest) and [[repairCrashedSwap]] rolls all of it back
+      val obs = org.apache.spark.sql.Observation()
+      m.select(col("__dv_f").as("file_name"), col("__dv_p").as("pos"))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(dvPath(layer, table).toString)
+      val updated = obs.get("n").asInstanceOf[Long]
+      // 2. post-images into a scratch dir, then manifest, then move:
+      // files are only reachable from the live tree AFTER their names
+      // are durably listed for rollback
+      val pcols   = partitionColumns(layer, table)
+      val scratch = new Path(target + ".__mor_staging")
+      fs.delete(scratch, true)
+      val w = post.write.mode(SaveMode.Overwrite)
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(scratch.toString)
+      val staged = (if (pcols.nonEmpty) leafPartitionDirs(scratch, pcols.length)
+                    else Seq("")).flatMap { rel =>
+        val dir = if (rel.isEmpty) scratch else new Path(scratch, rel)
+        fs.listStatus(dir)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map(s => (s.getPath, if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
+      }
+      val manifest = new Path(dvPartDir(layer, table, ver), "_GRAFT_FILES")
+      val out      = fs.create(manifest, true)
+      try out.write(staged.map(_._2).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      staged.foreach { case (src, rel) =>
+        val dst = new Path(target, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+      }
+      fs.delete(scratch, true)
+      // 3. feed images, 4. ledger commit
+      pre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+        .withColumn("_commit_version", lit(ver))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(target + ".__changes")
+      logOp(layer, table, "UPDATE_MOR", inserted = 0, updated = updated,
+        outputRows = 0, version = ver)
+      updated
+    } finally { m.unpersist(); () }
+  }
+
+  /** REORG TABLE ... APPLY (PURGE) — fold accumulated deletion vectors
+    * back into the data: ONLY files carrying tombstones rewrite (DV
+    * rows subtracted), every clean file byte-copies, staged swap, the
+    * pre-image generation retires for time travel. After a reorg the
+    * current-read anti-join disappears entirely (the rewrite is the
+    * new lastRewrite floor); the DV partitions stay on disk for
+    * retired-generation reads but are never broadcast again. Returns
+    * the number of files rewritten; no-op (no commit) when no
+    * tombstones are live.
+    */
+  def reorg(layer: String, table: String): Long =
+    withWriterLock(layer, table)(reorgImpl(layer, table))
+
+  private def reorgImpl(layer: String, table: String): Long = {
+    repairCrashedSwap(layer, table)
+    val tombstones = dvRowsFor(layer, table, Long.MaxValue)
+    if (tombstones.isEmpty) return 0L
+    val dv      = tombstones.get
+    val target  = tablePath(layer, table)
+    val raw     = spark.read.option("mergeSchema", "true").parquet(target)
+    val pcols   = partitionColumns(layer, table)
+    val depth   = pcols.length
+    val dvNames = dv.select("__dv_file").distinct().collect().map(_.getString(0)).toSet
+    val allFiles = raw.inputFiles.map(normDataFile).toSeq
+    val touched  = allFiles.filter(f => dvNames.contains(dvFileKey(f, depth)))
+    if (touched.isEmpty) return 0L // tombstones all point at already-rewritten files
+    val staging = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    // touched files re-read as a direct scan (metadata columns live
+    // only there), tombstones subtracted, aligned to the full schema
+    val reader = spark.read.option("mergeSchema", "true")
+    val touchedRaw =
+      (if (pcols.nonEmpty) reader.option("basePath", target) else reader)
+        .parquet(touched: _*)
+    val survivors0 = dvAntiJoin(withDvMeta(touchedRaw, depth), dv).drop("__dv_f", "__dv_p")
+    val survivors = survivors0.select(raw.schema.fields.toSeq.map { f =>
+      if (survivors0.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val keptObs = org.apache.spark.sql.Observation()
+    val w = survivors.observe(keptObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(staging.toString)
+    val touchedSet = touched.toSet
+    if (pcols.isEmpty) {
+      val carry = allFiles.filterNot(touchedSet)
+      copyFilesInto(carry.map((_, "")), staging)
+      val keptRewritten = keptObs.get("n").asInstanceOf[Long]
+      val keptCarried =
+        if (carry.isEmpty) 0L else spark.read.parquet(carry: _*).count()
+      retireAndSwap(layer, table, staging)
+      logOp(layer, table, "REORG", inserted = 0, updated = 0,
+        outputRows = keptRewritten + keptCarried)
+    } else {
+      // partition-scoped: only the directories holding touched files
+      // swap; untouched directories are never listed or copied.
+      // Compare in the scheme-less URI path domain — inputFiles carry
+      // a `file:`/`hdfs:` scheme, tablePath may not
+      val targetP    = new Path(target)
+      val targetNorm = targetP.toUri.getPath
+      val retireDirs = touched.map { f =>
+        val rel = new Path(f).toUri.getPath.stripPrefix(targetNorm).stripPrefix("/")
+        rel.substring(0, rel.lastIndexOf('/'))
+      }.distinct
+      val carryPairs = dataFilesUnder(targetP, retireDirs)
+        .filterNot(p => touchedSet.contains(p._1))
+      copyFilesInto(carryPairs, staging)
+      val keptRewritten = keptObs.get("n").asInstanceOf[Long]
+      val keptCarried =
+        if (carryPairs.isEmpty) 0L
+        else spark.read.option("basePath", target)
+          .parquet(carryPairs.map(_._1): _*).count()
+      swapPartitions(layer, table, staging, retireDirs, pcols.length)
+      logOp(layer, table, "REORG", inserted = 0, updated = 0,
+        outputRows = keptRewritten + keptCarried)
+    }
+    touched.size.toLong
+  }
+
   /** Multi-dimensional clustering (Delta `OPTIMIZE ... ZORDER BY`
     * replacement): rewrite the table ordered along a Z-curve over
     * `cols`, so parquet footer min/max stats make predicates on ANY of
@@ -1310,6 +1795,7 @@ final class Warehouse(
       bits: Int
   ): Long = {
     repairCrashedSwap(layer, table)
+    materializeDv(layer, table) // rewrite never runs against live tombstones
     require(cols.nonEmpty && cols.size <= 4, "zorder supports 1-4 columns")
     val target = tablePath(layer, table)
     val df     = spark.read.option("mergeSchema", "true").parquet(target)
@@ -1754,7 +2240,7 @@ final class Warehouse(
   def collectStats(layer: String, table: String, cols: Seq[String]): Long =
     withWriterLock(layer, table) {
       require(cols.nonEmpty, "collectStats needs at least one column")
-      writeSidecar(statsPath(layer, table), statsFor(this.table(layer, table), cols))
+      writeSidecar(statsPath(layer, table), statsFor(rawTable(layer, table), cols))
     }
 
   /** Per-file min/max stats rows for an arbitrary slice of the table
@@ -1802,7 +2288,7 @@ final class Warehouse(
     }.toSeq
     val allCols = (priorCols ++ cols).distinct
     if (!cols.forall(priorCols.contains)) return collectStats(layer, table, allCols)
-    val df            = this.table(layer, table)
+    val df            = rawTable(layer, table)
     val existingFiles = existing.select(col("file")).collect().map(_.getString(0))
     val existingNorm  = existingFiles.map(normFile).toSet
     val currentRaw    = df.inputFiles.toSeq
@@ -1832,7 +2318,11 @@ final class Warehouse(
     * range predicate.
     */
   def scanPruned(layer: String, table: String, colName: String, lo: Any, hi: Any): DataFrame = {
-    val df      = this.table(layer, table)
+    // raw scan for file-set math: stats rows describe physical files
+    // (tombstoned rows included — conservative, pruning stays safe);
+    // the RESULT is tombstone-subtracted below, so the contract
+    // `scanPruned ≡ table.filter(between)` holds under live DVs too
+    val df      = rawTable(layer, table)
     val p       = statsPath(layer, table)
     val current = df.inputFiles.map(normFile).toSet
     def stats() = spark.read.parquet(p.toString)
@@ -1862,12 +2352,14 @@ final class Warehouse(
     val pred = col(colName).between(lit(lo), lit(hi))
     if (surviving.isEmpty) df.filter(lit(false))
     else
-      spark.read
-        .option("mergeSchema", "true")
-        // basePath so a partitioned table's directory columns
-        // materialize exactly as a whole-table read would
-        .option("basePath", tablePath(layer, table))
-        .parquet(surviving: _*)
+      applyDv(
+        spark.read
+          .option("mergeSchema", "true")
+          // basePath so a partitioned table's directory columns
+          // materialize exactly as a whole-table read would
+          .option("basePath", tablePath(layer, table))
+          .parquet(surviving: _*),
+        layer, table, Long.MaxValue, partitionColumns(layer, table).length)
         .filter(pred)
   }
 
@@ -1898,7 +2390,7 @@ final class Warehouse(
     withWriterLock(layer, table) {
       require(bitsPerKey >= 1, "bitsPerKey must be >= 1")
       writeSidecar(bloomPath(layer, table, colName),
-        bloomFor(this.table(layer, table), colName, bitsPerKey))
+        bloomFor(rawTable(layer, table), colName, bitsPerKey))
     }
 
   /** Per-file bloom rows for an arbitrary slice of the table (whole
@@ -1951,7 +2443,7 @@ final class Warehouse(
       case r                  => r.getInt(0)
     }
     if (kPrior != k) return collectBloom(layer, table, colName, bitsPerKey)
-    val df            = this.table(layer, table)
+    val df            = rawTable(layer, table)
     val existingFiles = existing.select(col("file")).collect().map(_.getString(0))
     val existingNorm  = existingFiles.map(normFile).toSet
     val currentRaw    = df.inputFiles.toSeq
@@ -1984,7 +2476,7 @@ final class Warehouse(
     */
   def scanPrunedEq(layer: String, table: String, colName: String, values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "scanPrunedEq needs at least one probe value")
-    val df      = this.table(layer, table)
+    val df      = rawTable(layer, table) // file-set math on the bare scan; result DV-filtered below
     val vtype   = df.schema(colName).dataType
     val p       = bloomPath(layer, table, colName)
     val current = df.inputFiles.map(normFile).toSet
@@ -2022,10 +2514,12 @@ final class Warehouse(
     val pred = col(colName).isin(values: _*)
     if (surviving.isEmpty) df.filter(lit(false))
     else
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", tablePath(layer, table))
-        .parquet(surviving: _*)
+      applyDv(
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", tablePath(layer, table))
+          .parquet(surviving: _*),
+        layer, table, Long.MaxValue, partitionColumns(layer, table).length)
         .filter(pred)
   }
 
@@ -2048,7 +2542,7 @@ final class Warehouse(
     // evolved schema
     val aligned =
       if (!tableExists(layer, table)) df
-      else alignTo(df, unionSchema(this.table(layer, table).schema, df.schema))
+      else alignTo(df, unionSchema(rawTable(layer, table).schema, df.schema))
     val obs = org.apache.spark.sql.Observation()
     // a partitioned table keeps its layout: root-level data files in a
     // hive tree are a mixed layout Spark's discovery refuses to read
@@ -2097,6 +2591,7 @@ final class Warehouse(
       versionCol: String
   ): Upsert.WriteMetrics = {
     repairCrashedSwap(layer, table)
+    materializeDv(layer, table) // rewrite never runs against live tombstones
     if (!tableExists(layer, table)) {
       val n = createOrReplace(layer, table, src0) // generates + enforces itself
       return Upsert.WriteMetrics(inserted = n, updated = 0, kept = 0)
@@ -2369,15 +2864,11 @@ final class Warehouse(
     * VACUUM pruned history, which time travel must refuse.
     */
   private def rewritingAfter(tableName: String, version: Long): Set[Long] =
+    // rewritingOpPred: APPEND/VACUUM/MOR commits retire nothing; a DML
+    // commit rewrote iff its metrics are non-zero or an evolution-
+    // forced rewrite logged its kept row count (true no-ops log 0)
     history(tableName)
-      .filter(col("version") > version &&
-        !col("operation").isin("APPEND", "VACUUM") && // neither retires a generation
-        (!col("operation").isin("MERGE", "DELETE", "UPDATE") ||
-          col("num_inserted") + col("num_updated") + col("num_deleted") > 0 ||
-          // schema-evolution-forced rewrite: zero row changes but the
-          // table WAS rewritten (new source-only column) — such commits
-          // log their kept row count, true no-ops always log 0
-          col("num_output_rows") > 0))
+      .filter(col("version") > version && rewritingOpPred)
       .select(col("version")).collect().map(_.getLong(0)).toSet
 
   /** Latest ledger version for a table; -1 before its first op.
@@ -2458,23 +2949,31 @@ final class Warehouse(
     val current = latestVersion(s"$layer.$table")
     require(version <= current, s"version $version of $layer.$table does not exist yet")
     if (version == current) return this.table(layer, table)
+    // every snapshot source below applies the DV rule at `version`:
+    // tombstones in (lastRewrite(version), version] subtract, files
+    // appended by MOR commits after `version` hide — so a read between
+    // two merge-on-read commits reconstructs exactly, generation or
+    // not (see the deletion-vector section note)
     val p = new Path(tablePath(layer, table) + s".__v$version")
     if (fs.exists(p) && !fs.exists(new Path(p, "_GRAFT_SPARSE")))
-      return spark.read.parquet(p.toString)
+      return applyDv(spark.read.parquet(p.toString), layer, table, version,
+        partitionDepth(p))
     if (partitionColumns(layer, table).nonEmpty)
       return reconstructAsOf(layer, table, version, current)
     // whole-table fold: ops after `version` that rewrote nothing
-    // (APPENDs, zero-change DML commits) left no `.__v{version}` —
-    // the state at `version` is the next retained FULL snapshot if a
-    // later rewrite took one (appends between fold forward into it,
-    // per the contract), else the live table itself
+    // (APPENDs, zero-change DML commits, merge-on-read commits) left
+    // no `.__v{version}` — the state at `version` is the next retained
+    // FULL snapshot if a later rewrite took one (appends between fold
+    // forward into it, per the contract), else the live table itself
     val rewriting = rewritingAfter(s"$layer.$table", version)
-    if (rewriting.isEmpty) return this.table(layer, table)
+    if (rewriting.isEmpty)
+      return applyDv(rawTable(layer, table), layer, table, version,
+        partitionColumns(layer, table).length)
     val g = new Path(tablePath(layer, table) + s".__v${rewriting.min - 1L}")
     require(fs.exists(g) && !fs.exists(new Path(g, "_GRAFT_SPARSE")),
       s"version $version of $layer.$table is not retained " +
         s"(current=$current, keepGenerations=$keepGenerations)")
-    spark.read.parquet(g.toString)
+    applyDv(spark.read.parquet(g.toString), layer, table, version, partitionDepth(g))
   }
 
   /** Overlay reconstruction for partition-scoped history. Each
@@ -2547,16 +3046,32 @@ final class Warehouse(
       if (fresh.nonEmpty) byRoot(liveRoot.toString) = fresh
     }
     require(byRoot.nonEmpty, s"version $version of $layer.$table has no partitions to read")
-    byRoot
+    val laterFiles = dvFilesAfter(layer, table, version)
+    val tombstones = dvRowsFor(layer, table, version)
+    val needDv     = laterFiles.nonEmpty || tombstones.isDefined
+    val unioned = byRoot
       .map { case (rootStr, dirs) =>
         // basePath per root so the partition columns materialize from
         // the directory names exactly as a direct table read would
-        spark.read
+        val branch = spark.read
           .option("mergeSchema", "true")
           .option("basePath", rootStr)
           .parquet(dirs.map(d => s"$rootStr/$d"): _*)
+        // metadata columns only exist on a scan — take them per branch,
+        // BEFORE the union erases the file-source lineage
+        if (needDv) withDvMeta(branch, depth) else branch
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (!needDv) unioned
+    else {
+      val hidden =
+        if (laterFiles.isEmpty) unioned
+        else unioned.filter(!col("__dv_f").isin(laterFiles: _*))
+      (tombstones match {
+        case Some(dv) => dvAntiJoin(hidden, dv)
+        case None     => hidden
+      }).drop("__dv_f", "__dv_p")
+    }
   }
 
   /** Roll the table back to a retained past `version` (Delta RESTORE
