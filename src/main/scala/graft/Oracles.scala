@@ -1125,7 +1125,14 @@ object Oracles {
       // changes is the machinery under the gate (tombstone write +
       // DV-subtracting read for q105; MOR update + REORG fold for q106)
       ("q105_delete_mor" -> preAlias("q82_delete_rows")) +
-      ("q106_update_mor" -> preAlias("q84_update_rows"))
+      ("q106_update_mor" -> preAlias("q84_update_rows")) +
+      // q107: bloom-pruned locate + MOR forget must land on exactly
+      // the NOT-requested survivors
+      ("q107_gdpr_forget" ->
+        """SELECT c_custkey, c_name, c_acctbal
+          |FROM customer
+          |WHERE c_custkey % 97 <> 0
+          |ORDER BY c_custkey""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

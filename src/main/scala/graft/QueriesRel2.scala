@@ -1075,4 +1075,39 @@ object QueriesRel2 {
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
       .orderBy($"o_orderkey")
   }
+
+  /** The GDPR forget flow end-to-end, composed from the engine's own
+    * primitives under one oracle: bloom-pruned point lookup
+    * ([[graft.sources.Warehouse.scanPrunedEq]]) LOCATES the request's
+    * rows reading only the files whose bloom filter admits a key, then
+    * merge-on-read delete ([[graft.sources.Warehouse.deleteMor]])
+    * FORGETS exactly the keys the lookup found — O(matched) tombstone
+    * rows, zero files rewritten. At 100 TB: a forget request costs a
+    * ~1%-of-files pruned scan plus kilobytes of sidecar, instead of a
+    * full scan plus a rewrite wave; the change feed carries the
+    * deletions so downstream consumers forget too. The found-keys set
+    * is driver-held — bounded by the request size, the same
+    * cardinality every GDPR workflow holds. Re-runs find nothing
+    * (the lookup is DV-subtracted) and no-op.
+    */
+  def q107_gdpr_forget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q107_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "cust",
+        Tables.customer(spark, dir).select($"c_custkey", $"c_name", $"c_acctbal"))
+      wh.collectBloom("silver", "cust", "c_custkey")
+    }
+    // the deterministic stand-in for a forget-request key list
+    val requested = Tables.customer(spark, dir)
+      .filter($"c_custkey" % 97 === 0).select($"c_custkey").as[Long].collect().toSeq
+    val found = wh.scanPrunedEq("silver", "cust", "c_custkey", requested)
+      .select($"c_custkey").distinct().as[Long].collect().toSeq
+    wh.deleteMor("silver", "cust",
+      if (found.isEmpty) lit(false) else $"c_custkey".isin(found: _*))
+    wh.table("silver", "cust")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
 }

@@ -277,6 +277,36 @@ object ScaleSmoke {
     }
     println(f"DMLFULL same-table full rewrite of survivors t=$tFull%.2f s " +
       f"(COW saved ${100 * (1 - tCow2 / tFull)}%.0f%% if layout clusters the predicate)")
+    // merge-on-read evidence on the same table: the same delete shapes
+    // WITHOUT any rewrite. A clustered range (COW's best case) and a
+    // scattered predicate touching every file (COW's worst case — it
+    // degenerates to the full rewrite above) both commit in
+    // probe+sidecar time; then the read-side anti-join overhead and
+    // the REORG fold close the loop.
+    val (d3, tMor) = time(wh.deleteMor("gold", "ord10",
+      $"l_orderkey" >= 200000000L && $"l_orderkey" < 200020000L))
+    println(f"DMLMOR clustered deleted=$d3 t=$tMor%.2f s (same shape COW: $tCow2%.2f s)")
+    // read with tombstones CLUSTERED in one file: the scan split means
+    // 124 clean files count metadata-fast and only one file probes the
+    // anti-join — near-raw cost
+    val (nVis1, tRead1)  = time(wh.table("gold", "ord10").count())
+    val (nRaw1, tRawRd1) = time(
+      spark.read.parquet(wh.tablePath("gold", "ord10")).count())
+    println(f"DMLMORREAD clustered-dv visible=$nVis1 t=$tRead1%.2f s " +
+      f"raw=$nRaw1 t=$tRawRd1%.2f s (1 of ${filesBefore.size} files probes)")
+    val (d4, tMorScat) = time(
+      wh.deleteMor("gold", "ord10", $"l_orderkey" % 100000L === 7L))
+    println(f"DMLMOR scattered deleted=$d4 t=$tMorScat%.2f s " +
+      f"(COW on an every-file predicate pays the full rewrite: $tFull%.2f s)")
+    // worst-case read: scattered tombstones put every file in the
+    // dirty branch — the probe runs per row table-wide, which is the
+    // gauge that says REORG now
+    val (nVis2, tRead2) = time(wh.table("gold", "ord10").count())
+    println(f"DMLMORREAD scattered-dv visible=$nVis2 t=$tRead2%.2f s " +
+      "(every file probes — the reorg trigger)")
+    val (rw, tReorg) = time(wh.reorg("gold", "ord10"))
+    val tPost = time(wh.table("gold", "ord10").count())._2
+    println(f"DMLREORG rewrote=$rw files t=$tReorg%.2f s; post-reorg full count t=$tPost%.2f s")
   }
 
   def main(args: Array[String]): Unit = {

@@ -293,4 +293,37 @@ class DeletionVectorSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted.toSeq
     assert(eq == Seq(91L), "90 is tombstoned and must not surface")
   }
+
+  test("DV read plans as a broadcast anti-join with data filters still pushed to the scan") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "t", (1L to 1000L).toDF("k"))
+    wh.deleteMor("silver", "t", col("k") === 1L)
+    val q    = wh.table("silver", "t").filter(col("k") > 500L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected broadcast LeftAnti in:\n$plan")
+    assert(plan.contains("BroadcastExchange"), "tombstones must broadcast")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "the corpus side must NOT shuffle for DV application")
+    assert(plan.contains("GreaterThan(k,500)"),
+      "the data predicate must still reach PushedFilters through the anti-join")
+    // after reorg the current read is the bare scan again — no join at all
+    wh.reorg("silver", "t")
+    val plan2 = wh.table("silver", "t").queryExecution.executedPlan.toString
+    assert(!plan2.contains("LeftAnti"),
+      "post-reorg current reads must not carry the anti-join")
+  }
+
+  test("detail reports the live-tombstone gauge; reorg resets it") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "t", (1L to 100L).toDF("k"))
+    assert(wh.detail("silver", "t").head().getAs[Long]("live_tombstones") == 0L)
+    wh.deleteMor("silver", "t", col("k") <= 7)
+    wh.deleteMor("silver", "t", col("k") === 50L)
+    assert(wh.detail("silver", "t").head().getAs[Long]("live_tombstones") == 8L)
+    wh.reorg("silver", "t")
+    assert(wh.detail("silver", "t").head().getAs[Long]("live_tombstones") == 0L)
+    assert(wh.table("silver", "t").count() == 92)
+  }
 }

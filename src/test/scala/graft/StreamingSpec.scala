@@ -358,6 +358,33 @@ class StreamingSpec extends SparkSpec {
     assert(mv == Set((10L, 11.0, 2L), (20L, 3.0, 1L), (30L, 7.0, 1L)), s"got $mv")
   }
 
+  test("MOR deletes flow through the feed stream into the continuously-maintained MV") {
+    import graft.streaming.WarehouseStreams
+    import graft.operators.MaterializedAgg
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mvstream_dv").toString
+    val wh   = new graft.sources.Warehouse(spark, s"$root/wh")
+    wh.createOrReplace("silver", "fact",
+      Seq((1L, 10L, 5.0, 0L), (2L, 20L, 3.0, 0L), (3L, 10L, 2.0, 0L))
+        .toDF("id", "grp", "v", "ver"))
+    wh.upsert("silver", "fact",
+      Seq((4L, 20L, 4.0, 1L)).toDF("id", "grp", "v", "ver"), Seq("id"), "ver")
+    MaterializedAgg.build(wh, "silver", "fact", "gold", "mv", Seq("grp"), "v")
+    val q = WarehouseStreams.mvRefreshSink(spark, wh, "silver", "fact", "gold", "mv",
+      Seq("grp"), "v", s"$root/ckpt")
+    q.processAllAvailable()
+    // a merge-on-read delete commits ONLY tombstones + feed rows (no
+    // rewrite, no new generation) — the CDC stream must still see the
+    // deletions and subtract them from the MV, indistinguishable from
+    // a COW delete's feed
+    wh.deleteMor("silver", "fact", $"id".isin(1L, 4L))
+    q.processAllAvailable()
+    q.stop()
+    val mv = wh.table("gold", "mv")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue(), r.getLong(2))).toSet
+    assert(mv == Set((10L, 2.0, 1L), (20L, 3.0, 1L)), s"got $mv")
+  }
+
   test("mapGroupsWithState accumulates per-user session state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream2").toString
