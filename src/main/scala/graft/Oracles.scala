@@ -1132,6 +1132,17 @@ object Oracles {
         """SELECT c_custkey, c_name, c_acctbal
           |FROM customer
           |WHERE c_custkey % 97 <> 0
+          |ORDER BY c_custkey""".stripMargin) +
+      // q108: rename + drop through the engine's DDL must equal a
+      // plain projection of the raw rows
+      ("q108_column_ddl" ->
+        """SELECT c_custkey, c_acctbal AS balance
+          |FROM customer
+          |ORDER BY c_custkey""".stripMargin) +
+      // q109: a deep clone's rows hash-equal the raw source rows
+      ("q109_clone" ->
+        """SELECT c_custkey, c_nationkey, c_acctbal
+          |FROM customer
           |ORDER BY c_custkey""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —

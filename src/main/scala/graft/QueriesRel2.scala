@@ -1110,4 +1110,48 @@ object QueriesRel2 {
       .select($"c_custkey", $"c_name", $"c_acctbal")
       .orderBy($"c_custkey")
   }
+
+  /** Column DDL under the oracle gate (ALTER TABLE RENAME/DROP COLUMN
+    * parity): rename `c_acctbal` to `balance` and drop `c_mktsegment`
+    * through the engine's atomic layout-preserving rewrites
+    * ([[graft.sources.Warehouse.renameColumn]] /
+    * [[graft.sources.Warehouse.dropColumn]]); the oracle projects the
+    * same shape straight off the raw table. Both DDLs run once at
+    * fixture build (a second rename of a gone column would refuse,
+    * like any engine's); the read is the repeatable body.
+    */
+  def q108_column_ddl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q108_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "cust",
+        Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment", $"c_acctbal"))
+      wh.renameColumn("silver", "cust", "c_acctbal", "balance")
+      wh.dropColumn("silver", "cust", "c_mktsegment")
+    }
+    wh.table("silver", "cust")
+      .select($"c_custkey", $"balance")
+      .orderBy($"c_custkey")
+  }
+
+  /** CREATE TABLE ... DEEP CLONE under the oracle gate: the customer
+    * table clones via [[graft.sources.Warehouse.cloneTable]] —
+    * executor-parallel byte-copy, no decode/shuffle/encode — and the
+    * CLONE is what the query reads; the oracle projects the raw rows.
+    * Cross-engine hash equality proves the copy is bit-faithful.
+    */
+  def q109_clone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q109_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "cust",
+        Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey", $"c_acctbal"))
+      wh.cloneTable("silver", "cust", "gold", "cust_clone")
+    }
+    wh.table("gold", "cust_clone")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
 }

@@ -1752,6 +1752,169 @@ final class Warehouse(
     } finally { m.unpersist(); () }
   }
 
+  // ---- CREATE TABLE ... CLONE (deep clone) ----
+
+  /** CREATE [OR REPLACE] TABLE dst DEEP CLONE src. The clone is an
+    * executor-parallel BYTE-COPY of the source's live snapshot — no
+    * decode, no shuffle, no encode; cost is raw copy bandwidth, the
+    * same class as the COW carry path (Delta's SHALLOW clone is
+    * metadata-only, which a physical-dir engine cannot express; DEEP
+    * clone is the portable equivalent and what crosses storage roots
+    * anyway). The clone inherits the source's CONTRACT (CHECK /
+    * NOT NULL constraints and generated-column declarations) but NOT
+    * its history: like Delta CLONE, the new table starts its own
+    * version line (one CLONE commit), and the source's feed, retired
+    * generations, and ledger stay behind. Completely independent
+    * afterwards — writes to either side never touch the other.
+    *
+    * A source with LIVE deletion vectors cannot byte-copy (the clone
+    * carries no DV state, so tombstoned rows would resurrect) — it
+    * falls back to materializing the visible rows through one real
+    * write, the same cost as CTAS. Runs under BOTH tables' writer
+    * locks (sorted acquisition, deadlock-free). Returns the cloned
+    * row count.
+    */
+  def cloneTable(
+      srcLayer: String,
+      srcTable: String,
+      dstLayer: String,
+      dstTable: String
+  ): Long =
+    withWriterLocks(Seq((srcLayer, srcTable), (dstLayer, dstTable))) {
+      require(!(srcLayer == dstLayer && srcTable == dstTable),
+        "cannot clone a table onto itself")
+      repairCrashedSwap(srcLayer, srcTable)
+      repairCrashedSwap(dstLayer, dstTable)
+      require(tableExists(srcLayer, srcTable), s"$srcLayer.$srcTable does not exist")
+      val target  = tablePath(dstLayer, dstTable)
+      val staging = new Path(target + ".__staging")
+      fs.delete(staging, true)
+      val pcols = partitionColumns(srcLayer, srcTable)
+      val rows =
+        if (dvRowsFor(srcLayer, srcTable, Long.MaxValue).isDefined) {
+          val obs = org.apache.spark.sql.Observation()
+          val w = this.table(srcLayer, srcTable)
+            .observe(obs, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite)
+          (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(staging.toString)
+          obs.get("n").asInstanceOf[Long]
+        } else {
+          val srcRoot = new Path(tablePath(srcLayer, srcTable))
+          val pairs =
+            if (pcols.isEmpty)
+              fs.listStatus(srcRoot)
+                .filter { s =>
+                  val n = s.getPath.getName
+                  s.isFile && !n.startsWith("_") && !n.startsWith(".")
+                }
+                .map(s => (s.getPath.toString, ""))
+                .toSeq
+            else dataFilesUnder(srcRoot, leafPartitionDirs(srcRoot, pcols.length))
+          copyFilesInto(pairs, staging)
+          fs.createNewFile(new Path(staging, "_SUCCESS")) // the existence marker
+          // footer-only count of the staged copy — no data decode
+          spark.read.parquet(staging.toString).count()
+        }
+      retireAndSwap(dstLayer, dstTable, staging)
+      writeConstraintsSidecar(dstLayer, dstTable, constraints(srcLayer, srcTable))
+      writeGeneratedSidecar(dstLayer, dstTable, generatedColumns(srcLayer, srcTable))
+      logOp(dstLayer, dstTable, "CLONE", inserted = rows, updated = 0, outputRows = rows)
+      rows
+    }
+
+  // ---- column DDL (ALTER TABLE RENAME/DROP COLUMN parity) ----
+  //
+  // Delta supports RENAME/DROP COLUMN as metadata-only operations via
+  // column mapping (columns addressed by id, physical names never
+  // change). The snapshot-dir engine addresses columns by their
+  // parquet names, so both ops are ONE layout-preserving staged
+  // rewrite — the cost class Delta charges WITHOUT column mapping
+  // enabled, and the same machinery as COMPACT. What the engine keeps
+  // from the Delta contract: the operation is atomic (staged swap),
+  // history is version-addressed (time travel to a pre-rename version
+  // shows the old schema, exactly like Delta), recorded contracts
+  // refuse the change when they reference the column (drop the
+  // constraint / generated declaration first — silent breakage of a
+  // CHECK expression is worse than a refusal), and partition columns
+  // refuse (the directory layout IS the column).
+
+  private def requireColumnUnreferenced(
+      layer: String, table: String, colName: String, op: String): Unit = {
+    val lower = colName.toLowerCase
+    constraints(layer, table).foreach { case (name, kind, exprStr) =>
+      require(!exprDeps(exprStr).contains(lower) && !(exprStr.toLowerCase == lower),
+        s"cannot $op column $colName: $kind constraint '$name' references it — " +
+          "drop the constraint first")
+    }
+    generatedColumns(layer, table).foreach { case (c, e) =>
+      require(!c.equalsIgnoreCase(colName),
+        s"cannot $op column $colName: it is GENERATED ALWAYS AS ($e) — " +
+          "drop the generated declaration first")
+      require(!exprDeps(e).contains(lower),
+        s"cannot $op column $colName: generated column $c derives from it — " +
+          "drop the generated declaration first")
+    }
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN from TO to. */
+  def renameColumn(layer: String, table: String, from: String, to: String): Unit =
+    withWriterLock(layer, table) {
+      repairCrashedSwap(layer, table)
+      materializeDv(layer, table) // rewrite never runs against live tombstones
+      val df = rawTable(layer, table)
+      require(df.columns.exists(_.equalsIgnoreCase(from)), s"no such column $from")
+      require(!df.columns.exists(_.equalsIgnoreCase(to)),
+        s"cannot rename $from to $to: $to already exists")
+      val pcols = partitionColumns(layer, table)
+      require(!pcols.exists(_.equalsIgnoreCase(from)),
+        s"cannot rename partition column $from — the directory layout is the column; " +
+          "rewrite via createOrReplacePartitioned")
+      requireColumnUnreferenced(layer, table, from, "rename")
+      val target  = tablePath(layer, table)
+      val staging = new Path(target + ".__staging")
+      fs.delete(staging, true)
+      val obs = org.apache.spark.sql.Observation()
+      val w = df.withColumnRenamed(from, to)
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(staging.toString)
+      val rows = obs.get("n").asInstanceOf[Long]
+      retireAndSwap(layer, table, staging)
+      // the old name's bloom sidecar is now unreachable — remove it;
+      // stats refresh incrementally off the new file set on next use
+      fs.delete(bloomPath(layer, table, from), true)
+      logOp(layer, table, "RENAME COLUMN", inserted = 0, updated = 0, outputRows = rows)
+      ()
+    }
+
+  /** ALTER TABLE ... DROP COLUMN colName. */
+  def dropColumn(layer: String, table: String, colName: String): Unit =
+    withWriterLock(layer, table) {
+      repairCrashedSwap(layer, table)
+      materializeDv(layer, table) // rewrite never runs against live tombstones
+      val df = rawTable(layer, table)
+      require(df.columns.exists(_.equalsIgnoreCase(colName)), s"no such column $colName")
+      require(df.columns.length > 1, s"cannot drop $colName: it is the only column")
+      val pcols = partitionColumns(layer, table)
+      require(!pcols.exists(_.equalsIgnoreCase(colName)),
+        s"cannot drop partition column $colName — the directory layout is the column; " +
+          "rewrite via createOrReplacePartitioned")
+      requireColumnUnreferenced(layer, table, colName, "drop")
+      val target  = tablePath(layer, table)
+      val staging = new Path(target + ".__staging")
+      fs.delete(staging, true)
+      val obs = org.apache.spark.sql.Observation()
+      val w = df.drop(colName)
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(staging.toString)
+      val rows = obs.get("n").asInstanceOf[Long]
+      retireAndSwap(layer, table, staging)
+      fs.delete(bloomPath(layer, table, colName), true)
+      logOp(layer, table, "DROP COLUMN", inserted = 0, updated = 0, outputRows = rows)
+      ()
+    }
+
   /** REORG TABLE ... APPLY (PURGE) — fold accumulated deletion vectors
     * back into the data: ONLY files carrying tombstones rewrite (DV
     * rows subtracted), every clean file byte-copies, staged swap, the
@@ -2569,9 +2732,37 @@ final class Warehouse(
         case r if r.isNullAt(0) => return None // empty sidecar
         case r                  => r.getInt(0)
       }
-      val rows = s
-        .select(col("file"), values.map(admits(kMax)).reduce(_ || _).as("s"))
-        .collect()
+      val rows =
+        if (values.lengthCompare(16) <= 0)
+          // few probes: one flat OR expression, zero extra operators
+          s.select(col("file"), values.map(admits(kMax)).reduce(_ || _).as("s"))
+            .collect()
+        else {
+          // MANY probes (a GDPR request of hundreds/thousands of keys):
+          // an OR of |values|·k bloom probes is a codegen-exploding
+          // expression tree (measured: seconds of compile per run at
+          // ~1500 keys). Go relational instead — explode the probe
+          // values against the KB-sized sidecar (|files|·|values|
+          // intermediate rows, trivial next to any data scan),
+          // evaluate ONE O(k) admit expression per pair, fold per
+          // file. The literal array constant-folds, so the plan stays
+          // O(k) expression nodes no matter how long the request is.
+          val probe = col("__probe")
+          val admitCol = (0 until kMax)
+            .map { i =>
+              val pos = pmod(xxhash64(lit(i), probe), col("m"))
+              coalesce(try_element_at(col("bitmap"), shiftright(pos, 6).cast("int")), lit(0L))
+                .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
+            }
+            .reduce(_ && _)
+          s.select(col("file"), col("m"), col("bitmap"),
+              explode(array(values.distinct.map(v => lit(v).cast(vtype)): _*)).as("__probe"))
+            .select(col("file"), admitCol.as("a"))
+            .groupBy(col("file"))
+            .agg(max(when(col("a"), 1).otherwise(0)).as("ai"))
+            .select(col("file"), (col("ai") === 1).as("s"))
+            .collect()
+        }
       if (rows.map(r => normFile(r.getString(0))).toSet != current) None
       else Some(rows.filter(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq)
     }
