@@ -1143,7 +1143,14 @@ object Oracles {
       ("q109_clone" ->
         """SELECT c_custkey, c_nationkey, c_acctbal
           |FROM customer
-          |ORDER BY c_custkey""".stripMargin)
+          |ORDER BY c_custkey""".stripMargin) +
+      // q110: identity VALUES are engine-chosen; the deterministic
+      // invariants (all assigned, all distinct, >= START WITH, batch 2
+      // beyond batch 1) are what DuckDB recomputes
+      ("q110_identity_column" ->
+        """SELECT count(*) AS n_rows, count(*) AS n_ids,
+          |       1 AS start_ok, 1 AS batches_ordered
+          |FROM customer""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -1154,4 +1154,31 @@ object QueriesRel2 {
       .select($"c_custkey", $"c_nationkey", $"c_acctbal")
       .orderBy($"c_custkey")
   }
+
+  /** GENERATED ALWAYS AS IDENTITY under the oracle gate. Identity
+    * VALUES are engine-chosen (per-task ranges, gaps allowed — Delta's
+    * contract too), so the gate pins the deterministic INVARIANTS
+    * instead: every row got an id, all ids are distinct, ids start at
+    * START WITH, and the second batch's ids all lie beyond the first
+    * batch's (the high-water contract). DuckDB derives the expected
+    * invariant row from the raw table alone.
+    */
+  def q110_identity_column(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q110_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.addIdentityColumn("silver", "cust", "sk", startWith = 1L)
+      val c = Tables.customer(spark, dir).select($"c_custkey", $"c_acctbal")
+      wh.createOrReplace("silver", "cust", c.filter($"c_custkey" % 2 === 0))
+      wh.append("silver", "cust", c.filter($"c_custkey" % 2 =!= 0))
+    }
+    val t = wh.table("silver", "cust")
+    t.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"sk").as("n_ids"),
+      (min($"sk") >= 1L).cast("int").as("start_ok"),
+      (min(when($"c_custkey" % 2 =!= 0, $"sk")) >
+        max(when($"c_custkey" % 2 === 0, $"sk"))).cast("int").as("batches_ordered"))
+  }
 }

@@ -46,7 +46,13 @@ object Upsert {
     * the join shuffles on, so Catalyst reuses one Exchange — the
     * duplicate-source guard costs a sort, not an extra shuffle.
     */
-  def plan(tgt: DataFrame, src: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+  def plan(
+      tgt: DataFrame,
+      src: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      insertOnlyCols: Set[String] = Set.empty
+  ): DataFrame = {
     require(tgt.columns.sameElements(src.columns), "tgt/src schemas must match")
     val srcKeyWindow = Window.partitionBy(keys.map(col): _*)
     val t = tgt.withColumn(TgtMark, lit(true)).alias("t")
@@ -76,8 +82,13 @@ object Upsert {
     // references both join sides, so it can't be pushed below the
     // full-outer join either.
     val dupGuard = when(dupMatched, dupError.cast("boolean")).otherwise(lit(true))
+    // insertOnlyCols (identity columns): inserts take the source's
+    // freshly-assigned value, but an UPDATE must keep the target's —
+    // GENERATED ALWAYS AS IDENTITY values are stable for a row's life
     val merged = tgt.columns.map { c =>
-      when(useSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      if (insertOnlyCols.contains(c))
+        when(inserted, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      else when(useSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
     val action = when(inserted, lit("insert"))
       .when(srcWins, lit("update"))
@@ -123,9 +134,10 @@ object Upsert {
       tgt: DataFrame,
       src: DataFrame,
       keys: Seq[String],
-      versionCol: String
+      versionCol: String,
+      insertOnlyCols: Set[String] = Set.empty
   ): MergeResult = {
-    val merged = plan(tgt, src, keys, versionCol)
+    val merged = plan(tgt, src, keys, versionCol, insertOnlyCols)
     val counts = merged
       .groupBy(col(ActionCol))
       .count()

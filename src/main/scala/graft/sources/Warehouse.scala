@@ -789,7 +789,8 @@ final class Warehouse(
       if (matchedFiles.isEmpty) sliceTgt.limit(0)
       else readFilesAligned(matchedFiles.toSeq, tgt0.schema,
         basePath = Some(tablePath(layer, table)))
-    val mr = Upsert.mergeWithMetrics(alignTo(touchedTgt, unioned), srcAligned, keys, versionCol)
+    val mr = Upsert.mergeWithMetrics(alignTo(touchedTgt, unioned), srcAligned, keys, versionCol,
+      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet)
     val m  = mr.metrics
     // zero-change early exit (the unified no-op convention, same as the
     // unpartitioned path): the metrics pass is a narrow column-pruned
@@ -1057,7 +1058,11 @@ final class Warehouse(
 
   private def createOrReplaceImpl(layer: String, table: String, df0: DataFrame): Long = {
     repairCrashedSwap(layer, table)
-    val df = applyGenerated(layer, table, df0, "CREATE OR REPLACE")
+    val gen = applyGenerated(layer, table, df0, "CREATE OR REPLACE")
+    // a REPLACE may legitimately carry the identity column (it is a
+    // table redefinition — the engine's own DDL rewrites route here)
+    val (df, idHighs) = applyIdentity(layer, table, gen, allowCarry = true)
+    commitIdentity(layer, table, idHighs)
     enforceConstraints(layer, table, df, "CREATE OR REPLACE")
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
@@ -1752,6 +1757,155 @@ final class Warehouse(
     } finally { m.unpersist(); () }
   }
 
+  // ---- identity columns (GENERATED ALWAYS AS IDENTITY parity) ----
+  //
+  // Delta identity semantics, re-expressed for the snapshot-dir
+  // engine: writers OMIT the column and the write assigns values that
+  // are unique and strictly beyond every previously-assigned value;
+  // explicitly writing the column REFUSES (the ALWAYS contract);
+  // MERGE inserts get fresh values while updates keep the target
+  // row's (stable for a row's life); values are NOT contiguous —
+  // like Delta, which reserves per-task ranges, the engine derives
+  // ids from `monotonically_increasing_id()` (partition-id-prefixed),
+  // so gaps are large and normal. The high-water mark lives in a
+  // `<table>.__identity` sidecar updated under the writer lock, and
+  // is advanced BEFORE the data write: a refused or crashed batch
+  // burns its ids (Delta loses rolled-back identity values the same
+  // way) — which is exactly what makes the scheme crash-safe without
+  // coordination. At cluster scale assignment is pure map work: no
+  // shuffle, no global sort, no driver sequence bottleneck.
+
+  private def identityPath(layer: String, table: String): Path =
+    new Path(tablePath(layer, table) + ".__identity")
+
+  /** Declared identity columns: (column, step, highWater). */
+  def identityColumns(layer: String, table: String): Seq[(String, Long, Long)] = {
+    val p = identityPath(layer, table)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val f = line.split('\t')
+        require(f.length == 3, s"corrupt identity sidecar line: $line")
+        (unescField(f(0)), f(1).toLong, f(2).toLong)
+      }.toSeq
+    }
+  }
+
+  private def writeIdentitySidecar(
+      layer: String, table: String, ids: Seq[(String, Long, Long)]): Unit =
+    if (ids.isEmpty) { fs.delete(identityPath(layer, table), false); () }
+    else {
+      val out = fs.create(identityPath(layer, table), true)
+      try out.write(ids.map { case (c, s, hw) => s"${escField(c)}\t$s\t$hw" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Declare `colName` GENERATED ALWAYS AS IDENTITY (START WITH
+    * `startWith` INCREMENT BY `step`). On a populated table: an
+    * EXISTING column is adopted (its values keep, future ids start
+    * beyond its max — the migration path); an absent column backfills
+    * via one staged rewrite.
+    */
+  def addIdentityColumn(
+      layer: String,
+      table: String,
+      colName: String,
+      startWith: Long = 1L,
+      step: Long = 1L
+  ): Unit =
+    withWriterLock(layer, table) {
+      require(step > 0, "identity step must be positive")
+      val existing = identityColumns(layer, table)
+      require(!existing.exists(_._1.equalsIgnoreCase(colName)),
+        s"identity column '$colName' already declared")
+      require(!generatedColumns(layer, table).exists(_._1.equalsIgnoreCase(colName)),
+        s"$colName is already GENERATED ALWAYS AS an expression")
+      val base = startWith - step // highWater such that the next id is startWith
+      val hw =
+        if (!tableExists(layer, table)) base
+        else {
+          val df = rawTable(layer, table)
+          if (df.columns.exists(_.equalsIgnoreCase(colName))) {
+            val mx = df.agg(max(col(colName).cast("long"))).head()
+            if (mx.isNullAt(0)) base else math.max(mx.getLong(0), base)
+          } else {
+            materializeDv(layer, table) // backfill is a rewrite
+            val filled = rawTable(layer, table).withColumn(colName,
+              lit(startWith) + lit(step) * monotonically_increasing_id())
+            val pcols = partitionColumns(layer, table)
+            if (pcols.nonEmpty) createOrReplacePartitionedImpl(layer, table, filled, pcols)
+            else createOrReplaceImpl(layer, table, filled)
+            val mx = rawTable(layer, table).agg(max(col(colName))).head()
+            if (mx.isNullAt(0)) base else mx.getLong(0)
+          }
+        }
+      writeIdentitySidecar(layer, table, existing :+ ((colName, step, hw)))
+    }
+
+  /** Drop an identity declaration (the column and its values stay). */
+  def dropIdentityColumn(layer: String, table: String, colName: String): Boolean =
+    withWriterLock(layer, table) {
+      val existing = identityColumns(layer, table)
+      val kept     = existing.filterNot(_._1.equalsIgnoreCase(colName))
+      if (kept.size != existing.size) { writeIdentitySidecar(layer, table, kept); true }
+      else false
+    }
+
+  /** Assign identity values to a batch that omits the columns (refuse
+    * a batch that carries one unless `allowCarry` — table
+    * redefinitions like CTAS/backfill legitimately carry). Returns the
+    * batch (PINNED via localCheckpoint when anything was assigned:
+    * `monotonically_increasing_id` is stable only for one execution,
+    * and merge consumers re-run the plan) plus the new high-water
+    * marks to commit.
+    */
+  private def applyIdentity(
+      layer: String,
+      table: String,
+      df: DataFrame,
+      allowCarry: Boolean
+  ): (DataFrame, Seq[(String, Long)]) = {
+    val ids = identityColumns(layer, table)
+    if (ids.isEmpty) return (df, Seq.empty)
+    val (carried, absent) =
+      ids.partition { case (c, _, _) => df.columns.exists(_.equalsIgnoreCase(c)) }
+    carried.foreach { case (c, _, _) =>
+      require(allowCarry,
+        s"cannot write identity column $c (GENERATED ALWAYS AS IDENTITY) — omit it")
+    }
+    if (absent.isEmpty) return (df, Seq.empty)
+    val out = absent.foldLeft(df) { case (d, (c, step, hw)) =>
+      d.withColumn(c, lit(hw + step) + lit(step) * monotonically_increasing_id())
+    }
+    val pinned = out.localCheckpoint(true)
+    val maxRow = pinned
+      .agg(max(col(absent.head._1)).as("m0"),
+        absent.tail.map { case (c, _, _) => max(col(c)).as(s"m_$c") }: _*)
+      .head()
+    val highs = absent.zipWithIndex.map { case ((c, _, hw), i) =>
+      c -> (if (maxRow.isNullAt(i)) hw else maxRow.getLong(i)) // empty batch keeps hw
+    }
+    (pinned, highs)
+  }
+
+  /** Advance the high-water marks — called BEFORE the data write (see
+    * the section note: a failed batch burns its ids, never reuses).
+    */
+  private def commitIdentity(
+      layer: String, table: String, highs: Seq[(String, Long)]): Unit =
+    if (highs.nonEmpty) {
+      val updated = identityColumns(layer, table).map { case (c, s, hw) =>
+        highs.collectFirst { case (`c`, nh) => (c, s, math.max(hw, nh)) }
+          .getOrElse((c, s, hw))
+      }
+      writeIdentitySidecar(layer, table, updated)
+    }
+
   // ---- CREATE TABLE ... CLONE (deep clone) ----
 
   /** CREATE [OR REPLACE] TABLE dst DEEP CLONE src. The clone is an
@@ -1818,6 +1972,7 @@ final class Warehouse(
       retireAndSwap(dstLayer, dstTable, staging)
       writeConstraintsSidecar(dstLayer, dstTable, constraints(srcLayer, srcTable))
       writeGeneratedSidecar(dstLayer, dstTable, generatedColumns(srcLayer, srcTable))
+      writeIdentitySidecar(dstLayer, dstTable, identityColumns(srcLayer, srcTable))
       logOp(dstLayer, dstTable, "CLONE", inserted = rows, updated = 0, outputRows = rows)
       rows
     }
@@ -1853,6 +2008,11 @@ final class Warehouse(
       require(!exprDeps(e).contains(lower),
         s"cannot $op column $colName: generated column $c derives from it — " +
           "drop the generated declaration first")
+    }
+    identityColumns(layer, table).foreach { case (c, _, _) =>
+      require(!c.equalsIgnoreCase(colName),
+        s"cannot $op column $colName: it is GENERATED ALWAYS AS IDENTITY — " +
+          "drop the identity declaration first")
     }
   }
 
@@ -2794,7 +2954,9 @@ final class Warehouse(
 
   private def appendImpl(layer: String, table: String, df0: DataFrame): Long = {
     repairCrashedSwap(layer, table)
-    val df = applyGenerated(layer, table, df0, "APPEND")
+    val gen = applyGenerated(layer, table, df0, "APPEND")
+    val (df, idHighs) = applyIdentity(layer, table, gen, allowCarry = false)
+    commitIdentity(layer, table, idHighs) // ids burn even if the write refuses
     enforceConstraints(layer, table, df, "APPEND")
     // schema evolution: a widened source appends its new columns (old
     // files surface them as null via the merged read); a source missing
@@ -2856,7 +3018,11 @@ final class Warehouse(
       val n = createOrReplace(layer, table, src0) // generates + enforces itself
       return Upsert.WriteMetrics(inserted = n, updated = 0, kept = 0)
     }
-    val src = applyGenerated(layer, table, src0, "MERGE")
+    val gen = applyGenerated(layer, table, src0, "MERGE")
+    require(!keys.exists(k => identityColumns(layer, table).exists(_._1.equalsIgnoreCase(k))),
+      "cannot MERGE on a GENERATED ALWAYS AS IDENTITY column — sources cannot carry it")
+    val (src, idHighs) = applyIdentity(layer, table, gen, allowCarry = false)
+    commitIdentity(layer, table, idHighs) // ids burn even if the merge refuses
     // every new row image a merge can store comes from the incoming
     // batch (kept rows were validated when the constraint was added) —
     // validated whole, so a row a conditional merge would discard still
@@ -2895,7 +3061,7 @@ final class Warehouse(
       if (matchedFiles.isEmpty) tgt0.limit(0)
       else readFilesAligned(matchedFiles.toSeq, tgt0.schema)
     val mr = Upsert.mergeWithMetrics(alignTo(touchedTgt, unioned), alignTo(src, unioned),
-      keys, versionCol)
+      keys, versionCol, insertOnlyCols = identityColumns(layer, table).map(_._1).toSet)
     val m  = mr.metrics
     // zero-change early exit: the metrics pass is a narrow column-pruned
     // aggregation, so a merge where every source row loses the version
