@@ -84,9 +84,11 @@ object Upsert {
     val dupGuard = when(dupMatched, dupError.cast("boolean")).otherwise(lit(true))
     // insertOnlyCols (identity columns): inserts take the source's
     // freshly-assigned value, but an UPDATE must keep the target's —
-    // GENERATED ALWAYS AS IDENTITY values are stable for a row's life
+    // GENERATED ALWAYS AS IDENTITY values are stable for a row's life.
+    // Case-insensitive, like every identity-column match in the engine.
+    val insertOnlyLower = insertOnlyCols.map(_.toLowerCase)
     val merged = tgt.columns.map { c =>
-      if (insertOnlyCols.contains(c))
+      if (insertOnlyLower.contains(c.toLowerCase))
         when(inserted, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       else when(useSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }

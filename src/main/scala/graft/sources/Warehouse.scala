@@ -573,7 +573,10 @@ final class Warehouse(
                   try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
                     .filter(_.nonEmpty).toList
                   finally in.close()
-                appended.foreach(rel => fs.delete(new Path(target, rel), false))
+                // manifest entries are encoded; the filesystem wants
+                // the on-disk (decoded) spelling
+                appended.foreach(rel =>
+                  fs.delete(new Path(target, decodeDvRel(rel)), false))
               }
               fs.delete(s.getPath, true)
               repaired = true
@@ -1100,7 +1103,11 @@ final class Warehouse(
       partitionCols: Seq[String]
   ): Long = {
     repairCrashedSwap(layer, table)
-    val df = applyGenerated(layer, table, df0, "CREATE OR REPLACE")
+    val gen = applyGenerated(layer, table, df0, "CREATE OR REPLACE")
+    // identity hook, exactly like the unpartitioned CTAS (carry allowed
+    // on a redefinition; omitted columns assigned; high water advanced)
+    val (df, idHighs) = applyIdentity(layer, table, gen, allowCarry = true)
+    commitIdentity(layer, table, idHighs)
     enforceConstraints(layer, table, df, "CREATE OR REPLACE")
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
@@ -1251,6 +1258,10 @@ final class Warehouse(
   ): Long = {
     repairCrashedSwap(layer, table)
     materializeDv(layer, table) // rewrite never runs against live tombstones
+    identityColumns(layer, table).foreach { case (c, _, _) =>
+      require(!assignments.keys.exists(_.equalsIgnoreCase(c)),
+        s"cannot UPDATE identity column $c (GENERATED ALWAYS AS IDENTITY)")
+    }
     val gens = generatedColumns(layer, table)
     if (gens.nonEmpty) {
       // assignments evaluate against PRE-update rows (one projection,
@@ -1483,15 +1494,33 @@ final class Warehouse(
     * is — and it is exactly what survives a byte-copy carry and a
     * generation swap (both preserve the leaf dirs, only the table
     * ROOT changes), while any rewrite issues fresh names.
+    *
+    * DOMAIN: keys live in the URL-ENCODED URI path domain —
+    * `_metadata.file_path` and raw `Dataset.inputFiles` strings agree
+    * there (an on-disk dir `pt=a b` is `pt=a%20b` in both), while
+    * `FileStatus.getPath` and the read API are DECODED. Every
+    * driver-side key therefore derives from a RAW inputFiles string
+    * or a `Path.toUri.getRawPath`, never from a decoded listing —
+    * mixing domains makes tombstones silently miss on any partition
+    * value with an encodable character.
     */
   private def withDvMeta(df: DataFrame, depth: Int): DataFrame =
     df.withColumn("__dv_f",
         substring_index(col("_metadata.file_path"), "/", -(depth + 1)))
       .withColumn("__dv_p", col("_metadata.row_index"))
 
-  /** The DV file key of an absolute file path, driver-side. */
-  private def dvFileKey(file: String, depth: Int): String =
-    file.split('/').takeRight(depth + 1).mkString("/")
+  /** The DV file key of a RAW (URL-encoded) file path, driver-side. */
+  private def dvFileKey(rawFile: String, depth: Int): String =
+    rawFile.split('/').takeRight(depth + 1).mkString("/")
+
+  /** Decode a manifest/sidecar rel path (encoded domain) back to the
+    * on-disk spelling for filesystem operations.
+    */
+  private def decodeDvRel(rel: String): String =
+    try {
+      val p = new java.net.URI(rel).getPath
+      if (p == null) rel else p
+    } catch { case _: java.net.URISyntaxException => rel }
 
   /** Rows of `df` (a direct file-source scan of this table, with hive
     * leaf dirs `depth` deep) visible at `asOf`: tombstoned positions
@@ -1516,22 +1545,42 @@ final class Warehouse(
       asOf: Long,
       depth: => Int // by-name: only computed when DV state exists
   ): DataFrame = {
-    val laterFiles = dvFilesAfter(layer, table, asOf)
-    val tombstones = dvRowsFor(layer, table, asOf)
-    if (laterFiles.isEmpty && tombstones.isEmpty) return df
+    val allVs = dvVersions(layer, table)
+    if (allVs.isEmpty) return df
+    // ONE ledger scan bounds everything: tombstones apply in
+    // (lastRewrite, eff] and MOR-appended files HIDE beyond eff, where
+    // eff caps at the last COMMITTED version — so an in-flight (or
+    // crashed) MOR commit is invisible on BOTH sides: its tombstones
+    // don't subtract AND its post-image files don't surface (a
+    // one-sided cap would show pre- and post-images together)
+    val (floor, cap) = dvBounds(s"$layer.$table", asOf)
+    val eff          = math.min(asOf, cap)
+    val hideKeys     = dvFilesAfter(layer, table, eff).toSet
+    val tombVs       = allVs.filter(v => v > floor && v <= eff)
+    val tombstones =
+      if (tombVs.isEmpty) None
+      else {
+        val p = dvPath(layer, table)
+        Some(
+          spark.read
+            .option("basePath", p.toString)
+            .parquet(tombVs.map(v => dvPartDir(layer, table, v).toString): _*)
+            .select(col("file_name").as("__dv_file"), col("pos").as("__dv_pos")))
+      }
+    if (hideKeys.isEmpty && tombstones.isEmpty) return df
     val d = depth
     // file keys actually tombstoned — one KB-sized sidecar collect
     val tombKeys = tombstones
       .map(_.select("__dv_file").distinct().collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty[String])
-    val hideKeys = laterFiles.toSet
-    val all      = df.inputFiles.map(normDataFile).toSeq
-    val kept     = all.filterNot(f => hideKeys.contains(dvFileKey(f, d)))
-    val dirty    = kept.filter(f => tombKeys.contains(dvFileKey(f, d)))
-    val clean    = kept.filterNot(f => tombKeys.contains(dvFileKey(f, d)))
+    // keys from the RAW (encoded) listing; reads use the decoded twin
+    val all   = df.inputFiles.toSeq.map(raw => (normDataFile(raw), dvFileKey(raw, d)))
+    val kept  = all.filterNot { case (_, k) => hideKeys.contains(k) }
+    val dirty = kept.filter { case (_, k) => tombKeys.contains(k) }.map(_._1)
+    val clean = kept.filterNot { case (_, k) => tombKeys.contains(k) }.map(_._1)
     if (dirty.isEmpty && kept.length == all.length) return df
     val schema = df.schema
-    val bp     = tablePathForFiles(layer, table, all.headOption, d)
+    val bp     = tablePathForFiles(layer, table, all.headOption.map(_._1), d)
     def readAligned(files: Seq[String]): DataFrame = {
       val reader = spark.read.option("mergeSchema", "true")
       val r      = bp.foldLeft(reader)((r, p) => r.option("basePath", p))
@@ -1667,6 +1716,10 @@ final class Warehouse(
       assignments: Map[String, Column]
   ): Long = {
     repairCrashedSwap(layer, table)
+    identityColumns(layer, table).foreach { case (c, _, _) =>
+      require(!assignments.keys.exists(_.equalsIgnoreCase(c)),
+        s"cannot UPDATE identity column $c (GENERATED ALWAYS AS IDENTITY)")
+    }
     val gens = generatedColumns(layer, table)
     if (gens.nonEmpty) {
       val keys = assignments.keySet.map(_.toLowerCase)
@@ -1732,9 +1785,17 @@ final class Warehouse(
           .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
           .map(s => (s.getPath, if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
       }
+      // manifest entries live in the ENCODED key domain (see
+      // [[dvFileKey]]): the hide filter compares them against
+      // `_metadata.file_path` tails, so the on-disk rel spelling must
+      // encode exactly the way Path.toUri does
       val manifest = new Path(dvPartDir(layer, table, ver), "_GRAFT_FILES")
       val out      = fs.create(manifest, true)
-      try out.write(staged.map(_._2).mkString("\n")
+      try out.write(staged
+        .map { case (_, rel) =>
+          dvFileKey(new Path(target, rel).toUri.getRawPath, pcols.length)
+        }
+        .mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       staged.foreach { case (src, rel) =>
@@ -1878,16 +1939,21 @@ final class Warehouse(
       require(allowCarry,
         s"cannot write identity column $c (GENERATED ALWAYS AS IDENTITY) — omit it")
     }
-    if (absent.isEmpty) return (df, Seq.empty)
     val out = absent.foldLeft(df) { case (d, (c, step, hw)) =>
       d.withColumn(c, lit(hw + step) + lit(step) * monotonically_increasing_id())
     }
-    val pinned = out.localCheckpoint(true)
+    // pin only when something was assigned — carried values are the
+    // caller's deterministic data
+    val pinned = if (absent.isEmpty) out else out.localCheckpoint(true)
+    // high waters advance for BOTH populations: an allowed CARRY (a
+    // REPLACE carrying explicit ids) must raise the mark past its own
+    // values, or the next omitted-column append would re-assign them
+    val tracked = absent ++ carried
     val maxRow = pinned
-      .agg(max(col(absent.head._1)).as("m0"),
-        absent.tail.map { case (c, _, _) => max(col(c)).as(s"m_$c") }: _*)
+      .agg(max(col(tracked.head._1).cast("long")).as("m0"),
+        tracked.tail.map { case (c, _, _) => max(col(c).cast("long")).as(s"m_$c") }: _*)
       .head()
-    val highs = absent.zipWithIndex.map { case ((c, _, hw), i) =>
+    val highs = tracked.zipWithIndex.map { case ((c, _, hw), i) =>
       c -> (if (maxRow.isNullAt(i)) hw else maxRow.getLong(i)) // empty batch keeps hw
     }
     (pinned, highs)
@@ -2098,8 +2164,10 @@ final class Warehouse(
     val pcols   = partitionColumns(layer, table)
     val depth   = pcols.length
     val dvNames = dv.select("__dv_file").distinct().collect().map(_.getString(0)).toSet
-    val allFiles = raw.inputFiles.map(normDataFile).toSeq
-    val touched  = allFiles.filter(f => dvNames.contains(dvFileKey(f, depth)))
+    // match in the RAW (encoded) key domain, read via the decoded twin
+    val allPairs = raw.inputFiles.toSeq.map(r => (normDataFile(r), dvFileKey(r, depth)))
+    val allFiles = allPairs.map(_._1)
+    val touched  = allPairs.filter(p => dvNames.contains(p._2)).map(_._1)
     if (touched.isEmpty) return 0L // tombstones all point at already-rewritten files
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)

@@ -266,10 +266,14 @@ class DeletionVectorSpec extends SparkSpec {
     hf.delete(new Path(root + ".__phantom_tmp"), true)
     val out = hf.create(new Path(phantomDir, "_GRAFT_FILES"), true)
     out.write(planted.getBytes("UTF-8")); out.close()
-    // an unlocked read ignores the phantom partition (version cap)...
-    assert(wh.table("silver", "t").filter(col("k") === 999L).count() == 1 ||
-      wh.table("silver", "t").count() >= 50,
-      "phantom tombstones must not apply before repair")
+    // an unlocked read ignores the phantom commit on BOTH sides: its
+    // tombstones don't subtract (version cap) AND its manifest-listed
+    // appended file stays hidden — exactly the 50 committed rows, no
+    // resurrections, no duplicates, no planted post-image
+    assert(wh.table("silver", "t").count() == 50,
+      "phantom MOR state must be invisible before repair")
+    assert(wh.table("silver", "t").filter(col("k") === 999L).count() == 0,
+      "the phantom post-image file must be hidden from reads")
     // ...and repair removes tombstones AND the planted post-image file
     assert(wh.repairCrashedSwap("silver", "t"))
     assert(!hf.exists(phantomDir))
@@ -292,6 +296,38 @@ class DeletionVectorSpec extends SparkSpec {
     val eq = wh.scanPrunedEq("silver", "t", "k", Seq(90L, 91L))
       .select("k").as[Long].collect().sorted.toSeq
     assert(eq == Seq(91L), "90 is tombstoned and must not surface")
+  }
+
+  test("encodable partition values: tombstones, updates, reorg and travel in the URI domain") {
+    import spark.implicits._
+    val wh = freshWh()
+    // 'a b' (URI-encodes to a%20b) and 'a%b' (hive-escapes on disk to
+    // a%25b, URI-encodes to a%2525b) — the spellings that made
+    // decoded-domain keys silently miss
+    val base = (1L to 300L).map(k =>
+      (k, Seq("a b", "a%b", "plain")((k % 3).toInt), k.toDouble)).toDF("k", "pt", "v")
+    wh.createOrReplacePartitioned("silver", "t", base, Seq("pt"))      // v0
+    val del = wh.deleteMor("silver", "t", col("pt") === "a b" && col("k") <= 150)
+    assert(del == base.where("pt = 'a b' and k <= 150").count() && del > 0)
+    val t1 = wh.table("silver", "t")
+    assert(t1.count() == 300 - del, "tombstones must apply on the encoded partition")
+    assert(t1.filter(col("pt") === "a b" && col("k") <= 150).count() == 0)
+    val upd = wh.updateMor("silver", "t", col("pt") === "a%b" && col("k") <= 60,
+      Map("v" -> lit(-1.0)))                                           // v2
+    assert(upd > 0)
+    val t2 = wh.table("silver", "t")
+    assert(t2.count() == 300 - del, "no duplicates from the MOR update")
+    assert(t2.filter(col("pt") === "a%b" && col("k") <= 60 && col("v") =!= -1.0).count() == 0)
+    // time travel reconstructs both pre-states exactly
+    assert(wh.tableAsOf("silver", "t", 0).count() == 300)
+    assert(wh.tableAsOf("silver", "t", 1).count() == 300 - del)
+    assert(wh.tableAsOf("silver", "t", 1)
+      .filter(col("v") === -1.0).count() == 0, "pre-update travel hides post-images")
+    // reorg folds on the encoded layout and the result is unchanged
+    assert(wh.reorg("silver", "t") > 0)
+    val t3 = wh.table("silver", "t")
+    assert(t3.count() == 300 - del)
+    assert(t3.filter(col("pt") === "a%b" && col("k") <= 60 && col("v") =!= -1.0).count() == 0)
   }
 
   test("DV read plans as a broadcast anti-join with data filters still pushed to the scan") {

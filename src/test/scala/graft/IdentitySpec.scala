@@ -95,6 +95,34 @@ class IdentitySpec extends SparkSpec {
     assert(sks.distinct.length == 2 && sks.max > hw2 - 1)
   }
 
+  test("partitioned CTAS assigns ids; a carried REPLACE advances the high water") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.addIdentityColumn("silver", "p", "sk")
+    wh.createOrReplacePartitioned("silver", "p",
+      (1L to 30L).map(k => (k, s"g${k % 2}")).toDF("k", "pt"), Seq("pt"))
+    val sks = wh.table("silver", "p").select("sk").as[Long].collect()
+    assert(sks.length == 30 && sks.distinct.length == 30,
+      "partitioned CTAS must assign unique ids")
+    // a REPLACE legitimately CARRIES explicit ids — and must raise the
+    // high water past them, or the next append would re-assign them
+    wh.createOrReplace("silver", "c2", Seq(1L).toDF("k")) // unrelated warmup table
+    wh.addIdentityColumn("silver", "r", "sk")
+    wh.createOrReplace("silver", "r", Seq((1L, 500L), (2L, 600L)).toDF("k", "sk"))
+    wh.append("silver", "r", Seq(3L, 4L).toDF("k"))
+    val rs = wh.table("silver", "r").select("sk").as[Long].collect()
+    assert(rs.distinct.length == 4, "carried and assigned ids must not collide")
+    assert(rs.filterNot(Set(500L, 600L)).forall(_ > 600L),
+      "post-replace appends assign beyond the carried max")
+    // UPDATE may not assign an identity column, COW or MOR
+    intercept[IllegalArgumentException] {
+      wh.update("silver", "r", col("k") === 1L, Map("sk" -> lit(1L)))
+    }
+    intercept[IllegalArgumentException] {
+      wh.updateMor("silver", "r", col("k") === 1L, Map("sk" -> lit(1L)))
+    }
+  }
+
   test("clone inherits the declaration; rename/drop refuse on identity columns") {
     import spark.implicits._
     val wh = freshWh()
