@@ -1150,7 +1150,17 @@ object Oracles {
       ("q110_identity_column" ->
         """SELECT count(*) AS n_rows, count(*) AS n_ids,
           |       1 AS start_ok, 1 AS batches_ordered
-          |FROM customer""".stripMargin)
+          |FROM customer""".stripMargin) +
+      // q111: the three as-of states recomputed from the raw table —
+      // v0 full, v1 minus the COW delete, v2 minus both deletes
+      ("q111_time_travel" ->
+        """SELECT 0 AS as_of_v, c_custkey, c_acctbal FROM customer
+          |UNION ALL
+          |SELECT 1, c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+          |UNION ALL
+          |SELECT 2, c_custkey, c_acctbal FROM customer
+          |WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+          |ORDER BY as_of_v, c_custkey""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -1181,4 +1181,30 @@ object QueriesRel2 {
       (min(when($"c_custkey" % 2 =!= 0, $"sk")) >
         max(when($"c_custkey" % 2 === 0, $"sk"))).cast("int").as("batches_ordered"))
   }
+
+  /** Time travel itself under the oracle gate: the history is a CTAS
+    * (v0), a copy-on-write DELETE (v1 — retires a generation), and a
+    * merge-on-read DELETE (v2 — tombstones only). `tableAsOf(0)` must
+    * read the retired generation, and `tableAsOf(1)` must fold through
+    * the non-rewriting MOR commit onto the live files WITHOUT applying
+    * v2's tombstones (the version-bounded DV rule) — DuckDB recomputes
+    * both states from the raw table, so the gate is cross-engine exact
+    * on the whole as-of read path, not just spec-asserted.
+    */
+  def q111_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q111_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "cust",
+        Tables.customer(spark, dir).select($"c_custkey", $"c_acctbal")) // v0
+      wh.delete("silver", "cust", $"c_custkey" % 3 === 0)               // v1 (COW)
+      wh.deleteMor("silver", "cust", $"c_custkey" % 5 === 0)            // v2 (MOR)
+    }
+    wh.tableAsOf("silver", "cust", 0).withColumn("as_of_v", lit(0))
+      .unionByName(wh.tableAsOf("silver", "cust", 1).withColumn("as_of_v", lit(1)))
+      .unionByName(wh.tableAsOf("silver", "cust", 2).withColumn("as_of_v", lit(2)))
+      .select($"as_of_v", $"c_custkey", $"c_acctbal")
+      .orderBy($"as_of_v", $"c_custkey")
+  }
 }
