@@ -1160,7 +1160,18 @@ object Oracles {
           |UNION ALL
           |SELECT 2, c_custkey, c_acctbal FROM customer
           |WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
-          |ORDER BY as_of_v, c_custkey""".stripMargin)
+          |ORDER BY as_of_v, c_custkey""".stripMargin) +
+      // q112: the MOR merge's final state — version-rule reprice plus
+      // shifted-key inserts — recomputed as CASE + UNION ALL
+      ("q112_merge_mor" ->
+        """SELECT o_orderkey, o_custkey,
+          |       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+          |            ELSE o_totalprice END AS o_totalprice
+          |FROM orders
+          |UNION ALL
+          |SELECT o_orderkey + 500000000, o_custkey, o_totalprice
+          |FROM orders WHERE o_orderkey % 1000 = 0
+          |ORDER BY o_orderkey""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -1207,4 +1207,35 @@ object QueriesRel2 {
       .select($"as_of_v", $"c_custkey", $"c_acctbal")
       .orderBy($"as_of_v", $"c_custkey")
   }
+
+  /** MERGE via deletion vectors under the oracle gate (the triad's
+    * last member next to q105/q106): a reprice-plus-inserts batch
+    * applies through [[graft.sources.Warehouse.upsertMor]] — updated
+    * rows tombstone at their old positions, post-images and inserts
+    * append as new files, ZERO existing files rewritten — and the
+    * final table must hash-equal DuckDB's CASE-plus-UNION recompute.
+    * Re-runs are no-ops: the updates lose the version rule and the
+    * once-inserted keys now match at equal version.
+    */
+  def q112_merge_mor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q112_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "ord",
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", lit(0L).as("version")))
+    }
+    val orders = Tables.orders(spark, dir)
+    val batch = orders.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" + 100).as("o_totalprice"), lit(1L).as("version"))
+      .unionByName(orders.filter($"o_orderkey" % 1000 === 0)
+        .select(($"o_orderkey" + 500000000L).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice", lit(1L).as("version")))
+    wh.upsertMor("silver", "ord", batch, Seq("o_orderkey"), "version")
+    wh.table("silver", "ord")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
 }

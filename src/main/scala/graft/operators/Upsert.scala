@@ -99,6 +99,63 @@ object Upsert {
     t.join(s, joinCond, "full_outer").filter(dupGuard).select(merged :+ action: _*)
   }
 
+  /** The merge-on-read change plan: the same full-outer classification
+    * and duplicate-source guard as [[plan]], but emitting ONLY the
+    * rows a MOR commit writes — for each insert/update the post-image
+    * values (src side; insert-only/identity columns keep the target's
+    * on updates), the matched target row's pre-image values (null for
+    * inserts, `__pre_`-prefixed) and its positional metadata columns
+    * (the tombstones). Kept rows and unmatched target rows never
+    * appear, so every downstream pass is O(delta).
+    */
+  def planMorChanges(
+      tgtWithMeta: DataFrame,
+      src: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      metaCols: Seq[String],
+      insertOnlyCols: Set[String] = Set.empty
+  ): DataFrame = {
+    val dataCols = src.columns.toSeq
+    require(tgtWithMeta.columns.toSeq == dataCols ++ metaCols,
+      "tgt must be the src schema plus the metadata columns")
+    val srcKeyWindow = Window.partitionBy(keys.map(col): _*)
+    val t = tgtWithMeta.withColumn(TgtMark, lit(true)).alias("t")
+    val s = src
+      .withColumn(SrcMark, lit(true))
+      .withColumn(SrcKeyRows, count(lit(1)).over(srcKeyWindow))
+      .alias("s")
+    val joinCond   = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val tgtPresent = col(s"t.$TgtMark").isNotNull
+    val srcPresent = col(s"s.$SrcMark").isNotNull
+    val matched    = tgtPresent && srcPresent
+    val srcWins    = matched && (col(s"s.$versionCol") > col(s"t.$versionCol"))
+    val inserted   = srcPresent && !tgtPresent
+    val useSrc: Column = inserted || srcWins
+    val dupMatched = matched && col(s"s.$SrcKeyRows") > 1
+    val dupError = raise_error(
+      concat(
+        lit("MERGE failed: multiple source rows matched the target row for key ("),
+        concat_ws(",", keys.map(k => col(s"s.$k").cast("string")): _*),
+        lit(")")))
+    // guard FIRST inside one conjunction (left-to-right short-circuit):
+    // splitting it into its own Filter would let CombineFilters reorder
+    // it behind useSrc and skip raising on a kept duplicate
+    val dupGuard = when(dupMatched, dupError.cast("boolean")).otherwise(lit(true))
+    val insertOnlyLower = insertOnlyCols.map(_.toLowerCase)
+    val post = dataCols.map { c =>
+      if (insertOnlyLower.contains(c.toLowerCase))
+        when(inserted, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      else col(s"s.$c").as(c)
+    }
+    val pre    = dataCols.map(c => col(s"t.$c").as(s"__pre_$c"))
+    val meta   = metaCols.map(c => col(s"t.$c").as(c))
+    val action = when(inserted, lit("insert")).otherwise(lit("update")).as(ActionCol)
+    t.join(s, joinCond, "full_outer")
+      .filter(dupGuard && useSrc)
+      .select(post ++ pre ++ meta :+ action: _*)
+  }
+
   /** Counters the reference reads from Delta `DESCRIBE HISTORY`
     * `operationMetrics` (silver_arxiv.py:175-184). Computed in one
     * distributed aggregation over the merge plan — no extra pass.

@@ -1411,6 +1411,19 @@ final class Warehouse(
   private def dvPartDir(layer: String, table: String, v: Long): Path =
     new Path(dvPath(layer, table), f"_commit_part=$v%010d")
 
+  /** A DV partition can be manifest-only (a MOR merge that inserted
+    * but updated nothing writes appended-file bookkeeping and zero
+    * tombstone rows) — reading it as parquet would fail on schema
+    * inference, so tombstone reads take only partitions with data.
+    */
+  private def dvPartHasRows(layer: String, table: String, v: Long): Boolean = {
+    val d = dvPartDir(layer, table, v)
+    fs.exists(d) && fs.listStatus(d).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Ledger predicate for commits that REWROTE table data (retired a
     * generation) — shared by [[rewritingAfter]] and the DV version
     * bounds. APPEND/VACUUM and the merge-on-read ops never rewrite;
@@ -1418,7 +1431,7 @@ final class Warehouse(
     * rewrite's kept-row count) are non-zero.
     */
   private def rewritingOpPred: Column =
-    !col("operation").isin("APPEND", "VACUUM", "DELETE_MOR", "UPDATE_MOR") &&
+    !col("operation").isin("APPEND", "VACUUM", "DELETE_MOR", "UPDATE_MOR", "MERGE_MOR") &&
       (!col("operation").isin("MERGE", "DELETE", "UPDATE") ||
         col("num_inserted") + col("num_updated") + col("num_deleted") > 0 ||
         col("num_output_rows") > 0)
@@ -1449,6 +1462,7 @@ final class Warehouse(
     if (all.isEmpty) return None
     val (floor, cap) = dvBounds(s"$layer.$table", asOf)
     val vs = all.filter(v => v > floor && v <= math.min(asOf, cap))
+      .filter(dvPartHasRows(layer, table, _))
     if (vs.isEmpty) None
     else {
       val p = dvPath(layer, table)
@@ -1556,7 +1570,8 @@ final class Warehouse(
     val (floor, cap) = dvBounds(s"$layer.$table", asOf)
     val eff          = math.min(asOf, cap)
     val hideKeys     = dvFilesAfter(layer, table, eff).toSet
-    val tombVs       = allVs.filter(v => v > floor && v <= eff)
+    val tombVs = allVs.filter(v => v > floor && v <= eff)
+      .filter(dvPartHasRows(layer, table, _))
     val tombstones =
       if (tombVs.isEmpty) None
       else {
@@ -1770,41 +1785,9 @@ final class Warehouse(
         .write.mode(SaveMode.Append).partitionBy("_commit_part")
         .parquet(dvPath(layer, table).toString)
       val updated = obs.get("n").asInstanceOf[Long]
-      // 2. post-images into a scratch dir, then manifest, then move:
-      // files are only reachable from the live tree AFTER their names
-      // are durably listed for rollback
-      val pcols   = partitionColumns(layer, table)
-      val scratch = new Path(target + ".__mor_staging")
-      fs.delete(scratch, true)
-      val w = post.write.mode(SaveMode.Overwrite)
-      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(scratch.toString)
-      val staged = (if (pcols.nonEmpty) leafPartitionDirs(scratch, pcols.length)
-                    else Seq("")).flatMap { rel =>
-        val dir = if (rel.isEmpty) scratch else new Path(scratch, rel)
-        fs.listStatus(dir)
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .map(s => (s.getPath, if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
-      }
-      // manifest entries live in the ENCODED key domain (see
-      // [[dvFileKey]]): the hide filter compares them against
-      // `_metadata.file_path` tails, so the on-disk rel spelling must
-      // encode exactly the way Path.toUri does
-      val manifest = new Path(dvPartDir(layer, table, ver), "_GRAFT_FILES")
-      val out      = fs.create(manifest, true)
-      try out.write(staged
-        .map { case (_, rel) =>
-          dvFileKey(new Path(target, rel).toUri.getRawPath, pcols.length)
-        }
-        .mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      staged.foreach { case (src, rel) =>
-        val dst = new Path(target, rel)
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"rename $src -> $dst failed")
-      }
-      fs.delete(scratch, true)
+      // 2. post-images land via the shared MOR machinery: scratch dir,
+      // manifest (rollback + time-travel hiding), then rename in
+      morLandFiles(layer, table, ver, post)
       // 3. feed images, 4. ledger commit
       pre.withColumn("_change_type", lit("update_preimage"))
         .unionByName(post.withColumn("_change_type", lit("update_postimage")))
@@ -2140,6 +2123,160 @@ final class Warehouse(
       logOp(layer, table, "DROP COLUMN", inserted = 0, updated = 0, outputRows = rows)
       ()
     }
+
+  /** MERGE via deletion vectors (completing the merge-on-read DML
+    * triad with [[deleteMor]] and [[updateMor]]): the same conditional
+    * upsert semantics as [[upsert]] — version-rule updates, inserts,
+    * duplicate-source raise — at O(delta) commit cost: updated target
+    * rows TOMBSTONE at their old positions, post-images and inserts
+    * APPEND as new files under the commit's rollback manifest, and
+    * not one existing file is decoded or rewritten, on any layout
+    * (the hive-partitioned case needs no partition-scoped machinery —
+    * tombstones are positional and appends partition themselves).
+    * Schema evolution is rewrite-free too: appended files carry the
+    * unioned schema and older files surface the new columns as null
+    * through the merged read. Feed rows (insert / update_preimage /
+    * update_postimage), constraints, generated and identity columns
+    * behave exactly as the COW path; a zero-change merge follows the
+    * unified no-op convention (note: unlike the COW path, a
+    * zero-change merge whose source carries a new column does NOT
+    * evolve the schema — nothing is appended to carry it).
+    * `WriteMetrics.kept` counts the visible target rows not updated,
+    * derived from footer counts + the tombstone ledger, not a scan.
+    */
+  def upsertMor(
+      layer: String,
+      table: String,
+      src: DataFrame,
+      keys: Seq[String],
+      versionCol: String
+  ): Upsert.WriteMetrics =
+    withWriterLock(layer, table)(upsertMorImpl(layer, table, src, keys, versionCol))
+
+  private def upsertMorImpl(
+      layer: String,
+      table: String,
+      src0: DataFrame,
+      keys: Seq[String],
+      versionCol: String
+  ): Upsert.WriteMetrics = {
+    repairCrashedSwap(layer, table)
+    if (!tableExists(layer, table)) {
+      val n = createOrReplace(layer, table, src0) // generates + enforces itself
+      return Upsert.WriteMetrics(inserted = n, updated = 0, kept = 0)
+    }
+    val gen = applyGenerated(layer, table, src0, "MERGE")
+    require(!keys.exists(k => identityColumns(layer, table).exists(_._1.equalsIgnoreCase(k))),
+      "cannot MERGE on a GENERATED ALWAYS AS IDENTITY column — sources cannot carry it")
+    val (src, idHighs) = applyIdentity(layer, table, gen, allowCarry = false)
+    commitIdentity(layer, table, idHighs)
+    enforceConstraints(layer, table, src, "MERGE")
+    val target = tablePath(layer, table)
+    val raw    = spark.read.option("mergeSchema", "true").parquet(target)
+    val depth  = partitionColumns(layer, table).length
+    val tombstoneRows = dvRowsFor(layer, table, Long.MaxValue)
+    val visible = tombstoneRows match {
+      case Some(dv) => dvAntiJoin(withDvMeta(raw, depth), dv)
+      case None     => withDvMeta(raw, depth)
+    }
+    val unioned    = unionSchema(raw.schema, src.schema)
+    val srcAligned = alignTo(src, unioned)
+    val tgtAligned = visible.select(
+      unioned.fields.toSeq.map { f =>
+        if (visible.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(col("__dv_f"), col("__dv_p")): _*)
+    val changes = Upsert.planMorChanges(tgtAligned, srcAligned, keys, versionCol,
+      metaCols = Seq("__dv_f", "__dv_p"),
+      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet)
+    // metrics: one narrow O(delta) classification pass (Catalyst prunes
+    // the join to keys + version + marks, like the COW metrics pass)
+    val counts = changes.groupBy(col(Upsert.ActionCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inserted = counts.getOrElse("insert", 0L)
+    val updated  = counts.getOrElse("update", 0L)
+    // kept from metadata only: physical rows minus applicable
+    // tombstones minus the rows this merge updates
+    def visibleCount(): Long =
+      raw.count() - tombstoneRows.map(_.count()).getOrElse(0L)
+    if (inserted == 0 && updated == 0) {
+      logOp(layer, table, "MERGE_MOR", inserted = 0, updated = 0, outputRows = 0)
+      return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = visibleCount())
+    }
+    val kept = visibleCount() - updated
+    val ver  = nextVersion(s"$layer.$table")
+    val dataCols = unioned.fields.toSeq.map(f => col(f.name))
+    // 1. tombstones for the updated rows' old positions
+    changes.filter(col(Upsert.ActionCol) === "update")
+      .select(col("__dv_f").as("file_name"), col("__dv_p").as("pos"))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(dvPath(layer, table).toString)
+    // 2. post-images + inserts land as new files (manifest rollback)
+    morLandFiles(layer, table, ver, changes.select(dataCols: _*))
+    // 3. feed: insert / update_preimage / update_postimage
+    val ins = changes.filter(col(Upsert.ActionCol) === "insert")
+      .select(dataCols: _*).withColumn("_change_type", lit("insert"))
+    val preImg = changes.filter(col(Upsert.ActionCol) === "update")
+      .select(unioned.fields.toSeq.map(f => col(s"__pre_${f.name}").as(f.name)): _*)
+      .withColumn("_change_type", lit("update_preimage"))
+    val postImg = changes.filter(col(Upsert.ActionCol) === "update")
+      .select(dataCols: _*).withColumn("_change_type", lit("update_postimage"))
+    ins.unionByName(preImg).unionByName(postImg)
+      .withColumn("_commit_version", lit(ver))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(target + ".__changes")
+    logOp(layer, table, "MERGE_MOR", inserted = inserted, updated = updated,
+      outputRows = 0, version = ver)
+    Upsert.WriteMetrics(inserted = inserted, updated = updated, kept = kept)
+  }
+
+  /** Land a MOR commit's new row images as appended files: write to a
+    * scratch dir, record every destination (ENCODED key domain — see
+    * [[dvFileKey]]) in the commit's DV-partition `_GRAFT_FILES`
+    * manifest, THEN rename into the live tree — files are only
+    * reachable after their names are durably listed, so
+    * [[repairCrashedSwap]] can roll the whole commit back and time
+    * travel can hide the files exactly.
+    */
+  private def morLandFiles(
+      layer: String,
+      table: String,
+      ver: Long,
+      rows: DataFrame
+  ): Unit = {
+    val target  = tablePath(layer, table)
+    val pcols   = partitionColumns(layer, table)
+    val scratch = new Path(target + ".__mor_staging")
+    fs.delete(scratch, true)
+    val w = rows.write.mode(SaveMode.Overwrite)
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(scratch.toString)
+    val staged = (if (pcols.nonEmpty) leafPartitionDirs(scratch, pcols.length)
+                  else Seq("")).flatMap { rel =>
+      val dir = if (rel.isEmpty) scratch else new Path(scratch, rel)
+      fs.listStatus(dir)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => (s.getPath, if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
+    }
+    val manifest = new Path(dvPartDir(layer, table, ver), "_GRAFT_FILES")
+    val out      = fs.create(manifest, true)
+    try out.write(staged
+      .map { case (_, rel) =>
+        dvFileKey(new Path(target, rel).toUri.getRawPath, pcols.length)
+      }
+      .mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    staged.foreach { case (src, rel) =>
+      val dst = new Path(target, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+    fs.delete(scratch, true)
+    ()
+  }
 
   /** REORG TABLE ... APPLY (PURGE) — fold accumulated deletion vectors
     * back into the data: ONLY files carrying tombstones rewrite (DV

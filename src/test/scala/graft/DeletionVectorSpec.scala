@@ -350,6 +350,74 @@ class DeletionVectorSpec extends SparkSpec {
       "post-reorg current reads must not carry the anti-join")
   }
 
+  test("upsertMor equals the COW merge's final state without touching a single file") {
+    import spark.implicits._
+    val wh   = freshWh()
+    val base = (1L to 500L).map(k => (k, s"v$k", 0L)).toDF("k", "payload", "ver")
+    // twin tables, same base; one merges COW, one merge-on-read
+    wh.createOrReplace("silver", "cow", base.repartition(3))
+    wh.createOrReplace("silver", "mor", base.repartition(3))
+    val batch = ((100L to 120L).map(k => (k, s"NEW$k", 1L)) ++       // updates
+      (1000L to 1010L).map(k => (k, s"INS$k", 1L)) ++               // inserts
+      Seq((130L, "LOSER", 0L))).toDF("k", "payload", "ver")         // conditional keep
+    val mCow = wh.upsert("silver", "cow", batch, Seq("k"), "ver")
+    val before = dataFileNames(wh.tablePath("silver", "mor"))
+    val mMor = wh.upsertMor("silver", "mor", batch, Seq("k"), "ver")
+    assert((mMor.inserted, mMor.updated) == (mCow.inserted, mCow.updated))
+    assert((mMor.inserted, mMor.updated) == (11L, 21L))
+    // every original file untouched — new files only
+    val after = dataFileNames(wh.tablePath("silver", "mor"))
+    assert(before.subsetOf(after) && after.size > before.size)
+    // identical final states
+    def state(t: String) = wh.table("silver", t)
+      .as[(String, Long, Long)].collect().sortBy(r => r._2).toSeq
+    assert(wh.table("silver", "mor").as[(Long, String, Long)].collect().sorted.toSeq ==
+      wh.table("silver", "cow").as[(Long, String, Long)].collect().sorted.toSeq)
+    // feed parity: same change rows both mechanics
+    def feed(t: String) = wh.changeFeed("silver", t, 0L)
+      .select($"_change_type", $"k", $"payload").as[(String, Long, String)]
+      .collect().sorted.toSeq
+    assert(feed("mor") == feed("cow"))
+    // ledger + time travel to the pre-merge state
+    assert(wh.lastOperation("silver.mor").get.getAs[String]("operation") == "MERGE_MOR")
+    assert(wh.tableAsOf("silver", "mor", 0).count() == 500)
+    assert(wh.tableAsOf("silver", "mor", 0)
+      .filter($"payload".startsWith("NEW") || $"payload".startsWith("INS")).count() == 0)
+    // re-run is a zero-change no-op commit
+    val again = wh.upsertMor("silver", "mor", batch, Seq("k"), "ver")
+    assert(again.inserted == 0 && again.updated == 0)
+    // duplicate source keys matching one target row raise, like COW
+    intercept[Exception] {
+      wh.upsertMor("silver", "mor",
+        Seq((200L, "a", 5L), (200L, "b", 5L)).toDF("k", "payload", "ver"), Seq("k"), "ver")
+    }
+  }
+
+  test("upsertMor: rewrite-free schema evolution and partitioned layout") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplacePartitioned("silver", "t",
+      (1L to 200L).map(k => (k, s"p${k % 2}", 0L)).toDF("k", "pt", "ver"), Seq("pt"))
+    val before = dataFileNames(wh.tablePath("silver", "t"))
+    // source carries a NEW column: evolution lands in the appended
+    // files only, old files surface it as null via the merged read
+    val batch = Seq((5L, "p1", 1L, "tagged"), (300L, "p0", 1L, "fresh"))
+      .toDF("k", "pt", "ver", "note")
+    val m = wh.upsertMor("silver", "t", batch, Seq("k"), "ver")
+    assert(m.inserted == 1 && m.updated == 1)
+    assert(before.subsetOf(dataFileNames(wh.tablePath("silver", "t"))))
+    val t = wh.table("silver", "t")
+    assert(t.count() == 201)
+    assert(t.filter($"k" === 5L).select("note").as[String].head() == "tagged")
+    assert(t.filter($"k" === 6L).select("note").as[String].head() == null)
+    assert(t.filter($"k" === 300L && $"pt" === "p0").count() == 1)
+    // reorg folds the update's tombstone; state unchanged
+    wh.reorg("silver", "t")
+    assert(wh.table("silver", "t").count() == 201)
+    assert(wh.table("silver", "t").filter($"k" === 5L)
+      .select("note").as[String].head() == "tagged")
+  }
+
   test("detail reports the live-tombstone gauge; reorg resets it") {
     import spark.implicits._
     val wh = freshWh()
