@@ -90,9 +90,16 @@ object Bench {
     println(line)
     // also persist per-query numbers: stdout tail-capture has truncated
     // them before (17/78 lost in round 5) — the file is the durable copy
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")),
+      java.nio.file.Paths.get(outFile),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // compact totals-only record LAST: the full line above grows with
+    // the query count and has overflowed the driver's stdout tail
+    // buffer since round 5 ("parsed": null in BENCH_r5..r11) — a final
+    // sub-200-byte line always lands in the tail intact; the per-query
+    // breakdown lives in the full line and the committed file
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"sentinel":$sentinel,"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }
 }

@@ -1171,7 +1171,78 @@ object Oracles {
           |UNION ALL
           |SELECT o_orderkey + 500000000, o_custkey, o_totalprice
           |FROM orders WHERE o_orderkey % 1000 = 0
-          |ORDER BY o_orderkey""".stripMargin)
+          |ORDER BY o_orderkey""".stripMargin) +
+      // q113: the reference's CTAS + MERGE text run VERBATIM through
+      // the SQL front-end — final state recomputed from the raw docs:
+      // even ids carry the initial load (updated where id % 12 = 0:
+      // matched ∧ watermark ∧ version rule), odd multiples of 3 insert
+      ("q113_sql_dml" ->
+        """SELECT * FROM (
+          |  SELECT CASE WHEN doc_id % 12 = 0
+          |              THEN sha256(concat_ws('||', doc_id, 1, '2024-02-01'))
+          |              ELSE sha256(concat_ws('||', doc_id, 0, '2023-12-01')) END AS arx_sk,
+          |         doc_id AS id,
+          |         CASE WHEN doc_id % 12 = 0 THEN 1 ELSE 0 END AS version,
+          |         CASE WHEN doc_id % 12 = 0 THEN concat('title_', doc_id)
+          |              ELSE concat('orig_', doc_id) END AS title,
+          |         CASE WHEN doc_id % 12 = 0 THEN '2024-02-01' ELSE '2023-12-01' END AS updated_dt
+          |  FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT sha256(concat_ws('||', doc_id, 0, '2024-02-01')),
+          |         doc_id, 0, concat('title_', doc_id), '2024-02-01'
+          |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+          |) ORDER BY id""".stripMargin) +
+      // q114: the full-clause MERGE final state on both paths — CASE
+      // reprice + stale flag, anti-filters for the two delete actions,
+      // UNION for the conditional inserts; identical recompute per path
+      ("q114_merge_full_clauses" -> {
+        val onePath =
+          """SELECT o_orderkey, o_custkey,
+            |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50
+            |         ELSE o_totalprice END AS o_totalprice,
+            |    CASE WHEN o_orderkey % 5 = 0 THEN 1
+            |         WHEN o_orderkey % 13 = 0 THEN -1 ELSE 0 END AS version
+            |  FROM orders
+            |  WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 20 = 0)
+            |    AND NOT (o_orderkey % 5 <> 0 AND o_orderkey % 997 = 0)
+            |  UNION ALL
+            |  SELECT o_orderkey + 900000000, o_custkey, o_totalprice, 1
+            |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 20 <> 0""".stripMargin
+        s"""SELECT 'cow' AS path, * FROM (
+           |  $onePath
+           |) UNION ALL
+           |SELECT 'mor' AS path, * FROM (
+           |  $onePath
+           |) ORDER BY path, o_orderkey""".stripMargin
+      }) +
+      // q115: positioned 8-gram anchors joined on the gram, diagonal
+      // gaps-and-islands for the longest exact shared run — the same
+      // relational formulation as Dedup.substringPairs
+      ("q115_substring_pairs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+          |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u
+          |  WHERE len(t) >= 8),
+          |m AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+          |runs AS (
+          |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+          |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+          |  FROM m),
+          |runlen AS (
+          |  SELECT doc_a, doc_b, count(*) + 7 AS run_tokens
+          |  FROM runs GROUP BY doc_a, doc_b, diag, grp),
+          |agg AS (
+          |  SELECT doc_a, doc_b, count(*) AS n_anchors FROM m GROUP BY doc_a, doc_b),
+          |ml AS (
+          |  SELECT doc_a, doc_b, max(run_tokens) AS max_run FROM runlen GROUP BY doc_a, doc_b)
+          |SELECT agg.doc_a, agg.doc_b, agg.n_anchors, ml.max_run
+          |FROM agg JOIN ml USING (doc_a, doc_b)
+          |ORDER BY agg.doc_a, agg.doc_b""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: substring filter for focused re-dumps during
+    // development (`runMain graft.Verify <sf> <out> q113`); the driver
+    // always calls with 2 args → full dump, unchanged contract
+    val Array(sfDir, outDir) = args.take(2)
+    val nameFilter: String => Boolean =
+      if (args.length > 2) (n: String) => n.contains(args(2)) else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +26,7 @@ object Verify {
     // looks identical to a *removed* query in the driver's correctness
     // report (12 queries vanished silently in round 9).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(e => nameFilter(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -48,7 +53,7 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    val total = SparkEntry.queries.size
+    val total = SparkEntry.queries.count(e => nameFilter(e._1))
     println(s"[verify] dumped ${total - errors.size}/$total queries" +
       (if (errors.nonEmpty) s"; FAILED: ${errors.keys.mkString(", ")}" else ""))
     spark.stop()

@@ -559,4 +559,83 @@ object Dedup {
       .groupBy(col("ch.s").as("subset_id"), col("ch.piece").as("piece"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Exact substring-level dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" rung of the dedup
+    * ladder, arXiv:2107.06499): document pairs sharing an EXACT run of
+    * ≥ k consecutive tokens, with the longest shared run measured —
+    * the signal that catches verbatim boilerplate / quoted passages
+    * that set-based similarity (Jaccard, MinHash) dilutes away on long
+    * documents.
+    *
+    * Relational formulation — no suffix array, no per-pair alignment:
+    *   1. anchor every positioned k-gram: (doc, pos, gram)
+    *   2. equi-join anchors on a 64-bit gram hash (the join key is the
+    *      HASH, so the shuffle moves 8-byte keys, not k-token strings;
+    *      exact gram equality rides as a residual predicate — hash
+    *      collisions cannot create false pairs)
+    *   3. a shared run of length L ≥ k appears as L-k+1 consecutive
+    *      anchor matches on one DIAGONAL (pa - pb constant); the
+    *      classic gaps-and-islands trick (pos - row_number per
+    *      diagonal) groups each maximal run, so
+    *      max_run = max(count per island) + k - 1 exactly
+    *
+    * Every stage is a shuffle on (doc_a, doc_b[, diag]) — candidates
+    * scale with SHARED CONTENT mass, never corpus²; a gram appearing
+    * in f documents fans out f², so at 100 TB pass `maxDf` to drop
+    * stop-gram anchors (boilerplate k-grams shared by thousands of
+    * docs) — the same hot-bucket cap as the LSH family, and dropping a
+    * gram only ever shortens runs it anchors, never invents pairs.
+    *
+    * Output: (doc_a, doc_b, n_anchors, max_run) — doc_a < doc_b,
+    * n_anchors = matching positioned k-gram pairs, max_run = longest
+    * exact shared token run (≥ k).
+    */
+  def substringPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDf: Option[Long] = None
+  ): DataFrame = {
+    require(k >= 2, "substringPairs needs k >= 2")
+    // tokenization must stay oracle-parity simple: lowercase,
+    // whitespace runs, empties dropped
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("t"))
+      .filter(size(col("t")) >= k)
+    val grams0 = toks
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t) - ${k - 1}), i -> array_join(slice(t, i, $k), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("h"),
+        col("col").as("g"))
+    val grams = maxDf match {
+      case None => grams0
+      case Some(cap) =>
+        // hot-gram cap: one narrow agg over the hash finds stop-grams;
+        // anti-join drops their anchors before the quadratic join
+        val hot = grams0.groupBy(col("h")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("h"))
+        grams0.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val a = grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+      col("h"), col("g").as("ga"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+      col("h").as("hb"), col("g").as("gb"))
+    val m = a.join(b,
+        col("h") === col("hb") && col("doc_a") < col("doc_b") && col("ga") === col("gb"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val runs = m
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+    val runlen = runs.groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg((count(lit(1)) + lit(k - 1)).as("run_tokens"))
+    val anchors = m.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_anchors"))
+    val maxRun = runlen.groupBy("doc_a", "doc_b").agg(max("run_tokens").as("max_run"))
+    anchors.join(maxRun, Seq("doc_a", "doc_b"))
+  }
 }

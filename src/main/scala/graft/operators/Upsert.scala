@@ -4,6 +4,49 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** The full Delta MERGE clause surface, as data. Conditions and
+  * assignment/value expressions reference the join sides through the
+  * fixed aliases `t` (target) and `s` (source) — e.g.
+  * `expr("s.version > t.version")`, `Map("flag" -> lit(-1))` — because
+  * [[Upsert.planClauses]] aliases the two inputs exactly so. Clause
+  * order is Delta's: within a realm (matched / not-matched /
+  * not-matched-by-source) the FIRST clause whose condition holds
+  * applies; a row no clause claims is kept (matched / target-only) or
+  * dropped (source-only).
+  */
+object MergeClause {
+  /** WHEN MATCHED [AND cond] THEN ... */
+  sealed trait Matched { def cond: Option[Column] }
+  /** ... UPDATE SET * (set = None) or SET col = expr, ... (set = Some). */
+  final case class UpdateMatched(cond: Option[Column], set: Option[Map[String, Column]])
+      extends Matched
+  /** ... DELETE. */
+  final case class DeleteMatched(cond: Option[Column]) extends Matched
+
+  /** WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT ... */
+  sealed trait NotMatched { def cond: Option[Column] }
+  /** ... INSERT * (values = None) or INSERT (cols) VALUES (exprs). */
+  final case class InsertNotMatched(cond: Option[Column], values: Option[Map[String, Column]])
+      extends NotMatched
+
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN ... */
+  sealed trait BySource { def cond: Option[Column] }
+  final case class UpdateBySource(cond: Option[Column], set: Map[String, Column])
+      extends BySource
+  final case class DeleteBySource(cond: Option[Column]) extends BySource
+
+  /** The classic conditional-upsert shape (reference
+    * silver_arxiv.py:145-151) expressed as clauses: WHEN MATCHED AND
+    * s.version > t.version THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    * INSERT *.
+    */
+  def upsertShape(versionCol: String): (Seq[Matched], Seq[NotMatched], Seq[BySource]) = (
+    Seq(UpdateMatched(Some(col(s"s.$versionCol") > col(s"t.$versionCol")), None)),
+    Seq(InsertNotMatched(None, None)),
+    Seq.empty
+  )
+}
+
 /** MERGE-style upsert as a plain Spark join — the Delta-replacement for
   * the reference's `MERGE INTO tgt USING src ON tgt.id = src.id WHEN
   * MATCHED AND src.version > tgt.version THEN UPDATE SET * WHEN NOT
@@ -156,11 +199,189 @@ object Upsert {
       .select(post ++ pre ++ meta :+ action: _*)
   }
 
+  /** Shared classification scaffolding for the clause planners: the
+    * aliased full-outer join, the realm predicates, the per-realm
+    * winning-clause indexes (first clause whose condition holds, -1 if
+    * none), the duplicate-source guard, and the per-column merged
+    * value. One `when` chain per column — everything stays inside
+    * whole-stage codegen, no UDFs, no per-clause passes.
+    */
+  private final case class ClausePlan(
+      joined: DataFrame,
+      isMatched: Column,
+      srcOnly: Column,
+      tgtOnly: Column,
+      mWin: Column,
+      iWin: Column,
+      bWin: Column,
+      dupGuard: Column,
+      action: Column,
+      valueFor: String => Column
+  )
+
+  private def buildClausePlan(
+      tgt: DataFrame,
+      src: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClause.Matched],
+      notMatched: Seq[MergeClause.NotMatched],
+      bySource: Seq[MergeClause.BySource],
+      insertOnlyCols: Set[String],
+      dataCols: Seq[String],
+      colType: String => org.apache.spark.sql.types.DataType
+  ): ClausePlan = {
+    val srcKeyWindow = Window.partitionBy(keys.map(col): _*)
+    val t = tgt.withColumn(TgtMark, lit(true)).alias("t")
+    val s = src
+      .withColumn(SrcMark, lit(true))
+      .withColumn(SrcKeyRows, count(lit(1)).over(srcKeyWindow))
+      .alias("s")
+    val joinCond   = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val tgtPresent = col(s"t.$TgtMark").isNotNull
+    val srcPresent = col(s"s.$SrcMark").isNotNull
+    val isMatched  = tgtPresent && srcPresent
+    val srcOnly    = srcPresent && !tgtPresent
+    val tgtOnly    = tgtPresent && !srcPresent
+    // first clause whose condition holds wins; conditions only ever
+    // evaluate inside their realm (base && cond), so a matched-clause
+    // condition referencing s.* never sees a target-only row's nulls
+    def winner(base: Column, conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), els) =>
+        when(base && c.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    val mWin = winner(isMatched, matched.map(_.cond))
+    val iWin = winner(srcOnly, notMatched.map(_.cond))
+    val bWin = winner(tgtOnly, bySource.map(_.cond))
+    // same cardinality protection as [[plan]]: several source rows
+    // sharing a matched key would each pair with the target row in the
+    // full-outer join — raise like Delta, never silently duplicate
+    val dupMatched = isMatched && col(s"s.$SrcKeyRows") > 1
+    val dupError = raise_error(
+      concat(
+        lit("MERGE failed: multiple source rows matched the target row for key ("),
+        concat_ws(",", keys.map(k => col(s"s.$k").cast("string")): _*),
+        lit(")")))
+    val dupGuard = when(dupMatched, dupError.cast("boolean")).otherwise(lit(true))
+    val mAction = matched.zipWithIndex.foldRight(lit("keep"): Column) {
+      case (((_: MergeClause.UpdateMatched), i), els) => when(mWin === i, lit("update")).otherwise(els)
+      case (((_: MergeClause.DeleteMatched), i), els) => when(mWin === i, lit("delete")).otherwise(els)
+    }
+    val bAction = bySource.zipWithIndex.foldRight(lit("keep"): Column) {
+      case (((_: MergeClause.UpdateBySource), i), els) => when(bWin === i, lit("update")).otherwise(els)
+      case (((_: MergeClause.DeleteBySource), i), els) => when(bWin === i, lit("delete")).otherwise(els)
+    }
+    val action =
+      when(isMatched, mAction)
+        .when(srcOnly, when(iWin >= 0, lit("insert")).otherwise(lit("drop")))
+        .otherwise(bAction)
+    val insertOnlyLower = insertOnlyCols.map(_.toLowerCase)
+    def valueFor(c: String): Column = {
+      val tCol = col(s"t.$c"); val sCol = col(s"s.$c")
+      val dt   = colType(c)
+      val insertOnly = insertOnlyLower.contains(c.toLowerCase)
+      // explicit assignments cast to the column's existing type — a
+      // MERGE never changes a column's type, exactly like UPDATE
+      def fromSet(set: Map[String, Column], dflt: Column): Column =
+        set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v.cast(dt) }.getOrElse(dflt)
+      val mVal = matched.zipWithIndex.foldRight(tCol) {
+        case ((MergeClause.UpdateMatched(_, None), i), els) =>
+          when(mWin === i, if (insertOnly) tCol else sCol).otherwise(els)
+        case ((MergeClause.UpdateMatched(_, Some(set)), i), els) =>
+          when(mWin === i, if (insertOnly) tCol else fromSet(set, tCol)).otherwise(els)
+        case ((MergeClause.DeleteMatched(_), i), els) =>
+          // delete rows carry the target pre-image (for the change feed)
+          when(mWin === i, tCol).otherwise(els)
+      }
+      val iVal = notMatched.zipWithIndex.foldRight(sCol) {
+        case ((MergeClause.InsertNotMatched(_, None), i), els) =>
+          when(iWin === i, sCol).otherwise(els)
+        case ((MergeClause.InsertNotMatched(_, Some(values)), i), els) =>
+          when(iWin === i, fromSet(values, lit(null).cast(dt))).otherwise(els)
+      }
+      val bVal = bySource.zipWithIndex.foldRight(tCol) {
+        case ((MergeClause.UpdateBySource(_, set), i), els) =>
+          when(bWin === i, if (insertOnly) tCol else fromSet(set, tCol)).otherwise(els)
+        case ((MergeClause.DeleteBySource(_), i), els) =>
+          when(bWin === i, tCol).otherwise(els)
+      }
+      when(isMatched, mVal).when(srcOnly, iVal).otherwise(bVal).as(c)
+    }
+    ClausePlan(t.join(s, joinCond, "full_outer"), isMatched, srcOnly, tgtOnly,
+      mWin, iWin, bWin, dupGuard, action, valueFor)
+  }
+
+  /** The full-clause MERGE plan (Delta's complete WHEN surface —
+    * matched update/delete, conditional inserts, not-matched-by-source
+    * update/delete) as one full-outer join + per-column CASE chains,
+    * the same single-shuffle shape as [[plan]]. Output: the data
+    * columns plus [[ActionCol]] ∈ {insert, update, delete, keep};
+    * delete rows carry the target pre-image (the writer filters them
+    * out of the new generation and feeds them to CDF); source-only
+    * rows no insert clause claims are dropped entirely.
+    */
+  def planClauses(
+      tgt: DataFrame,
+      src: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClause.Matched],
+      notMatched: Seq[MergeClause.NotMatched],
+      bySource: Seq[MergeClause.BySource],
+      insertOnlyCols: Set[String] = Set.empty
+  ): DataFrame = {
+    require(tgt.columns.sameElements(src.columns), "tgt/src schemas must match")
+    val dataCols = tgt.columns.toSeq
+    val cp = buildClausePlan(tgt, src, keys, matched, notMatched, bySource,
+      insertOnlyCols, dataCols, c => tgt.schema(c).dataType)
+    cp.joined
+      .filter(cp.dupGuard)
+      .select(dataCols.map(cp.valueFor) :+ cp.action.as(ActionCol): _*)
+      .filter(col(ActionCol) =!= "drop")
+  }
+
+  /** Merge-on-read twin of [[planClauses]]: emits ONLY the rows a MOR
+    * commit writes — action ∈ {insert, update, delete} with post-image
+    * values, `__pre_`-prefixed target pre-images (null for inserts),
+    * and the target's positional metadata columns (the tombstones for
+    * updates AND deletes). Kept rows never appear: every downstream
+    * pass is O(delta), exactly like [[planMorChanges]].
+    */
+  def planMorChangesClauses(
+      tgtWithMeta: DataFrame,
+      src: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClause.Matched],
+      notMatched: Seq[MergeClause.NotMatched],
+      bySource: Seq[MergeClause.BySource],
+      metaCols: Seq[String],
+      insertOnlyCols: Set[String] = Set.empty
+  ): DataFrame = {
+    val dataCols = src.columns.toSeq
+    require(tgtWithMeta.columns.toSeq == dataCols ++ metaCols,
+      "tgt must be the src schema plus the metadata columns")
+    val cp = buildClausePlan(tgtWithMeta, src, keys, matched, notMatched, bySource,
+      insertOnlyCols, dataCols, c => src.schema(c).dataType)
+    val post   = dataCols.map(cp.valueFor)
+    val pre    = dataCols.map(c => col(s"t.$c").as(s"__pre_$c"))
+    val meta   = metaCols.map(c => col(s"t.$c").as(c))
+    cp.joined
+      // guard first inside one conjunction (left-to-right short-circuit),
+      // same reasoning as [[planMorChanges]]
+      .filter(cp.dupGuard && cp.action.isin("insert", "update", "delete"))
+      .select(post ++ pre ++ meta :+ cp.action.as(ActionCol): _*)
+  }
+
   /** Counters the reference reads from Delta `DESCRIBE HISTORY`
     * `operationMetrics` (silver_arxiv.py:175-184). Computed in one
     * distributed aggregation over the merge plan — no extra pass.
     */
   final case class WriteMetrics(inserted: Long, updated: Long, kept: Long) {
+    def outputRows: Long = inserted + updated + kept
+  }
+
+  /** Metrics of a full-clause MERGE ([[planClauses]]) — WriteMetrics
+    * plus Delta's numTargetRowsDeleted.
+    */
+  final case class MergeClauseMetrics(inserted: Long, updated: Long, deleted: Long, kept: Long) {
     def outputRows: Long = inserted + updated + kept
   }
 

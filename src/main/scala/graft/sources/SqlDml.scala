@@ -1,0 +1,530 @@
+package graft.sources
+
+import graft.operators.MergeClause
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL DML front-end: executes the reference's literal SQL — the
+  * statements its notebooks template as Python f-strings — against the
+  * engine's warehouse, so a user can port the notebooks' SQL text
+  * verbatim instead of translating every statement to Scala calls.
+  *
+  * Statements handled (reference evidence):
+  *   - `CREATE [OR REPLACE] TABLE main.<layer>.<t> AS SELECT ...`
+  *     (notebooks/bronze_arxiv.py:102, silver_arxiv.py:115-128)
+  *   - `[WITH ctes] MERGE INTO tgt USING src ON ... WHEN MATCHED
+  *     [AND c] THEN UPDATE SET * | SET a=e,... | DELETE / WHEN NOT
+  *     MATCHED [AND c] THEN INSERT * | (cols) VALUES (...) / WHEN NOT
+  *     MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE`
+  *     (silver_arxiv.py:130-152 uses the CTE + conditional-update +
+  *     insert-star shape) — routed to [[Warehouse.mergeClauses]]
+  *   - `INSERT INTO t SELECT ...` / `INSERT INTO t [(cols)] VALUES ...`
+  *     (silver_nyt_archive.py:102-120)
+  *   - `DELETE FROM t [WHERE ...]`, `UPDATE t SET ... [WHERE ...]`
+  *     (Delta DML parity; routed to [[Warehouse.delete]]/[[Warehouse.update]])
+  *   - `DESCRIBE HISTORY t` — standalone or inside a FROM subquery
+  *     (silver_arxiv.py:175-184 reads
+  *     `operationMetrics.numTargetRowsInserted` from it; the ledger is
+  *     surfaced Delta-shaped, so that text runs verbatim)
+  *   - `CREATE [OR REPLACE] VIEW name AS SELECT ...`
+  *     (gold_integrated_data_preNLP.py:156-166)
+  *   - anything else: treated as a query (SELECT / WITH), warehouse
+  *     table names resolved, run through `spark.sql`
+  *
+  * Design: a hand tokenizer (paren/quote/CASE-aware keyword scanning),
+  * NOT a grammar — the surface is the small, fixed statement set above;
+  * everything inside expressions and subqueries is delegated verbatim
+  * to Spark's own parser via `spark.sql` / `expr`. Warehouse tables are
+  * referenced as `main.<layer>.<table>` or `<layer>.<table>` (the
+  * 3-level Unity-Catalog form the reference uses, catalog stripped) and
+  * resolve to temp views over [[Warehouse.table]] at execution time, so
+  * a query always sees the current committed snapshot. MERGE clause
+  * conditions/assignments may reference the sides via the statement's
+  * own aliases; they are rewritten to the engine's canonical `t.`/`s.`.
+  *
+  * Scale note: this layer only PARSES — every statement lands on the
+  * same Warehouse/Catalyst machinery as the Scala API, with identical
+  * plans (file-granular COW, broadcast-able merge joins, pushdown), so
+  * there is no SQL-path performance tax.
+  */
+final class SqlDml(spark: SparkSession, wh: Warehouse) {
+
+  /** Registered CREATE VIEW definitions: lowercased `layer.table` →
+    * temp view name holding the view's SELECT.
+    */
+  private val views = scala.collection.mutable.Map.empty[String, String]
+
+  /** Execute one statement. Queries return their result; DML returns a
+    * one-row metrics DataFrame (operation, inserted, updated, deleted).
+    */
+  def execute(sql: String): DataFrame = {
+    val stmt = stripComments(sql).trim.stripSuffix(";").trim
+    val head = firstWords(stmt, 4).map(_.toLowerCase)
+    head match {
+      case "create" +: rest if rest.take(2) == Seq("or", "replace") || rest.headOption.contains("table") || rest.headOption.contains("view") =>
+        executeCreate(stmt)
+      case Seq("merge", _*) => executeMerge(stmt, ctePrefix = "")
+      case Seq("with", _*) if topLevelIndexOf(stmt, "merge", 0) >= 0 =>
+        val at = topLevelIndexOf(stmt, "merge", 0)
+        executeMerge(stmt.substring(at), ctePrefix = stmt.substring(0, at).trim)
+      case Seq("insert", "into", _*) => executeInsert(stmt)
+      case Seq("delete", "from", _*) => executeDelete(stmt)
+      case Seq("update", _*)         => executeUpdate(stmt)
+      case Seq("describe", "history", _*) =>
+        val name = stmt.split("\\s+", 3)(2).trim
+        historyDf(parseQualified(name).getOrElse(
+          sys.error(s"DESCRIBE HISTORY needs a <layer>.<table> name, got: $name")))
+      case _ => spark.sql(resolveRefs(stmt))
+    }
+  }
+
+  // ---------------------------------------------------------- statements
+
+  private def executeCreate(stmt: String): DataFrame = {
+    val re = ("(?is)^create\\s+(or\\s+replace\\s+)?(table|view)\\s+" +
+      "([\\w.]+)\\s+as\\s+(.*)$").r
+    stmt match {
+      case re(orReplace, kind, name, select) =>
+        val (layer, table) = parseQualified(name).getOrElse(
+          sys.error(s"CREATE needs a <layer>.<table> name, got: $name"))
+        val df = spark.sql(resolveRefs(select))
+        if (kind.equalsIgnoreCase("view")) {
+          val v = s"__graft_view_${layer}_$table"
+          df.createOrReplaceTempView(v)
+          views((layer + "." + table).toLowerCase) = v
+          metricsRow("CREATE VIEW", 0, 0, 0)
+        } else {
+          require(orReplace != null || !wh.tableExists(layer, table),
+            s"table $layer.$table already exists (use CREATE OR REPLACE TABLE)")
+          val n = wh.createOrReplace(layer, table, df)
+          metricsRow("CREATE TABLE AS SELECT", n, 0, 0)
+        }
+      case _ => sys.error(s"unsupported CREATE statement: ${stmt.take(120)}")
+    }
+  }
+
+  private def executeInsert(stmt: String): DataFrame = {
+    val re = "(?is)^insert\\s+into\\s+([\\w.]+)\\s*(.*)$".r
+    stmt match {
+      case re(name, body0) =>
+        val (layer, table) = parseQualified(name).getOrElse(
+          sys.error(s"INSERT INTO needs a <layer>.<table> name, got: $name"))
+        var body = body0.trim
+        // optional explicit column list: INSERT INTO t (a, b) ...
+        val cols: Option[Seq[String]] =
+          if (body.startsWith("(") &&
+              !body.toLowerCase.stripPrefix("(").trim.startsWith("select")) {
+            val close = matchingParen(body, 0)
+            val inside = body.substring(1, close)
+            // a column list has bare identifiers only; anything else is
+            // a parenthesized SELECT body
+            val parts = splitTopLevel(inside, ',').map(_.trim)
+            if (parts.forall(_.matches("[A-Za-z_][\\w]*"))) {
+              body = body.substring(close + 1).trim; Some(parts)
+            } else None
+          } else None
+        val df0 =
+          if (body.toLowerCase.startsWith("values"))
+            spark.sql(s"SELECT * FROM ${resolveRefs(body)}")
+          else spark.sql(resolveRefs(body))
+        // SQL INSERT INTO is POSITIONAL: the select/values columns map
+        // to the target's columns (or the explicit list) by position,
+        // not name, with store-assignment casts to the target types —
+        // renaming + casting here keeps the schema-evolving append from
+        // treating `col1`/aliased/int-literal outputs as new columns
+        val tgtSchema = wh.table(layer, table).schema
+        val names = cols.getOrElse {
+          require(tgtSchema.length == df0.columns.length,
+            s"INSERT provides ${df0.columns.length} columns but $layer.$table has ${tgtSchema.length}")
+          tgtSchema.fieldNames.toSeq
+        }
+        require(names.length == df0.columns.length,
+          s"INSERT column list has ${names.length} names but the source has ${df0.columns.length}")
+        val df = df0.select(df0.columns.toSeq.zip(names).map { case (from, to) =>
+          val cast = tgtSchema.fields.find(_.name.equalsIgnoreCase(to)).map(_.dataType)
+          cast.foldLeft(col(s"`$from`"))((c, dt) => c.cast(dt)).as(to)
+        }: _*)
+        val n = wh.append(layer, table, df)
+        metricsRow("INSERT", n, 0, 0)
+      case _ => sys.error(s"unsupported INSERT statement: ${stmt.take(120)}")
+    }
+  }
+
+  private def executeDelete(stmt: String): DataFrame = {
+    val re = "(?is)^delete\\s+from\\s+([\\w.]+)\\s*(?:where\\s+(.*))?$".r
+    stmt match {
+      case re(name, cond) =>
+        val (layer, table) = parseQualified(name).getOrElse(
+          sys.error(s"DELETE FROM needs a <layer>.<table> name, got: $name"))
+        val pred = if (cond == null) lit(true) else expr(cond)
+        val n = wh.delete(layer, table, pred)
+        metricsRow("DELETE", 0, 0, n)
+      case _ => sys.error(s"unsupported DELETE statement: ${stmt.take(120)}")
+    }
+  }
+
+  private def executeUpdate(stmt: String): DataFrame = {
+    val re = "(?is)^update\\s+([\\w.]+)\\s+set\\s+(.*)$".r
+    stmt match {
+      case re(name, rest) =>
+        val (layer, table) = parseQualified(name).getOrElse(
+          sys.error(s"UPDATE needs a <layer>.<table> name, got: $name"))
+        val whereAt = topLevelIndexOf(rest, "where", 0)
+        val (setPart, cond) =
+          if (whereAt < 0) (rest, lit(true))
+          else (rest.substring(0, whereAt),
+            expr(rest.substring(whereAt + "where".length)))
+        val assignments = parseAssignments(setPart, stripAliases = Seq(table))
+          .map { case (k, v) => k -> expr(v) }
+        val n = wh.update(layer, table, cond, assignments)
+        metricsRow("UPDATE", 0, n, 0)
+      case _ => sys.error(s"unsupported UPDATE statement: ${stmt.take(120)}")
+    }
+  }
+
+  /** MERGE INTO — parses target/source/ON/WHEN-clauses and routes to
+    * [[Warehouse.mergeClauses]]. `ctePrefix` is a leading `WITH ...`
+    * block (the reference wraps its merge source in a CTE,
+    * silver_arxiv.py:131-144); the source resolves against it.
+    */
+  private def executeMerge(stmt: String, ctePrefix: String): DataFrame = {
+    val re = ("(?is)^merge\\s+into\\s+([\\w.]+)(?:\\s+as)?(?:\\s+(?!using\\b)([A-Za-z_][\\w]*))?" +
+      "\\s+using\\s+(.*)$").r
+    val (name, tgtAlias0, afterUsing) = stmt match {
+      case re(n, a, rest) => (n, Option(a), rest)
+      case _              => sys.error(s"unsupported MERGE statement: ${stmt.take(120)}")
+    }
+    val (layer, table) = parseQualified(name).getOrElse(
+      sys.error(s"MERGE INTO needs a <layer>.<table> name, got: $name"))
+    // source: (subquery) [as] alias   or   identifier [[as] alias]
+    val (srcSql, srcAlias0, afterSrc) = {
+      val t = afterUsing.trim
+      if (t.startsWith("(")) {
+        val close = matchingParen(t, 0)
+        val sub   = t.substring(1, close)
+        val rest  = t.substring(close + 1).trim
+        val am = "(?is)^(?:as\\s+)?([A-Za-z_][\\w]*)\\s+(.*)$".r
+        rest match {
+          case am(a, r) => (sub, Some(a), r)
+          case _        => (sub, None, rest)
+        }
+      } else {
+        val m = "(?is)^([\\w.]+)(?:\\s+as)?(?:\\s+(?!on\\b)([A-Za-z_][\\w]*))?\\s+(.*)$".r
+        t match {
+          case m(id, a, r) => (s"select * from $id", Option(a).orElse(Some(id.split('.').last)), r)
+          case _           => sys.error(s"cannot parse MERGE USING source: ${t.take(120)}")
+        }
+      }
+    }
+    val onRe = "(?is)^on\\s+(.*)$".r
+    val afterOn = afterSrc.trim match {
+      case onRe(r) => r
+      case other   => sys.error(s"MERGE needs ON after USING, got: ${other.take(120)}")
+    }
+    val firstWhen = topLevelIndexOf(afterOn, "when", 0)
+    require(firstWhen > 0, "MERGE needs at least one WHEN clause")
+    val onCond     = afterOn.substring(0, firstWhen).trim
+    val clausesTxt = afterOn.substring(firstWhen)
+    val tgtAlias = tgtAlias0.getOrElse(table)
+    val srcAlias = srcAlias0.getOrElse("__graft_src")
+
+    // ON: a conjunction of same-named equi-predicates → the merge keys
+    val keys = splitTopLevel(onCond, "and").map(_.trim).map { conj =>
+      val eq = "(?is)^([\\w.]+)\\s*(?:=|<=>)\\s*([\\w.]+)$".r
+      conj match {
+        case eq(a, b) =>
+          val (ca, cb) = (a.split('.').last, b.split('.').last)
+          require(ca.equalsIgnoreCase(cb),
+            s"MERGE ON must equate same-named columns (got $a = $b); " +
+              "rename the source column to match the target")
+          ca
+        case _ => sys.error(s"MERGE ON supports equi-conjunctions only, got: $conj")
+      }
+    }
+
+    def rewrite(exprTxt: String): String =
+      exprTxt
+        .replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(tgtAlias) + "\\.", "t.")
+        .replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(srcAlias) + "\\.", "s.")
+    def cond(c: String): Option[Column] = Option(c).map(x => expr(rewrite(x)))
+
+    val matched    = scala.collection.mutable.ArrayBuffer.empty[MergeClause.Matched]
+    val notMatched = scala.collection.mutable.ArrayBuffer.empty[MergeClause.NotMatched]
+    val bySource   = scala.collection.mutable.ArrayBuffer.empty[MergeClause.BySource]
+    splitClauses(clausesTxt).foreach { cl =>
+      val mUp   = ("(?is)^when\\s+matched\\s*(?:and\\s+(.*?))?\\s*then\\s+update\\s+set\\s+(.*)$").r
+      val mDel  = ("(?is)^when\\s+matched\\s*(?:and\\s+(.*?))?\\s*then\\s+delete\\s*$").r
+      val bsUp  = ("(?is)^when\\s+not\\s+matched\\s+by\\s+source\\s*(?:and\\s+(.*?))?\\s*then\\s+update\\s+set\\s+(.*)$").r
+      val bsDel = ("(?is)^when\\s+not\\s+matched\\s+by\\s+source\\s*(?:and\\s+(.*?))?\\s*then\\s+delete\\s*$").r
+      val nmIns = ("(?is)^when\\s+not\\s+matched\\s*(?:by\\s+target\\s*)?(?:and\\s+(.*?))?\\s*then\\s+insert\\s+(.*)$").r
+      cl match {
+        case bsUp(c, set) =>
+          bySource += MergeClause.UpdateBySource(cond(c),
+            parseAssignments(set, Seq(tgtAlias)).map { case (k, v) => k -> expr(rewrite(v)) })
+        case bsDel(c) => bySource += MergeClause.DeleteBySource(cond(c))
+        case mUp(c, set) =>
+          val setTrim = set.trim
+          matched += MergeClause.UpdateMatched(cond(c),
+            if (setTrim == "*") None
+            else Some(parseAssignments(setTrim, Seq(tgtAlias)).map {
+              case (k, v) => k -> expr(rewrite(v))
+            }))
+        case mDel(c) => matched += MergeClause.DeleteMatched(cond(c))
+        case nmIns(c, ins) =>
+          val insTrim = ins.trim
+          notMatched += MergeClause.InsertNotMatched(cond(c),
+            if (insTrim == "*") None
+            else {
+              val iv = ("(?is)^\\(([^)]*)\\)\\s*values\\s*\\((.*)\\)\\s*$").r
+              insTrim match {
+                case iv(cs, vs) =>
+                  val names = splitTopLevel(cs, ',').map(_.trim)
+                  val vals  = splitTopLevel(vs, ',').map(v => expr(rewrite(v.trim)))
+                  require(names.length == vals.length,
+                    s"INSERT clause has ${names.length} columns but ${vals.length} values")
+                  Some(names.zip(vals).toMap)
+                case _ => sys.error(s"unsupported INSERT clause body: ${insTrim.take(120)}")
+              }
+            })
+        case other => sys.error(s"unsupported MERGE clause: ${other.take(120)}")
+      }
+    }
+
+    val srcDf = spark.sql(resolveRefs(
+      (if (ctePrefix.nonEmpty) ctePrefix + " " else "") + srcSql))
+    val m = wh.mergeClauses(layer, table, srcDf, keys,
+      matched.toSeq, notMatched.toSeq, bySource.toSeq)
+    metricsRow("MERGE", m.inserted, m.updated, m.deleted)
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def metricsRow(op: String, ins: Long, upd: Long, del: Long): DataFrame = {
+    import spark.implicits._
+    Seq((op, ins, upd, del)).toDF("operation", "inserted", "updated", "deleted")
+  }
+
+  /** The ledger, Delta-DESCRIBE-HISTORY-shaped: `operationMetrics` as a
+    * struct so the reference's
+    * `operationMetrics.numTargetRowsInserted` (silver_arxiv.py:176-178)
+    * resolves verbatim.
+    */
+  private def historyDf(qt: (String, String)): DataFrame =
+    wh.history(qt._1 + "." + qt._2).select(
+      col("version"),
+      col("ts_millis"),
+      col("operation"),
+      struct(
+        col("num_inserted").as("numTargetRowsInserted"),
+        col("num_updated").as("numTargetRowsUpdated"),
+        col("num_deleted").as("numTargetRowsDeleted"),
+        col("num_output_rows").as("numOutputRows")).as("operationMetrics"))
+
+  /** `main.layer.table` / `layer.table` → (layer, table); None for
+    * 1-part names and anything deeper than the 3-level catalog form.
+    */
+  private def parseQualified(name: String): Option[(String, String)] =
+    name.trim.split('.').toSeq match {
+      case Seq("main", l, t) => Some((l, t))
+      case Seq(l, t)         => Some((l, t))
+      case _                 => None
+    }
+
+  /** Rewrite warehouse table references (and registered views, and
+    * `DESCRIBE HISTORY t` phrases) inside a query to temp views over
+    * the live warehouse state. String literals are masked first so a
+    * `'a.b'` payload is never rewritten; only names that actually
+    * resolve (registered view, existing table) are substituted, so
+    * `alias.column` references pass through untouched.
+    */
+  private def resolveRefs(sqlTxt: String): String = {
+    val (masked, restore) = maskStrings(sqlTxt)
+    // DESCRIBE HISTORY inside a FROM subquery → select over the
+    // Delta-shaped ledger view
+    val dh = "(?i)describe\\s+history\\s+((?:main\\.)?[\\w]+\\.[\\w]+)".r
+    val afterDh = dh.replaceAllIn(masked, m => {
+      parseQualified(m.group(1)) match {
+        case Some((l, t)) =>
+          val v = s"__graft_hist_${l}_$t"
+          historyDf((l, t)).createOrReplaceTempView(v)
+          java.util.regex.Matcher.quoteReplacement(s"select * from $v")
+        case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
+      }
+    })
+    val ref = "(?i)(?<![\\w.])(?:main\\.)?([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)(?![\\w.(])".r
+    val resolved = ref.replaceAllIn(afterDh, m => {
+      val (l, t) = (m.group(1), m.group(2))
+      val key = s"$l.$t".toLowerCase
+      val sub =
+        if (views.contains(key)) Some(views(key))
+        else if (wh.tableExists(l, t)) {
+          val v = s"__graft_tbl_${l}_$t"
+          wh.table(l, t).createOrReplaceTempView(v)
+          Some(v)
+        } else None
+      java.util.regex.Matcher.quoteReplacement(sub.getOrElse(m.group(0)))
+    })
+    restore(resolved)
+  }
+
+  /** Strip `-- ...` line comments (outside string literals). */
+  private def stripComments(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Replace string literals with placeholders; returns the masked text
+    * and a restore function.
+    */
+  private def maskStrings(s: String): (String, String => String) = {
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val start = i; i += 1
+        while (i < s.length && s.charAt(i) != '\'') i += 1
+        i = math.min(i + 1, s.length)
+        sb.append(s"'${lits.length}'")
+        lits += s.substring(start, i)
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    // restore in ONE regex pass: sequential .replace would re-scan
+    // already-restored literals (a literal "'5'" restored early is
+    // indistinguishable from a later placeholder '5')
+    (sb.toString, out =>
+      "'(\\d+)'".r.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt))))
+  }
+
+  private def firstWords(s: String, n: Int): Seq[String] =
+    s.split("\\s+", n + 1).toSeq.take(n)
+
+  /** Index of `word` at paren-depth 0, outside strings and outside
+    * CASE...END blocks; -1 if absent.
+    */
+  private def topLevelIndexOf(s: String, word: String, from: Int): Int = {
+    var i = from; var depth = 0; var caseDepth = 0; var inStr = false
+    val w = word.toLowerCase
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (isIdent(c) && (i == 0 || !isIdent(s.charAt(i - 1)))) {
+        var j = i
+        while (j < s.length && isIdent(s.charAt(j))) j += 1
+        val tok = s.substring(i, j).toLowerCase
+        if (depth == 0) {
+          if (tok == "case") caseDepth += 1
+          else if (tok == "end" && caseDepth > 0) caseDepth -= 1
+          else if (tok == w && caseDepth == 0) return i
+        }
+        i = j
+      } else i += 1
+    }
+    -1
+  }
+
+  /** Split on a top-level single-char separator (outside parens/strings). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == sep && depth == 0) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Split on a top-level keyword separator (e.g. "and"). */
+  private def splitTopLevel(s: String, word: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rest = s
+    var at = topLevelIndexOf(rest, word, 0)
+    while (at >= 0) {
+      out += rest.substring(0, at)
+      rest = rest.substring(at + word.length)
+      at = topLevelIndexOf(rest, word, 0)
+    }
+    out += rest
+    out.toSeq
+  }
+
+  /** Index of the `)` matching the `(` at `open`. */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    sys.error(s"unbalanced parentheses in: ${s.take(120)}")
+  }
+
+  /** `a = e1, b.c = e2, ...` → Seq(col → exprText); the lhs may be
+    * qualified by any of `stripAliases` (or anything — only the last
+    * path segment names the column). The first top-level bare `=` (not
+    * `<=`, `>=`, `!=`, `<>`, `==`, `<=>`) splits each assignment.
+    */
+  private def parseAssignments(s: String, stripAliases: Seq[String]): Map[String, String] =
+    splitTopLevel(s, ',').map { a =>
+      val t = a.trim
+      var i = 0; var depth = 0; var inStr = false; var eq = -1
+      while (i < t.length && eq < 0) {
+        val c = t.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == '=' && depth == 0) {
+          val prev = if (i > 0) t.charAt(i - 1) else ' '
+          val next = if (i + 1 < t.length) t.charAt(i + 1) else ' '
+          if (prev != '<' && prev != '>' && prev != '!' && prev != '=' && next != '=' && next != '>')
+            eq = i
+        }
+        i += 1
+      }
+      require(eq > 0, s"cannot parse assignment: $t")
+      val lhs = t.substring(0, eq).trim.split('.').last
+      val rhs = t.substring(eq + 1).trim
+      lhs -> rhs
+    }.toMap
+
+  /** Split the WHEN-clause region into individual clauses at top-level
+    * `when` keywords (CASE WHEN inside conditions is skipped by the
+    * CASE-aware scanner).
+    */
+  private def splitClauses(s: String): Seq[String] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var at = topLevelIndexOf(s, "when", 0)
+    while (at >= 0) {
+      starts += at
+      at = topLevelIndexOf(s, "when", at + 4)
+    }
+    require(starts.nonEmpty, "MERGE needs at least one WHEN clause")
+    starts.zipAll(starts.drop(1), 0, s.length).map {
+      case (a, b) => s.substring(a, b).trim
+    }.toSeq
+  }
+}

@@ -893,6 +893,68 @@ final class Warehouse(
     removed
   }
 
+  /** VACUUM with Delta's time-based contract (`VACUUM t RETAIN n
+    * HOURS`): drop retired generations whose RETIRING commit — the
+    * first rewriting commit after the generation's version, i.e. the
+    * ledger moment the snapshot stopped being current — is older than
+    * `nowMillis - retainHours`. Generations retired inside the window
+    * stay readable for time travel, exactly Delta's
+    * deletedFileRetentionDuration semantics; a generation whose
+    * retiring commit cannot be located in the ledger is never removed
+    * (fail-safe: retention must not break the newest snapshots). The
+    * live table and the append-only change feed are untouched, as in
+    * [[vacuum]]. Returns the number of generations removed; the
+    * `nowMillis` parameter exists for deterministic tests.
+    */
+  def vacuumRetainHours(
+      layer: String,
+      table: String,
+      retainHours: Double,
+      nowMillis: Long = System.currentTimeMillis()
+  ): Long =
+    withWriterLock(layer, table)(
+      vacuumRetainImpl(layer, table, retainHours, nowMillis))
+
+  private def vacuumRetainImpl(
+      layer: String,
+      table: String,
+      retainHours: Double,
+      nowMillis: Long
+  ): Long = {
+    require(retainHours >= 0, "retainHours must be >= 0")
+    val name     = s"$layer.$table"
+    val horizon  = nowMillis - (retainHours * 3600_000L).toLong
+    val layerDir = new Path(s"$root/$layer")
+    val prefix   = table + ".__v"
+    if (!fs.exists(layerDir)) return 0L
+    val gens = fs.listStatus(layerDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) =>
+        n.stripPrefix(prefix).toLongOption.map((n, _)) }
+      .flatten
+    if (gens.isEmpty) {
+      logOp(layer, table, "VACUUM", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
+    // one ledger read serves both lookups: the rewriting commits (what
+    // retires a generation) and every commit's timestamp
+    val rewriting = rewritingAfter(name, -1L)
+    val tsByVer = history(name).select(col("version"), col("ts_millis")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val victims = gens.filter { case (_, k) =>
+      val retiringVer = rewriting.filter(_ > k).minOption
+      retiringVer.flatMap(tsByVer.get) match {
+        case Some(retiredTs) => retiredTs < horizon
+        case None            => false
+      }
+    }
+    victims.foreach { case (n, _) =>
+      fs.delete(new Path(s"$root/$layer/$n"), true)
+    }
+    logOp(layer, table, "VACUUM", inserted = 0, updated = 0,
+      outputRows = victims.length.toLong)
+    victims.length.toLong
+  }
+
   /** DESCRIBE DETAIL parity: one row of physical table facts —
     * format, file count, total bytes, partition columns, retained
     * generation count, and the current ledger version. All from
@@ -923,12 +985,23 @@ final class Warehouse(
     // tombstones are live)
     val tombstones = dvRowsFor(layer, table, Long.MaxValue)
       .map(_.count()).getOrElse(0L)
+    // the effective time-travel horizon: the smallest version still
+    // servable (oldest retained generation, or the live version when
+    // no generation is retained) — what VACUUM / vacuumRetainHours
+    // advances, surfaced so an operator can see the retention floor
+    val cur = latestVersion(s"$layer.$table")
+    val oldestRetained =
+      if (!fs.exists(layerDir)) cur
+      else fs.listStatus(layerDir).map(_.getPath.getName)
+        .collect { case n if n.startsWith(prefix) =>
+          n.stripPrefix(prefix).toLongOption }
+        .flatten.minOption.getOrElse(cur)
     Seq((s"$layer.$table", "parquet", numFiles, bytes,
       partitionColumns(layer, table).mkString(","), gens,
-      latestVersion(s"$layer.$table"), tombstones))
+      cur, tombstones, oldestRetained))
       .toDF("name", "format", "num_files", "size_in_bytes",
         "partition_columns", "retained_generations", "current_version",
-        "live_tombstones")
+        "live_tombstones", "oldest_retained_version")
   }
 
   /** Drop the table's entire physical state: live data, retired
@@ -2124,6 +2197,317 @@ final class Warehouse(
       ()
     }
 
+  /** Shared validation for the full-clause MERGE paths: explicit SET /
+    * INSERT assignments must name real columns, never identity columns
+    * (GENERATED ALWAYS AS IDENTITY values are engine-owned), never
+    * generated columns nor their derivation sources (the same
+    * stale-read rule [[update]] enforces — assignments evaluate
+    * against pre-merge rows, so an inline recompute would read stale
+    * sources).
+    */
+  private def validateClauseAssignments(
+      layer: String,
+      table: String,
+      columns: Seq[String],
+      matched: Seq[graft.operators.MergeClause.Matched],
+      notMatched: Seq[graft.operators.MergeClause.NotMatched],
+      bySource: Seq[graft.operators.MergeClause.BySource]
+  ): Unit = {
+    import graft.operators.MergeClause._
+    val assigned: Set[String] = (
+      matched.collect { case UpdateMatched(_, Some(set)) => set.keys } ++
+        notMatched.collect { case InsertNotMatched(_, Some(vs)) => vs.keys } ++
+        bySource.collect { case UpdateBySource(_, set) => set.keys }
+    ).flatten.toSet
+    val colsLower = columns.map(_.toLowerCase).toSet
+    assigned.foreach(c =>
+      require(colsLower.contains(c.toLowerCase), s"MERGE assigns unknown column $c"))
+    val assignedLower = assigned.map(_.toLowerCase)
+    identityColumns(layer, table).foreach { case (c, _, _) =>
+      require(!assignedLower.contains(c.toLowerCase),
+        s"cannot MERGE-assign identity column $c (GENERATED ALWAYS AS IDENTITY)")
+    }
+    generatedColumns(layer, table).foreach { case (c, e) =>
+      require(!assignedLower.contains(c.toLowerCase),
+        s"cannot MERGE-assign generated column $c (GENERATED ALWAYS AS $e)")
+      val overlap = exprDeps(e).intersect(assignedLower)
+      require(overlap.isEmpty,
+        s"MERGE assigns ${overlap.mkString(", ")}, which generated column " +
+          s"$c derives from — rewrite via createOrReplace to keep $c consistent")
+    }
+  }
+
+  /** MERGE with the full Delta clause surface (what [[upsert]]'s fixed
+    * version-rule shape cannot express): any number of WHEN MATCHED
+    * [AND cond] THEN UPDATE-SET-star / DELETE clauses, conditional WHEN NOT
+    * MATCHED inserts, and WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE
+    * — routed through [[graft.operators.Upsert.planClauses]] (one
+    * full-outer shuffle, per-column CASE chains, duplicate-source
+    * raise) and written with the same machinery as [[upsert]]:
+    * file-granular COW (only files holding a source-matched key are
+    * decoded; the rest byte-copy — except when a BY SOURCE clause
+    * exists, which can touch ANY target row, so every file rewrites),
+    * staged swap, change-feed rows for every image (insert /
+    * update_preimage / update_postimage / delete), zero-change no-op
+    * commits, schema evolution via union-align. Partitioned tables
+    * take a whole-table rewrite (partition-granular COW for the full
+    * clause surface would need per-partition match tracking; [[upsert]]
+    * covers the hot partitioned upsert path). Conditions and
+    * assignment expressions reference the sides as `t.`/`s.` — see
+    * [[graft.operators.MergeClause]].
+    */
+  def mergeClauses(
+      layer: String,
+      table: String,
+      src: DataFrame,
+      keys: Seq[String],
+      matched: Seq[graft.operators.MergeClause.Matched],
+      notMatched: Seq[graft.operators.MergeClause.NotMatched],
+      bySource: Seq[graft.operators.MergeClause.BySource] = Seq.empty
+  ): Upsert.MergeClauseMetrics =
+    withWriterLock(layer, table)(
+      mergeClausesImpl(layer, table, src, keys, matched, notMatched, bySource))
+
+  private def mergeClausesImpl(
+      layer: String,
+      table: String,
+      src0: DataFrame,
+      keys: Seq[String],
+      matched: Seq[graft.operators.MergeClause.Matched],
+      notMatched: Seq[graft.operators.MergeClause.NotMatched],
+      bySource: Seq[graft.operators.MergeClause.BySource]
+  ): Upsert.MergeClauseMetrics = {
+    repairCrashedSwap(layer, table)
+    materializeDv(layer, table) // rewrite never runs against live tombstones
+    if (!tableExists(layer, table)) {
+      // same bootstrap as [[upsert]]: an absent target means every
+      // unconditionally-insertable source row seeds the table
+      require(bySource.isEmpty && matched.isEmpty,
+        s"$layer.$table does not exist — only INSERT clauses can seed a new table")
+      require(notMatched.forall {
+        case graft.operators.MergeClause.InsertNotMatched(_, values) => values.isEmpty
+      }, s"$layer.$table does not exist — INSERT (cols) VALUES seeding needs a schema; use INSERT *")
+      val seed = notMatched.foldRight(lit(false): Column)((c, els) =>
+        c.cond.map(_ || els).getOrElse(lit(true)))
+      val n = createOrReplace(layer, table,
+        src0.alias("s").filter(seed))
+      return Upsert.MergeClauseMetrics(inserted = n, updated = 0, deleted = 0, kept = 0)
+    }
+    val gen = applyGenerated(layer, table, src0, "MERGE")
+    require(!keys.exists(k => identityColumns(layer, table).exists(_._1.equalsIgnoreCase(k))),
+      "cannot MERGE on a GENERATED ALWAYS AS IDENTITY column — sources cannot carry it")
+    val (src, idHighs) = applyIdentity(layer, table, gen, allowCarry = false)
+    commitIdentity(layer, table, idHighs) // ids burn even if the merge refuses
+    enforceConstraints(layer, table, src, "MERGE")
+    val tgt0    = this.table(layer, table)
+    val unioned = unionSchema(tgt0.schema, src.schema)
+    validateClauseAssignments(layer, table, unioned.fieldNames.toSeq,
+      matched, notMatched, bySource)
+    val pcols   = partitionColumns(layer, table)
+    val newCols = unioned.fieldNames.filterNot(tgt0.columns.contains)
+    val allFiles = tgt0.inputFiles.map(normDataFile).toSeq
+    // file-granular COW applies only when no BY SOURCE clause exists
+    // (a by-source clause can modify rows in ANY file) and the layout
+    // is flat (see scaladoc); evolution forces the full rewrite as in
+    // [[upsert]]
+    val matchedFiles: Set[String] =
+      if (newCols.nonEmpty || bySource.nonEmpty || pcols.nonEmpty) allFiles.toSet
+      else {
+        val srcKeys = src.select(keys.map(col): _*).distinct()
+        val tgtF    = tgt0.withColumn("__graft_file", input_file_name())
+        tgtF
+          .join(srcKeys, keys.map(k => tgtF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
+          .select(col("__graft_file")).distinct()
+          .collect().map(r => normDataFile(r.getString(0))).toSet
+      }
+    val untouched = allFiles.filterNot(matchedFiles)
+    val touchedTgt =
+      if (matchedFiles.isEmpty) tgt0.limit(0)
+      else readFilesAligned(matchedFiles.toSeq, tgt0.schema,
+        basePath = if (pcols.nonEmpty) Some(tablePath(layer, table)) else None)
+    val idCols = identityColumns(layer, table).map(_._1).toSet
+    val merged = Upsert.planClauses(alignTo(touchedTgt, unioned), alignTo(src, unioned),
+      keys, matched, notMatched, bySource, insertOnlyCols = idCols)
+    // narrow classification pass (Catalyst prunes the join to keys +
+    // clause-condition columns + marks), exactly like [[upsert]]'s
+    val counts = merged.groupBy(col(Upsert.ActionCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ins = counts.getOrElse("insert", 0L)
+    val upd = counts.getOrElse("update", 0L)
+    val del = counts.getOrElse("delete", 0L)
+    val keptPlan = counts.getOrElse("keep", 0L)
+    if (ins == 0 && upd == 0 && del == 0 && newCols.isEmpty) {
+      // zero-change no-op commit (unified convention); kept = in-plan
+      // keeps + footer-counted carried rows
+      logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
+      val carried0 =
+        if (untouched.isEmpty) 0L else spark.read.parquet(untouched: _*).count()
+      return Upsert.MergeClauseMetrics(0, 0, 0, keptPlan + carried0)
+    }
+    val staging = new Path(tablePath(layer, table) + ".__staging")
+    fs.delete(staging, true)
+    val ver = nextVersion(s"$layer.$table")
+    // footer-only count of the carried files, before the feed write
+    // (minimal feed-to-ledger commit window, see [[upsert]])
+    val carried =
+      if (untouched.isEmpty) 0L
+      else spark.read.parquet(untouched: _*).count()
+    val writer = merged.filter(col(Upsert.ActionCol) =!= "delete").drop(Upsert.ActionCol)
+      .write.mode(SaveMode.Overwrite)
+    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer).parquet(staging.toString)
+    copyFilesInto(untouched.map((_, "")), staging)
+    // change feed: post-images for inserts/updates, pre-images for
+    // updates (semi-join of the pre-merge touched files against the
+    // updated keys), and the deleted rows (which already carry the
+    // target pre-image values)
+    val post = merged
+      .filter(col(Upsert.ActionCol).isin("insert", "update"))
+      .withColumn("_change_type",
+        when(col(Upsert.ActionCol) === "insert", lit("insert"))
+          .otherwise(lit("update_postimage")))
+      .drop(Upsert.ActionCol)
+    val updatedKeys = merged
+      .filter(col(Upsert.ActionCol) === "update")
+      .select(keys.map(col): _*)
+    val pre = touchedTgt
+      .join(updatedKeys,
+        keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+      .select(unioned.fieldNames.toSeq.map(n =>
+        if (tgt0.columns.contains(n)) col(n)
+        else lit(null).cast(unioned(n).dataType).as(n)): _*)
+      .withColumn("_change_type", lit("update_preimage"))
+    val delRows = merged
+      .filter(col(Upsert.ActionCol) === "delete")
+      .drop(Upsert.ActionCol)
+      .withColumn("_change_type", lit("delete"))
+    post.unionByName(pre).unionByName(delRows)
+      .withColumn("_commit_version", lit(ver))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(tablePath(layer, table) + ".__changes")
+    retireAndSwap(layer, table, staging)
+    logOp(layer, table, "MERGE", ins, upd,
+      outputRows = ins + upd + keptPlan + carried, version = ver, deleted = del)
+    Upsert.MergeClauseMetrics(ins, upd, del, keptPlan + carried)
+  }
+
+  /** Merge-on-read twin of [[mergeClauses]] (the full clause surface
+    * at O(delta) commit cost, like [[upsertMor]] for the upsert
+    * shape): updated AND deleted target rows tombstone at their old
+    * positions, post-images and inserts append under the commit's
+    * rollback manifest, no existing file rewrites — tombstones are the
+    * natural delete-action mechanism, a MOR MERGE DELETE writes
+    * positions only. Feed rows cover every image (insert /
+    * update_preimage / update_postimage / delete). Works on any
+    * layout; BY SOURCE clauses classify against the whole visible
+    * table (the join must see every target row) but still commit
+    * O(changes).
+    */
+  def mergeClausesMor(
+      layer: String,
+      table: String,
+      src: DataFrame,
+      keys: Seq[String],
+      matched: Seq[graft.operators.MergeClause.Matched],
+      notMatched: Seq[graft.operators.MergeClause.NotMatched],
+      bySource: Seq[graft.operators.MergeClause.BySource] = Seq.empty
+  ): Upsert.MergeClauseMetrics =
+    withWriterLock(layer, table)(
+      mergeClausesMorImpl(layer, table, src, keys, matched, notMatched, bySource))
+
+  private def mergeClausesMorImpl(
+      layer: String,
+      table: String,
+      src0: DataFrame,
+      keys: Seq[String],
+      matched: Seq[graft.operators.MergeClause.Matched],
+      notMatched: Seq[graft.operators.MergeClause.NotMatched],
+      bySource: Seq[graft.operators.MergeClause.BySource]
+  ): Upsert.MergeClauseMetrics = {
+    repairCrashedSwap(layer, table)
+    if (!tableExists(layer, table)) {
+      require(bySource.isEmpty && matched.isEmpty,
+        s"$layer.$table does not exist — only INSERT clauses can seed a new table")
+      require(notMatched.forall {
+        case graft.operators.MergeClause.InsertNotMatched(_, values) => values.isEmpty
+      }, s"$layer.$table does not exist — INSERT (cols) VALUES seeding needs a schema; use INSERT *")
+      val seed = notMatched.foldRight(lit(false): Column)((c, els) =>
+        c.cond.map(_ || els).getOrElse(lit(true)))
+      val n = createOrReplace(layer, table, src0.alias("s").filter(seed))
+      return Upsert.MergeClauseMetrics(inserted = n, updated = 0, deleted = 0, kept = 0)
+    }
+    val gen = applyGenerated(layer, table, src0, "MERGE")
+    require(!keys.exists(k => identityColumns(layer, table).exists(_._1.equalsIgnoreCase(k))),
+      "cannot MERGE on a GENERATED ALWAYS AS IDENTITY column — sources cannot carry it")
+    val (src, idHighs) = applyIdentity(layer, table, gen, allowCarry = false)
+    commitIdentity(layer, table, idHighs)
+    enforceConstraints(layer, table, src, "MERGE")
+    val target = tablePath(layer, table)
+    val raw    = spark.read.option("mergeSchema", "true").parquet(target)
+    val depth  = partitionColumns(layer, table).length
+    val tombstoneRows = dvRowsFor(layer, table, Long.MaxValue)
+    val visible = tombstoneRows match {
+      case Some(dv) => dvAntiJoin(withDvMeta(raw, depth), dv)
+      case None     => withDvMeta(raw, depth)
+    }
+    val unioned    = unionSchema(raw.schema, src.schema)
+    validateClauseAssignments(layer, table, unioned.fieldNames.toSeq,
+      matched, notMatched, bySource)
+    val srcAligned = alignTo(src, unioned)
+    val tgtAligned = visible.select(
+      unioned.fields.toSeq.map { f =>
+        if (visible.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(col("__dv_f"), col("__dv_p")): _*)
+    val changes = Upsert.planMorChangesClauses(tgtAligned, srcAligned, keys,
+      matched, notMatched, bySource, metaCols = Seq("__dv_f", "__dv_p"),
+      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet)
+    val counts = changes.groupBy(col(Upsert.ActionCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inserted = counts.getOrElse("insert", 0L)
+    val updated  = counts.getOrElse("update", 0L)
+    val deleted  = counts.getOrElse("delete", 0L)
+    def visibleCount(): Long =
+      raw.count() - tombstoneRows.map(_.count()).getOrElse(0L)
+    if (inserted == 0 && updated == 0 && deleted == 0) {
+      logOp(layer, table, "MERGE_MOR", inserted = 0, updated = 0, outputRows = 0)
+      return Upsert.MergeClauseMetrics(0, 0, 0, visibleCount())
+    }
+    val kept = visibleCount() - updated - deleted
+    val ver  = nextVersion(s"$layer.$table")
+    val dataCols = unioned.fields.toSeq.map(f => col(f.name))
+    // 1. tombstones for the updated AND deleted rows' old positions
+    changes.filter(col(Upsert.ActionCol).isin("update", "delete"))
+      .select(col("__dv_f").as("file_name"), col("__dv_p").as("pos"))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(dvPath(layer, table).toString)
+    // 2. post-images + inserts land as new files (manifest rollback);
+    //    deletes land nothing — their tombstone IS the commit, so a
+    //    delete-only merge appends zero data files (like [[deleteMor]])
+    if (inserted + updated > 0)
+      morLandFiles(layer, table, ver,
+        changes.filter(col(Upsert.ActionCol).isin("insert", "update"))
+          .select(dataCols: _*))
+    // 3. feed: insert / update_preimage / update_postimage / delete
+    val ins = changes.filter(col(Upsert.ActionCol) === "insert")
+      .select(dataCols: _*).withColumn("_change_type", lit("insert"))
+    val preImg = changes.filter(col(Upsert.ActionCol).isin("update", "delete"))
+      .select(unioned.fields.toSeq.map(f => col(s"__pre_${f.name}").as(f.name)) :+
+        when(col(Upsert.ActionCol) === "update", lit("update_preimage"))
+          .otherwise(lit("delete")).as("_change_type"): _*)
+    val postImg = changes.filter(col(Upsert.ActionCol) === "update")
+      .select(dataCols: _*).withColumn("_change_type", lit("update_postimage"))
+    ins.unionByName(preImg).unionByName(postImg)
+      .withColumn("_commit_version", lit(ver))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(target + ".__changes")
+    logOp(layer, table, "MERGE_MOR", inserted = inserted, updated = updated,
+      outputRows = 0, version = ver, deleted = deleted)
+    Upsert.MergeClauseMetrics(inserted, updated, deleted, kept)
+  }
+
   /** MERGE via deletion vectors (completing the merge-on-read DML
     * triad with [[deleteMor]] and [[updateMor]]): the same conditional
     * upsert semantics as [[upsert]] — version-rule updates, inserts,
@@ -2384,6 +2768,52 @@ final class Warehouse(
   ): Long =
     withWriterLock(layer, table)(zorderImpl(layer, table, cols, targetRowsPerFile, bits))
 
+  /** Numeric-ish columns scale to equi-width buckets; everything else
+    * hashes (equality skipping only) — shared by [[zorder]] and
+    * [[zorderIncremental]].
+    */
+  private def zIsNumeric(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType   => true
+      case _: org.apache.spark.sql.types.DateType      => true
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _                                           => false
+    }
+
+  /** Global (min, max) per numeric z-column — one aggregation pass. */
+  private def zStats(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
+    val numCols = cols.filter(zIsNumeric(df, _))
+    if (numCols.isEmpty) Map.empty
+    else {
+      val aggs = numCols.flatMap(c =>
+        Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      numCols.map(c => c -> (r.getAs[Double](s"__min_$c"), r.getAs[Double](s"__max_$c"))).toMap
+    }
+  }
+
+  /** The bit-interleaved Z-value expression over `cols` with the given
+    * global stats — fully codegen per-row arithmetic, no sampled state.
+    */
+  private def zExpr(df: DataFrame, cols: Seq[String], bits: Int,
+      stats: Map[String, (Double, Double)]): Column = {
+    val maxB = (1 << bits) - 1
+    def bucket(c: String): Column =
+      if (zIsNumeric(df, c)) {
+        val (lo, hi) = stats(c)
+        if (hi <= lo) lit(0)
+        else least(
+          lit(maxB),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxB + 1))).cast("int")
+      } else pmod(xxhash64(col(c)), lit(maxB + 1)).cast("int")
+    val buckets = cols.map(bucket)
+    (0 until bits)
+      .flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * cols.size + j)
+      })
+      .reduce(_.bitwiseOR(_))
+  }
+
   private def zorderImpl(
       layer: String,
       table: String,
@@ -2398,37 +2828,7 @@ final class Warehouse(
     val df     = spark.read.option("mergeSchema", "true").parquet(target)
     val rows   = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val maxB   = (1 << bits) - 1
-    val isNumeric: String => Boolean = c =>
-      df.schema(c).dataType match {
-        case _: org.apache.spark.sql.types.NumericType => true
-        case _: org.apache.spark.sql.types.DateType    => true
-        case _: org.apache.spark.sql.types.TimestampType => true
-        case _ => false
-      }
-    val numCols = cols.filter(isNumeric)
-    val stats =
-      if (numCols.isEmpty) Map.empty[String, (Double, Double)]
-      else {
-        val aggs = numCols.flatMap(c =>
-          Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
-        val r = df.agg(aggs.head, aggs.tail: _*).head()
-        numCols.map(c => c -> (r.getAs[Double](s"__min_$c"), r.getAs[Double](s"__max_$c"))).toMap
-      }
-    def bucket(c: String): Column =
-      if (isNumeric(c)) {
-        val (lo, hi) = stats(c)
-        if (hi <= lo) lit(0)
-        else least(
-          lit(maxB),
-          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxB + 1))).cast("int")
-      } else pmod(xxhash64(col(c)), lit(maxB + 1)).cast("int")
-    val buckets = cols.map(bucket)
-    val z = (0 until bits)
-      .flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * cols.size + j)
-      })
-      .reduce(_.bitwiseOR(_))
+    val z      = zExpr(df, cols, bits, zStats(df, cols))
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
     val pcols = partitionColumns(layer, table) // preserve the live layout
@@ -2445,6 +2845,109 @@ final class Warehouse(
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "ZORDER", inserted = 0, updated = 0, outputRows = rows)
     rows
+  }
+
+  /** Liquid-clustering-shaped incremental Z-order: re-cluster ONLY the
+    * files whose key span is wide relative to the table's — freshly
+    * appended files cover the whole key range (span fraction ≈ 1),
+    * already-clustered files cover a thin slice — and byte-copy the
+    * rest. [[zorder]] rewrites 100% of the table on every call; on a
+    * 100 TB table that went through one full cluster pass and daily
+    * appends, this variant rewrites only the append tail (the Delta
+    * Liquid Clustering / OPTIMIZE-incremental idea).
+    *
+    * A file is a victim when, for ANY numeric clustering column, its
+    * (max - min) exceeds `spanThreshold` × the table's global span.
+    * Per-file min/max come from ONE column-pruned aggregation keyed by
+    * `input_file_name` (footer-stat-driven at scan time); the same
+    * pass yields the global stats the Z-expression scales by, so the
+    * incremental rewrite lands victims' rows on the SAME Z-curve the
+    * full pass used — ranges stay compatible across calls. Requires at
+    * least one numeric column (string spans are unmeasurable — hash
+    * buckets have no order). No victims → a zero-rewrite `ZORDER`
+    * no-op commit. Partitioned layouts delegate to the full rewrite.
+    * Returns the number of files rewritten.
+    */
+  def zorderIncremental(
+      layer: String,
+      table: String,
+      cols: Seq[String],
+      spanThreshold: Double = 0.5,
+      targetRowsPerFile: Long = 1_000_000L,
+      bits: Int = 8
+  ): Long =
+    withWriterLock(layer, table)(
+      zorderIncrementalImpl(layer, table, cols, spanThreshold, targetRowsPerFile, bits))
+
+  private def zorderIncrementalImpl(
+      layer: String,
+      table: String,
+      cols: Seq[String],
+      spanThreshold: Double,
+      targetRowsPerFile: Long,
+      bits: Int
+  ): Long = {
+    repairCrashedSwap(layer, table)
+    materializeDv(layer, table) // rewrite never runs against live tombstones
+    require(cols.nonEmpty && cols.size <= 4, "zorder supports 1-4 columns")
+    require(spanThreshold > 0 && spanThreshold <= 1, "spanThreshold must be in (0, 1]")
+    if (partitionColumns(layer, table).nonEmpty) {
+      zorderImpl(layer, table, cols, targetRowsPerFile, bits)
+      return spark.read.parquet(tablePath(layer, table)).inputFiles.length.toLong
+    }
+    val target  = tablePath(layer, table)
+    val df      = spark.read.option("mergeSchema", "true").parquet(target)
+    val numCols = cols.filter(zIsNumeric(df, _))
+    require(numCols.nonEmpty,
+      "zorderIncremental needs at least one numeric/date/timestamp column to measure spans")
+    // one pass: per-file min/max/count for every numeric z-column
+    val perFileAggs = numCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c"))) :+ count(lit(1)).as("__rows")
+    val perFile = df
+      .groupBy(input_file_name().as("__f"))
+      .agg(perFileAggs.head, perFileAggs.tail: _*)
+      .collect()
+    val stats: Map[String, (Double, Double)] = numCols.map { c =>
+      c -> (perFile.map(_.getAs[Double](s"__min_$c")).min,
+            perFile.map(_.getAs[Double](s"__max_$c")).max)
+    }.toMap
+    val victims = perFile.filter { r =>
+      numCols.exists { c =>
+        val (lo, hi) = stats(c)
+        val span = hi - lo
+        span > 0 && (r.getAs[Double](s"__max_$c") - r.getAs[Double](s"__min_$c")) >
+          spanThreshold * span
+      }
+    }
+    if (victims.isEmpty) {
+      logOp(layer, table, "ZORDER", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
+    val victimFiles = victims.map(r => normDataFile(r.getAs[String]("__f"))).toSet
+    val untouched   = df.inputFiles.map(normDataFile).filterNot(victimFiles).toSeq
+    val victimRows  = victims.map(_.getAs[Long]("__rows")).sum
+    val nFiles = math.max(1L, (victimRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val z = zExpr(df, cols, bits, stats)
+    val staging = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    val obs = org.apache.spark.sql.Observation()
+    readFilesAligned(victimFiles.toSeq, df.schema)
+      .withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    copyFilesInto(untouched.map((_, "")), staging)
+    val back = obs.get("n").asInstanceOf[Long]
+    require(back == victimRows, s"zorder changed row count: $victimRows -> $back")
+    val carried =
+      if (untouched.isEmpty) 0L else spark.read.parquet(untouched: _*).count()
+    retireAndSwap(layer, table, staging)
+    logOp(layer, table, "ZORDER", inserted = 0, updated = 0,
+      outputRows = back + carried)
+    victimFiles.size.toLong
   }
 
   /** Hold several tables' writer locks at once — the closest thing the

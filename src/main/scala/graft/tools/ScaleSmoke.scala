@@ -419,6 +419,18 @@ object ScaleSmoke {
     time("q58 repetition metrics (bigram shuffles)") {
       graft.QueriesCorpus.q58_repetition(spark, out).count()
     }
+    time("q115 substring pairs (8-token anchors, diag runs)") {
+      graft.operators.Dedup
+        .substringPairs(spark.read.parquet(s"$out/documents.parquet"),
+          "doc_id", "text", k = 8)
+        .count()
+    }
+    time("substring pairs + maxDf=64 stop-gram cap") {
+      graft.operators.Dedup
+        .substringPairs(spark.read.parquet(s"$out/documents.parquet"),
+          "doc_id", "text", k = 8, maxDf = Some(64L))
+        .count()
+    }
     time("persisted IVF: build index (centroids + cell partitions)") {
       graft.operators.Similarity
         .ivfIndexWrite(spark.read.parquet(s"$out/embeddings.parquet"),

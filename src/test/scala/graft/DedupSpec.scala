@@ -440,4 +440,37 @@ class DedupSpec extends SparkSpec {
     info(f"JL k=16: ${ratios.length} pairs, mean ratio ${ratios.sum / ratios.length}%.2f, within [0.3,1.7]: $within%.2f")
     assert(within > 0.9, s"distance distortion at k=16 exceeded the loose JL band for ${1 - within} of pairs")
   }
+
+  test("substringPairs finds planted exact runs and measures max_run exactly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def words(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
+    // doc 1 and 2 share a planted 12-token run (in different contexts);
+    // doc 3 shares nothing; doc 4 repeats doc 1 verbatim (30 tokens)
+    val shared = words("s", 12)
+    val docs = Seq(
+      (1L, words("a", 9) + " " + shared + " " + words("b", 9)),
+      (2L, words("c", 5) + " " + shared + " " + words("d", 4)),
+      (3L, words("e", 30)),
+      (4L, words("a", 9) + " " + shared + " " + words("b", 9))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringPairs(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // pair (1,2): only the 12-token run matches -> 5 anchors (12-8+1), max_run 12
+    // pair (1,4): identical 30-token docs -> 23 anchors, max_run 30
+    // pair (2,4): the shared run again
+    assert(out.toSeq == Seq(
+      (1L, 2L, 5L, 12L), (1L, 4L, 23L, 30L), (2L, 4L, 5L, 12L)))
+    // the maxDf cap drops hot grams: with the run shared by 3 docs and
+    // cap 2 (each shared gram occurs 3x > 2), only the verbatim-copy
+    // pair survives through its unique context grams
+    val capped = Dedup.substringPairs(docs, "doc_id", "text", k = 8, maxDf = Some(2L))
+      .orderBy("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1L, 4L)))
+    // below-k docs never anchor
+    val tiny = Seq((9L, "one two three")).toDF("doc_id", "text")
+    assert(Dedup.substringPairs(docs.unionByName(tiny), "doc_id", "text", k = 8)
+      .filter($"doc_a" === 9L || $"doc_b" === 9L).count() == 0)
+  }
 }

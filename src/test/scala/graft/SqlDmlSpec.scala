@@ -1,0 +1,158 @@
+package graft
+
+import graft.sources.{SqlDml, Warehouse}
+import java.nio.file.Files
+
+/** The SQL DML front-end running the reference notebooks' literal
+  * statement text (CTAS, CTE-wrapped MERGE INTO, INSERT INTO with a
+  * NOT IN subquery, DESCRIBE HISTORY inside a FROM) plus the Delta DML
+  * statements the reference would hit next (DELETE/UPDATE/VALUES,
+  * MERGE delete actions).
+  */
+class SqlDmlSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def fresh() = {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_sqldml").toString)
+    (wh, new SqlDml(spark, wh))
+  }
+
+  test("CTAS creates a warehouse table; queries resolve main.<layer>.<table>") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, "x"), (2L, "y")).toDF("id", "payload").createOrReplaceTempView("sqldml_src1")
+    sql.execute("create table main.silver.t1 as select id, payload from sqldml_src1")
+    assert(wh.table("silver", "t1").count() == 2)
+    // both the 3-level and 2-level forms resolve in a plain query
+    assert(sql.execute("select count(*) as n from main.silver.t1").head().getLong(0) == 2)
+    assert(sql.execute("select count(*) as n from silver.t1").head().getLong(0) == 2)
+    // CREATE without OR REPLACE refuses an existing table
+    intercept[IllegalArgumentException](
+      sql.execute("create table main.silver.t1 as select 1 as id"))
+    // ... and OR REPLACE replaces
+    sql.execute("create or replace table main.silver.t1 as select 9 as id")
+    assert(wh.table("silver", "t1").head().getInt(0) == 9)
+  }
+
+  test("the reference's MERGE text runs verbatim (CTE source, update set *, insert *)") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, 0, "a"), (2L, 0, "b")).toDF("id", "version", "title")
+      .createOrReplaceTempView("sqldml_source")
+    sql.execute("create table main.silver.arxiv as select * from sqldml_source")
+    Seq((2L, 1, "b2"), (3L, 0, "c"), (4L, 1, "d"))
+      .toDF("id", "version", "title").createOrReplaceTempView("sqldml_batch")
+    // silver_arxiv.py:130-152 shape, CTE + alias-qualified condition
+    val metrics = sql.execute("""
+        with src as (
+          select id, version, title
+          from sqldml_batch
+          where id >= 2
+        )
+        merge into main.silver.arxiv tgt
+        using src
+        on tgt.id = src.id
+        when matched and src.version > tgt.version
+        then update set *
+        when not matched
+        then insert *
+    """).head()
+    assert((metrics.getLong(1), metrics.getLong(2), metrics.getLong(3)) == ((2L, 1L, 0L)))
+    val state = wh.table("silver", "arxiv").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(state == Seq((1L, 0, "a"), (2L, 1, "b2"), (3L, 0, "c"), (4L, 1, "d")))
+    // the reference's DESCRIBE HISTORY metrics query runs verbatim
+    // (silver_arxiv.py:175-184)
+    val hist = sql.execute("""
+        select operationMetrics.numTargetRowsInserted as inserted,
+               operationMetrics.numTargetRowsUpdated as updated,
+               operationMetrics.numOutputRows as output_rows -- For non-merge operation
+        from (
+        describe history main.silver.arxiv) t
+        order by version desc
+        limit 1
+    """).head()
+    assert((hist.getLong(0), hist.getLong(1)) == ((2L, 1L)))
+  }
+
+  test("INSERT INTO with a NOT IN subquery over the target runs verbatim") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq(("k1", "a"), ("k2", "b")).toDF("nyt_sk", "title")
+      .createOrReplaceTempView("sqldml_nyt")
+    sql.execute("create table main.silver.nyt as select * from sqldml_nyt")
+    Seq(("k2", "b"), ("k3", "c")).toDF("nyt_sk", "title")
+      .createOrReplaceTempView("sqldml_nyt2")
+    // silver_nyt_archive.py:102-120 shape
+    sql.execute("""
+        insert into main.silver.nyt
+        select *
+        from (
+        select nyt_sk, title
+        from sqldml_nyt2 ) t
+        where nyt_sk not in (
+            select nyt_sk
+            from main.silver.nyt
+        )
+    """)
+    assert(wh.table("silver", "nyt").orderBy("nyt_sk").collect()
+      .map(_.getString(0)).toSeq == Seq("k1", "k2", "k3"))
+  }
+
+  test("DELETE FROM / UPDATE / INSERT VALUES route to warehouse DML") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "amt")
+      .createOrReplaceTempView("sqldml_src2")
+    sql.execute("create table main.gold.acct as select * from sqldml_src2")
+    sql.execute("insert into main.gold.acct values (4, 40.0), (5, 50.0)")
+    assert(wh.table("gold", "acct").count() == 5)
+    val upd = sql.execute("update main.gold.acct set amt = amt * 2 where id <= 2").head()
+    assert(upd.getLong(2) == 2L)
+    val del = sql.execute("delete from main.gold.acct where amt > 45").head()
+    assert(del.getLong(3) == 1L) // only id 5 (amt 50) exceeds 45
+    val state = wh.table("gold", "acct").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(state == Seq((1L, 20.0), (2L, 40.0), (3L, 30.0), (4L, 40.0)))
+  }
+
+  test("MERGE delete actions and by-source clauses parse and apply") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 1, "c"), (4L, 1, "d"))
+      .toDF("id", "v", "p").createOrReplaceTempView("sqldml_t3")
+    sql.execute("create table main.silver.t3 as select * from sqldml_t3")
+    Seq((2L, 9, "b2"), (3L, 9, "c2"), (5L, 9, "e"))
+      .toDF("id", "v", "p").createOrReplaceTempView("sqldml_b3")
+    val m = sql.execute("""
+        merge into main.silver.t3 tgt
+        using sqldml_b3 src
+        on tgt.id = src.id
+        when matched and src.id = 2 then delete
+        when matched then update set p = src.p, v = src.v + tgt.v
+        when not matched and src.id < 6 then insert (id, v, p) values (src.id, src.v, src.p)
+        when not matched by source and tgt.id = 4 then update set p = 'stale'
+    """).head()
+    assert((m.getLong(1), m.getLong(2), m.getLong(3)) == ((1L, 2L, 1L)))
+    val state = wh.table("silver", "t3").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(state == Seq((1L, 1, "a"), (3L, 10, "c2"), (4L, 1, "stale"), (5L, 9, "e")))
+  }
+
+  test("CREATE OR REPLACE VIEW registers; DESCRIBE HISTORY stands alone") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, "x")).toDF("id", "payload").createOrReplaceTempView("sqldml_src4")
+    sql.execute("create table main.gold.a as select * from sqldml_src4")
+    sql.execute("insert into main.gold.a values (2, 'y')")
+    sql.execute(
+      "create or replace view main.gold.vw_a as select id, upper(payload) as p from main.gold.a")
+    assert(sql.execute("select * from main.gold.vw_a order by id").collect()
+      .map(_.getString(1)).toSeq == Seq("X", "Y"))
+    val hist = sql.execute("describe history main.gold.a").orderBy(desc("version")).collect()
+    assert(hist.map(_.getAs[String]("operation")).toSeq ==
+      Seq("APPEND", "CREATE OR REPLACE"))
+    // string literals survive resolution untouched
+    assert(sql.execute("select 'main.gold.a' as s").head().getString(0) == "main.gold.a")
+  }
+}

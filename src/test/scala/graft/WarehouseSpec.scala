@@ -782,6 +782,64 @@ class WarehouseSpec extends SparkSpec {
     assert(dp.getAs[Long]("num_files") >= 2)
   }
 
+  test("incremental zorder rewrites only wide-span files; clustered files byte-copy") {
+    import spark.implicits._
+    val wh = freshWh()
+    val n  = 40000L
+    // clustered base: 4 range files, each covering a thin slice of k
+    wh.createOrReplace("gold", "zi",
+      spark.range(n).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"k").sortWithinPartitions("k"))
+    // an append tail spanning the WHOLE key range (the daily-ingest shape)
+    wh.append("gold", "zi",
+      spark.range(0, n, 10).select($"id".as("k"), lit(9L).as("v")).repartition(1))
+    def fileNames() = wh.table("gold", "zi").inputFiles.map(_.split('/').last).toSet
+    val before    = fileNames()
+    val thinFiles = before.size - 1
+    // file target sized so the rewritten tail splits into ~4 range
+    // files (each a thin span); the carried base files keep their size
+    val rewritten = wh.zorderIncremental("gold", "zi", Seq("k"),
+      spanThreshold = 0.5, targetRowsPerFile = n / 40)
+    assert(rewritten == 1L, s"only the wide append file should rewrite, got $rewritten")
+    // the 4 clustered files byte-copied under their original names
+    assert(before.intersect(fileNames()).size == thinFiles)
+    assert(wh.table("gold", "zi").count() == n + n / 10)
+    assert(wh.lastOperation("gold.zi").get.getAs[String]("operation") == "ZORDER")
+    // converged: a second call finds no wide files → zero-rewrite no-op
+    assert(wh.zorderIncremental("gold", "zi", Seq("k"),
+      spanThreshold = 0.5, targetRowsPerFile = n / 40) == 0L)
+    assert(wh.lastOperation("gold.zi").get.getAs[Long]("num_output_rows") == 0L)
+    // values unchanged through both calls
+    assert(wh.table("gold", "zi").agg(sum($"v")).head().getLong(0) ==
+      (0L until n).map(_ % 7).sum + 9L * (n / 10))
+  }
+
+  test("time-based vacuum (RETAIN n HOURS) drops by retiring-commit age") {
+    import spark.implicits._
+    val wh = freshWh(keep = 10)
+    val t0 = System.currentTimeMillis()
+    for (v <- 0 to 2)
+      wh.createOrReplace("gold", "vt", Seq((v, s"gen$v")).toDF("n", "tag"))
+    // every retiring commit just happened: a 1-hour window keeps all
+    assert(wh.vacuumRetainHours("gold", "vt", retainHours = 1.0, nowMillis = t0) == 0L)
+    assert(wh.tableAsOf("gold", "vt", 0L).head().getString(1) == "gen0")
+    assert(wh.detail("gold", "vt").head().getAs[Long]("oldest_retained_version") == 0L)
+    // two hours later the same window removes both retired generations
+    val later = t0 + 2 * 3600 * 1000L
+    assert(wh.vacuumRetainHours("gold", "vt", retainHours = 1.0, nowMillis = later) == 2L)
+    assert(wh.lastOperation("gold.vt").get.getAs[String]("operation") == "VACUUM")
+    intercept[IllegalArgumentException](wh.tableAsOf("gold", "vt", 0L))
+    intercept[IllegalArgumentException](wh.tableAsOf("gold", "vt", 1L))
+    // the live table is untouched and DESCRIBE DETAIL reflects the floor
+    assert(wh.table("gold", "vt").head().getString(1) == "gen2")
+    val d = wh.detail("gold", "vt").head()
+    assert(d.getAs[Long]("retained_generations") == 0L)
+    assert(d.getAs[Long]("oldest_retained_version") ==
+      d.getAs[Long]("current_version"))
+    // a re-run finds nothing left to remove
+    assert(wh.vacuumRetainHours("gold", "vt", retainHours = 1.0, nowMillis = later) == 0L)
+  }
+
   test("history migrates legacy 7-column ledger files (pre-num_deleted era)") {
     import spark.implicits._
     val wh = freshWh()
