@@ -1242,6 +1242,60 @@ object Oracles {
           |  SELECT doc_a, doc_b, max(run_tokens) AS max_run FROM runlen GROUP BY doc_a, doc_b)
           |SELECT agg.doc_a, agg.doc_b, agg.n_anchors, ml.max_run
           |FROM agg JOIN ml USING (doc_a, doc_b)
+          |ORDER BY agg.doc_a, agg.doc_b""".stripMargin) +
+      // q116: the q114 COW scenario driven by MERGE SQL text — same
+      // recompute, single path
+      ("q116_sql_merge_clauses" ->
+        """SELECT * FROM (
+          |  SELECT o_orderkey, o_custkey,
+          |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50
+          |         ELSE o_totalprice END AS o_totalprice,
+          |    CASE WHEN o_orderkey % 5 = 0 THEN 1
+          |         WHEN o_orderkey % 13 = 0 THEN -1 ELSE 0 END AS version
+          |  FROM orders
+          |  WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 20 = 0)
+          |    AND NOT (o_orderkey % 5 <> 0 AND o_orderkey % 997 = 0)
+          |  UNION ALL
+          |  SELECT o_orderkey + 900000000, o_custkey, o_totalprice, 1
+          |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 20 <> 0
+          |) ORDER BY o_orderkey""".stripMargin) +
+      // q117: incremental-zorder table read back through the pruned
+      // scan must equal the plain range filter over base ∪ tail
+      ("q117_zorder_incremental" ->
+        """SELECT * FROM (
+          |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |  UNION ALL
+          |  SELECT o_orderkey, o_custkey, o_totalprice + 1000
+          |  FROM orders WHERE o_orderkey % 100 = 0
+          |) WHERE o_custkey BETWEEN 100 AND 200
+          |ORDER BY o_custkey, o_orderkey, o_totalprice""".stripMargin) +
+      // q118: the indexed probe must emit exactly the full q115 pair
+      // set restricted to pairs involving a batch (doc_id % 3 = 0) doc
+      ("q118_incremental_substring" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+          |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u
+          |  WHERE len(t) >= 8),
+          |m AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+          |runs AS (
+          |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+          |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+          |  FROM m),
+          |runlen AS (
+          |  SELECT doc_a, doc_b, count(*) + 7 AS run_tokens
+          |  FROM runs GROUP BY doc_a, doc_b, diag, grp),
+          |agg AS (
+          |  SELECT doc_a, doc_b, count(*) AS n_anchors FROM m GROUP BY doc_a, doc_b),
+          |ml AS (
+          |  SELECT doc_a, doc_b, max(run_tokens) AS max_run FROM runlen GROUP BY doc_a, doc_b)
+          |SELECT agg.doc_a, agg.doc_b, agg.n_anchors, ml.max_run
+          |FROM agg JOIN ml USING (doc_a, doc_b)
+          |WHERE agg.doc_a % 3 = 0 OR agg.doc_b % 3 = 0
           |ORDER BY agg.doc_a, agg.doc_b""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —

@@ -111,9 +111,12 @@ object QueriesDml {
       MergeClause.UpdateMatched(Some(expr("s.version > t.version")), None))
     val notMatched = Seq(
       MergeClause.InsertNotMatched(Some(expr("s.o_orderkey % 20 != 0")), None))
+    // the stale-flag condition excludes already-flagged rows, so a
+    // re-run classifies zero changes and takes the no-op commit exit
+    // (the q82/q84 idempotent-re-run convention)
     val bySource = Seq(
       MergeClause.DeleteBySource(Some(expr("t.o_orderkey % 997 = 0"))),
-      MergeClause.UpdateBySource(Some(expr("t.o_orderkey % 13 = 0")),
+      MergeClause.UpdateBySource(Some(expr("t.o_orderkey % 13 = 0 and t.version <> -1")),
         Map("version" -> lit(-1))))
     wh.mergeClauses("silver", "ord_cow", batch, Seq("o_orderkey"),
       matched, notMatched, bySource)
@@ -136,6 +139,104 @@ object QueriesDml {
     import spark.implicits._
     graft.operators.Dedup
       .substringPairs(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The q114 COW scenario driven ENTIRELY by MERGE SQL text through
+    * [[graft.sources.SqlDml]] — the full clause list (matched delete,
+    * conditional update set *, conditional insert *, not-matched-by-
+    * source delete AND update with an explicit assignment) parsed from
+    * one statement and routed to [[Warehouse.mergeClauses]]. Same
+    * oracle recompute as q114's COW half; re-runs no-op (every clause
+    * condition self-excludes on the post-state).
+    */
+  def q116_sql_merge_clauses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q116_wh", dir)
+    val wh     = new Warehouse(spark, whRoot)
+    val sql    = new SqlDml(spark, wh)
+    val orders = Tables.orders(spark, dir)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "ordsql",
+        orders.select($"o_orderkey", $"o_custkey", $"o_totalprice", lit(0).as("version")))
+    }
+    orders.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" + 50).as("o_totalprice"), lit(1).as("version"))
+      .unionByName(orders.filter($"o_orderkey" % 50 === 0)
+        .select(($"o_orderkey" + 900000000L).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice", lit(1).as("version")))
+      .createOrReplaceTempView("q116_batch")
+    sql.execute("""
+        merge into main.silver.ordsql tgt
+        using q116_batch src
+        on tgt.o_orderkey = src.o_orderkey
+        when matched and src.o_orderkey % 20 = 0 then delete
+        when matched and src.version > tgt.version then update set *
+        when not matched and src.o_orderkey % 20 != 0 then insert *
+        when not matched by source and tgt.o_orderkey % 997 = 0 then delete
+        when not matched by source and tgt.o_orderkey % 13 = 0 and tgt.version != -1
+          then update set version = -1
+    """)
+    wh.table("silver", "ordsql")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"version")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Liquid-clustering-shaped incremental Z-order under the oracle
+    * gate: a custkey-clustered base plus a full-span append tail (the
+    * daily-ingest shape) goes through
+    * [[Warehouse.zorderIncremental]] — ONLY the wide tail rewrites,
+    * the clustered files byte-copy — then the stats sidecar rebuilds
+    * and the timed body is a stats-pruned range scan
+    * ([[Warehouse.scanPruned]], q98's discipline: pruning is a plan
+    * property, values must equal the plain filter). The oracle
+    * recomputes base ∪ tail with the range predicate.
+    */
+  def q117_zorder_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q117_wh", dir)
+    val wh     = new Warehouse(spark, whRoot)
+    val orders = Tables.orders(spark, dir)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("gold", "ordz",
+        orders.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .repartitionByRange(8, $"o_custkey").sortWithinPartitions("o_custkey"))
+      wh.append("gold", "ordz",
+        orders.filter($"o_orderkey" % 100 === 0)
+          .select($"o_orderkey", $"o_custkey", ($"o_totalprice" + 1000).as("o_totalprice"))
+          .repartition(1))
+      wh.zorderIncremental("gold", "ordz", Seq("o_custkey"),
+        spanThreshold = 0.5, targetRowsPerFile = 1000)
+      wh.collectStats("gold", "ordz", Seq("o_custkey"))
+    }
+    wh.scanPruned("gold", "ordz", "o_custkey", 100L, 200L)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"o_orderkey", $"o_totalprice")
+  }
+
+  /** Incremental exact-substring dedup against a PERSISTED anchor
+    * index (the ingest shape of q115, q48/q54's exactly-once
+    * contract): the corpus (doc_id % 3 ≠ 0) is anchored once at
+    * fixture build and stored; the batch (doc_id % 3 = 0) probes the
+    * index ∪ itself — emitting exactly the pairs that involve a batch
+    * document, corpus text untouched. The oracle recomputes the FULL
+    * q115 pair set and filters to batch-involving pairs: the probe
+    * must agree pair-for-pair, run-for-run.
+    */
+  def q118_incremental_substring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val idx = Scratch.dir(spark, "q118_idx", dir)
+    val docs = Tables.documents(spark, dir)
+    Scratch.once(idx) {
+      Dedup.substringIndexWrite(docs.filter($"doc_id" % 3 =!= 0),
+        "doc_id", "text", k = 8, s"$idx/anchors")
+    }
+    val batch = Dedup.substringAnchors(docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", k = 8)
+    Dedup.incrementalSubstringPairsIndexed(
+        spark.read.parquet(s"$idx/anchors"), batch, k = 8)
       .orderBy($"doc_a", $"doc_b")
   }
 }

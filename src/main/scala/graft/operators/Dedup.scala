@@ -599,8 +599,30 @@ object Dedup {
       maxDf: Option[Long] = None
   ): DataFrame = {
     require(k >= 2, "substringPairs needs k >= 2")
-    // tokenization must stay oracle-parity simple: lowercase,
-    // whitespace runs, empties dropped
+    val grams = substringAnchors(df, idCol, textCol, k, maxDf)
+    val a = grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+      col("h"), col("g").as("ga"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+      col("h").as("hb"), col("g").as("gb"))
+    val m = a.join(b,
+        col("h") === col("hb") && col("doc_a") < col("doc_b") && col("ga") === col("gb"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    anchorRunsAgg(m, k)
+  }
+
+  /** Positioned k-gram anchors of every document: (doc_id, pos, h, g)
+    * with `h` = xxhash64 of the gram string `g` — the join key the
+    * substring family shuffles on, and the schema the PERSISTED anchor
+    * index stores ([[substringIndexWrite]]). Tokenization stays
+    * oracle-parity simple: lowercase, whitespace runs, empties dropped.
+    */
+  def substringAnchors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDf: Option[Long] = None
+  ): DataFrame = {
     val toks = df
       .select(col(idCol).as("doc_id"),
         expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("t"))
@@ -611,7 +633,7 @@ object Dedup {
           s"transform(sequence(1, size(t) - ${k - 1}), i -> array_join(slice(t, i, $k), ' '))")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), xxhash64(col("col")).as("h"),
         col("col").as("g"))
-    val grams = maxDf match {
+    maxDf match {
       case None => grams0
       case Some(cap) =>
         // hot-gram cap: one narrow agg over the hash finds stop-grams;
@@ -620,13 +642,13 @@ object Dedup {
           .filter(col("n") > cap).select(col("h"))
         grams0.join(broadcast(hot), Seq("h"), "left_anti")
     }
-    val a = grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
-      col("h"), col("g").as("ga"))
-    val b = grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
-      col("h").as("hb"), col("g").as("gb"))
-    val m = a.join(b,
-        col("h") === col("hb") && col("doc_a") < col("doc_b") && col("ga") === col("gb"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+  }
+
+  /** Shared tail of the substring family: matched positioned anchors
+    * (doc_a, doc_b, pa, pb) → (doc_a, doc_b, n_anchors, max_run) via
+    * the diagonal gaps-and-islands window.
+    */
+  private def anchorRunsAgg(m: DataFrame, k: Int): DataFrame = {
     val runs = m
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("grp", col("pa") - row_number().over(
@@ -637,5 +659,58 @@ object Dedup {
     val anchors = m.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_anchors"))
     val maxRun = runlen.groupBy("doc_a", "doc_b").agg(max("run_tokens").as("max_run"))
     anchors.join(maxRun, Seq("doc_a", "doc_b"))
+  }
+
+  /** Persist the positioned-anchor index for incremental substring
+    * dedup: the corpus is tokenized and anchored ONCE at ingest; every
+    * later batch probes the stored anchors ([[incrementalSubstringPairsIndexed]])
+    * without re-reading corpus text. Partitioned by pmod(h, 64) so a
+    * probe's hash join aligns with the layout.
+    */
+  def substringIndexWrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      path: String
+  ): Unit =
+    substringAnchors(df, idCol, textCol, k)
+      .withColumn("hb", pmod(col("h"), lit(64)))
+      .write.mode("overwrite").partitionBy("hb").parquet(path)
+
+  /** Incremental exact-substring dedup against the PERSISTED anchor
+    * index: cost O(batch anchoring + matched-anchor mass) — corpus
+    * text is never touched, corpus anchors never recomputed. The probe
+    * side joins index ∪ batch with the same exactly-once contract as
+    * [[incrementalNearDupPairsIndexed]]: a pair inside batch i emits
+    * at batch i, a pair across batches i < j at batch j (run the
+    * index append after the probe). Output matches
+    * [[substringPairs]]: (doc_a, doc_b, n_anchors, max_run),
+    * doc_a < doc_b.
+    */
+  def incrementalSubstringPairsIndexed(
+      indexAnchors: DataFrame,
+      batchAnchors: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val probe = batchAnchors.select(col("doc_id"), col("pos"), col("h"), col("g"))
+    val index = indexAnchors.select(col("doc_id"), col("pos"), col("h"), col("g"))
+      .unionByName(probe)
+    val p = probe.select(col("doc_id").as("pd"), col("pos").as("pp"),
+      col("h"), col("g").as("pg"))
+    val i = index.select(col("doc_id").as("idd"), col("pos").as("ip"),
+      col("h").as("ih"), col("g").as("ig"))
+    // orient every match doc_a < doc_b with positions following their
+    // docs; batch-batch matches arrive from both probe directions, so
+    // the oriented 4-tuple dedupes them exactly
+    val m = p.join(i,
+        col("h") === col("ih") && col("pd") =!= col("idd") && col("pg") === col("ig"))
+      .select(
+        least(col("pd"), col("idd")).as("doc_a"),
+        greatest(col("pd"), col("idd")).as("doc_b"),
+        when(col("pd") < col("idd"), col("pp")).otherwise(col("ip")).as("pa"),
+        when(col("pd") < col("idd"), col("ip")).otherwise(col("pp")).as("pb"))
+      .distinct()
+    anchorRunsAgg(m, k)
   }
 }

@@ -48,8 +48,6 @@ object MaterializedAgg {
       keys: Seq[String],
       valueCol: String
   ): Unit = {
-    val spark = wh.table(srcLayer, srcTable).sparkSession
-    import spark.implicits._
     val srcVersion = wh.currentVersion(srcLayer, srcTable)
     val mv = wh
       .table(srcLayer, srcTable)
@@ -58,7 +56,8 @@ object MaterializedAgg {
         sum(col(valueCol).cast(DecimalType(18, 2))).cast(Sum).as("sum_v"),
         count(lit(1)).as("n"))
     wh.createOrReplace(mvLayer, mvTable, mv)
-    wh.createOrReplace(mvLayer, stateTable(mvTable), Seq(srcVersion).toDF("last_version"))
+    // jobless 1-row cursor write (same swap/ledger semantics)
+    wh.writeScalarLong(mvLayer, stateTable(mvTable), "last_version", srcVersion)
   }
 
   /** Apply every change-feed row newer than the cursor; returns the
@@ -73,9 +72,7 @@ object MaterializedAgg {
       keys: Seq[String],
       valueCol: String
   ): Long = {
-    val spark = wh.table(mvLayer, mvTable).sparkSession
-    import spark.implicits._
-    val since = wh.table(mvLayer, stateTable(mvTable)).head().getLong(0)
+    val since = wh.readScalarLong(mvLayer, stateTable(mvTable))
     // cache the tail: it is read twice (stats probe, then delta agg)
     // and is O(delta) by construction — the one thing in this path
     // that IS safe to hold in memory at any table size
@@ -104,7 +101,7 @@ object MaterializedAgg {
             (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")): _*)
         .filter(col("n") > 0) // fully-deleted keys leave the MV, like a real GROUP BY
       wh.createOrReplace(mvLayer, mvTable, merged)
-      wh.createOrReplace(mvLayer, stateTable(mvTable), Seq(newVersion).toDF("last_version"))
+      wh.writeScalarLong(mvLayer, stateTable(mvTable), "last_version", newVersion)
       applied
     } finally { feed.unpersist(); () }
   }

@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *     surfaced Delta-shaped, so that text runs verbatim)
   *   - `CREATE [OR REPLACE] VIEW name AS SELECT ...`
   *     (gold_integrated_data_preNLP.py:156-166)
+  *   - Delta-parity statements beyond the reference: `INSERT OVERWRITE
+  *     [TABLE] t ...`, `TRUNCATE TABLE t`, `DROP TABLE [IF EXISTS] t`,
+  *     `DESCRIBE DETAIL t`, and time-travel readers — `FROM t VERSION
+  *     AS OF n` / `FROM t TIMESTAMP AS OF 'ts'` resolve to as-of views
+  *     inside any query
   *   - anything else: treated as a query (SELECT / WITH), warehouse
   *     table names resolved, run through `spark.sql`
   *
@@ -67,13 +72,34 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
       case Seq("with", _*) if topLevelIndexOf(stmt, "merge", 0) >= 0 =>
         val at = topLevelIndexOf(stmt, "merge", 0)
         executeMerge(stmt.substring(at), ctePrefix = stmt.substring(0, at).trim)
-      case Seq("insert", "into", _*) => executeInsert(stmt)
+      case Seq("insert", "into", _*) => executeInsert(stmt, overwrite = false)
+      case Seq("insert", "overwrite", _*) =>
+        executeInsert(stmt, overwrite = true)
       case Seq("delete", "from", _*) => executeDelete(stmt)
       case Seq("update", _*)         => executeUpdate(stmt)
+      case Seq("truncate", "table", _*) =>
+        // Delta TRUNCATE: an unconditional DELETE (feed + history kept)
+        val (l, t) = parseQualified(stmt.split("\\s+", 3)(2).trim).getOrElse(
+          sys.error("TRUNCATE TABLE needs a <layer>.<table> name"))
+        metricsRow("TRUNCATE", 0, 0, wh.delete(l, t, lit(true)))
+      case Seq("drop", "table", _*) =>
+        val rest = stmt.split("\\s+", 3)(2).trim
+        val ifExists = rest.toLowerCase.startsWith("if exists")
+        val name = if (ifExists) rest.substring("if exists".length).trim else rest
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error("DROP TABLE needs a <layer>.<table> name"))
+        if (wh.tableExists(l, t)) wh.dropTable(l, t)
+        else require(ifExists, s"table $l.$t does not exist")
+        metricsRow("DROP TABLE", 0, 0, 0)
       case Seq("describe", "history", _*) =>
         val name = stmt.split("\\s+", 3)(2).trim
         historyDf(parseQualified(name).getOrElse(
           sys.error(s"DESCRIBE HISTORY needs a <layer>.<table> name, got: $name")))
+      case Seq("describe", "detail", _*) =>
+        val name = stmt.split("\\s+", 3)(2).trim
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error(s"DESCRIBE DETAIL needs a <layer>.<table> name, got: $name"))
+        wh.detail(l, t)
       case _ => spark.sql(resolveRefs(stmt))
     }
   }
@@ -103,8 +129,8 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     }
   }
 
-  private def executeInsert(stmt: String): DataFrame = {
-    val re = "(?is)^insert\\s+into\\s+([\\w.]+)\\s*(.*)$".r
+  private def executeInsert(stmt: String, overwrite: Boolean): DataFrame = {
+    val re = "(?is)^insert\\s+(?:into|overwrite)\\s+(?:table\\s+)?([\\w.]+)\\s*(.*)$".r
     stmt match {
       case re(name, body0) =>
         val (layer, table) = parseQualified(name).getOrElse(
@@ -144,8 +170,14 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
           val cast = tgtSchema.fields.find(_.name.equalsIgnoreCase(to)).map(_.dataType)
           cast.foldLeft(col(s"`$from`"))((c, dt) => c.cast(dt)).as(to)
         }: _*)
-        val n = wh.append(layer, table, df)
-        metricsRow("INSERT", n, 0, 0)
+        if (overwrite) {
+          // INSERT OVERWRITE = full replace with the target's schema
+          val n = wh.createOrReplace(layer, table, df)
+          metricsRow("INSERT OVERWRITE", n, 0, 0)
+        } else {
+          val n = wh.append(layer, table, df)
+          metricsRow("INSERT", n, 0, 0)
+        }
       case _ => sys.error(s"unsupported INSERT statement: ${stmt.take(120)}")
     }
   }
@@ -338,7 +370,28 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     * `alias.column` references pass through untouched.
     */
   private def resolveRefs(sqlTxt: String): String = {
-    val (masked, restore) = maskStrings(sqlTxt)
+    // Delta time-travel SQL (`FROM t VERSION AS OF n` / `TIMESTAMP AS
+    // OF 'ts'`): rewritten BEFORE string masking (the timestamp
+    // literal must be readable) to temp views over the as-of read
+    val vAsOf = "(?i)((?:main\\.)?[\\w]+\\.[\\w]+)\\s+version\\s+as\\s+of\\s+(\\d+)".r
+    val withV = vAsOf.replaceAllIn(sqlTxt, m => parseQualified(m.group(1)) match {
+      case Some((l, t)) if wh.tableExists(l, t) =>
+        val ver = m.group(2).toLong
+        val v   = s"__graft_asof_${l}_${t}_$ver"
+        wh.tableAsOf(l, t, ver).createOrReplaceTempView(v)
+        java.util.regex.Matcher.quoteReplacement(v)
+      case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
+    })
+    val tAsOf = "(?i)((?:main\\.)?[\\w]+\\.[\\w]+)\\s+timestamp\\s+as\\s+of\\s+'([^']+)'".r
+    val withT = tAsOf.replaceAllIn(withV, m => parseQualified(m.group(1)) match {
+      case Some((l, t)) if wh.tableExists(l, t) =>
+        val ms = parseTsMillis(m.group(2))
+        val v  = s"__graft_asofts_${l}_${t}_$ms"
+        wh.tableAsOfTimestamp(l, t, ms).createOrReplaceTempView(v)
+        java.util.regex.Matcher.quoteReplacement(v)
+      case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
+    })
+    val (masked, restore) = maskStrings(withT)
     // DESCRIBE HISTORY inside a FROM subquery → select over the
     // Delta-shaped ledger view
     val dh = "(?i)describe\\s+history\\s+((?:main\\.)?[\\w]+\\.[\\w]+)".r
@@ -365,6 +418,24 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
       java.util.regex.Matcher.quoteReplacement(sub.getOrElse(m.group(0)))
     })
     restore(resolved)
+  }
+
+  /** Timestamp literal of a `TIMESTAMP AS OF` clause → epoch millis:
+    * ISO instant, `yyyy-MM-dd HH:mm:ss[.SSS]` (session timezone is
+    * UTC), or a bare date at UTC midnight.
+    */
+  private def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    try java.time.Instant.parse(t).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.time.LocalDateTime
+        .parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli
+      }
+    }
   }
 
   /** Strip `-- ...` line comments (outside string literals). */

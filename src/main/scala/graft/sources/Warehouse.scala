@@ -633,7 +633,7 @@ final class Warehouse(
     val keptRewritten = keptObs.get("n").asInstanceOf[Long]
     val keptCarried =
       if (carryPairs.isEmpty) 0L
-      else spark.read.option("basePath", target).parquet(carryPairs.map(_._1): _*).count()
+      else footerRowCount(carryPairs.map(_._1), Some(target))
     val obs = org.apache.spark.sql.Observation()
     touchedDf.filter(hit)
       .withColumn("_change_type", lit("delete"))
@@ -702,7 +702,7 @@ final class Warehouse(
     val rewrittenRows = rowsObs.get("n").asInstanceOf[Long]
     val carriedRows =
       if (carryPairs.isEmpty) 0L
-      else spark.read.option("basePath", target).parquet(carryPairs.map(_._1): _*).count()
+      else footerRowCount(carryPairs.map(_._1), Some(target))
     val pre = touchedDf.filter(hit).withColumn("_change_type", lit("update_preimage"))
     val post = touchedDf.filter(hit)
       .select(df.schema.fields.toSeq.map { f =>
@@ -818,8 +818,7 @@ final class Warehouse(
     // see WarehouseStreams.mvRefreshSink)
     val carried =
       if (carryPairs.isEmpty) 0L
-      else spark.read.option("basePath", tablePath(layer, table))
-        .parquet(carryPairs.map(_._1): _*).count()
+      else footerRowCount(carryPairs.map(_._1), Some(tablePath(layer, table)))
     try {
       mr.result.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
       copyFilesInto(carryPairs, staging)
@@ -955,6 +954,64 @@ final class Warehouse(
     victims.length.toLong
   }
 
+  /** Replace a 1-row, 1-column BIGINT state table (an MV's feed
+    * cursor, a watermark) entirely DRIVER-SIDE: the row writes with
+    * parquet-java (no Spark job — a 1-row `toDF.write` pays ~200 ms of
+    * scheduler latency, and DML-heavy bodies pay it per commit),
+    * through the same staged swap + ledger commit as
+    * [[createOrReplace]], so locking, crash repair, time travel and
+    * `table()` reads are unchanged. [[readScalarLong]] is the matching
+    * jobless read; both interoperate with Spark-written generations of
+    * the same table.
+    */
+  def writeScalarLong(layer: String, table: String, colName: String, value: Long): Unit =
+    withWriterLock(layer, table) {
+      repairCrashedSwap(layer, table)
+      val staging = new Path(tablePath(layer, table) + ".__staging")
+      fs.delete(staging, true)
+      fs.mkdirs(staging)
+      val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+        s"message scalar { required int64 $colName; }")
+      val file = new Path(staging, s"part-graft-${java.util.UUID.randomUUID()}.snappy.parquet")
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          file, spark.sparkContext.hadoopConfiguration))
+        .withType(schema)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      try {
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+        g.append(colName, value)
+        writer.write(g)
+      } finally writer.close()
+      retireAndSwap(layer, table, staging)
+      logOp(layer, table, "CREATE OR REPLACE", inserted = 1, updated = 0, outputRows = 1)
+    }
+
+  /** Jobless read of a [[writeScalarLong]]-shaped state table: the
+    * single BIGINT of its single row, straight from the data files.
+    */
+  def readScalarLong(layer: String, table: String): Long = {
+    val dir = new Path(tablePath(layer, table))
+    require(fs.exists(dir), s"$layer.$table does not exist")
+    val rows = fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+          .withConf(spark.sparkContext.hadoopConfiguration)
+          .build()
+        try {
+          Iterator.continually(reader.read()).takeWhile(_ != null)
+            .map(g => g.getLong(0, 0)).toArray
+        } finally reader.close()
+      }
+    require(rows.length == 1, s"$layer.$table is not a 1-row scalar table (${rows.length} rows)")
+    rows.head
+  }
+
   /** DESCRIBE DETAIL parity: one row of physical table facts —
     * format, file count, total bytes, partition columns, retained
     * generation count, and the current ledger version. All from
@@ -1022,6 +1079,29 @@ final class Warehouse(
           .foreach(fs.delete(_, true))
       ()
     }
+
+
+  /** Row count of parquet `files` from footer metadata only. Small
+    * sets read DRIVER-SIDE (a per-file `getRecordCount` is one footer
+    * fetch — no Spark job, no ~200 ms scheduler latency, which every
+    * COW op paid once per commit for its carried-file count); large
+    * sets fall back to the distributed zero-column count so a
+    * million-file table never serializes footer fetches through the
+    * driver.
+    */
+  private def footerRowCount(files: Seq[String], basePath: Option[String] = None): Long = {
+    if (files.isEmpty) return 0L
+    if (files.length > 256) {
+      val reader = basePath.foldLeft(spark.read)((r, bp) => r.option("basePath", bp))
+      return reader.parquet(files: _*).count()
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf)
+      val r  = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** Normalize a data-file path string to its decoded hadoop form.
     * `input_file_name()` / `Dataset.inputFiles` return URL-ENCODED
@@ -1289,7 +1369,7 @@ final class Warehouse(
     // footer metadata (a zero-column scan), not a data read
     val keptCarried =
       if (untouched.isEmpty) 0L
-      else spark.read.parquet(untouched: _*).count()
+      else footerRowCount(untouched)
     val deletedRows = touchedDf.filter(hit)
       .withColumn("_change_type", lit("delete"))
       .withColumn("_commit_version", lit(ver))
@@ -1394,7 +1474,7 @@ final class Warehouse(
     val rewrittenRows = rowsObs.get("n").asInstanceOf[Long]
     val carriedRows =
       if (untouched.isEmpty) 0L
-      else spark.read.parquet(untouched: _*).count()
+      else footerRowCount(untouched)
     val pre = touchedDf.filter(hit).withColumn("_change_type", lit("update_preimage"))
     val post = touchedDf.filter(hit)
       .select(df.schema.fields.toSeq.map { f =>
@@ -2341,7 +2421,7 @@ final class Warehouse(
       // keeps + footer-counted carried rows
       logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
       val carried0 =
-        if (untouched.isEmpty) 0L else spark.read.parquet(untouched: _*).count()
+        if (untouched.isEmpty) 0L else footerRowCount(untouched)
       return Upsert.MergeClauseMetrics(0, 0, 0, keptPlan + carried0)
     }
     val staging = new Path(tablePath(layer, table) + ".__staging")
@@ -2351,7 +2431,7 @@ final class Warehouse(
     // (minimal feed-to-ledger commit window, see [[upsert]])
     val carried =
       if (untouched.isEmpty) 0L
-      else spark.read.parquet(untouched: _*).count()
+      else footerRowCount(untouched)
     val writer = merged.filter(col(Upsert.ActionCol) =!= "delete").drop(Upsert.ActionCol)
       .write.mode(SaveMode.Overwrite)
     (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer).parquet(staging.toString)
@@ -2734,8 +2814,7 @@ final class Warehouse(
       val keptRewritten = keptObs.get("n").asInstanceOf[Long]
       val keptCarried =
         if (carryPairs.isEmpty) 0L
-        else spark.read.option("basePath", target)
-          .parquet(carryPairs.map(_._1): _*).count()
+        else footerRowCount(carryPairs.map(_._1), Some(target))
       swapPartitions(layer, table, staging, retireDirs, pcols.length)
       logOp(layer, table, "REORG", inserted = 0, updated = 0,
         outputRows = keptRewritten + keptCarried)
@@ -2943,7 +3022,7 @@ final class Warehouse(
     val back = obs.get("n").asInstanceOf[Long]
     require(back == victimRows, s"zorder changed row count: $victimRows -> $back")
     val carried =
-      if (untouched.isEmpty) 0L else spark.read.parquet(untouched: _*).count()
+      if (untouched.isEmpty) 0L else footerRowCount(untouched)
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "ZORDER", inserted = 0, updated = 0,
       outputRows = back + carried)
@@ -3798,7 +3877,7 @@ final class Warehouse(
     // waits on the commit (see WarehouseStreams.mvRefreshSink)
     val carried =
       if (untouched.isEmpty) 0L
-      else spark.read.parquet(untouched: _*).count()
+      else footerRowCount(untouched)
     try {
       mr.result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       copyFilesInto(untouched.map((_, "")), staging)
@@ -4017,14 +4096,45 @@ final class Warehouse(
       val c = lockedVersionCache.get(tableName)
       if (c != null) return c.longValue()
     }
-    val v =
-      if (!fs.exists(new Path(tablePath(ledgerLayer, ledgerTable)))) -1L
-      else {
-        val hist = history(tableName)
-        if (hist.isEmpty) -1L else hist.agg(max("version")).head().getLong(0)
-      }
+    val v = ledgerMaxVersion(tableName)
     if (locked) lockedVersionCache.put(tableName, v)
     v
+  }
+
+  /** Max ledger version for a table, read DRIVER-SIDE with parquet-java
+    * (like Delta reads its transaction log — no Spark job). Every DML
+    * op consults the version several times (crash repair, claim,
+    * feed bounds); as a Spark job each lookup paid ~200 ms of
+    * scheduler latency, which dominated multi-commit bodies (q83's
+    * merge+delete+refresh ran 5+ ledger jobs). The ledger is a
+    * directory of tiny 1-row files (plus older Spark-written
+    * multi-row generations) — a driver loop over footers is
+    * milliseconds, and reads the same rows [[history]] serves.
+    */
+  private def ledgerMaxVersion(tableName: String): Long = {
+    val dir = new Path(tablePath(ledgerLayer, ledgerTable))
+    if (!fs.exists(dir)) return -1L
+    var maxV = -1L
+    fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .foreach { st =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+          .withConf(spark.sparkContext.hadoopConfiguration)
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            if (g.getString("table_name", 0) == tableName) {
+              val v = g.getLong("version", 0)
+              if (v > maxV) maxV = v
+            }
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    maxV
   }
 
   private def nextVersion(tableName: String): Long = latestVersion(tableName) + 1L

@@ -181,6 +181,119 @@ class PipelineSpec extends SparkSpec {
     assert(last.getAs[Long]("num_updated") == 1L)
   }
 
+  test("silver_arxiv runs end-to-end through the reference's SQL text (SqlDml)") {
+    import graft.sources.SqlDml
+    val (pipe, wh, (_, arxivDir, _), _) = freshPipeline()
+    val sql = new SqlDml(spark, wh)
+    // the notebook's typed projection, VERBATIM (silver_arxiv.py:82-96:
+    // :: casts, left/right, concat run_date reassembly)
+    val projection = """
+select split(split(id, '/')[4], 'v')[0]::string as id,
+       split(split(id, '/')[4], 'v')[1]::string as version,
+       id::string as link,
+       summary::string,
+       title::string,
+       left(updated, 10)::date as updated_dt,
+       source_file_name::string,
+       concat(
+         cast(left(run_date, 4) as string), '-',
+         cast(substr(run_date, 5, 2) as string), '-',
+         cast(right(run_date, 2) as string)
+       )::date as run_date,
+       load_ts::timestamp
+from source
+"""
+    def sqlDay(firstLoad: Boolean): Unit = {
+      // df.createOrReplaceTempView('source'); source_df over it; rebind
+      // (silver_arxiv.py:59,73,82,101)
+      wh.table("bronze", "arxiv").createOrReplaceTempView("source")
+      sql.execute(projection).createOrReplaceTempView("source")
+      if (firstLoad) {
+        // silver_arxiv.py:115-128 with table_name = arxiv_sql
+        sql.execute("""
+        create table main.silver.arxiv_sql as
+        select sha2(concat_ws('||', id, version, updated_dt), 256) as arx_sk,
+               id,
+               version,
+               link,
+               summary,
+               title,
+               updated_dt,
+               source_file_name,
+               run_date,
+               load_ts
+        from source
+        """)
+      } else {
+        val wm = sql.execute(
+          "select watermark_date from main.silver.watermark_arxiv_sql").head().getString(0)
+        // silver_arxiv.py:130-152, watermark_date substituted like the f-string
+        sql.execute(s"""
+        with src as (
+          select sha2(concat_ws('||', id, version, updated_dt), 256) as arx_sk,
+                 id,
+                 version,
+                 link,
+                 summary,
+                 title,
+                 updated_dt,
+                 source_file_name,
+                 run_date,
+                 load_ts
+          from source
+          where updated_dt >= '$wm'
+        )
+        merge into main.silver.arxiv_sql tgt
+        using src
+        on tgt.id = src.id
+        when matched and src.version > tgt.version
+        then update set *
+        when not matched
+        then insert *
+        """)
+      }
+      // watermark update (silver_arxiv.py:199 shape)
+      val maxDate = sql.execute(
+        "select max(updated_dt)::string as w from main.silver.arxiv_sql").head().getString(0)
+      sql.execute(s"create or replace table main.silver.watermark_arxiv_sql as " +
+        s"select '$maxDate' as watermark_date")
+    }
+
+    // day 1: scala path via the pipeline, SQL path via the notebook text
+    pipe.run("20221220")
+    sqlDay(firstLoad = true)
+    // day 2: v3 update + a new id land, bronze replaces, both paths merge
+    Files.writeString(java.nio.file.Paths.get(arxivDir,
+      "2022-12-21_1671600000.456_arxiv.json"),
+      """{"feed": {"entry": [
+        |{"id": "http://arxiv.org/abs/2212.01234v3", "updated": "2022-12-21T10:00:00Z", "title": "Green energy v3", "summary": "updated solar study"},
+        |{"id": "http://arxiv.org/abs/2212.09999v1", "updated": "2022-12-21T11:00:00Z", "title": "Biogas", "summary": "biogas emission"}
+        |]}}""".stripMargin.replaceAll("\n", " "))
+    Stages.bronzeArxiv(spark, wh, arxivDir, "20221221")
+    Stages.silverArxiv(spark, wh)
+    sqlDay(firstLoad = false)
+
+    // the SQL-driven table equals the Scala-stage-driven table, row for row
+    val cols = wh.table("silver", "arxiv").columns.toSeq
+    val scalaState = wh.table("silver", "arxiv")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val sqlState = wh.table("silver", "arxiv_sql")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(sqlState == scalaState)
+    assert(sqlState.size == 3)
+    // and the reference's DESCRIBE HISTORY metrics text reads the merge
+    val hist = sql.execute("""
+        select operationMetrics.numTargetRowsInserted as inserted,
+               operationMetrics.numTargetRowsUpdated as updated,
+               operationMetrics.numOutputRows as output_rows
+        from (
+        describe history main.silver.arxiv_sql) t
+        order by version desc
+        limit 1
+    """).head()
+    assert((hist.getLong(0), hist.getLong(1)) == ((1L, 1L)))
+  }
+
   test("compaction shrinks a many-small-file table without touching a value") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_compact")

@@ -155,4 +155,35 @@ class SqlDmlSpec extends SparkSpec {
     // string literals survive resolution untouched
     assert(sql.execute("select 'main.gold.a' as s").head().getString(0) == "main.gold.a")
   }
+
+  test("time travel, INSERT OVERWRITE, TRUNCATE, DROP TABLE, DESCRIBE DETAIL") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").createOrReplaceTempView("sqldml_tt")
+    sql.execute("create table main.gold.tt as select * from sqldml_tt") // v0
+    sql.execute("delete from main.gold.tt where id = 2")                // v1
+    // Delta time-travel SQL against the warehouse table
+    assert(sql.execute("select count(*) as n from main.gold.tt version as of 0")
+      .head().getLong(0) == 2)
+    assert(sql.execute("select count(*) as n from main.gold.tt").head().getLong(0) == 1)
+    // TIMESTAMP AS OF far future resolves to the latest commit
+    assert(sql.execute(
+      "select count(*) as n from main.gold.tt timestamp as of '2999-01-01'")
+      .head().getLong(0) == 1)
+    // INSERT OVERWRITE replaces content wholesale
+    sql.execute("insert overwrite main.gold.tt values (7, 'z')")
+    assert(sql.execute("select * from main.gold.tt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "z")))
+    // DESCRIBE DETAIL surfaces physical facts
+    assert(sql.execute("describe detail main.gold.tt")
+      .head().getAs[String]("name") == "gold.tt")
+    // TRUNCATE empties, table and history remain
+    sql.execute("truncate table main.gold.tt")
+    assert(sql.execute("select count(*) as n from main.gold.tt").head().getLong(0) == 0)
+    // DROP TABLE removes; IF EXISTS tolerates the absence
+    sql.execute("drop table main.gold.tt")
+    assert(!wh.tableExists("gold", "tt"))
+    sql.execute("drop table if exists main.gold.tt")
+    intercept[IllegalArgumentException](sql.execute("drop table main.gold.tt"))
+  }
 }
