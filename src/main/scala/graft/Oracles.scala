@@ -1296,7 +1296,24 @@ object Oracles {
           |SELECT agg.doc_a, agg.doc_b, agg.n_anchors, ml.max_run
           |FROM agg JOIN ml USING (doc_a, doc_b)
           |WHERE agg.doc_a % 3 = 0 OR agg.doc_b % 3 = 0
-          |ORDER BY agg.doc_a, agg.doc_b""".stripMargin)
+          |ORDER BY agg.doc_a, agg.doc_b""".stripMargin) +
+      // q119: the q114/q116 recompute with the partition column riding
+      // along — the partitioned writer must land identical values
+      ("q119_merge_clauses_partitioned" ->
+        """SELECT * FROM (
+          |  SELECT o_orderkey, o_custkey,
+          |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50
+          |         ELSE o_totalprice END AS o_totalprice,
+          |    CASE WHEN o_orderkey % 5 = 0 THEN 1
+          |         WHEN o_orderkey % 13 = 0 THEN -1 ELSE 0 END AS version,
+          |    o_orderpriority
+          |  FROM orders
+          |  WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 20 = 0)
+          |    AND NOT (o_orderkey % 5 <> 0 AND o_orderkey % 997 = 0)
+          |  UNION ALL
+          |  SELECT o_orderkey + 900000000, o_custkey, o_totalprice, 1, o_orderpriority
+          |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 20 <> 0
+          |) ORDER BY o_orderkey""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

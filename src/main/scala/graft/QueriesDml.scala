@@ -183,6 +183,47 @@ object QueriesDml {
       .orderBy($"o_orderkey")
   }
 
+  /** The full clause surface on a HIVE-PARTITIONED target under the
+    * oracle gate ([[Warehouse.mergeClausesPartitioned]] — the
+    * partition-scoped slice machinery): same batch and clause list as
+    * q114/q116 with the partition column (o_orderpriority) riding
+    * along; the BY SOURCE clauses widen the slice to every partition,
+    * and matched deletes/updates/inserts land in their directories.
+    * DuckDB recomputes the final state including the partition column.
+    */
+  def q119_merge_clauses_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q119_wh", dir)
+    val wh     = new Warehouse(spark, whRoot)
+    val orders = Tables.orders(spark, dir)
+    Scratch.once(whRoot) {
+      wh.createOrReplacePartitioned("silver", "ordp",
+        orders.select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          lit(0).as("version"), $"o_orderpriority"),
+        Seq("o_orderpriority"))
+    }
+    val batch = orders.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" + 50).as("o_totalprice"), lit(1).as("version"), $"o_orderpriority")
+      .unionByName(orders.filter($"o_orderkey" % 50 === 0)
+        .select(($"o_orderkey" + 900000000L).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice", lit(1).as("version"), $"o_orderpriority"))
+    val matched = Seq(
+      MergeClause.DeleteMatched(Some(expr("s.o_orderkey % 20 = 0"))),
+      MergeClause.UpdateMatched(Some(expr("s.version > t.version")), None))
+    val notMatched = Seq(
+      MergeClause.InsertNotMatched(Some(expr("s.o_orderkey % 20 != 0")), None))
+    val bySource = Seq(
+      MergeClause.DeleteBySource(Some(expr("t.o_orderkey % 997 = 0"))),
+      MergeClause.UpdateBySource(Some(expr("t.o_orderkey % 13 = 0 and t.version <> -1")),
+        Map("version" -> lit(-1))))
+    wh.mergeClauses("silver", "ordp", batch, Seq("o_orderkey"),
+      matched, notMatched, bySource)
+    wh.table("silver", "ordp")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"version", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
   /** Liquid-clustering-shaped incremental Z-order under the oracle
     * gate: a custkey-clustered base plus a full-span append tail (the
     * daily-ingest shape) goes through

@@ -852,6 +852,119 @@ final class Warehouse(
     m
   }
 
+  /** Partition-scoped full-clause MERGE (the [[upsertPartitioned]]
+    * machinery for [[mergeClauses]]): touched partitions = source
+    * rows' partitions ∪ matched target rows' current homes, so matched
+    * UPDATEs/DELETEs rewrite only their slice and partition moves
+    * commit in both homes. A BY SOURCE clause can modify any target
+    * row, so its presence widens the slice to every partition — the
+    * same all-files rule as the flat layout, expressed as dirs.
+    * Delete-action rows leave the slice rewrite and land in the feed
+    * as `delete` pre-images.
+    */
+  private def mergeClausesPartitioned(
+      layer: String,
+      table: String,
+      src: DataFrame,
+      keys: Seq[String],
+      matched: Seq[graft.operators.MergeClause.Matched],
+      notMatched: Seq[graft.operators.MergeClause.NotMatched],
+      bySource: Seq[graft.operators.MergeClause.BySource],
+      pcols: Seq[String]
+  ): Upsert.MergeClauseMetrics = {
+    require(
+      pcols.forall(src.columns.contains),
+      s"partitioned MERGE source must carry the partition columns (${pcols.mkString(",")})")
+    val tgt0       = this.table(layer, table)
+    val unioned    = unionSchema(tgt0.schema, src.schema)
+    validateClauseAssignments(layer, table, unioned.fieldNames.toSeq,
+      matched, notMatched, bySource)
+    val srcAligned = alignTo(src, unioned)
+    val tgtF = tgt0.withColumn("__graft_file", input_file_name())
+    val srcKeys = srcAligned.select(keys.map(col): _*).distinct()
+    val matchedRows = tgtF
+      .join(srcKeys, keys.map(k => tgtF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
+      .select((pcols.map(c => col(c).cast("string")) :+ col("__graft_file")): _*)
+      .distinct().collect()
+    val matchedParts: Seq[Seq[String]] =
+      matchedRows.map(r => pcols.indices.map(r.getString).toSeq).toSeq.distinct
+    val matchedKeyFiles: Set[String] =
+      matchedRows.map(r => normDataFile(r.getString(pcols.length))).toSet
+    val touched: Seq[Seq[String]] =
+      if (bySource.nonEmpty) touchedPartitions(tgt0, pcols)
+      else (touchedPartitions(srcAligned, pcols) ++ matchedParts).distinct
+    if (touched.isEmpty) {
+      logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
+      return Upsert.MergeClauseMetrics(0, 0, 0, 0)
+    }
+    val newCols    = unioned.fieldNames.filterNot(tgt0.columns.contains)
+    val retireDirs = retireDirsFor(new Path(tablePath(layer, table)), pcols, tgt0.schema, touched)
+    val sliceFilePairs = dataFilesUnder(new Path(tablePath(layer, table)), retireDirs)
+    val matchedFiles: Set[String] =
+      if (newCols.nonEmpty || bySource.nonEmpty) sliceFilePairs.map(_._1).toSet
+      else matchedKeyFiles
+    val carryPairs = sliceFilePairs.filterNot(p => matchedFiles.contains(p._1))
+    val sliceTgt   = tgt0.filter(partitionPredicate(touched, pcols))
+    val touchedTgt =
+      if (matchedFiles.isEmpty) sliceTgt.limit(0)
+      else readFilesAligned(matchedFiles.toSeq, tgt0.schema,
+        basePath = Some(tablePath(layer, table)))
+    val idCols = identityColumns(layer, table).map(_._1).toSet
+    val merged = Upsert.planClauses(alignTo(touchedTgt, unioned), srcAligned,
+      keys, matched, notMatched, bySource, insertOnlyCols = idCols)
+    val counts = merged.groupBy(col(Upsert.ActionCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ins = counts.getOrElse("insert", 0L)
+    val upd = counts.getOrElse("update", 0L)
+    val del = counts.getOrElse("delete", 0L)
+    val keptPlan = counts.getOrElse("keep", 0L)
+    if (ins == 0 && upd == 0 && del == 0 && newCols.isEmpty) {
+      logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
+      val carried0 =
+        if (carryPairs.isEmpty) 0L
+        else footerRowCount(carryPairs.map(_._1), Some(tablePath(layer, table)))
+      return Upsert.MergeClauseMetrics(0, 0, 0, keptPlan + carried0)
+    }
+    val staging = new Path(tablePath(layer, table) + ".__staging")
+    fs.delete(staging, true)
+    val ver = nextVersion(s"$layer.$table")
+    val carried =
+      if (carryPairs.isEmpty) 0L
+      else footerRowCount(carryPairs.map(_._1), Some(tablePath(layer, table)))
+    merged.filter(col(Upsert.ActionCol) =!= "delete").drop(Upsert.ActionCol)
+      .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
+    copyFilesInto(carryPairs, staging)
+    val post = merged
+      .filter(col(Upsert.ActionCol).isin("insert", "update"))
+      .withColumn("_change_type",
+        when(col(Upsert.ActionCol) === "insert", lit("insert"))
+          .otherwise(lit("update_postimage")))
+      .drop(Upsert.ActionCol)
+    val updatedKeys = merged
+      .filter(col(Upsert.ActionCol) === "update")
+      .select(keys.map(col): _*)
+    val pre = touchedTgt
+      .join(updatedKeys,
+        keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+      .select(unioned.fieldNames.map(n =>
+        if (tgt0.columns.contains(n)) col(n)
+        else lit(null).cast(unioned(n).dataType).as(n)): _*)
+      .withColumn("_change_type", lit("update_preimage"))
+    val delRows = merged
+      .filter(col(Upsert.ActionCol) === "delete")
+      .drop(Upsert.ActionCol)
+      .withColumn("_change_type", lit("delete"))
+    post.unionByName(pre).unionByName(delRows)
+      .withColumn("_commit_version", lit(ver))
+      .withColumn("_commit_part", lit(f"$ver%010d"))
+      .write.mode(SaveMode.Append).partitionBy("_commit_part")
+      .parquet(tablePath(layer, table) + ".__changes")
+    swapPartitions(layer, table, staging, retireDirs, pcols.length)
+    logOp(layer, table, "MERGE", ins, upd,
+      outputRows = ins + upd + keptPlan + carried, version = ver, deleted = del)
+    Upsert.MergeClauseMetrics(ins, upd, del, keptPlan + carried)
+  }
+
   private def pruneGenerations(layer: String, table: String): Unit = {
     pruneGenerationsTo(layer, table, keepGenerations); ()
   }
@@ -2329,10 +2442,11 @@ final class Warehouse(
     * exists, which can touch ANY target row, so every file rewrites),
     * staged swap, change-feed rows for every image (insert /
     * update_preimage / update_postimage / delete), zero-change no-op
-    * commits, schema evolution via union-align. Partitioned tables
-    * take a whole-table rewrite (partition-granular COW for the full
-    * clause surface would need per-partition match tracking; [[upsert]]
-    * covers the hot partitioned upsert path). Conditions and
+    * commits, schema evolution via union-align. Hive-partitioned
+    * tables route to [[mergeClausesPartitioned]] — the partition-
+    * scoped slice machinery with the same BY-SOURCE widening rule
+    * (any target row may change → every partition in the slice).
+    * Conditions and
     * assignment expressions reference the sides as `t.`/`s.` — see
     * [[graft.operators.MergeClause]].
     */
@@ -2379,19 +2493,21 @@ final class Warehouse(
     val (src, idHighs) = applyIdentity(layer, table, gen, allowCarry = false)
     commitIdentity(layer, table, idHighs) // ids burn even if the merge refuses
     enforceConstraints(layer, table, src, "MERGE")
+    val pcols = partitionColumns(layer, table)
+    if (pcols.nonEmpty)
+      return mergeClausesPartitioned(layer, table, src, keys,
+        matched, notMatched, bySource, pcols)
     val tgt0    = this.table(layer, table)
     val unioned = unionSchema(tgt0.schema, src.schema)
     validateClauseAssignments(layer, table, unioned.fieldNames.toSeq,
       matched, notMatched, bySource)
-    val pcols   = partitionColumns(layer, table)
     val newCols = unioned.fieldNames.filterNot(tgt0.columns.contains)
     val allFiles = tgt0.inputFiles.map(normDataFile).toSeq
     // file-granular COW applies only when no BY SOURCE clause exists
-    // (a by-source clause can modify rows in ANY file) and the layout
-    // is flat (see scaladoc); evolution forces the full rewrite as in
-    // [[upsert]]
+    // (a by-source clause can modify rows in ANY file); evolution
+    // forces the full rewrite as in [[upsert]]
     val matchedFiles: Set[String] =
-      if (newCols.nonEmpty || bySource.nonEmpty || pcols.nonEmpty) allFiles.toSet
+      if (newCols.nonEmpty || bySource.nonEmpty) allFiles.toSet
       else {
         val srcKeys = src.select(keys.map(col): _*).distinct()
         val tgtF    = tgt0.withColumn("__graft_file", input_file_name())
@@ -2403,8 +2519,7 @@ final class Warehouse(
     val untouched = allFiles.filterNot(matchedFiles)
     val touchedTgt =
       if (matchedFiles.isEmpty) tgt0.limit(0)
-      else readFilesAligned(matchedFiles.toSeq, tgt0.schema,
-        basePath = if (pcols.nonEmpty) Some(tablePath(layer, table)) else None)
+      else readFilesAligned(matchedFiles.toSeq, tgt0.schema)
     val idCols = identityColumns(layer, table).map(_._1).toSet
     val merged = Upsert.planClauses(alignTo(touchedTgt, unioned), alignTo(src, unioned),
       keys, matched, notMatched, bySource, insertOnlyCols = idCols)
@@ -2432,9 +2547,8 @@ final class Warehouse(
     val carried =
       if (untouched.isEmpty) 0L
       else footerRowCount(untouched)
-    val writer = merged.filter(col(Upsert.ActionCol) =!= "delete").drop(Upsert.ActionCol)
-      .write.mode(SaveMode.Overwrite)
-    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer).parquet(staging.toString)
+    merged.filter(col(Upsert.ActionCol) =!= "delete").drop(Upsert.ActionCol)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     copyFilesInto(untouched.map((_, "")), staging)
     // change feed: post-images for inserts/updates, pre-images for
     // updates (semi-join of the pre-merge touched files against the

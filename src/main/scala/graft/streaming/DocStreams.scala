@@ -156,4 +156,55 @@ object DocStreams {
         ()
       }
       .start()
+
+  // ---- exact-substring dedup stream (q115's ingest twin) ----
+
+  private def anchorsDir(indexDir: String) = s"$indexDir/anchors"
+
+  /** Anchor the pre-existing corpus ONCE for streaming substring
+    * dedup: positioned k-gram anchors persist under `batch_id=-1`;
+    * streaming batches probe them without re-reading corpus text.
+    */
+  def seedSubstringIndex(
+      seedDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      k: Int = 8
+  ): Unit =
+    Dedup.substringAnchors(seedDocs, idCol, textCol, k)
+      .write.mode("overwrite").parquet(s"${anchorsDir(indexDir)}/batch_id=-1")
+
+  /** Ingest-time exact-substring dedup (the streaming twin of q118,
+    * same contract as [[incrementalDedup]]): each micro-batch anchors
+    * ONLY its own documents, probes the persisted anchor index ∪
+    * itself via [[Dedup.incrementalSubstringPairsIndexed]], writes the
+    * (doc_a, doc_b, n_anchors, max_run) pairs to
+    * `pairsDir/batch_id=<id>`, then appends its anchors — per-batch
+    * cost O(|batch| anchoring + matched-anchor mass), corpus text
+    * never re-read. Batch-partition overwrites keep replays idempotent.
+    */
+  def incrementalSubstringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairsDir: String,
+      indexDir: String,
+      k: Int = 8
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val bAnchors = Materialize(
+          Dedup.substringAnchors(batch.select(idCol, textCol), idCol, textCol, k))
+        val idx = spark.read.parquet(anchorsDir(indexDir))
+          .select("doc_id", "pos", "h", "g")
+        Dedup.incrementalSubstringPairsIndexed(idx, bAnchors, k)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+        bAnchors.write.mode("overwrite")
+          .parquet(s"${anchorsDir(indexDir)}/batch_id=$batchId")
+        ()
+      }
+      .start()
 }

@@ -195,4 +195,42 @@ class MergeClausesSpec extends SparkSpec {
       "a delete-only MOR merge appends no data files")
     assert(finalState(wh, "silver") == Seq((1L, "a", 1), (3L, "c", 1)))
   }
+
+  test("partitioned mergeClauses: partition-scoped slice, untouched dirs byte-identical") {
+    import spark.implicits._
+    val wh = freshWh()
+    // three partitions; the source only references pt a and b
+    wh.createOrReplacePartitioned("silver", "dim",
+      Seq((1L, "a", 1, "pa"), (2L, "b", 1, "pa"), (3L, "c", 1, "pb"), (4L, "d", 1, "pc"))
+        .toDF("k", "payload", "v", "pt"), Seq("pt"))
+    val untouchedBefore = wh.table("silver", "dim").inputFiles
+      .filter(_.contains("pt=pc")).map(_.split('/').last).toSet
+    val src = Seq((2L, "b2", 9, "pa"), (3L, "ignored", 9, "pb"), (5L, "e", 9, "pb"))
+      .toDF("k", "payload", "v", "pt")
+    val m = wh.mergeClauses("silver", "dim", src, Seq("k"),
+      Seq(MergeClause.DeleteMatched(Some(col("s.k") === 3L)),
+        MergeClause.UpdateMatched(Some(col("s.v") > col("t.v")), None)),
+      Seq(MergeClause.InsertNotMatched(None, None)))
+    assert(m == Upsert.MergeClauseMetrics(inserted = 1, updated = 1, deleted = 1, kept = 1))
+    val state = wh.table("silver", "dim").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"), r.getAs[String]("pt"))).toSeq
+    assert(state == Seq((1L, "a", "pa"), (2L, "b2", "pa"), (4L, "d", "pc"), (5L, "e", "pb")))
+    // the pc partition was outside the slice: its file survives by name
+    val untouchedAfter = wh.table("silver", "dim").inputFiles
+      .filter(_.contains("pt=pc")).map(_.split('/').last).toSet
+    assert(untouchedAfter == untouchedBefore, "untouched partition must not rewrite")
+    // feed carries the delete pre-image
+    val feed = wh.changeFeed("silver", "dim")
+      .filter(col("_change_type") === "delete").collect()
+    assert(feed.map(_.getAs[Long]("k")).toSeq == Seq(3L))
+    assert(wh.lastOperation("silver.dim").get.getAs[Long]("num_deleted") == 1L)
+    // by-source clause widens the slice to every partition and applies
+    val m2 = wh.mergeClauses("silver", "dim", src.limit(0), Seq("k"),
+      Seq.empty, Seq.empty,
+      Seq(MergeClause.UpdateBySource(Some(col("t.k") === 4L),
+        Map("payload" -> lit("stale")))))
+    assert(m2.updated == 1)
+    assert(wh.table("silver", "dim").filter($"k" === 4L)
+      .select("payload").head().getString(0) == "stale")
+  }
 }

@@ -161,4 +161,99 @@ class PropertySpec extends SparkSpec {
       assert(got == naive, s"width=$width: $got != $naive")
     }
   }
+
+  // ---- full-clause MERGE ≡ a row-by-row reference interpreter ----
+  // Conditions are structured ((s|t).k % mod == res) so the Column and
+  // Scala forms derive from the same data and cannot drift.
+  private case class MCond(onSrc: Boolean, mod: Long, res: Long)
+  private def mcCol(c: MCond): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col(s"${if (c.onSrc) "s" else "t"}.k") % c.mod === c.res
+  }
+  private def mcEval(c: MCond, tk: Long, sk: Long): Boolean =
+    (if (c.onSrc) sk else tk) % c.mod == c.res
+
+  private sealed trait MSpec
+  private case class MDel(c: Option[MCond]) extends MSpec
+  private case class MUpd(c: Option[MCond], star: Boolean) extends MSpec
+  private case class ISpec(c: Option[MCond])
+  private sealed trait BSpec
+  private case class BDel(c: Option[MCond]) extends BSpec
+  private case class BUpd(c: Option[MCond]) extends BSpec
+
+  test("planClauses equals the row-by-row clause interpreter on random inputs") {
+    import spark.implicits._
+    import graft.operators.MergeClause
+    import org.apache.spark.sql.functions.lit
+    val condGen = Gen.option(for {
+      onSrc <- Gen.oneOf(true, false)
+      m     <- Gen.chooseNum(2L, 4L)
+      r     <- Gen.chooseNum(0L, m - 1)
+    } yield MCond(onSrc, m, r))
+    def srcCond = condGen.map(_.map(_.copy(onSrc = true)))
+    def tgtCond = condGen.map(_.map(_.copy(onSrc = false)))
+    val mGen = Gen.listOfN(2, Gen.oneOf(
+      condGen.map(MDel(_): MSpec),
+      Gen.zip(condGen, Gen.oneOf(true, false)).map { case (c, s) => MUpd(c, s): MSpec }))
+    val iGen = Gen.listOfN(1, srcCond.map(ISpec(_)))
+    val bGen = Gen.listOfN(2, Gen.oneOf(
+      tgtCond.map(BDel(_): BSpec), tgtCond.map(BUpd(_): BSpec)))
+
+    forAll(Gen.zip(rowsGen, rowsGen), Gen.zip(mGen, iGen, bGen)) { case ((t, s), (ms, is, bs)) =>
+      whenever(t.nonEmpty && s.nonEmpty) {
+        val tRows = t.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+        val sRows = s.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+        val matched = ms.map {
+          case MDel(c)       => MergeClause.DeleteMatched(c.map(mcCol))
+          case MUpd(c, true) => MergeClause.UpdateMatched(c.map(mcCol), None)
+          case MUpd(c, false) =>
+            MergeClause.UpdateMatched(c.map(mcCol), Some(Map("payload" -> lit("U"))))
+        }
+        val notMatched = is.map(i => MergeClause.InsertNotMatched(i.c.map(mcCol), None))
+        val bySource = bs.map {
+          case BDel(c) => MergeClause.DeleteBySource(c.map(mcCol))
+          case BUpd(c) =>
+            MergeClause.UpdateBySource(c.map(mcCol), Map("payload" -> lit("S")))
+        }
+        // reference interpreter over the same rows
+        val sByK = sRows.map(r => r._1 -> r).toMap
+        val tKeys = tRows.map(_._1).toSet
+        val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, String)]
+        tRows.foreach { case (tk, tp, tv) =>
+          sByK.get(tk) match {
+            case Some((sk, sp, sv)) =>
+              ms.find {
+                case MDel(c)    => c.forall(mcEval(_, tk, sk))
+                case MUpd(c, _) => c.forall(mcEval(_, tk, sk))
+              } match {
+                case Some(MDel(_))        => expected += ((tk, tp, tv, "delete"))
+                case Some(MUpd(_, true))  => expected += ((sk, sp, sv, "update"))
+                case Some(MUpd(_, false)) => expected += ((tk, "U", tv, "update"))
+                case None                 => expected += ((tk, tp, tv, "keep"))
+              }
+            case None =>
+              bs.find {
+                case BDel(c) => c.forall(mcEval(_, tk, tk))
+                case BUpd(c) => c.forall(mcEval(_, tk, tk))
+              } match {
+                case Some(BDel(_)) => expected += ((tk, tp, tv, "delete"))
+                case Some(BUpd(_)) => expected += ((tk, "S", tv, "update"))
+                case None          => expected += ((tk, tp, tv, "keep"))
+              }
+          }
+        }
+        sRows.filterNot(r => tKeys.contains(r._1)).foreach { case (sk, sp, sv) =>
+          if (is.exists(_.c.forall(mcEval(_, sk, sk))))
+            expected += ((sk, sp, sv, "insert"))
+        }
+        val out = Upsert.planClauses(
+            tRows.toDF("k", "payload", "v"), sRows.toDF("k", "payload", "v"),
+            Seq("k"), matched, notMatched, bySource)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+        assert(out.sorted.toSeq == expected.sortBy(identity).toSeq,
+          s"clauses ms=$ms is=$is bs=$bs")
+      }
+    }
+  }
 }

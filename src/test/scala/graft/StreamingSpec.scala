@@ -176,6 +176,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"stream pairs $got != batch pairs $expected")
   }
 
+  test("streaming substring dedup equals the one-shot incremental probe (q118 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir  = Files.createTempDirectory("graft_stream_ss").toString
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // %3==0 arrives as TWO micro-batches, the rest is the seeded corpus
+    val corpusSeed = docs.filter($"doc_id" % 3 =!= 0)
+    val arrivals   = docs.filter($"doc_id" % 3 === 0)
+    graft.streaming.DocStreams.seedSubstringIndex(
+      corpusSeed, "doc_id", "text", s"$dir/index", k = 8)
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.incrementalSubstringDedup(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      pairsDir = s"$dir/pairs", indexDir = s"$dir/index", k = 8)
+    try {
+      val b1 = arrivals.filter($"doc_id" % 2 === 0).as[(Long, String)].collect().toSeq
+      val b2 = arrivals.filter($"doc_id" % 2 =!= 0).as[(Long, String)].collect().toSeq
+      assert(b1.nonEmpty && b2.nonEmpty)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("doc_a", "doc_b", "n_anchors", "max_run").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the one-shot reference: the persisted-index probe over the whole
+    // arrival set at once (q118's own shape)
+    val expected = graft.operators.Dedup
+      .incrementalSubstringPairsIndexed(
+        graft.operators.Dedup.substringAnchors(corpusSeed, "doc_id", "text", 8),
+        graft.operators.Dedup.substringAnchors(arrivals, "doc_id", "text", 8), 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "planted near-dups must produce substring pairs")
+    assert(got == expected, s"stream pairs must equal the one-shot probe")
+  }
+
   test("streaming pHash ingest dedup equals the one-shot bit-sig pair run (q52 twin)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
