@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   *     (gold_integrated_data_preNLP.py:156-166)
   *   - Delta-parity statements beyond the reference: `INSERT OVERWRITE
   *     [TABLE] t ...`, `TRUNCATE TABLE t`, `DROP TABLE [IF EXISTS] t`,
-  *     `DESCRIBE DETAIL t`, and time-travel readers — `FROM t VERSION
-  *     AS OF n` / `FROM t TIMESTAMP AS OF 'ts'` resolve to as-of views
-  *     inside any query
+  *     `DESCRIBE DETAIL t`, `OPTIMIZE t [ZORDER BY (cols)]`,
+  *     `VACUUM t [RETAIN n HOURS]`, `RESTORE TABLE t TO VERSION/
+  *     TIMESTAMP AS OF ...`, `ALTER TABLE t RENAME/DROP COLUMN | ADD/
+  *     DROP CONSTRAINT | ALTER COLUMN c SET NOT NULL`, `SHOW TABLES
+  *     [IN layer]`, and the query-side readers — `FROM t VERSION AS OF
+  *     n` / `TIMESTAMP AS OF 'ts'` and `table_changes('t', v)` resolve
+  *     to as-of / change-feed views inside any query
   *   - anything else: treated as a query (SELECT / WITH), warehouse
   *     table names resolved, run through `spark.sql`
   *
@@ -100,7 +104,99 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
         val (l, t) = parseQualified(name).getOrElse(
           sys.error(s"DESCRIBE DETAIL needs a <layer>.<table> name, got: $name"))
         wh.detail(l, t)
+      case Seq("optimize", _*)          => executeOptimize(stmt)
+      case Seq("vacuum", _*)            => executeVacuum(stmt)
+      case Seq("restore", "table", _*)  => executeRestore(stmt)
+      case Seq("alter", "table", _*)    => executeAlter(stmt)
+      case Seq("show", "tables", _*) =>
+        import spark.implicits._
+        val inRe = "(?is)^show\\s+tables(?:\\s+in\\s+(?:main\\.)?([\\w]+))?\\s*$".r
+        stmt match {
+          case inRe(layer) =>
+            val l = Option(layer).getOrElse("silver")
+            wh.listTables(l).map(t => (l, t)).toDF("layer", "table_name")
+          case _ => sys.error(s"unsupported SHOW statement: ${stmt.take(120)}")
+        }
       case _ => spark.sql(resolveRefs(stmt))
+    }
+  }
+
+  /** `OPTIMIZE t [ZORDER BY (c1, c2)]` — compaction, or multi-dim
+    * clustering when ZORDER BY is given (Delta OPTIMIZE parity).
+    */
+  private def executeOptimize(stmt: String): DataFrame = {
+    val re = "(?is)^optimize\\s+([\\w.]+)(?:\\s+zorder\\s+by\\s*\\(([^)]*)\\))?\\s*$".r
+    stmt match {
+      case re(name, cols) =>
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error(s"OPTIMIZE needs a <layer>.<table> name, got: $name"))
+        if (cols == null) metricsRow("OPTIMIZE", 0, 0, wh.compact(l, t))
+        else {
+          val cs = splitTopLevel(cols, ',').map(_.trim).filter(_.nonEmpty)
+          metricsRow("OPTIMIZE ZORDER", 0, 0, wh.zorder(l, t, cs))
+        }
+      case _ => sys.error(s"unsupported OPTIMIZE statement: ${stmt.take(120)}")
+    }
+  }
+
+  /** `VACUUM t [RETAIN n HOURS]` — time-based retention when given
+    * (Delta's contract), otherwise drop every retired generation.
+    */
+  private def executeVacuum(stmt: String): DataFrame = {
+    val re = "(?is)^vacuum\\s+([\\w.]+)(?:\\s+retain\\s+([0-9.]+)\\s+hours)?\\s*$".r
+    stmt match {
+      case re(name, hours) =>
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error(s"VACUUM needs a <layer>.<table> name, got: $name"))
+        val removed =
+          if (hours == null) wh.vacuum(l, t)
+          else wh.vacuumRetainHours(l, t, hours.toDouble)
+        metricsRow("VACUUM", 0, 0, removed)
+      case _ => sys.error(s"unsupported VACUUM statement: ${stmt.take(120)}")
+    }
+  }
+
+  /** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF 'ts'`. */
+  private def executeRestore(stmt: String): DataFrame = {
+    val vRe = "(?is)^restore\\s+table\\s+([\\w.]+)\\s+to\\s+version\\s+as\\s+of\\s+(\\d+)\\s*$".r
+    val tRe = "(?is)^restore\\s+table\\s+([\\w.]+)\\s+to\\s+timestamp\\s+as\\s+of\\s+'([^']+)'\\s*$".r
+    stmt match {
+      case vRe(name, ver) =>
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error(s"RESTORE needs a <layer>.<table> name, got: $name"))
+        metricsRow("RESTORE", wh.restore(l, t, ver.toLong), 0, 0)
+      case tRe(name, ts) =>
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error(s"RESTORE needs a <layer>.<table> name, got: $name"))
+        metricsRow("RESTORE", wh.restoreToTimestamp(l, t, parseTsMillis(ts)), 0, 0)
+      case _ => sys.error(s"unsupported RESTORE statement: ${stmt.take(120)}")
+    }
+  }
+
+  /** ALTER TABLE surface over the engine's DDL/constraint ops:
+    * RENAME COLUMN a TO b / DROP COLUMN c / ADD CONSTRAINT n CHECK (e) /
+    * DROP CONSTRAINT n / ALTER COLUMN c SET NOT NULL.
+    */
+  private def executeAlter(stmt: String): DataFrame = {
+    val base = "(?is)^alter\\s+table\\s+([\\w.]+)\\s+(.*)$".r
+    val (name, rest) = stmt match {
+      case base(n, r) => (n, r.trim)
+      case _          => sys.error(s"unsupported ALTER statement: ${stmt.take(120)}")
+    }
+    val (l, t) = parseQualified(name).getOrElse(
+      sys.error(s"ALTER TABLE needs a <layer>.<table> name, got: $name"))
+    val renameRe = "(?is)^rename\\s+column\\s+([\\w]+)\\s+to\\s+([\\w]+)\\s*$".r
+    val dropRe   = "(?is)^drop\\s+column\\s+([\\w]+)\\s*$".r
+    val checkRe  = "(?is)^add\\s+constraint\\s+([\\w]+)\\s+check\\s*\\((.*)\\)\\s*$".r
+    val dropCRe  = "(?is)^drop\\s+constraint\\s+([\\w]+)\\s*$".r
+    val nnRe     = "(?is)^alter\\s+column\\s+([\\w]+)\\s+set\\s+not\\s+null\\s*$".r
+    rest match {
+      case renameRe(a, b) => wh.renameColumn(l, t, a, b); metricsRow("RENAME COLUMN", 0, 0, 0)
+      case dropRe(c)      => wh.dropColumn(l, t, c); metricsRow("DROP COLUMN", 0, 0, 0)
+      case checkRe(n, e)  => wh.addCheckConstraint(l, t, n, e); metricsRow("ADD CONSTRAINT", 0, 0, 0)
+      case dropCRe(n)     => wh.dropConstraint(l, t, n); metricsRow("DROP CONSTRAINT", 0, 0, 0)
+      case nnRe(c)        => wh.addNotNullConstraint(l, t, c); metricsRow("SET NOT NULL", 0, 0, 0)
+      case _ => sys.error(s"unsupported ALTER TABLE action: ${rest.take(120)}")
     }
   }
 
@@ -391,7 +487,19 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
         java.util.regex.Matcher.quoteReplacement(v)
       case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
     })
-    val (masked, restore) = maskStrings(withT)
+    // Delta's CDF reader `table_changes('t', startingVersion)` —
+    // startingVersion is INCLUSIVE in Delta, the engine's changeFeed
+    // bound is exclusive, hence the -1
+    val tcRe = "(?i)table_changes\\s*\\(\\s*'((?:main\\.)?[\\w]+\\.[\\w]+)'\\s*,\\s*(\\d+)\\s*\\)".r
+    val withTc = tcRe.replaceAllIn(withT, m => parseQualified(m.group(1)) match {
+      case Some((l, t)) if wh.tableExists(l, t) =>
+        val since = m.group(2).toLong
+        val v = s"__graft_cdf_${l}_${t}_$since"
+        wh.changeFeed(l, t, since - 1).createOrReplaceTempView(v)
+        java.util.regex.Matcher.quoteReplacement(v)
+      case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
+    })
+    val (masked, restore) = maskStrings(withTc)
     // DESCRIBE HISTORY inside a FROM subquery → select over the
     // Delta-shaped ledger view
     val dh = "(?i)describe\\s+history\\s+((?:main\\.)?[\\w]+\\.[\\w]+)".r

@@ -186,4 +186,42 @@ class SqlDmlSpec extends SparkSpec {
     sql.execute("drop table if exists main.gold.tt")
     intercept[IllegalArgumentException](sql.execute("drop table main.gold.tt"))
   }
+
+  test("OPTIMIZE / VACUUM / RESTORE / ALTER TABLE / SHOW TABLES / table_changes") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, 5.0, "x"), (2L, 6.0, "y")).toDF("id", "amt", "seg")
+      .createOrReplaceTempView("sqldml_m")
+    sql.execute("create table main.gold.m as select * from sqldml_m")      // v0
+    sql.execute("update main.gold.m set amt = amt + 1 where id = 1")       // v1
+    // RESTORE TABLE ... TO VERSION AS OF
+    sql.execute("restore table main.gold.m to version as of 0")            // v2
+    assert(sql.execute("select amt from main.gold.m where id = 1").head().getDouble(0) == 5.0)
+    // OPTIMIZE (compact) and OPTIMIZE ZORDER BY parse and commit
+    sql.execute("optimize main.gold.m")
+    sql.execute("optimize main.gold.m zorder by (id, amt)")
+    assert(wh.lastOperation("gold.m").get.getAs[String]("operation") == "ZORDER")
+    // ALTER TABLE: constraint lifecycle + column DDL
+    sql.execute("alter table main.gold.m add constraint amt_pos check (amt > 0)")
+    intercept[Exception](
+      sql.execute("insert into main.gold.m values (3, -1.0, 'z')"))
+    sql.execute("alter table main.gold.m drop constraint amt_pos")
+    sql.execute("insert into main.gold.m values (3, -1.0, 'z')")
+    sql.execute("alter table main.gold.m rename column seg to segment")
+    sql.execute("alter table main.gold.m drop column segment")
+    assert(wh.table("gold", "m").columns.toSeq == Seq("id", "amt"))
+    // SHOW TABLES lists the layer
+    assert(sql.execute("show tables in main.gold").collect()
+      .map(_.getString(1)).toSeq.contains("m"))
+    // table_changes: the UPDATE's images read back with Delta's
+    // inclusive startingVersion
+    val changes = sql.execute(
+      "select _change_type, id from table_changes('main.gold.m', 1) " +
+        "where _commit_version = 1 order by _change_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(changes.toSeq == Seq(("update_postimage", 1L), ("update_preimage", 1L)))
+    // VACUUM RETAIN n HOURS parses (a fresh history retains everything)
+    assert(sql.execute("vacuum main.gold.m retain 168 hours").head().getLong(3) == 0L)
+    assert(sql.execute("vacuum main.gold.m").head().getLong(3) >= 1L)
+  }
 }
