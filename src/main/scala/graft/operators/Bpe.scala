@@ -98,4 +98,42 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** ENCODE with a trained merge list: the distinct words of `docs`
+    * tokenized under the merges, in training order — (word, tokens).
+    * Same dictionary discipline as [[bpeTrain]]: work is O(|vocab| ×
+    * merges), never O(corpus); the corpus rejoins through the word.
+    */
+  def bpeEncodeWords(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val syms = merges.foldLeft(split(col("w"), ""): Column) {
+      case (acc, Merge(a, b, _)) => applyMerge(acc, a, b)
+    }
+    words.select(col("w"), syms.as("tokens"))
+  }
+
+  /** Per-document token counts under a trained tokenizer — the real
+    * count the chunking/packing operators budget by (q23's heuristic
+    * estimate replaced with the tokenizer's own arithmetic). One
+    * dictionary encode (O(|vocab|)), one broadcast-able join back onto
+    * the exploded corpus, one per-doc sum.
+    */
+  def bpeTokenCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge]
+  ): DataFrame = {
+    val perWord = bpeEncodeWords(docs, textCol, merges)
+      .select(col("w"), size(col("tokens")).as("wn"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .join(perWord, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("wn")).as("n_tokens"))
+  }
 }

@@ -380,27 +380,43 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     val notMatched = scala.collection.mutable.ArrayBuffer.empty[MergeClause.NotMatched]
     val bySource   = scala.collection.mutable.ArrayBuffer.empty[MergeClause.BySource]
     splitClauses(clausesTxt).foreach { cl =>
-      val mUp   = ("(?is)^when\\s+matched\\s*(?:and\\s+(.*?))?\\s*then\\s+update\\s+set\\s+(.*)$").r
-      val mDel  = ("(?is)^when\\s+matched\\s*(?:and\\s+(.*?))?\\s*then\\s+delete\\s*$").r
-      val bsUp  = ("(?is)^when\\s+not\\s+matched\\s+by\\s+source\\s*(?:and\\s+(.*?))?\\s*then\\s+update\\s+set\\s+(.*)$").r
-      val bsDel = ("(?is)^when\\s+not\\s+matched\\s+by\\s+source\\s*(?:and\\s+(.*?))?\\s*then\\s+delete\\s*$").r
-      val nmIns = ("(?is)^when\\s+not\\s+matched\\s*(?:by\\s+target\\s*)?(?:and\\s+(.*?))?\\s*then\\s+insert\\s+(.*)$").r
-      cl match {
-        case bsUp(c, set) =>
-          bySource += MergeClause.UpdateBySource(cond(c),
-            parseAssignments(set, Seq(tgtAlias)).map { case (k, v) => k -> expr(rewrite(v)) })
-        case bsDel(c) => bySource += MergeClause.DeleteBySource(cond(c))
-        case mUp(c, set) =>
+      // split at the CASE-aware top-level THEN — a lazy regex would
+      // stop at the THEN of a `CASE WHEN ... THEN ... END` inside the
+      // clause condition
+      val thenAt = topLevelIndexOf(cl, "then", 0)
+      require(thenAt > 0, s"MERGE clause missing THEN: ${cl.take(120)}")
+      val headTxt = cl.substring(0, thenAt).trim
+      val action  = cl.substring(thenAt + "then".length).trim
+      val headRe =
+        ("(?is)^when\\s+(matched|not\\s+matched(?:\\s+by\\s+(source|target))?)" +
+          "(?:\\s+and\\s+(.*))?$").r
+      val (realm, condTxt) = headTxt match {
+        case headRe(kind, bySrc, c) =>
+          val r =
+            if (kind.equalsIgnoreCase("matched")) "m"
+            else if (bySrc != null && bySrc.equalsIgnoreCase("source")) "bs"
+            else "nm"
+          (r, Option(c))
+        case _ => sys.error(s"unsupported MERGE clause head: ${headTxt.take(120)}")
+      }
+      val updRe = "(?is)^update\\s+set\\s+(.*)$".r
+      val insRe = "(?is)^insert\\s+(.*)$".r
+      def setMap(set: String): Map[String, Column] =
+        parseAssignments(set, Seq(tgtAlias)).map { case (k, v) => k -> expr(rewrite(v)) }
+      (realm, action) match {
+        case ("m", updRe(set)) =>
           val setTrim = set.trim
-          matched += MergeClause.UpdateMatched(cond(c),
-            if (setTrim == "*") None
-            else Some(parseAssignments(setTrim, Seq(tgtAlias)).map {
-              case (k, v) => k -> expr(rewrite(v))
-            }))
-        case mDel(c) => matched += MergeClause.DeleteMatched(cond(c))
-        case nmIns(c, ins) =>
+          matched += MergeClause.UpdateMatched(cond(condTxt.orNull),
+            if (setTrim == "*") None else Some(setMap(setTrim)))
+        case ("m", a) if a.equalsIgnoreCase("delete") =>
+          matched += MergeClause.DeleteMatched(cond(condTxt.orNull))
+        case ("bs", updRe(set)) =>
+          bySource += MergeClause.UpdateBySource(cond(condTxt.orNull), setMap(set))
+        case ("bs", a) if a.equalsIgnoreCase("delete") =>
+          bySource += MergeClause.DeleteBySource(cond(condTxt.orNull))
+        case ("nm", insRe(ins)) =>
           val insTrim = ins.trim
-          notMatched += MergeClause.InsertNotMatched(cond(c),
+          notMatched += MergeClause.InsertNotMatched(cond(condTxt.orNull),
             if (insTrim == "*") None
             else {
               val iv = ("(?is)^\\(([^)]*)\\)\\s*values\\s*\\((.*)\\)\\s*$").r
@@ -414,7 +430,7 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
                 case _ => sys.error(s"unsupported INSERT clause body: ${insTrim.take(120)}")
               }
             })
-        case other => sys.error(s"unsupported MERGE clause: ${other.take(120)}")
+        case (_, other) => sys.error(s"unsupported MERGE clause action: ${other.take(120)}")
       }
     }
 

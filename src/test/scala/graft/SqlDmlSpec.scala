@@ -224,4 +224,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(sql.execute("vacuum main.gold.m retain 168 hours").head().getLong(3) == 0L)
     assert(sql.execute("vacuum main.gold.m").head().getLong(3) >= 1L)
   }
+
+  test("MERGE clause conditions and SET values may contain CASE WHEN ... THEN") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, 1, "a"), (2L, 1, "b")).toDF("id", "v", "p")
+      .createOrReplaceTempView("sqldml_cc")
+    sql.execute("create table main.silver.cc as select * from sqldml_cc")
+    Seq((1L, 9, "x"), (2L, 3, "y"), (3L, 8, "z")).toDF("id", "v", "p")
+      .createOrReplaceTempView("sqldml_cc2")
+    // the CASE's own WHEN/THEN must not confuse clause splitting or
+    // the condition/action split
+    sql.execute("""
+        merge into main.silver.cc tgt
+        using sqldml_cc2 src
+        on tgt.id = src.id
+        when matched and (case when src.v > 5 then 1 else 0 end) = 1
+          then update set p = case when src.v > 8 then 'hi' else 'mid' end, v = src.v
+        when not matched then insert *
+    """)
+    val state = wh.table("silver", "cc").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // id 1: cond true (v 9 > 5), p = 'hi' (9 > 8); id 2: cond false → kept;
+    // id 3: inserted as-is
+    assert(state == Seq((1L, 9, "hi"), (2L, 1, "b"), (3L, 8, "z")))
+  }
 }

@@ -76,4 +76,28 @@ class TextFunctionsSpec extends SparkSpec {
     val first  = Bpe.bpeTrain(Tables.documents(spark, sfDir), "text", numMerges = 1).head
     assert(first.left + first.right == q92top.getString(0) && first.count == q92top.getLong(1))
   }
+
+  test("bpeEncodeWords applies trained merges greedily; token counts reconcile") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val text   = (List.fill(5)("low") ++ List.fill(2)("lowest") ++
+      List.fill(6)("newer") ++ List.fill(3)("wider")).mkString(" ")
+    val docs   = Seq((1L, text), (2L, "low wider")).toDF("doc_id", "text")
+    val merges = Bpe.bpeTrain(docs, "text", numMerges = 3) // er, lo, low
+    val enc = Bpe.bpeEncodeWords(docs, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // hand-applied: low -> [low]; lowest -> [low, e, s, t];
+    // newer -> [n, e, w, er]; wider -> [w, i, d, er]
+    assert(enc("low") == List("low"))
+    assert(enc("lowest") == List("low", "e", "s", "t"))
+    assert(enc("newer") == List("n", "e", "w", "er"))
+    assert(enc("wider") == List("w", "i", "d", "er"))
+    // reconstruction invariant: concatenating tokens yields the word
+    enc.foreach { case (w, toks) => assert(toks.mkString == w) }
+    // per-doc counts = sum of per-word token counts, corpus-side join
+    val counts = Bpe.bpeTokenCounts(docs, "doc_id", "text", merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(2L) == 1 + 4) // low + wider
+    assert(counts(1L) == 5 * 1 + 2 * 4 + 6 * 4 + 3 * 4)
+  }
 }
