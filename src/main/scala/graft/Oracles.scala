@@ -1313,7 +1313,30 @@ object Oracles {
           |  UNION ALL
           |  SELECT o_orderkey + 900000000, o_custkey, o_totalprice, 1, o_orderpriority
           |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 20 <> 0
-          |) ORDER BY o_orderkey""".stripMargin)
+          |) ORDER BY o_orderkey""".stripMargin) +
+      // q120: fixed-merge BPE token counts — each merge applied as a
+      // per-word leftmost-replace FIXPOINT (≡ greedy left-to-right
+      // non-overlapping tiling; a created token never re-matches its
+      // own pattern, so iterating the leftmost replace is exact)
+      ("q120_bpe_token_counts" ->
+        """WITH RECURSIVE words AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+          |  FROM documents),
+          |spaced AS (
+          |  SELECT doc_id, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+          |  FROM words),
+          |m1 AS (
+          |  SELECT doc_id, s FROM spaced
+          |  UNION ALL
+          |  SELECT doc_id, regexp_replace(s, ' t h ', ' th ') FROM m1 WHERE contains(s, ' t h ')),
+          |m1f AS (SELECT doc_id, s FROM m1 WHERE NOT contains(s, ' t h ')),
+          |m2 AS (
+          |  SELECT doc_id, s FROM m1f
+          |  UNION ALL
+          |  SELECT doc_id, regexp_replace(s, ' th e ', ' the ') FROM m2 WHERE contains(s, ' th e ')),
+          |m2f AS (SELECT doc_id, s FROM m2 WHERE NOT contains(s, ' th e '))
+          |SELECT doc_id, sum(len(string_split(trim(s), ' '))) AS n_tokens
+          |FROM m2f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

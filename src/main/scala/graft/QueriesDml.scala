@@ -280,4 +280,23 @@ object QueriesDml {
         spark.read.parquet(s"$idx/anchors"), batch, k = 8)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** BPE ENCODING under the oracle gate: per-document token counts
+    * after applying a FIXED two-merge list ((t,h) then (th,e)) through
+    * [[graft.operators.Bpe.bpeTokenCounts]] — the dictionary encodes
+    * once (O(vocab)), the corpus rejoins through the word. The DuckDB
+    * oracle applies the same merges as per-word leftmost-replace
+    * fixpoints (two recursive CTEs — iterative leftmost replace ≡ the
+    * greedy left-to-right non-overlapping BPE tiling) and sums the
+    * token counts. Trained-merge behavior is spec-pinned
+    * (TextFunctionsSpec); the fixed list keeps the oracle
+    * data-independent.
+    */
+  def q120_bpe_token_counts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Bpe
+    Bpe.bpeTokenCounts(Tables.documents(spark, dir), "doc_id", "text",
+        Seq(Bpe.Merge("t", "h", 0L), Bpe.Merge("th", "e", 0L)))
+      .orderBy($"doc_id")
+  }
 }

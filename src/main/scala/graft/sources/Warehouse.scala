@@ -3072,6 +3072,51 @@ final class Warehouse(
     withWriterLock(layer, table)(
       zorderIncrementalImpl(layer, table, cols, spanThreshold, targetRowsPerFile, bits))
 
+  /** Clustering-health gauge (the [[zorderIncremental]] twin of the
+    * simhash bucket-occupancy dashboard): one row per numeric
+    * clustering column — file count, average and maximum per-file span
+    * fraction of the global range, and the count of files whose span
+    * exceeds `spanThreshold` (exactly the files an incremental pass
+    * would rewrite). What an operator watches to SCHEDULE reclustering
+    * instead of discovering a degraded layout from slow scans. Two
+    * aggregation passes (per-file min/max keyed by `input_file_name`,
+    * then the summary), no per-file driver collect — O(files) rows
+    * reduce to |cols| rows.
+    */
+  def clusterHealth(
+      layer: String,
+      table: String,
+      cols: Seq[String],
+      spanThreshold: Double = 0.5
+  ): DataFrame = {
+    val df      = spark.read.option("mergeSchema", "true").parquet(tablePath(layer, table))
+    val numCols = cols.filter(zIsNumeric(df, _))
+    require(numCols.nonEmpty, "clusterHealth needs numeric/date/timestamp columns")
+    val perFileAggs = numCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c")))
+    val perFile = df.groupBy(input_file_name().as("__f"))
+      .agg(perFileAggs.head, perFileAggs.tail: _*)
+    val gAggs = numCols.flatMap(c => Seq(
+      min(col(s"__min_$c")).as(s"__glo_$c"),
+      max(col(s"__max_$c")).as(s"__ghi_$c")))
+    val g = perFile.agg(gAggs.head, gAggs.tail: _*).head()
+    numCols.map { c =>
+      val (lo, hi) = (g.getAs[Double](s"__glo_$c"), g.getAs[Double](s"__ghi_$c"))
+      val span = hi - lo
+      val frac =
+        if (span <= 0) lit(0.0)
+        else (col(s"__max_$c") - col(s"__min_$c")) / lit(span)
+      perFile.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n_files"),
+        avg(frac).as("avg_span_frac"),
+        max(frac).as("max_span_frac"),
+        sum(when(frac > spanThreshold, 1L).otherwise(0L)).as("wide_files"))
+    }.reduce(_.unionByName(_))
+  }
+
+
   private def zorderIncrementalImpl(
       layer: String,
       table: String,
@@ -4233,20 +4278,35 @@ final class Warehouse(
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .foreach { st =>
-        val reader = org.apache.parquet.hadoop.ParquetReader
-          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
-          .withConf(spark.sparkContext.hadoopConfiguration)
-          .build()
-        try {
-          var g = reader.read()
-          while (g != null) {
-            if (g.getString("table_name", 0) == tableName) {
-              val v = g.getLong("version", 0)
-              if (v > maxV) maxV = v
-            }
-            g = reader.read()
+        // a CROSS-table writer may be mid-logOp on a freshly-listed
+        // file (footer not yet closed — the same tiny window the old
+        // Spark-job read had); retry briefly before surfacing, never
+        // skip — a silently-missed committed version would let two
+        // writers claim the same version number
+        var attempt = 0
+        var done    = false
+        while (!done) {
+          try {
+            val reader = org.apache.parquet.hadoop.ParquetReader
+              .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+              .withConf(spark.sparkContext.hadoopConfiguration)
+              .build()
+            try {
+              var g = reader.read()
+              while (g != null) {
+                if (g.getString("table_name", 0) == tableName) {
+                  val v = g.getLong("version", 0)
+                  if (v > maxV) maxV = v
+                }
+                g = reader.read()
+              }
+            } finally reader.close()
+            done = true
+          } catch {
+            case _: Throwable if attempt < 3 =>
+              attempt += 1; Thread.sleep(50L << attempt); ()
           }
-        } finally reader.close()
+        }
       }
     maxV
   }

@@ -796,6 +796,10 @@ class WarehouseSpec extends SparkSpec {
     def fileNames() = wh.table("gold", "zi").inputFiles.map(_.split('/').last).toSet
     val before    = fileNames()
     val thinFiles = before.size - 1
+    // the health gauge flags exactly the wide append file pre-rewrite
+    val h0 = wh.clusterHealth("gold", "zi", Seq("k"), spanThreshold = 0.5).head()
+    assert(h0.getAs[Long]("wide_files") == 1L)
+    assert(h0.getAs[Double]("max_span_frac") > 0.9)
     // file target sized so the rewritten tail splits into ~4 range
     // files (each a thin span); the carried base files keep their size
     val rewritten = wh.zorderIncremental("gold", "zi", Seq("k"),
@@ -809,6 +813,9 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.zorderIncremental("gold", "zi", Seq("k"),
       spanThreshold = 0.5, targetRowsPerFile = n / 40) == 0L)
     assert(wh.lastOperation("gold.zi").get.getAs[Long]("num_output_rows") == 0L)
+    // ... and reports a healthy layout afterwards
+    assert(wh.clusterHealth("gold", "zi", Seq("k"), spanThreshold = 0.5)
+      .head().getAs[Long]("wide_files") == 0L)
     // values unchanged through both calls
     assert(wh.table("gold", "zi").agg(sum($"v")).head().getLong(0) ==
       (0L until n).map(_ % 7).sum + 9L * (n / 10))
