@@ -369,6 +369,16 @@ object Oracles {
         |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q121: the same brute-force rank, constrained to label-equal
+    // neighbors — the metadata-filtered retrieval contract
+    "q121_ann_filtered" ->
+      """SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < 10 AND b.vec_id != a.vec_id AND b.label = a.label)
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "q42_cube" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
         |       coalesce(l_linestatus, '(all)') AS ls,

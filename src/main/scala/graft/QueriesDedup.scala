@@ -152,6 +152,24 @@ object QueriesDedup {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Metadata-FILTERED vector search ([[Similarity.bruteForceTopKFiltered]]):
+    * top-5 by cosine among neighbors sharing the query's `label` — the
+    * retrieval-with-constraints shape (same language / tenant / shard).
+    * The label-equality predicate rides the broadcast-join condition,
+    * pruning candidates before any cosine is computed. The IVF twin
+    * ([[Similarity.ivfTopKFiltered]]) is spec-pinned ≡ this exact form
+    * at nprobe = nlist (DedupSpec), the same endpoint contract as
+    * q57/q30.
+    */
+  def q121_ann_filtered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .bruteForceTopKFiltered(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        matchCols = Seq("label"), k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Multi-table multi-probe LSH top-5 (16 tables × 4 hyperplanes,
     * 1-bit probes) — the candidate union is scored exactly, and at
     * these parameters the per-neighbor miss probability is ≪ 1e-5, so

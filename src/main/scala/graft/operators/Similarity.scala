@@ -181,6 +181,46 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** Metadata-FILTERED exact top-k: each query's neighbors are drawn
+    * only from corpus rows whose `matchCols` values EQUAL the query's
+    * (the retrieval-with-constraints shape: same language, same tenant,
+    * same source shard). The filter rides the broadcast-join condition,
+    * so it prunes candidates BEFORE any cosine is computed — the plan
+    * stays one corpus scan + per-query rank, and the scored volume
+    * shrinks by the filter's selectivity instead of growing a
+    * post-filter step that could starve k. Output
+    * (query_id, rank, neighbor_id), rank dense within the filtered
+    * candidate set.
+    */
+  def bruteForceTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      matchCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(
+      (col(idCol).as("query_id") +: col(vecCol).as("qv") +:
+        matchCols.map(c => col(c).as(s"__qm_$c"))): _*)
+    val c = Dedup
+      .computeParallel(corpus)
+      .select(
+        (col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+          matchCols.map(col)): _*)
+    val cond = matchCols
+      .map(m => col(m) === col(s"__qm_$m"))
+      .foldLeft(col("query_id") =!= col("neighbor_id"))(_ && _)
+    val scored = c
+      .join(broadcast(q), cond)
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   /** Deterministic random hyperplanes: nPlanes × dim doubles from a
     * seeded generator, shipped as a literal (bounded: nPlanes·dim ≪
     * broadcast limits).
@@ -497,6 +537,57 @@ object Similarity {
     ivfProbe(cells, cent, queries, idCol, vecCol, k, nprobe)
   }
 
+  /** Metadata-filtered IVF top-k — [[ivfTopK]] with the
+    * [[bruteForceTopKFiltered]] constraint: neighbors must EQUAL the
+    * query on every `matchCols` column. The filter is applied inside
+    * the probe join (the cell index carries the metadata columns), so
+    * non-matching rows are dropped before scoring — within each probed
+    * cell the work shrinks by the filter's selectivity. At
+    * nprobe = nlist this is EXACTLY the filtered brute force (the q121
+    * oracle endpoint, asserted in DedupSpec); at sub-unit nprobe the
+    * usual filtered-ANN caveat applies — a highly selective filter
+    * thins the probed cells and can starve k, the standard mitigations
+    * being a larger nprobe or, when one metadata column dominates
+    * (lang, tenant), a persisted index `partitionBy(meta, cell)` so
+    * BOTH the filter and the probe become partition pruning
+    * ([[ivfIndexWrite]]'s layout generalizes directly).
+    */
+  def ivfTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      matchCols: Seq[String],
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 8,
+      seed: Long = 42L,
+      kmeansIters: Int = 0
+  ): DataFrame = {
+    val cent = centroids(corpus, idCol, vecCol, nlist, seed, kmeansIters)
+    val cells = assignCells(corpus, idCol, vecCol, cent)
+      .select(
+        (col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +: col("cell") +:
+          matchCols.map(col)): _*)
+    val qCells = probeCells(queries, cent, idCol, vecCol, nprobe)
+    // probeCells keeps only (query_id, qv, cell) — rejoin the query
+    // metadata through the (small, broadcast) query set
+    val qMeta = queries.select(
+      (col(idCol).as("query_id") +: matchCols.map(c => col(c).as(s"__qm_$c"))): _*)
+    val probes = qCells.join(broadcast(qMeta), Seq("query_id"))
+    val cond = matchCols
+      .map(m => col(m) === col(s"__qm_$m"))
+      .foldLeft(col("cell") === col("__pcell") && col("query_id") =!= col("neighbor_id"))(_ && _)
+    val scored = cells
+      .join(broadcast(probes.withColumnRenamed("cell", "__pcell")), cond)
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
   /** The shared IVF probe: assign each query to its `nprobe` nearest
     * centroids (broadcast join, per-row top-nprobe), equi-join the
     * (cell, query) pairs against the cell index, score exactly, rank.
@@ -560,12 +651,16 @@ object Similarity {
       dir: String,
       nlist: Int = 16,
       seed: Long = 42L,
-      kmeansIters: Int = 0
+      kmeansIters: Int = 0,
+      metaCols: Seq[String] = Seq.empty
   ): Unit = {
     val cent = Materialize(centroids(corpus, idCol, vecCol, nlist, seed, kmeansIters))
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    // metaCols first, cell last: a dominant metadata column (lang,
+    // tenant) becomes the OUTER partition level, so a filtered probe
+    // prunes to its meta dirs before touching cell dirs
     assignCells(corpus, idCol, vecCol, cent)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy(metaCols :+ "cell": _*).parquet(s"$dir/cells")
   }
 
   /** IVF top-k against a PERSISTED index ([[ivfIndexWrite]]) — the
@@ -591,6 +686,65 @@ object Similarity {
       .parquet(s"$dir/cells")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
     ivfProbe(cells, cent, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** Filtered probe of a PERSISTED index written with
+    * `metaCols` partitioning ([[ivfIndexWrite]]): the query batch's
+    * needed (meta…, cell) pairs are computed first (|queries|·nprobe
+    * rows — bounded by definition of a query batch), then pushed as a
+    * STATIC disjunction of partition-column equalities, so the scan
+    * plans with PartitionFilters and reads ONLY the matching
+    * meta/cell directories — both the metadata filter and the probe
+    * are partition pruning, nothing else of the corpus is listed.
+    * Above `maxStaticPairs` the disjunction would bloat the plan, so
+    * the probe falls back to the dynamic join (same result, prunes at
+    * execution via the broadcast join instead of at planning).
+    * Result ≡ [[ivfTopKFiltered]] at the same parameters
+    * (CorpusSpec), hence ≡ the q121 brute force at nprobe = nlist.
+    */
+  def ivfTopKIndexedFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      matchCols: Seq[String],
+      dir: String,
+      k: Int,
+      nprobe: Int = 8,
+      maxStaticPairs: Int = 4096
+  ): DataFrame = {
+    val cent   = spark.read.parquet(s"$dir/centroids")
+    val qCells = probeCells(queries, cent, idCol, vecCol, nprobe)
+    val qMeta = queries.select(
+      (col(idCol).as("query_id") +: matchCols.map(c => col(c).as(s"__qm_$c"))): _*)
+    val probes = qCells.join(broadcast(qMeta), Seq("query_id"))
+    // the static pushdown set: distinct (meta…, cell) the batch needs
+    val needed = probes
+      .select((matchCols.map(c => col(s"__qm_$c")) :+ col("cell")): _*)
+      .distinct().collect()
+    val raw = spark.read.parquet(s"$dir/cells")
+    val pruned =
+      if (needed.length <= maxStaticPairs && needed.nonEmpty) {
+        val dis = needed.map { r =>
+          (matchCols.zipWithIndex.map { case (m, i) => col(m) === lit(r.get(i)) } :+
+            (col("cell") === lit(r.get(matchCols.length)))).reduce(_ && _)
+        }.reduce(_ || _)
+        raw.filter(dis)
+      } else raw
+    val cells = pruned.select(
+      (col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +: col("cell") +:
+        matchCols.map(col)): _*)
+    val cond = matchCols
+      .map(m => col(m) === col(s"__qm_$m"))
+      .foldLeft(col("cell") === col("__pcell") && col("query_id") =!= col("neighbor_id"))(_ && _)
+    val scored = cells
+      .join(broadcast(probes.withColumnRenamed("cell", "__pcell")), cond)
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
   /** OR-amplified multi-table LSH top-k: `tables` independent tables of

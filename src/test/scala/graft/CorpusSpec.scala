@@ -187,4 +187,42 @@ class CorpusSpec extends SparkSpec {
     val q61   = QueriesCorpus.q61_ann_ivf_indexed(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(q61 == exact)
   }
+
+  test("filtered persisted index: partition-pruned probe equals in-memory filtered IVF") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs  = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_fivf").toString
+    Similarity.ivfIndexWrite(emb, "vec_id", "embedding", dir, nlist = 16,
+      metaCols = Seq("label"))
+    for (nprobe <- Seq(4, 16)) {
+      val mem = Similarity
+        .ivfTopKFiltered(emb, qs, "vec_id", "embedding", Seq("label"), k = 5,
+          nlist = 16, nprobe = nprobe)
+        .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+      val idx = Similarity
+        .ivfTopKIndexedFiltered(spark, qs, "vec_id", "embedding", Seq("label"), dir,
+          k = 5, nprobe = nprobe)
+        .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+      assert(idx == mem, s"filtered persisted probe diverged at nprobe=$nprobe")
+    }
+    // nprobe = nlist through the index ≡ the q121 filtered brute force
+    val exact = QueriesDedup.q121_ann_filtered(spark, sfDir).collect().map(_.toSeq).toSeq
+    val full = Similarity
+      .ivfTopKIndexedFiltered(spark, qs, "vec_id", "embedding", Seq("label"), dir,
+        k = 5, nprobe = 16)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(full == exact)
+    // the static (meta, cell) disjunction must reach the scan as
+    // PartitionFilters — the probe lists only matching directories
+    val plan = Similarity
+      .ivfTopKIndexedFiltered(spark, qs, "vec_id", "embedding", Seq("label"), dir,
+        k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters in:\n$plan")
+    assert(plan.split("PartitionFilters").exists(s =>
+      s.contains("label") && s.contains("cell")),
+      "probe scan is not pruned on (label, cell)")
+  }
 }

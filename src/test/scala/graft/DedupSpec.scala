@@ -135,6 +135,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: label constraint binds, IVF-filtered exact at nprobe=nlist (q121's contract)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb       = Tables.embeddings(spark, dir)
+      val queries   = emb.filter(col("vec_id") < 10)
+      val exactRows = QueriesDedup.q121_ann_filtered(spark, dir).collect()
+      assert(exactRows.nonEmpty)
+      // every neighbor shares its query's label — the filter is the contract
+      val labelOf = emb.select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(exactRows.forall(r => labelOf(r.getLong(0)) == labelOf(r.getLong(2))),
+        s"a neighbor crossed the label constraint at $dir")
+      // and it binds: the filtered ranking differs from the unfiltered one
+      val unfiltered = QueriesDedup.q30_ann_topk(spark, dir).collect().map(_.toSeq).toSet
+      assert(exactRows.map(_.toSeq).toSet != unfiltered,
+        s"label filter was a no-op at $dir — test corpus degenerate?")
+      // IVF-filtered at nprobe = nlist is exactly the filtered brute force
+      val full = Similarity
+        .ivfTopKFiltered(emb, queries, "vec_id", "embedding",
+          matchCols = Seq("label"), k = 5, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+      assert(full == exactRows.map(_.toSeq).toSeq,
+        s"IVF-filtered at nprobe=nlist must equal filtered brute force at $dir")
+      // pruned probe stays label-correct and never exceeds k per query
+      val pruned = Similarity
+        .ivfTopKFiltered(emb, queries, "vec_id", "embedding",
+          matchCols = Seq("label"), k = 5, nlist = 16, nprobe = 4)
+        .collect()
+      assert(pruned.forall(r => labelOf(r.getLong(0)) == labelOf(r.getLong(2))))
+      assert(pruned.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    }
+  }
+
   test("IVF top-k: exact at nprobe=nlist (q57's oracle contract); monotone recall when pruning") {
     import graft.operators.Similarity
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {

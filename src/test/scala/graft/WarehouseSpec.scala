@@ -85,6 +85,37 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.tableAsOf("silver", "t", 0L).count() == 100)
   }
 
+  test("maintenance ops (compact, zorder, incremental zorder) are invisible to the change feed") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "mi",
+      (0L until 400L).map(i => (i, i % 7, 1)).toDF("k", "g", "v")
+        .repartition(8))
+    wh.upsert("silver", "mi", // version 1: the only DML — the only feed source
+      Seq((1L, 5L, 2), (500L, 2L, 1)).toDF("k", "g", "v"), Seq("k"), "v")
+    def feed() = wh.changeFeed("silver", "mi")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    val feedAfterDml = feed()
+    assert(feedAfterDml.nonEmpty)
+    val sumBefore = wh.table("silver", "mi").agg(sum($"g")).head().getLong(0)
+    // layout-only rewrites: none may write feed rows — a CDF consumer
+    // (incremental MV, downstream sync) must see zero changes from them
+    assert(wh.compact("silver", "mi", targetRowsPerFile = 100L) > 0L)
+    assert(wh.zorder("silver", "mi", Seq("g"), targetRowsPerFile = 100L) > 0L)
+    // append is feed-invisible by the documented CDF contract (a base
+    // extension, not a change a consumer could have seen differently);
+    // it also plants the wide-span file the incremental pass rewrites
+    val tail    = (600L until 650L).map(j => (j, j % 7, 1)).toDF("k", "g", "v").coalesce(1)
+    val tailSum = (600L until 650L).map(_ % 7).sum
+    wh.append("silver", "mi", tail)
+    assert(wh.zorderIncremental("silver", "mi", Seq("g"), spanThreshold = 0.5,
+      targetRowsPerFile = 100L) > 0L)
+    assert(feed() == feedAfterDml,
+      "a maintenance op leaked rows into the change feed")
+    assert(wh.table("silver", "mi").agg(sum($"g")).head().getLong(0) == sumBefore + tailSum)
+  }
+
   test("change feed records exactly each merge's insert/update rows, tailable by version") {
     import spark.implicits._
     val wh = freshWh()
