@@ -635,6 +635,20 @@ object Oracles {
         |WHERE e.doc_id % 5 = 0 AND c.doc_id % 5 != 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    // q122: q66's containment recompute, restricted to the arriving
+    // batch slice — the persisted eval index changes the plan, never
+    // the values
+    "q122_incremental_decontamination" -> {
+      val gram = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 7),
+        |         i -> $gram))) AS s
+        |       FROM t WHERE len(toks) >= 8)
+        |SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+        |FROM sh c JOIN sh e ON c.s = e.s
+        |WHERE e.doc_id % 5 = 0 AND c.doc_id % 5 != 0 AND c.doc_id % 3 != 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q67_chunking" ->
       """WITH arrs AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr

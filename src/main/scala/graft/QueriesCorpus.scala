@@ -253,6 +253,37 @@ object QueriesCorpus {
       .orderBy($"doc_id", $"eval_id")
   }
 
+  /** INCREMENTAL decontamination — the ingest-time shape of q66. Eval
+    * suites are fixed at registration time, corpora arrive in batches:
+    * the eval 8-gram fingerprint set persists ONCE (Scratch.once, the
+    * q54/q118 write-at-ingest discipline) and each arriving batch
+    * shingles only itself and probes the index — O(batch), never a
+    * corpus or eval re-shingle. The index is broadcast like q66's eval
+    * side (eval suites are small by definition; at 100 TB the probe is
+    * one broadcast hash join riding every ingest job). Oracle: q66's
+    * containment recompute restricted to the batch slice.
+    */
+  def q122_incremental_decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    val idx  = Scratch.dir(spark, "q122_evalgrams", dir)
+    Scratch.once(idx) {
+      Dedup
+        .nearDupSets(docs.filter($"doc_id" % 5 === 0), "doc_id", "text", n = 8)
+        .select($"doc_id".as("eval_id"), explode($"shingle_set").as("s"))
+        .write.mode("overwrite").parquet(s"$idx/grams")
+    }
+    val batch = docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 3 =!= 0)
+    Dedup
+      .nearDupSets(batch, "doc_id", "text", n = 8)
+      .select($"doc_id", explode($"shingle_set").as("s"))
+      .join(broadcast(spark.read.parquet(s"$idx/grams")), Seq("s"))
+      .groupBy($"doc_id", $"eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id", $"eval_id")
+  }
+
   /** Fixed-window chunking with overlap — splitting documents into
     * training sequences (window 32 tokens, stride 24, so consecutive
     * chunks share 8 tokens of context). Pure array expressions: the

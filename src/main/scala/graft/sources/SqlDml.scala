@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   *     surfaced Delta-shaped, so that text runs verbatim)
   *   - `CREATE [OR REPLACE] VIEW name AS SELECT ...`
   *     (gold_integrated_data_preNLP.py:156-166)
-  *   - Delta-parity statements beyond the reference: `INSERT OVERWRITE
+  *   - Delta-parity statements beyond the reference: `CREATE [OR
+  *     REPLACE] TABLE t PARTITIONED BY (cols) AS SELECT ...` (hive
+  *     layout; partition-scoped DML and pruning apply), `INSERT OVERWRITE
   *     [TABLE] t ...`, `TRUNCATE TABLE t`, `DROP TABLE [IF EXISTS] t`,
   *     `DESCRIBE DETAIL t`, `OPTIMIZE t [ZORDER BY (cols)]`,
   *     `VACUUM t [RETAIN n HOURS]`, `RESTORE TABLE t TO VERSION/
@@ -204,13 +206,14 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
 
   private def executeCreate(stmt: String): DataFrame = {
     val re = ("(?is)^create\\s+(or\\s+replace\\s+)?(table|view)\\s+" +
-      "([\\w.]+)\\s+as\\s+(.*)$").r
+      "([\\w.]+)\\s+(?:partitioned\\s+by\\s*\\(([^)]*)\\)\\s+)?as\\s+(.*)$").r
     stmt match {
-      case re(orReplace, kind, name, select) =>
+      case re(orReplace, kind, name, partBy, select) =>
         val (layer, table) = parseQualified(name).getOrElse(
           sys.error(s"CREATE needs a <layer>.<table> name, got: $name"))
         val df = spark.sql(resolveRefs(select))
         if (kind.equalsIgnoreCase("view")) {
+          require(partBy == null, "CREATE VIEW cannot be PARTITIONED BY")
           val v = s"__graft_view_${layer}_$table"
           df.createOrReplaceTempView(v)
           views((layer + "." + table).toLowerCase) = v
@@ -218,7 +221,10 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
         } else {
           require(orReplace != null || !wh.tableExists(layer, table),
             s"table $layer.$table already exists (use CREATE OR REPLACE TABLE)")
-          val n = wh.createOrReplace(layer, table, df)
+          val n =
+            if (partBy == null) wh.createOrReplace(layer, table, df)
+            else wh.createOrReplacePartitioned(layer, table, df,
+              partBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           metricsRow("CREATE TABLE AS SELECT", n, 0, 0)
         }
       case _ => sys.error(s"unsupported CREATE statement: ${stmt.take(120)}")

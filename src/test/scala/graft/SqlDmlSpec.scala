@@ -34,6 +34,24 @@ class SqlDmlSpec extends SparkSpec {
     assert(wh.table("silver", "t1").head().getInt(0) == 9)
   }
 
+  test("CTAS PARTITIONED BY lays out hive partitions that DML then prunes on") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30))
+      .toDF("id", "pt", "v").createOrReplaceTempView("sqldml_psrc")
+    sql.execute(
+      "create or replace table main.silver.pt1 partitioned by (pt) as " +
+        "select id, v, pt from sqldml_psrc")
+    assert(wh.table("silver", "pt1").count() == 3)
+    assert(wh.partitionColumns("silver", "pt1") == Seq("pt"))
+    // the layout is real: partition dirs exist and scoped DML slices on them
+    assert(wh.table("silver", "pt1").inputFiles.exists(_.contains("pt=a")))
+    sql.execute("delete from main.silver.pt1 where pt = 'b'")
+    assert(wh.table("silver", "pt1").count() == 2)
+    intercept[IllegalArgumentException](
+      sql.execute("create or replace view main.silver.vbad partitioned by (pt) as select 1 as x"))
+  }
+
   test("the reference's MERGE text runs verbatim (CTE source, update set *, insert *)") {
     import spark.implicits._
     val (wh, sql) = fresh()
