@@ -515,6 +515,11 @@ object Oracles {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_phash_pairs_collapsed" -> base("q52_phash_pairs"),
     "q57_ann_ivf_topk" -> base("q30_ann_topk"),
+    // filtered ANN: IVF at nprobe=nlist and the persisted
+    // partitionBy(label, cell) probe are EXACTLY the filtered brute
+    // force (the q57/q61 endpoint contract), so q121's SQL gates both
+    "q123_ann_filtered_ivf" -> base("q121_ann_filtered"),
+    "q124_ann_filtered_indexed" -> base("q121_ann_filtered"),
     "q58_repetition" ->
       """WITH arrs AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr

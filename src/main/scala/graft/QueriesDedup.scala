@@ -170,6 +170,45 @@ object QueriesDedup {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The filtered-IVF machinery under the oracle gate — the q57 trick
+    * applied to [[Similarity.ivfTopKFiltered]]: at nprobe = nlist the
+    * probe scans every cell, so the result is EXACTLY the filtered
+    * brute force and q121's SQL is its oracle, while the full
+    * assignment + metadata-filtered cell join + rank pipeline runs
+    * with zero approximation. Sub-unit operating points are pinned in
+    * DedupSpec.
+    */
+  def q123_ann_filtered_ivf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .ivfTopKFiltered(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        matchCols = Seq("label"), k = 5, nlist = 16, nprobe = 16)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The PERSISTED filtered index under the oracle gate — the q61
+    * trick for [[Similarity.ivfTopKIndexedFiltered]]: the
+    * partitionBy(label, cell) index builds once (Scratch.once,
+    * write-at-ingest), the probe pushes the batch's (label, cell)
+    * pairs as static PartitionFilters, and at nprobe = nlist the
+    * result ≡ the filtered brute force, so q121's SQL gates the whole
+    * persisted path end-to-end.
+    */
+  def q124_ann_filtered_indexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val idx = Scratch.dir(spark, "q124_fivf", dir)
+    Scratch.once(idx) {
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding", idx, nlist = 16,
+        metaCols = Seq("label"))
+    }
+    Similarity
+      .ivfTopKIndexedFiltered(spark, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        Seq("label"), idx, k = 5, nprobe = 16)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Multi-table multi-probe LSH top-5 (16 tables × 4 hyperplanes,
     * 1-bit probes) — the candidate union is scored exactly, and at
     * these parameters the per-neighbor miss probability is ≪ 1e-5, so
