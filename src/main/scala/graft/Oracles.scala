@@ -520,6 +520,25 @@ object Oracles {
     // force (the q57/q61 endpoint contract), so q121's SQL gates both
     "q123_ann_filtered_ivf" -> base("q121_ann_filtered"),
     "q124_ann_filtered_indexed" -> base("q121_ann_filtered"),
+    // q125: q66's shingle convention (raw whitespace split, distinct
+    // 8-grams, docs with >= 8 tokens), eval side collapsed to a
+    // distinct-gram universe, corpus side LEFT-joined so clean docs
+    // keep a 0.0 row
+    "q125_contamination_fraction" -> {
+      val gram = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 7),
+        |         i -> $gram))) AS s
+        |       FROM t WHERE len(toks) >= 8),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0)
+        |SELECT c.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |       round(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 6) AS contamination
+        |FROM sh c LEFT JOIN ev ON c.s = ev.s
+        |WHERE c.doc_id % 5 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q58_repetition" ->
       """WITH arrs AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr

@@ -284,6 +284,41 @@ object QueriesCorpus {
       .orderBy($"doc_id", $"eval_id")
   }
 
+  /** Per-document contamination FRACTION — the GPT-3-style dirtiness
+    * score that q66's boolean pair check refines into a ranking: for
+    * every corpus document, the share of its distinct 8-grams that
+    * appear anywhere in the eval set. Unlike q66 this keeps CLEAN
+    * documents too (fraction 0.0), because the downstream policy is a
+    * threshold ("drop docs > x% dirty"), not a blocklist. Same scale
+    * shape as q66: the eval side collapses to a distinct-gram set —
+    * small by definition — and broadcasts; the corpus takes one scan,
+    * one broadcast left join, one per-doc aggregate. The only corpus
+    * shuffle is the doc_id agg, and the partial (map-side) aggregate
+    * collapses the exploded grams back to two longs per document
+    * before it — the shuffle moves O(docs), not O(grams).
+    */
+  def q125_contamination_fraction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sh = Dedup
+      .nearDupSets(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .select($"doc_id", explode($"shingle_set").as("s"))
+    val evalGrams = sh
+      .filter($"doc_id" % 5 === 0)
+      .select($"s").distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter($"doc_id" % 5 =!= 0)
+      .join(broadcast(evalGrams), Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_matched")
+      )
+      .withColumn("contamination",
+        round($"n_matched" / $"n_grams".cast("double"), 6))
+      .orderBy($"doc_id")
+  }
+
   /** Fixed-window chunking with overlap — splitting documents into
     * training sequences (window 32 tokens, stride 24, so consecutive
     * chunks share 8 tokens of context). Pure array expressions: the

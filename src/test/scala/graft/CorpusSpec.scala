@@ -126,6 +126,28 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set((7L, 5L, 1L), (11L, 10L, 2L)), s"got $got")
   }
 
+  test("contamination fraction scores dirty docs and keeps clean docs at 0.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_frac").toString
+    val e8  = (1 to 8).map(i => s"e$i").mkString(" ")
+    val a9  = (1 to 9).map(i => s"a$i").mkString(" ")
+    Seq(
+      (5L, s"$e8 x y z", "en", "src0", 0L),          // eval: one planted 8-gram
+      (7L, s"pre $e8 post", "en", "src0", 0L),       // corpus: 3 grams, 1 dirty
+      (10L, a9, "en", "src1", 0L),                   // eval: grams a1..a8, a2..a9
+      (11L, s"$a9 tail", "en", "src1", 0L),          // corpus: 3 grams, 2 dirty
+      (12L, (1 to 12).map(i => s"c$i").mkString(" "), "en", "src2", 0L) // clean: 5 grams
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesCorpus.q125_contamination_fraction(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (7L, 3L, 1L, 0.333333),
+      (11L, 3L, 2L, 0.666667),
+      (12L, 5L, 0L, 0.0)
+    ), s"got $got")
+  }
+
   test("chunking covers every token with the declared stride overlap") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.01"
