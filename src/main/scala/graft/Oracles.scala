@@ -1383,8 +1383,135 @@ object Oracles {
           |  UNION ALL
           |  SELECT doc_id, regexp_replace(s, ' th e ', ' the ') FROM m2 WHERE contains(s, ' th e ')),
           |m2f AS (SELECT doc_id, s FROM m2 WHERE NOT contains(s, ' th e '))
-          |SELECT doc_id, sum(len(string_split(trim(s), ' '))) AS n_tokens
-          |FROM m2f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+          |SELECT doc_id, CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens
+          |FROM m2f GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
+      // q126: the q120 tokenizer counts (+1 EOS per doc, zero-token
+      // docs kept via LEFT JOIN) fed through the q68 shard-local
+      // packing cumsum
+      ("q126_tokenizer_packing" ->
+        """WITH RECURSIVE words AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+          |  FROM documents),
+          |spaced AS (
+          |  SELECT doc_id, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+          |  FROM words),
+          |m1 AS (
+          |  SELECT doc_id, s FROM spaced
+          |  UNION ALL
+          |  SELECT doc_id, regexp_replace(s, ' t h ', ' th ') FROM m1 WHERE contains(s, ' t h ')),
+          |m1f AS (SELECT doc_id, s FROM m1 WHERE NOT contains(s, ' t h ')),
+          |m2 AS (
+          |  SELECT doc_id, s FROM m1f
+          |  UNION ALL
+          |  SELECT doc_id, regexp_replace(s, ' th e ', ' the ') FROM m2 WHERE contains(s, ' th e ')),
+          |m2f AS (SELECT doc_id, s FROM m2 WHERE NOT contains(s, ' th e ')),
+          |counts AS (
+          |  SELECT doc_id, CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n
+          |  FROM m2f GROUP BY doc_id),
+          |toks AS (
+          |  SELECT d.doc_id, d.source, CAST(COALESCE(c.n, 0) + 1 AS BIGINT) AS n_tok
+          |  FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id),
+          |cum AS (
+          |  SELECT doc_id, source, n_tok,
+          |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_tok
+          |  FROM toks)
+          |SELECT doc_id, source, n_tok,
+          |       CAST(floor(start_tok / 256.0) AS BIGINT) AS bin,
+          |       CAST(start_tok % 256 AS BIGINT) AS offset
+          |FROM cum ORDER BY source, doc_id""".stripMargin) +
+      // q127: the stage-sequential dedup funnel — exact keeps min
+      // doc_id per text group; near = exact 3-gram Jaccard >= 0.5
+      // losers among exact survivors (the q26 contract: LSH+verify ==
+      // exact); substring = 8-gram anchor pairs among near survivors
+      ("q127_dedup_report" ->
+        """WITH keeps AS (
+          |  SELECT text AS ktext, min(doc_id) AS keep_id FROM documents GROUP BY text),
+          |exact_losers AS (
+          |  SELECT d.doc_id FROM documents d JOIN keeps k ON d.text = k.ktext
+          |  WHERE d.doc_id <> k.keep_id),
+          |surv1 AS (
+          |  SELECT d.doc_id, d.source, d.n_chars, d.text
+          |  FROM documents d JOIN keeps k ON d.text = k.ktext AND d.doc_id = k.keep_id),
+          |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM surv1),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+          |       FROM tok WHERE len(toks) >= 3),
+          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+          |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |           GROUP BY 1, 2),
+          |near_losers AS (
+          |  SELECT DISTINCT id_b AS doc_id FROM shared
+          |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          |  WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5),
+          |surv2 AS (
+          |  SELECT * FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)),
+          |toks2 AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM surv2),
+          |grams AS (
+          |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+          |  FROM toks2, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u
+          |  WHERE len(t) >= 8),
+          |sub_losers AS (
+          |  SELECT DISTINCT b.doc_id AS doc_id
+          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+          |losers AS (
+          |  SELECT doc_id, 'exact' AS stage FROM exact_losers
+          |  UNION ALL SELECT doc_id, 'near' AS stage FROM near_losers
+          |  UNION ALL SELECT doc_id, 'substr' AS stage FROM sub_losers)
+          |SELECT d.source,
+          |       count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN l.stage = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+          |       CAST(sum(CASE WHEN l.stage = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+          |       CAST(sum(CASE WHEN l.stage = 'substr' THEN 1 ELSE 0 END) AS BIGINT) AS n_substr_dup,
+          |       CAST(sum(CASE WHEN l.stage IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+          |       CAST(sum(CASE WHEN l.stage IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS dup_chars
+          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+          |GROUP BY d.source ORDER BY d.source""".stripMargin) +
+      // q128: remaining C4/Gopher rules — symbol ratio, bullet-start /
+      // ellipsis-end / short-line fractions, Gopher-threshold keep
+      ("q128_c4_gopher_rules" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+          |         string_split(text, chr(10)) AS lines,
+          |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+          |         CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, n_words, CAST(len(lines) AS BIGINT) AS n_lines,
+          |         (n_hash + n_ellipsis) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+          |         len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+          |           OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '•'))) AS n_bullet,
+          |         len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+          |           OR ends_with(rtrim(l), '…'))) AS n_ell,
+          |         len(list_filter(lines, l ->
+          |           len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) < 3)) AS n_short
+          |  FROM t WHERE n_words >= 1)
+          |SELECT doc_id, n_words, n_lines, symbol_ratio,
+          |       n_bullet / CAST(n_lines AS DOUBLE) AS bullet_line_frac,
+          |       n_ell / CAST(n_lines AS DOUBLE) AS ellipsis_line_frac,
+          |       n_short / CAST(n_lines AS DOUBLE) AS short_line_frac,
+          |       CASE WHEN symbol_ratio <= 0.1 AND n_bullet / CAST(n_lines AS DOUBLE) <= 0.9
+          |             AND n_ell / CAST(n_lines AS DOUBLE) <= 0.3
+          |             AND n_short / CAST(n_lines AS DOUBLE) <= 0.5 THEN 1 ELSE 0 END AS keep
+          |FROM m ORDER BY doc_id""".stripMargin) +
+      // q129: net effect of the bounded [v1, v2] range — the v1 +100
+      // post-image of a v2-deleted row cancels against its own
+      // pre-image, so only the original image's delete survives for
+      // %60 keys, while %30-surviving keys net a delete+insert pair
+      ("q129_change_feed_range" ->
+        """SELECT * FROM (
+          |  SELECT o_orderkey, o_custkey, o_totalprice,
+          |         CAST(0 AS BIGINT) AS n_added, CAST(1 AS BIGINT) AS n_removed,
+          |         CAST(-1 AS BIGINT) AS net, 'delete' AS _change_type
+          |  FROM orders WHERE o_orderkey % 30 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_custkey, o_totalprice + 100,
+          |         CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'insert'
+          |  FROM orders WHERE o_orderkey % 30 = 0 AND o_orderkey % 60 <> 0
+          |) ORDER BY o_orderkey, _change_type""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -388,6 +388,144 @@ object QueriesCorpus {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Tokenizer-aware sequence packing — [[q68_packing]]'s shard-local
+    * cumsum re-budgeted by the TOKENIZER's own counts instead of the
+    * whitespace heuristic: real packed pretraining batches budget by
+    * what the model will actually see, one EOS token appended per
+    * document. The counts come from
+    * [[graft.operators.Bpe.bpeTokenCounts]] under the q120 fixed merge
+    * list (dictionary encodes once — O(vocab); the corpus rejoins
+    * through the word, broadcast-sized); the packing itself stays one
+    * window partitioned by the shard key — no global sort, so 100 TB
+    * packs as independent shard streams exactly like q68.
+    */
+  def q126_tokenizer_packing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Bpe
+    val budget = 256L
+    val docs   = Tables.documents(spark, dir)
+    val counts = Bpe.bpeTokenCounts(docs, "doc_id", "text",
+      Seq(Bpe.Merge("t", "h", 0L), Bpe.Merge("th", "e", 0L)))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    docs
+      .select($"doc_id", $"source")
+      // left join: an all-whitespace doc has zero tokens but still
+      // packs (its EOS occupies one slot)
+      .join(counts, Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        (coalesce($"n_tokens", lit(0L)) + 1L).as("n_tok"))
+      .withColumn("start_tok", sum($"n_tok").over(w) - $"n_tok")
+      .select(
+        $"doc_id",
+        $"source",
+        $"n_tok",
+        ($"start_tok" / budget).cast("long").as("bin"),
+        ($"start_tok" % budget).as("offset")
+      )
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** Per-source dedup-rate telemetry — the report a training run reads
+    * after the dedup passes: docs in → exact-dup losers → near-dup
+    * losers → substring-dup losers → survivors, plus the duplicate
+    * character mass, per source. The funnel is STAGE-SEQUENTIAL (each
+    * stage sees only the prior stage's survivors, so the stage counts
+    * are disjoint and sum with survivors to n_docs): exact = sha256
+    * content groups keep their min doc_id ([[Queries.q17_dedup_exact]]
+    * rule); near = MinHash-LSH verified 3-gram Jaccard ≥ 0.5 losers
+    * (q26's operator — banded candidates, exact verify); substring =
+    * 8-gram anchor-run pairs (q115's operator). Each stage is the
+    * already-scale-audited operator; the report adds one doc-keyed
+    * left join and one per-source aggregation on top.
+    */
+  def q127_dedup_report(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars", $"text")
+    val keeps = docs
+      .groupBy(sha2($"text", 256).as("ck"))
+      .agg(min($"doc_id").as("keep_id"))
+    val tagged = docs.withColumn("ck", sha2($"text", 256)).join(keeps, Seq("ck"))
+    val exactLosers = tagged.filter($"doc_id" =!= $"keep_id").select($"doc_id")
+    val surv1 = tagged.filter($"doc_id" === $"keep_id")
+      .select($"doc_id", $"source", $"n_chars", $"text")
+    val nearLosers = Dedup
+      .minhashLshPairs(surv1, "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.5)
+      .select($"id_b".as("doc_id")).distinct()
+    val surv2 = surv1.join(nearLosers, Seq("doc_id"), "left_anti")
+    val subLosers = Dedup
+      .substringPairs(surv2, "doc_id", "text", k = 8)
+      .select($"doc_b".as("doc_id")).distinct()
+    val losers = exactLosers.select($"doc_id", lit("exact").as("stage"))
+      .unionByName(nearLosers.select($"doc_id", lit("near").as("stage")))
+      .unionByName(subLosers.select($"doc_id", lit("substr").as("stage")))
+    docs
+      .select($"doc_id", $"source", $"n_chars")
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"stage" === "exact", 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when($"stage" === "near", 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when($"stage" === "substr", 1L).otherwise(0L)).as("n_substr_dup"),
+        sum(when($"stage".isNull, 1L).otherwise(0L)).as("n_survivors"),
+        sum(when($"stage".isNotNull, $"n_chars").otherwise(0L)).as("dup_chars")
+      )
+      .orderBy($"source")
+  }
+
+  /** The remaining standard C4/Gopher quality filters as ONE composable
+    * rule table ([[q58_repetition]] covers the repetition fractions):
+    * symbol-to-word ratio (`#` and `...` occurrences per word), bullet-
+    * start and ellipsis-end line fractions, short-line (<3 words)
+    * fraction, and the Gopher-threshold keep flag over all four. Pure
+    * per-row map work — every metric is an expression over the row's
+    * own text, so the query is shuffle-free up to the output sort and
+    * scales exactly like the bytes do.
+    */
+  def q128_c4_gopher_rules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nHash = (length($"text") - length(expr("replace(text, '#', '')"))).cast("long")
+    val nEll = ((length($"text") - length(expr("replace(text, '...', '')"))) / 3).cast("long")
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").cast("long").as("n_words"),
+        split($"text", "\n").as("lines"),
+        nHash.as("n_hash"),
+        nEll.as("n_ellipsis")
+      )
+      .filter($"n_words" >= 1)
+      .select(
+        $"doc_id",
+        $"n_words",
+        size($"lines").cast("long").as("n_lines"),
+        (($"n_hash" + $"n_ellipsis") / $"n_words".cast("double")).as("symbol_ratio"),
+        expr("size(filter(lines, l -> startswith(ltrim(l), '- ') or startswith(ltrim(l), '* ') or startswith(ltrim(l), '•')))")
+          .cast("long").as("n_bullet_lines"),
+        expr("size(filter(lines, l -> endswith(rtrim(l), '...') or endswith(rtrim(l), '…')))")
+          .cast("long").as("n_ellipsis_lines"),
+        expr("size(filter(lines, l -> size(filter(split(l, '\\\\s+'), x -> x != '')) < 3))")
+          .cast("long").as("n_short_lines")
+      )
+      .select(
+        $"doc_id",
+        $"n_words",
+        $"n_lines",
+        $"symbol_ratio",
+        ($"n_bullet_lines" / $"n_lines".cast("double")).as("bullet_line_frac"),
+        ($"n_ellipsis_lines" / $"n_lines".cast("double")).as("ellipsis_line_frac"),
+        ($"n_short_lines" / $"n_lines".cast("double")).as("short_line_frac")
+      )
+      .withColumn("keep",
+        when($"symbol_ratio" <= 0.1 && $"bullet_line_frac" <= 0.9 &&
+          $"ellipsis_line_frac" <= 0.3 && $"short_line_frac" <= 0.5, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
   /** Token-distribution Shannon entropy per document — the diversity
     * signal of the quality family (templated / spammy docs have low
     * unigram entropy; natural text sits high). Each term

@@ -299,4 +299,30 @@ object QueriesDml {
         Seq(Bpe.Merge("t", "h", 0L), Bpe.Merge("th", "e", 0L)))
       .orderBy($"doc_id")
   }
+
+  /** Cross-snapshot review surface: Delta's two-arg
+    * `table_changes(t, v1, v2)` bounded range collapsed to NET effect
+    * ([[Warehouse.changeFeedNet]]) over a 3-commit table — v1 updates
+    * every %30 key (+100), v2 deletes the %60 subset of those. The
+    * v1 post-image of a v2-deleted row cancels against its own
+    * pre-image, so the range nets to: the ORIGINAL image deleted for
+    * every touched key, plus the +100 image inserted only for keys
+    * that survived v2 — exactly what DuckDB recomputes from `orders`.
+    */
+  def q129_change_feed_range(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q129_wh", dir)
+    val wh     = new Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplace("silver", "cfr",
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice"))          // v0
+      wh.update("silver", "cfr", $"o_orderkey" % 30 === 0,
+        Map("o_totalprice" -> ($"o_totalprice" + 100)))                   // v1
+      wh.delete("silver", "cfr",
+        $"o_orderkey" % 30 === 0 && $"o_orderkey" % 60 === 0)             // v2
+    }
+    wh.changeFeedNet("silver", "cfr", 1, 2)
+      .orderBy($"o_orderkey", $"_change_type")
+  }
 }

@@ -78,6 +78,7 @@ object Upsert {
   private val TgtMark = "__graft_tgt_present"
   private val SrcMark = "__graft_src_present"
   private val SrcKeyRows = "__graft_src_key_rows"
+  private val SrcKeyRank = "__graft_src_key_rank"
 
   /** Build the merged DataFrame. `tgt` and `src` must share a schema.
     * Matched rows take the src version only when `src.versionCol >
@@ -232,9 +233,13 @@ object Upsert {
   ): ClausePlan = {
     val srcKeyWindow = Window.partitionBy(keys.map(col): _*)
     val t = tgt.withColumn(TgtMark, lit(true)).alias("t")
+    // SrcKeyRank picks one representative pair when duplicate matches
+    // are legal (all pairs keep); the ordering is a constant because
+    // the kept copy is the target pre-image, identical for every pair
     val s = src
       .withColumn(SrcMark, lit(true))
       .withColumn(SrcKeyRows, count(lit(1)).over(srcKeyWindow))
+      .withColumn(SrcKeyRank, row_number().over(srcKeyWindow.orderBy(lit(1))))
       .alias("s")
     val joinCond   = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val tgtPresent = col(s"t.$TgtMark").isNotNull
@@ -252,16 +257,6 @@ object Upsert {
     val mWin = winner(isMatched, matched.map(_.cond))
     val iWin = winner(srcOnly, notMatched.map(_.cond))
     val bWin = winner(tgtOnly, bySource.map(_.cond))
-    // same cardinality protection as [[plan]]: several source rows
-    // sharing a matched key would each pair with the target row in the
-    // full-outer join — raise like Delta, never silently duplicate
-    val dupMatched = isMatched && col(s"s.$SrcKeyRows") > 1
-    val dupError = raise_error(
-      concat(
-        lit("MERGE failed: multiple source rows matched the target row for key ("),
-        concat_ws(",", keys.map(k => col(s"s.$k").cast("string")): _*),
-        lit(")")))
-    val dupGuard = when(dupMatched, dupError.cast("boolean")).otherwise(lit(true))
     val mAction = matched.zipWithIndex.foldRight(lit("keep"): Column) {
       case (((_: MergeClause.UpdateMatched), i), els) => when(mWin === i, lit("update")).otherwise(els)
       case (((_: MergeClause.DeleteMatched), i), els) => when(mWin === i, lit("delete")).otherwise(els)
@@ -270,8 +265,24 @@ object Upsert {
       case (((_: MergeClause.UpdateBySource), i), els) => when(bWin === i, lit("update")).otherwise(els)
       case (((_: MergeClause.DeleteBySource), i), els) => when(bWin === i, lit("delete")).otherwise(els)
     }
+    // Delta's cardinality rule precisely: several source rows sharing a
+    // matched key raise ONLY when a pair would MODIFY the target row
+    // (update/delete wins). An insert-only merge over a duplicate-keyed
+    // source (the common `WHEN NOT MATCHED THEN INSERT *` dedupe
+    // pattern) is legal — the N keep pairs collapse to the rank-1 copy
+    // below, so the target row is emitted exactly once.
+    val dupMatched = isMatched && col(s"s.$SrcKeyRows") > 1
+    val dupModify  = dupMatched && mAction.isin("update", "delete")
+    val dupError = raise_error(
+      concat(
+        lit("MERGE failed: multiple source rows matched and modify the target row for key ("),
+        concat_ws(",", keys.map(k => col(s"s.$k").cast("string")): _*),
+        lit(")")))
+    val dupGuard = when(dupModify, dupError.cast("boolean")).otherwise(lit(true))
     val action =
-      when(isMatched, mAction)
+      when(isMatched,
+        when(dupMatched && mAction === "keep" && col(s"s.$SrcKeyRank") > 1, lit("drop"))
+          .otherwise(mAction))
         .when(srcOnly, when(iWin >= 0, lit("insert")).otherwise(lit("drop")))
         .otherwise(bAction)
     val insertOnlyLower = insertOnlyCols.map(_.toLowerCase)

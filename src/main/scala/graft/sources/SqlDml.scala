@@ -36,9 +36,13 @@ import org.apache.spark.sql.functions._
   *     `VACUUM t [RETAIN n HOURS]`, `RESTORE TABLE t TO VERSION/
   *     TIMESTAMP AS OF ...`, `ALTER TABLE t RENAME/DROP COLUMN | ADD/
   *     DROP CONSTRAINT | ALTER COLUMN c SET NOT NULL`, `SHOW TABLES
-  *     [IN layer]`, and the query-side readers — `FROM t VERSION AS OF
-  *     n` / `TIMESTAMP AS OF 'ts'` and `table_changes('t', v)` resolve
-  *     to as-of / change-feed views inside any query
+  *     [IN layer]`, `SHOW PARTITIONS t`, `ANALYZE TABLE t COMPUTE
+  *     STATISTICS [FOR COLUMNS a, b | FOR BLOOM c]` (builds the
+  *     min/max / bloom skipping sidecars), and the query-side readers —
+  *     `FROM t VERSION AS OF n` / `TIMESTAMP AS OF 'ts'`,
+  *     `table_changes('t', v)` (open tail) and `table_changes('t', v1,
+  *     v2)` (bounded, both ends inclusive) resolve to as-of /
+  *     change-feed views inside any query
   *   - anything else: treated as a query (SELECT / WITH), warehouse
   *     table names resolved, run through `spark.sql`
   *
@@ -61,7 +65,12 @@ import org.apache.spark.sql.functions._
 final class SqlDml(spark: SparkSession, wh: Warehouse) {
 
   /** Registered CREATE VIEW definitions: lowercased `layer.table` →
-    * temp view name holding the view's SELECT.
+    * the view's SELECT text. Views are LATE-BINDING, like Delta's: the
+    * stored SQL re-resolves against the live warehouse state at every
+    * reference, so a view over a table merged daily always reads the
+    * current generation (a snapshot-bound DataFrame would pin the file
+    * listing of the generation current at CREATE time and go stale —
+    * or throw FileNotFoundException once that generation retires).
     */
   private val views = scala.collection.mutable.Map.empty[String, String]
 
@@ -119,7 +128,46 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
             wh.listTables(l).map(t => (l, t)).toDF("layer", "table_name")
           case _ => sys.error(s"unsupported SHOW statement: ${stmt.take(120)}")
         }
+      case Seq("show", "partitions", _*) =>
+        import spark.implicits._
+        val pRe = "(?is)^show\\s+partitions\\s+([\\w.]+)\\s*$".r
+        stmt match {
+          case pRe(name) =>
+            val (l, t) = parseQualified(name).getOrElse(
+              sys.error(s"SHOW PARTITIONS needs a <layer>.<table> name, got: $name"))
+            wh.partitions(l, t).toDF("partition")
+          case _ => sys.error(s"unsupported SHOW statement: ${stmt.take(120)}")
+        }
+      case Seq("analyze", "table", _*) => executeAnalyze(stmt)
       case _ => spark.sql(resolveRefs(stmt))
+    }
+  }
+
+  /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]` — builds
+    * the per-file min/max skipping sidecar ([[Warehouse.collectStats]])
+    * over the named columns, or over every top-level column when the
+    * FOR COLUMNS list is omitted; `... FOR BLOOM c` builds the
+    * bloom-filter sidecar for an equality-probed column
+    * ([[Warehouse.collectBloom]]). Returns the profiled file count in
+    * the metrics row, so maintenance is fully SQL-drivable.
+    */
+  private def executeAnalyze(stmt: String): DataFrame = {
+    val re = ("(?is)^analyze\\s+table\\s+([\\w.]+)\\s+compute\\s+statistics" +
+      "(?:\\s+for\\s+columns\\s+([\\w\\s,]+)|\\s+for\\s+bloom\\s+([\\w]+))?\\s*$").r
+    stmt match {
+      case re(name, colsTxt, bloomCol) =>
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error(s"ANALYZE TABLE needs a <layer>.<table> name, got: $name"))
+        val n =
+          if (bloomCol != null) wh.collectBloom(l, t, bloomCol)
+          else {
+            val cols =
+              if (colsTxt == null) wh.table(l, t).columns.toSeq
+              else colsTxt.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            wh.collectStats(l, t, cols)
+          }
+        metricsRow("ANALYZE TABLE", n, 0, 0)
+      case _ => sys.error(s"unsupported ANALYZE statement: ${stmt.take(120)}")
     }
   }
 
@@ -214,9 +262,10 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
         val df = spark.sql(resolveRefs(select))
         if (kind.equalsIgnoreCase("view")) {
           require(partBy == null, "CREATE VIEW cannot be PARTITIONED BY")
-          val v = s"__graft_view_${layer}_$table"
-          df.createOrReplaceTempView(v)
-          views((layer + "." + table).toLowerCase) = v
+          // validate the SELECT now (df resolves it once), but store
+          // the TEXT — resolveRefs re-binds it at every reference
+          df.queryExecution.analyzed
+          views((layer + "." + table).toLowerCase) = select
           metricsRow("CREATE VIEW", 0, 0, 0)
         } else {
           require(orReplace != null || !wh.tableExists(layer, table),
@@ -273,8 +322,19 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
           cast.foldLeft(col(s"`$from`"))((c, dt) => c.cast(dt)).as(to)
         }: _*)
         if (overwrite) {
-          // INSERT OVERWRITE = full replace with the target's schema
-          val n = wh.createOrReplace(layer, table, df)
+          // INSERT OVERWRITE = full replace that KEEPS the table's
+          // shape, like Delta: the full target schema (columns an
+          // explicit column list omits are null-filled, not dropped)
+          // and the existing hive-partition layout (flattening it
+          // would silently lose pruning and partition-scoped DML)
+          val full = df.select(tgtSchema.fields.toSeq.map { f =>
+            if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          val pcols = wh.partitionColumns(layer, table)
+          val n =
+            if (pcols.nonEmpty) wh.createOrReplacePartitioned(layer, table, full, pcols)
+            else wh.createOrReplace(layer, table, full)
           metricsRow("INSERT OVERWRITE", n, 0, 0)
         } else {
           val n = wh.append(layer, table, df)
@@ -376,10 +436,17 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
       }
     }
 
+    require(!tgtAlias.equalsIgnoreCase(srcAlias),
+      s"MERGE target and source aliases collide ($tgtAlias) — alias them distinctly")
+    // Both aliases rewrite in ONE pass: sequential replaceAll would
+    // re-rewrite the first pass's output when the statement aliases the
+    // target as `s` or the source as `t` (MERGE INTO x AS s USING y t),
+    // silently binding both sides to one input.
+    val aliasPat = ("(?i)(?<![\\w.])(" + java.util.regex.Pattern.quote(tgtAlias) +
+      "|" + java.util.regex.Pattern.quote(srcAlias) + ")\\.").r
     def rewrite(exprTxt: String): String =
-      exprTxt
-        .replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(tgtAlias) + "\\.", "t.")
-        .replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(srcAlias) + "\\.", "s.")
+      aliasPat.replaceAllIn(exprTxt, m =>
+        if (m.group(1).equalsIgnoreCase(tgtAlias)) "t." else "s.")
     def cond(c: String): Option[Column] = Option(c).map(x => expr(rewrite(x)))
 
     val matched    = scala.collection.mutable.ArrayBuffer.empty[MergeClause.Matched]
@@ -511,13 +578,25 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     })
     // Delta's CDF reader `table_changes('t', startingVersion)` —
     // startingVersion is INCLUSIVE in Delta, the engine's changeFeed
-    // bound is exclusive, hence the -1
-    val tcRe = "(?i)table_changes\\s*\\(\\s*'((?:main\\.)?[\\w]+\\.[\\w]+)'\\s*,\\s*(\\d+)\\s*\\)".r
+    // bound is exclusive, hence the -1. The two-arg form
+    // `table_changes('t', v1, v2)` is Delta's bounded range, both ends
+    // inclusive ([[Warehouse.changeFeedRange]]).
+    val tcRe = ("(?i)table_changes\\s*\\(\\s*'((?:main\\.)?[\\w]+\\.[\\w]+)'" +
+      "\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
     val withTc = tcRe.replaceAllIn(withT, m => parseQualified(m.group(1)) match {
       case Some((l, t)) if wh.tableExists(l, t) =>
         val since = m.group(2).toLong
-        val v = s"__graft_cdf_${l}_${t}_$since"
-        wh.changeFeed(l, t, since - 1).createOrReplaceTempView(v)
+        val v =
+          if (m.group(3) == null) {
+            val n = s"__graft_cdf_${l}_${t}_$since"
+            wh.changeFeed(l, t, since - 1).createOrReplaceTempView(n)
+            n
+          } else {
+            val until = m.group(3).toLong
+            val n = s"__graft_cdfr_${l}_${t}_${since}_$until"
+            wh.changeFeedRange(l, t, since, until).createOrReplaceTempView(n)
+            n
+          }
         java.util.regex.Matcher.quoteReplacement(v)
       case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
     })
@@ -539,7 +618,14 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
       val (l, t) = (m.group(1), m.group(2))
       val key = s"$l.$t".toLowerCase
       val sub =
-        if (views.contains(key)) Some(views(key))
+        if (views.contains(key)) {
+          // late binding: re-run the stored SELECT against the live
+          // warehouse state (recursing for views over views) and hand
+          // the outer query a fresh temp view over it
+          val v = s"__graft_view_${l}_$t"
+          spark.sql(resolveRefs(views(key))).createOrReplaceTempView(v)
+          Some(v)
+        }
         else if (wh.tableExists(l, t)) {
           val v = s"__graft_tbl_${l}_$t"
           wh.table(l, t).createOrReplaceTempView(v)

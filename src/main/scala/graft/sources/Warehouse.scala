@@ -912,8 +912,17 @@ final class Warehouse(
     val idCols = identityColumns(layer, table).map(_._1).toSet
     val merged = Upsert.planClauses(alignTo(touchedTgt, unioned), srcAligned,
       keys, matched, notMatched, bySource, insertOnlyCols = idCols)
-    val counts = merged.groupBy(col(Upsert.ActionCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Action counts AND the output rows' partition tuples in one job: a
+    // clause expression may ASSIGN a partition column (UPDATE SET pcol=…,
+    // INSERT (…, pcol) VALUES(…, expr)), landing rows in a partition
+    // outside `touched`. Such a partition must join the slice BEFORE
+    // retireDirs/carry are fixed, or the swap would replace its live
+    // directory with only the merged rows (silent data loss).
+    val actionParts = merged
+      .groupBy((col(Upsert.ActionCol) +: pcols.map(c => col(c).cast("string"))): _*)
+      .count().collect()
+    val counts = actionParts
+      .groupBy(_.getString(0)).map { case (a, rs) => a -> rs.map(_.getLong(pcols.length + 1)).sum }
     val ins = counts.getOrElse("insert", 0L)
     val upd = counts.getOrElse("update", 0L)
     val del = counts.getOrElse("delete", 0L)
@@ -925,15 +934,32 @@ final class Warehouse(
         else footerRowCount(carryPairs.map(_._1), Some(tablePath(layer, table)))
       return Upsert.MergeClauseMetrics(0, 0, 0, keptPlan + carried0)
     }
+    // Widen the slice with any partition the merged OUTPUT lands in that
+    // the source/matched-homes scan missed (partition-column assignment).
+    // Those partitions' target rows can never be key-matched (all matched
+    // homes are already in `touched`), so the plan above is unaffected —
+    // their live files simply byte-carry into the staging tree.
+    val outParts: Seq[Seq[String]] = actionParts.toSeq
+      .filter(r => r.getString(0) == "insert" || r.getString(0) == "update")
+      .map(r => pcols.indices.map(i => r.getString(i + 1)).toSeq)
+      .distinct
+    val touchedAll = (touched ++ outParts).distinct
+    val (retireAll, carryAll) =
+      if (touchedAll.lengthCompare(touched.length) == 0) (retireDirs, carryPairs)
+      else {
+        val rd = retireDirsFor(new Path(tablePath(layer, table)), pcols, tgt0.schema, touchedAll)
+        (rd, dataFilesUnder(new Path(tablePath(layer, table)), rd)
+          .filterNot(p => matchedFiles.contains(p._1)))
+      }
     val staging = new Path(tablePath(layer, table) + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
     val carried =
-      if (carryPairs.isEmpty) 0L
-      else footerRowCount(carryPairs.map(_._1), Some(tablePath(layer, table)))
+      if (carryAll.isEmpty) 0L
+      else footerRowCount(carryAll.map(_._1), Some(tablePath(layer, table)))
     merged.filter(col(Upsert.ActionCol) =!= "delete").drop(Upsert.ActionCol)
       .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
-    copyFilesInto(carryPairs, staging)
+    copyFilesInto(carryAll, staging)
     val post = merged
       .filter(col(Upsert.ActionCol).isin("insert", "update"))
       .withColumn("_change_type",
@@ -959,7 +985,7 @@ final class Warehouse(
       .withColumn("_commit_part", lit(f"$ver%010d"))
       .write.mode(SaveMode.Append).partitionBy("_commit_part")
       .parquet(tablePath(layer, table) + ".__changes")
-    swapPartitions(layer, table, staging, retireDirs, pcols.length)
+    swapPartitions(layer, table, staging, retireAll, pcols.length)
     logOp(layer, table, "MERGE", ins, upd,
       outputRows = ins + upd + keptPlan + carried, version = ver, deleted = del)
     Upsert.MergeClauseMetrics(ins, upd, del, keptPlan + carried)
@@ -4111,6 +4137,74 @@ final class Warehouse(
       .filter(col("_commit_part").cast("long") > sinceVersion &&
         col("_commit_part").cast("long") <= latestVersion(s"$layer.$table"))
       .drop("_commit_part")
+  }
+
+  /** Bounded change feed — Delta's two-arg
+    * `table_changes(t, startVersion, endVersion)`: both bounds
+    * INCLUSIVE, the end capped at the committed ledger head (Delta
+    * errors past-head reads; capping serves the same
+    * no-phantom-commits contract under the feed's write-before-swap
+    * ordering). Same partition-pruned tail as [[changeFeed]]: the
+    * range reads exactly the `_commit_part` directories it spans,
+    * O(range), never O(history).
+    */
+  def changeFeedRange(
+      layer: String,
+      table: String,
+      fromVersion: Long,
+      toVersion: Long
+  ): DataFrame = {
+    require(fromVersion >= 0, s"fromVersion must be >= 0, got $fromVersion")
+    require(toVersion >= fromVersion,
+      s"table_changes range is inverted: [$fromVersion, $toVersion]")
+    val p = tablePath(layer, table) + ".__changes"
+    require(fs.exists(new Path(p)), s"$layer.$table has no change feed (no merges recorded)")
+    migrateLegacyFeed(p)
+    val cap = math.min(toVersion, latestVersion(s"$layer.$table"))
+    spark.read.option("mergeSchema", "true").parquet(p)
+      .filter(col("_commit_part").cast("long") >= fromVersion &&
+        col("_commit_part").cast("long") <= cap)
+      .drop("_commit_part")
+  }
+
+  /** Net effect of a version range — the review surface over
+    * [[changeFeedRange]]: a row inserted AND deleted inside the range
+    * cancels; a row updated is one removal of its pre-image and one
+    * addition of its post-image. Grouped by the full data row
+    * (additions = insert/update_postimage, removals =
+    * delete/update_preimage), emitting only rows whose add/remove
+    * counts don't balance, tagged with the surviving direction. One
+    * shuffle keyed by the data columns — at 100 TB the feed slice is
+    * O(range's churn), and the collapse is a single partial-aggregated
+    * groupBy over it.
+    */
+  def changeFeedNet(
+      layer: String,
+      table: String,
+      fromVersion: Long,
+      toVersion: Long
+  ): DataFrame = {
+    val feed = changeFeedRange(layer, table, fromVersion, toVersion)
+    val dataCols = feed.columns.filterNot(Set("_change_type", "_commit_version").contains).toSeq
+    val added = col("_change_type").isin("insert", "update_postimage")
+    feed
+      .groupBy(dataCols.map(col): _*)
+      .agg(
+        sum(when(added, 1L).otherwise(0L)).as("n_added"),
+        sum(when(added, 0L).otherwise(1L)).as("n_removed"))
+      .withColumn("net", col("n_added") - col("n_removed"))
+      .filter(col("net") =!= 0L)
+      .withColumn("_change_type", when(col("net") > 0, lit("insert")).otherwise(lit("delete")))
+  }
+
+  /** The hive partition directories of a partitioned table, as their
+    * relative `col=value[/col2=value2]` spellings (the SHOW PARTITIONS
+    * surface). Driver-side listing, O(partition count) — no data I/O.
+    */
+  def partitions(layer: String, table: String): Seq[String] = {
+    val pcols = partitionColumns(layer, table)
+    require(pcols.nonEmpty, s"$layer.$table is not partitioned")
+    leafPartitionDirs(new Path(tablePath(layer, table)), pcols.length).sorted
   }
 
   /** One-time upgrade of a pre-partitioned-layout feed: rewrite any

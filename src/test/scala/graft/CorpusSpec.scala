@@ -32,6 +32,91 @@ class CorpusSpec extends SparkSpec {
     assert(byId(3L).getInt(6) == 0)
   }
 
+  test("C4/Gopher rules: planted bullet/ellipsis/symbol/short-line docs flag as expected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_c4_spec").toString
+    Seq(
+      (1L, "- item one\n- item two\n- item three", "en", "s0", 30L),
+      (2L, "a good line of text here\nanother decent line follows...", "en", "s0", 50L),
+      (3L, "# # # # hello", "en", "s0", 13L),
+      (4L, "this is a perfectly normal document line with enough words", "en", "s0", 58L),
+      (5L, "ok\nno\nfine words here today friends", "en", "s0", 35L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byId = QueriesCorpus.q128_c4_gopher_rules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: every line bullet-started -> frac 1.0 > 0.9 -> dropped
+    assert(byId(1L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(byId(1L).getAs[Int]("keep") == 0)
+    // doc 2: 1 of 2 lines ends with ellipsis -> 0.5 > 0.3 -> dropped;
+    // the '...' also counts one symbol over 10 words = exactly 0.1
+    assert(byId(2L).getAs[Double]("ellipsis_line_frac") == 0.5)
+    assert(byId(2L).getAs[Double]("symbol_ratio") == 0.1)
+    assert(byId(2L).getAs[Int]("keep") == 0)
+    // doc 3: 4 '#' over 5 words -> 0.8 > 0.1 -> dropped
+    assert(byId(3L).getAs[Double]("symbol_ratio") == 0.8)
+    assert(byId(3L).getAs[Int]("keep") == 0)
+    // doc 4: clean single line -> kept
+    assert(byId(4L).getAs[Int]("keep") == 1)
+    // doc 5: 2 of 3 lines under 3 words -> short frac > 0.5 -> dropped
+    assert(byId(5L).getAs[Double]("short_line_frac") > 0.5)
+    assert(byId(5L).getAs[Int]("keep") == 0)
+  }
+
+  test("dedup report: planted exact/near/substring dups land in their funnel stage") {
+    import spark.implicits._
+    val dir  = java.nio.file.Files.createTempDirectory("graft_dreport_spec").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // doc 4: doc 1's first 8 tokens embedded in 24 unique tokens —
+    // shares an 8-gram run (substring hit) but trigram Jaccard is
+    // 6/32 < 0.5, so it must NOT count as a near-dup
+    val d4 = ((1 to 12).map(i => s"u$i") ++ base.split(" ").take(8) ++
+      (13 to 24).map(i => s"u$i")).mkString(" ")
+    Seq(
+      (1L, base, "en", "s1", 56L),
+      (2L, base, "en", "s1", 56L),
+      (3L, base + " lambda", "en", "s1", 63L),
+      (4L, d4, "en", "s1", 120L),
+      (5L, "totally different content words entirely unique nothing shared here at all",
+        "en", "s2", 75L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = QueriesCorpus.q127_dedup_report(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = rows("s1")
+    assert(s1.getAs[Long]("n_docs") == 4L)
+    assert(s1.getAs[Long]("n_exact_dup") == 1L, "doc 2 is an exact copy of doc 1")
+    assert(s1.getAs[Long]("n_near_dup") == 1L, "doc 3 is a trigram near-dup of doc 1")
+    assert(s1.getAs[Long]("n_substr_dup") == 1L, "doc 4 shares only the 8-gram run")
+    assert(s1.getAs[Long]("n_survivors") == 1L)
+    assert(s1.getAs[Long]("dup_chars") == 56L + 63L + 120L)
+    val s2 = rows("s2")
+    assert(s2.getAs[Long]("n_docs") == 1L && s2.getAs[Long]("n_survivors") == 1L)
+  }
+
+  test("tokenizer packing: BPE counts + EOS drive the shard-local cumsum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokpack_spec").toString
+    Seq(
+      // 'the' collapses to ONE token under the fixed (t,h)(th,e)
+      // merges; 'cat' stays 3 symbols c|a|t
+      (1L, "the the the", "en", "s1", 11L),
+      (2L, "cat", "en", "s1", 3L),
+      (3L, "   ", "en", "s1", 3L) // zero tokens -> EOS only
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = QueriesCorpus.q126_tokenizer_packing(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_tok") == 4L, "3x 'the' = 3 tokens + EOS")
+    assert(rows(2L).getAs[Long]("n_tok") == 4L, "'cat' = c,a,t + EOS")
+    assert(rows(3L).getAs[Long]("n_tok") == 1L, "whitespace-only doc packs its EOS alone")
+    // shard-local offsets are the exclusive cumsum in doc_id order
+    assert(rows(1L).getAs[Long]("offset") == 0L)
+    assert(rows(2L).getAs[Long]("offset") == 4L)
+    assert(rows(3L).getAs[Long]("offset") == 8L)
+    assert(rows.values.forall(_.getAs[Long]("bin") == 0L), "9 tokens fit one 256 bin")
+  }
+
   test("stratified hash sampling is reproducible, tiered, and a true subset") {
     import spark.implicits._
     val dir  = "/root/testdata/sf0.01"

@@ -233,4 +233,63 @@ class MergeClausesSpec extends SparkSpec {
     assert(wh.table("silver", "dim").filter($"k" === 4L)
       .select("payload").head().getString(0) == "stale")
   }
+
+  test("insert-only merge over a duplicate-keyed source is legal (Delta parity)") {
+    import spark.implicits._
+    // Delta raises on duplicate matches only when a pair would MODIFY
+    // the target row; the common `WHEN NOT MATCHED THEN INSERT *`
+    // dedupe pattern must pass, keep the matched target row exactly
+    // once, and insert every unmatched source row
+    val tgt = Seq((1L, "a", 1)).toDF("k", "payload", "v")
+    val src = Seq((1L, "x", 2), (1L, "y", 3), (5L, "e", 9), (5L, "e2", 9))
+      .toDF("k", "payload", "v")
+    val out = Upsert.planClauses(tgt, src, Seq("k"),
+      Seq.empty, Seq(MergeClause.InsertNotMatched(None, None)), Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.count(_ == ((1L, "keep"))) == 1,
+      "matched target row emitted once despite two matching source rows")
+    assert(out.count(_._1 == 5L) == 2, "unmatched duplicates each insert")
+    assert(out.length == 3)
+    // ... and a conditional matched clause that fires for ANY duplicate
+    // pair still raises (a modify attempt under duplicate matches)
+    val m = Seq(MergeClause.UpdateMatched(Some(col("s.v") === 3), None))
+    val ex = intercept[Exception] {
+      Upsert.planClauses(tgt, src, Seq("k"), m,
+        Seq(MergeClause.InsertNotMatched(None, None)), Seq.empty).count()
+    }
+    assert(ex.getMessage.contains("multiple source rows matched"))
+  }
+
+  test("warehouse mergeClauses: insert-only dedupe over a duplicate-keyed source") {
+    import spark.implicits._
+    val wh = freshWh()
+    wh.createOrReplace("silver", "dim", Seq((1L, "a", 1)).toDF("k", "payload", "v"))
+    val src = Seq((1L, "x", 2), (1L, "y", 3), (5L, "e", 9)).toDF("k", "payload", "v")
+    val m = wh.mergeClauses("silver", "dim", src, Seq("k"),
+      Seq.empty, Seq(MergeClause.InsertNotMatched(None, None)))
+    assert(m == Upsert.MergeClauseMetrics(inserted = 1, updated = 0, deleted = 0, kept = 1))
+    assert(finalState(wh, "silver") == Seq((1L, "a", 1), (5L, "e", 9)))
+  }
+
+  test("partitioned mergeClauses: a clause assigning the partition column keeps bystanders") {
+    import spark.implicits._
+    val wh = freshWh()
+    // k=1 lives in pa; k=3 is an innocent bystander in pc — the merge
+    // moves k=1 INTO pc via an explicit partition-column assignment,
+    // so pc must join the slice (else the swap would replace the live
+    // pc directory with only the merged row, dropping k=3)
+    wh.createOrReplacePartitioned("silver", "dim",
+      Seq((1L, "a", 1, "pa"), (2L, "b", 1, "pb"), (3L, "c", 1, "pc"))
+        .toDF("k", "payload", "v", "pt"), Seq("pt"))
+    val src = Seq((1L, "a2", 9, "pa")).toDF("k", "payload", "v", "pt")
+    val m = wh.mergeClauses("silver", "dim", src, Seq("k"),
+      Seq(MergeClause.UpdateMatched(None, Some(Map("pt" -> lit("pc"))))), Seq.empty)
+    // kept counts slice rows only: the carried pc bystander (pb never
+    // enters the slice, so it is neither rewritten nor counted)
+    assert(m == Upsert.MergeClauseMetrics(inserted = 0, updated = 1, deleted = 0, kept = 1))
+    val state = wh.table("silver", "dim").orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"), r.getAs[String]("pt"))).toSeq
+    assert(state == Seq((1L, "a", "pc"), (2L, "b", "pb"), (3L, "c", "pc")),
+      "bystander k=3 survives the partition move; pb untouched")
+  }
 }

@@ -267,4 +267,121 @@ class SqlDmlSpec extends SparkSpec {
     // id 3: inserted as-is
     assert(state == Seq((1L, 9, "hi"), (2L, 1, "b"), (3L, 8, "z")))
   }
+
+  test("ANALYZE TABLE / SHOW PARTITIONS / two-arg table_changes") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, 5.0, "a"), (2L, 6.0, "b"), (3L, 7.0, "a")).toDF("id", "amt", "pt")
+      .createOrReplaceTempView("sqldml_an")
+    sql.execute(
+      "create or replace table main.gold.an partitioned by (pt) as " +
+        "select id, amt, pt from sqldml_an")                               // v0
+    // SHOW PARTITIONS lists the hive leaf dirs
+    assert(sql.execute("show partitions main.gold.an").collect()
+      .map(_.getString(0)).toSeq == Seq("pt=a", "pt=b"))
+    // ANALYZE builds the skipping sidecars; metrics carry file counts
+    assert(sql.execute("analyze table main.gold.an compute statistics for columns id, amt")
+      .head().getLong(1) >= 1L)
+    assert(sql.execute("analyze table main.gold.an compute statistics").head().getLong(1) >= 1L)
+    assert(sql.execute("analyze table main.gold.an compute statistics for bloom id")
+      .head().getLong(1) >= 1L)
+    // three commits: v1 updates id 1; v2 deletes it — the bounded
+    // two-arg range [1, 2] sees both, [2, 2] only the delete
+    sql.execute("update main.gold.an set amt = amt + 1 where id = 1")      // v1
+    sql.execute("delete from main.gold.an where id = 1")                   // v2
+    val r12 = sql.execute(
+      "select _change_type, _commit_version from table_changes('main.gold.an', 1, 2) " +
+        "where id = 1 order by _commit_version, _change_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(r12 == Seq(("update_postimage", 1L), ("update_preimage", 1L), ("delete", 2L)))
+    val r22 = sql.execute(
+      "select _change_type from table_changes('main.gold.an', 2, 2)")
+      .collect().map(_.getString(0)).toSeq
+    assert(r22 == Seq("delete"))
+    // net effect over [1, 2]: the v1 post-image (6.0) cancels against
+    // the v2 delete of the same row — only the original image's
+    // removal survives
+    val net = wh.changeFeedNet("gold", "an", 1, 2).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("amt"),
+        r.getAs[Long]("net"), r.getAs[String]("_change_type"))).toSeq
+    assert(net == Seq((1L, 5.0, -1L, "delete")))
+    // inverted range refuses
+    intercept[IllegalArgumentException](wh.changeFeedRange("gold", "an", 2, 1))
+  }
+
+  test("views are late-binding: a SELECT after DML sees the live table") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, "x")).toDF("id", "payload").createOrReplaceTempView("sqldml_lb")
+    sql.execute("create table main.gold.base as select * from sqldml_lb")
+    sql.execute(
+      "create or replace view main.gold.vw as select id, upper(payload) as p from main.gold.base")
+    assert(sql.execute("select * from main.gold.vw").collect()
+      .map(_.getString(1)).toSeq == Seq("X"))
+    // DML retires the generation the view was created over — the view
+    // must re-bind to the live state, not serve a stale snapshot (or
+    // throw FileNotFoundException on the retired files)
+    sql.execute("insert into main.gold.base values (2, 'y')")
+    sql.execute("update main.gold.base set payload = 'z' where id = 1")
+    assert(sql.execute("select p from main.gold.vw order by id").collect()
+      .map(_.getString(0)).toSeq == Seq("Z", "Y"))
+    // views over views re-bind transitively
+    sql.execute("create or replace view main.gold.vw2 as select count(*) as n from main.gold.vw")
+    sql.execute("delete from main.gold.base where id = 2")
+    assert(sql.execute("select n from main.gold.vw2").head().getLong(0) == 1)
+  }
+
+  test("MERGE binds by alias, not by textual order (target aliased s, source t)") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, 1, "a"), (2L, 1, "b")).toDF("id", "v", "p")
+      .createOrReplaceTempView("sqldml_swap")
+    sql.execute("create table main.silver.sw as select * from sqldml_swap")
+    Seq((1L, 9, "x"), (3L, 9, "y")).toDF("id", "v", "p")
+      .createOrReplaceTempView("sqldml_swap2")
+    // adversarial aliasing: the TARGET is aliased `s` and the SOURCE
+    // `t` — a sequential textual rewrite would bind both sides to one
+    // input; the alias map must hold
+    sql.execute("""
+        merge into main.silver.sw as s
+        using sqldml_swap2 t
+        on s.id = t.id
+        when matched and t.v > s.v then update set v = t.v, p = s.p
+        when not matched then insert *
+    """)
+    val state = wh.table("silver", "sw").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // id 1: v takes the SOURCE's 9, p keeps the TARGET's "a"
+    assert(state == Seq((1L, 9, "a"), (2L, 1, "b"), (3L, 9, "y")))
+    // colliding aliases are rejected, not silently misbound
+    val ex = intercept[Exception](sql.execute("""
+        merge into main.silver.sw as x using sqldml_swap2 x
+        on x.id = x.id when matched then delete
+    """))
+    assert(ex.getMessage.contains("alias"))
+  }
+
+  test("INSERT OVERWRITE keeps the partition layout and null-fills omitted columns") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "v", "pt")
+      .createOrReplaceTempView("sqldml_ow")
+    sql.execute(
+      "create or replace table main.silver.ow partitioned by (pt) as " +
+        "select id, v, pt from sqldml_ow")
+    assert(wh.partitionColumns("silver", "ow") == Seq("pt"))
+    // full overwrite: layout survives (dirs + registered pcols)
+    sql.execute("insert overwrite main.silver.ow values (7, 70, 'c')")
+    assert(wh.partitionColumns("silver", "ow") == Seq("pt"),
+      "overwrite must not flatten the hive layout")
+    assert(wh.table("silver", "ow").inputFiles.exists(_.contains("pt=c")))
+    // column-subset overwrite: unlisted columns null-fill, schema intact
+    sql.execute("insert overwrite main.silver.ow (id, pt) values (8, 'd'), (9, 'e')")
+    assert(wh.table("silver", "ow").columns.toSeq.sorted == Seq("id", "pt", "v"))
+    val row = wh.table("silver", "ow").orderBy("id").head()
+    assert(row.getAs[Long]("id") == 8L && row.isNullAt(row.fieldIndex("v")))
+    // partition-scoped DELETE still prunes after the overwrite
+    sql.execute("delete from main.silver.ow where pt = 'd'")
+    assert(wh.table("silver", "ow").collect().map(_.getAs[Long]("id")).toSeq == Seq(9L))
+  }
 }
