@@ -40,9 +40,12 @@ import org.apache.spark.sql.functions._
   *     STATISTICS [FOR COLUMNS a, b | FOR BLOOM c]` (builds the
   *     min/max / bloom skipping sidecars), and the query-side readers —
   *     `FROM t VERSION AS OF n` / `TIMESTAMP AS OF 'ts'`,
-  *     `table_changes('t', v)` (open tail) and `table_changes('t', v1,
-  *     v2)` (bounded, both ends inclusive) resolve to as-of /
-  *     change-feed views inside any query
+  *     `table_changes('t', v)` (open tail), `table_changes('t', v1,
+  *     v2)` (bounded, both ends inclusive) and `table_changes('t',
+  *     'ts1', 'ts2')` (timestamp bounds: first commit at-or-after ts1
+  *     through last at-or-before ts2) resolve to as-of / change-feed
+  *     views inside any query; `DESCRIBE TABLE t` lists columns with
+  *     partition markers
   *   - anything else: treated as a query (SELECT / WITH), warehouse
   *     table names resolved, run through `spark.sql`
   *
@@ -115,6 +118,18 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
         val (l, t) = parseQualified(name).getOrElse(
           sys.error(s"DESCRIBE DETAIL needs a <layer>.<table> name, got: $name"))
         wh.detail(l, t)
+      case Seq("describe", "table", _*) =>
+        // Spark's DESCRIBE TABLE shape: (col_name, data_type, comment),
+        // partition columns marked in the comment field
+        import spark.implicits._
+        val name = stmt.split("\\s+", 3)(2).trim
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error(s"DESCRIBE TABLE needs a <layer>.<table> name, got: $name"))
+        val pcols = wh.partitionColumns(l, t).toSet
+        wh.table(l, t).schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString,
+            if (pcols.contains(f.name)) "partition column" else ""))
+          .toDF("col_name", "data_type", "comment")
       case Seq("optimize", _*)          => executeOptimize(stmt)
       case Seq("vacuum", _*)            => executeVacuum(stmt)
       case Seq("restore", "table", _*)  => executeRestore(stmt)
@@ -600,7 +615,20 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
         java.util.regex.Matcher.quoteReplacement(v)
       case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
     })
-    val (masked, restore) = maskStrings(withTc)
+    // timestamp-form CDF range `table_changes('t', 'ts1', 'ts2')`:
+    // start resolves to the first commit at-or-after ts1, end to the
+    // last at-or-before ts2 (Delta's timestamp bounds)
+    val tcTsRe = ("(?i)table_changes\\s*\\(\\s*'((?:main\\.)?[\\w]+\\.[\\w]+)'" +
+      "\\s*,\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)").r
+    val withTcTs = tcTsRe.replaceAllIn(withTc, m => parseQualified(m.group(1)) match {
+      case Some((l, t)) if wh.tableExists(l, t) =>
+        val (ts1, ts2) = (parseTsMillis(m.group(2)), parseTsMillis(m.group(3)))
+        val v = s"__graft_cdfts_${l}_${t}_${ts1}_$ts2"
+        wh.changeFeedRangeTimestamp(l, t, ts1, ts2).createOrReplaceTempView(v)
+        java.util.regex.Matcher.quoteReplacement(v)
+      case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
+    })
+    val (masked, restore) = maskStrings(withTcTs)
     // DESCRIBE HISTORY inside a FROM subquery → select over the
     // Delta-shaped ledger view
     val dh = "(?i)describe\\s+history\\s+((?:main\\.)?[\\w]+\\.[\\w]+)".r

@@ -4426,6 +4426,38 @@ final class Warehouse(
     h.agg(max("version")).head().getLong(0)
   }
 
+  /** The first ledger version committed AT or AFTER a wall-clock
+    * instant — Delta's startingTimestamp resolution for CDF reads
+    * (the starting bound names the first version the instant can see,
+    * where [[versionAsOfTimestamp]] names the last version visible AT
+    * the instant).
+    */
+  def versionAtOrAfterTimestamp(layer: String, table: String, tsMillis: Long): Long = {
+    val h = history(s"$layer.$table").filter(col("ts_millis") >= tsMillis)
+    require(!h.isEmpty,
+      s"$layer.$table has no commit at or after timestamp $tsMillis")
+    h.agg(min("version")).head().getLong(0)
+  }
+
+  /** Bounded change feed by wall-clock instants (Delta's
+    * timestamp-form `table_changes(t, ts1, ts2)`): the start resolves
+    * to the first commit at-or-after ts1, the end to the last commit
+    * at-or-before ts2, then the version-range tail applies — same
+    * partition-pruned O(range) read as [[changeFeedRange]].
+    */
+  def changeFeedRangeTimestamp(
+      layer: String,
+      table: String,
+      fromTsMillis: Long,
+      toTsMillis: Long
+  ): DataFrame = {
+    require(toTsMillis >= fromTsMillis,
+      s"table_changes timestamp range is inverted: [$fromTsMillis, $toTsMillis]")
+    changeFeedRange(layer, table,
+      versionAtOrAfterTimestamp(layer, table, fromTsMillis),
+      versionAsOfTimestamp(layer, table, toTsMillis))
+  }
+
   /** Read the table as it stood at a wall-clock instant (Delta
     * `SELECT ... TIMESTAMP AS OF`): resolves the instant to its
     * ledger version, then time-travels there — same retention rules

@@ -307,6 +307,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(net == Seq((1L, 5.0, -1L, "delete")))
     // inverted range refuses
     intercept[IllegalArgumentException](wh.changeFeedRange("gold", "an", 2, 1))
+    // timestamp-form bounds resolve through the ledger: [ts(v1), ts(v2)]
+    // covers the same commits as [1, 2]
+    val tsByV = wh.history("gold.an").collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("ts_millis")).toMap
+    val iso = (ms: Long) => java.time.Instant.ofEpochMilli(ms).toString
+    val rTs = sql.execute(
+      s"select _change_type from table_changes('main.gold.an', '${iso(tsByV(1L))}', " +
+        s"'${iso(tsByV(2L))}') where id = 1 order by _commit_version, _change_type")
+      .collect().map(_.getString(0)).toSeq
+    assert(rTs == Seq("update_postimage", "update_preimage", "delete"))
+    // DESCRIBE TABLE lists the schema with partition markers
+    val desc = sql.execute("describe table main.gold.an").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc.keySet == Set("id", "amt", "pt"))
+    assert(desc("pt") == "partition column" && desc("id") == "")
   }
 
   test("views are late-binding: a SELECT after DML sees the live table") {
