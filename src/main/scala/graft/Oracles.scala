@@ -1511,7 +1511,40 @@ object Oracles {
           |  SELECT o_orderkey, o_custkey, o_totalprice + 100,
           |         CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'insert'
           |  FROM orders WHERE o_orderkey % 30 = 0 AND o_orderkey % 60 <> 0
-          |) ORDER BY o_orderkey, _change_type""".stripMargin)
+          |) ORDER BY o_orderkey, _change_type""".stripMargin) +
+      // q130: deterministic K-per-group sample — both engines rank the
+      // same sha256(source:doc_id) hex strings
+      ("q130_group_sample" ->
+        """WITH h AS (
+          |  SELECT doc_id, source,
+          |         sha256(source || ':' || CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, source,
+          |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS INT)
+          |           AS sample_rank
+          |  FROM h)
+          |SELECT doc_id, source, sample_rank
+          |FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin) +
+      // q131: floor(log2) via binary-string length — exact integers,
+      // no float-log ulp flip at powers of two
+      ("q131_length_batches" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, source, n_tok,
+          |         CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket
+          |  FROM t WHERE n_tok >= 1),
+          |r AS (
+          |  SELECT doc_id, source, n_tok, bucket,
+          |         row_number() OVER (PARTITION BY source, bucket ORDER BY doc_id) AS rn
+          |  FROM b)
+          |SELECT doc_id, source, n_tok, bucket,
+          |       CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch_id,
+          |       CAST((rn - 1) % 8 AS BIGINT) AS batch_pos
+          |FROM r ORDER BY source, bucket, batch_id, batch_pos""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -526,6 +526,66 @@ object QueriesCorpus {
       .orderBy($"doc_id")
   }
 
+  /** Fixed-size per-group sample — the "give me K docs from every
+    * source to eyeball" inspection primitive. Deterministic: rank each
+    * group's docs by sha256(source:doc_id) and keep the K smallest —
+    * reproducible across runs, engines, retries, and partitionings
+    * (the q59 hash-sampling property, here with an EXACT group size
+    * instead of a rate). One window per source; source cardinality is
+    * small by construction, and at higher-cardinality grouping keys
+    * the same rank composes with a pre-filter (hash < coarse bound) so
+    * the window never sorts a whole 100 TB group.
+    */
+  def q130_group_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val h = sha2(concat($"source", lit(":"), $"doc_id".cast("string")), 256)
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source", h.as("h"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter($"sample_rank" <= k)
+      .select($"doc_id", $"source", $"sample_rank")
+      .orderBy($"source", $"sample_rank")
+  }
+
+  /** Length-bucketed batching — grouping docs of similar token length
+    * into fixed-size batches so padded inference/scoring wastes no
+    * FLOPs on length outliers. Bucket = floor(log2(n_tokens)); batches
+    * form WITHIN (source, bucket) in doc_id order, 8 docs per batch.
+    * The window partitions on (source, bucket) — source spreads the
+    * work, so a handful of log-scale buckets never concentrates a
+    * 100 TB corpus onto single reducers the way a bucket-only
+    * partitioning would.
+    */
+  def q131_length_batches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val batch = 8
+    val w = Window.partitionBy($"source", $"bucket").orderBy($"doc_id")
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source",
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").cast("long").as("n_tok"))
+      .filter($"n_tok" >= 1)
+      // floor(log2(n)) via the binary-string length — exact integer
+      // arithmetic, no float log whose last ulp could flip a bucket at
+      // an exact power of two between engines
+      .withColumn("bucket", (length(bin($"n_tok")) - 1).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .select(
+        $"doc_id",
+        $"source",
+        $"n_tok",
+        $"bucket",
+        (($"rn" - 1) / batch).cast("long").as("batch_id"),
+        (($"rn" - 1) % batch).cast("long").as("batch_pos")
+      )
+      .orderBy($"source", $"bucket", $"batch_id", $"batch_pos")
+  }
+
   /** Token-distribution Shannon entropy per document — the diversity
     * signal of the quality family (templated / spammy docs have low
     * unigram entropy; natural text sits high). Each term

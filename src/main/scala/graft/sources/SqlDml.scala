@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   *     REPLACE] TABLE t PARTITIONED BY (cols) AS SELECT ...` (hive
   *     layout; partition-scoped DML and pruning apply), `INSERT OVERWRITE
   *     [TABLE] t ...`, `TRUNCATE TABLE t`, `DROP TABLE [IF EXISTS] t`,
-  *     `DESCRIBE DETAIL t`, `OPTIMIZE t [ZORDER BY (cols)]`,
+  *     `DESCRIBE DETAIL t`, `OPTIMIZE t [WHERE <partition
+  *     predicate>] [ZORDER BY (cols)]` (WHERE = partition-scoped
+  *     compaction, only the selected directories rewrite),
   *     `VACUUM t [RETAIN n HOURS]`, `RESTORE TABLE t TO VERSION/
   *     TIMESTAMP AS OF ...`, `ALTER TABLE t RENAME/DROP COLUMN | ADD/
   *     DROP CONSTRAINT | ALTER COLUMN c SET NOT NULL`, `SHOW TABLES
@@ -190,12 +192,18 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     * clustering when ZORDER BY is given (Delta OPTIMIZE parity).
     */
   private def executeOptimize(stmt: String): DataFrame = {
-    val re = "(?is)^optimize\\s+([\\w.]+)(?:\\s+zorder\\s+by\\s*\\(([^)]*)\\))?\\s*$".r
+    val re = ("(?is)^optimize\\s+([\\w.]+)(?:\\s+where\\s+(.+?))?" +
+      "(?:\\s+zorder\\s+by\\s*\\(([^)]*)\\))?\\s*$").r
     stmt match {
-      case re(name, cols) =>
+      case re(name, where, cols) =>
         val (l, t) = parseQualified(name).getOrElse(
           sys.error(s"OPTIMIZE needs a <layer>.<table> name, got: $name"))
-        if (cols == null) metricsRow("OPTIMIZE", 0, 0, wh.compact(l, t))
+        if (where != null) {
+          require(cols == null,
+            "OPTIMIZE ... WHERE with ZORDER BY is not supported — run zorder separately")
+          metricsRow("OPTIMIZE", 0, 0, wh.compactWhere(l, t, expr(where)))
+        }
+        else if (cols == null) metricsRow("OPTIMIZE", 0, 0, wh.compact(l, t))
         else {
           val cs = splitTopLevel(cols, ',').map(_.trim).filter(_.nonEmpty)
           metricsRow("OPTIMIZE ZORDER", 0, 0, wh.zorder(l, t, cs))

@@ -1449,6 +1449,63 @@ final class Warehouse(
     filesBefore - spark.read.parquet(target).inputFiles.length
   }
 
+  /** Partition-scoped compaction — Delta's `OPTIMIZE t WHERE
+    * <partition predicate>`: only the partitions the predicate selects
+    * rewrite (one file per touched directory via a hash repartition on
+    * the partition columns); everything else is untouched on disk. The
+    * predicate must reference partition columns only — at 100 TB you
+    * compact the recent ingest partitions after a merge wave, never
+    * the whole table, and this is the primitive that keeps OPTIMIZE
+    * O(churn) instead of O(table). Same staged partition swap (and the
+    * same crash repair) as the partition-scoped DML family. Returns
+    * the net file-count reduction.
+    */
+  def compactWhere(layer: String, table: String, predicate: Column): Long =
+    withWriterLock(layer, table)(compactWhereImpl(layer, table, predicate))
+
+  private def compactWhereImpl(layer: String, table: String, predicate: Column): Long = {
+    materializeDv(layer, table)
+    repairCrashedSwap(layer, table)
+    val pcols = partitionColumns(layer, table)
+    require(pcols.nonEmpty, "OPTIMIZE ... WHERE needs a hive-partitioned table")
+    val target = tablePath(layer, table)
+    val df     = spark.read.parquet(target)
+    // partition-columns-only enforcement: inspect the ANALYZED filter's
+    // references (the analyzer's resolve-missing-references rule would
+    // silently satisfy a data-column predicate through the projection —
+    // this must refuse, never promote to a whole-table rewrite)
+    val hit = df.filter(predicate)
+    val refs: Set[String] = hit.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name.toLowerCase).toSet
+    }.flatten.toSet
+    require(refs.subsetOf(pcols.map(_.toLowerCase).toSet),
+      s"OPTIMIZE ... WHERE must reference partition columns only (${pcols.mkString(",")}); " +
+        s"got: ${refs.mkString(",")}")
+    val touched = touchedPartitions(hit, pcols)
+    if (touched.isEmpty) {
+      logOp(layer, table, "COMPACT", inserted = 0, updated = 0, outputRows = 0)
+      return 0L
+    }
+    val slicePred   = partitionPredicate(touched, pcols)
+    val filesBefore = df.filter(slicePred).inputFiles.length.toLong
+    val slice       = df.filter(slicePred)
+    val staging     = new Path(target + ".__staging")
+    fs.delete(staging, true)
+    val obs  = org.apache.spark.sql.Observation()
+    val rows = slice.count()
+    slice
+      .repartition(touched.length, pcols.map(col): _*)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
+    val back = obs.get("n").asInstanceOf[Long]
+    require(back == rows, s"partition-scoped compaction changed row count: $rows -> $back")
+    val retireDirs = retireDirsFor(new Path(target), pcols, df.schema, touched)
+    swapPartitions(layer, table, staging, retireDirs, pcols.length)
+    logOp(layer, table, "COMPACT", inserted = 0, updated = 0, outputRows = rows)
+    filesBefore - spark.read.parquet(target).filter(slicePred).inputFiles.length
+  }
+
   /** DELETE FROM ... WHERE (Delta parity — and the right-to-be-
     *-forgotten primitive a training-data warehouse is legally required
     * to have): file-granular copy-on-write through the same staged

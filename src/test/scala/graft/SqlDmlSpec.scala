@@ -324,6 +324,31 @@ class SqlDmlSpec extends SparkSpec {
     assert(desc("pt") == "partition column" && desc("id") == "")
   }
 
+  test("OPTIMIZE WHERE compacts only the selected partitions") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    // repartition(4) spreads both partition values across 4 tasks ->
+    // several files per hive dir, the fragmentation OPTIMIZE fixes
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "pt").repartition(4)
+    wh.createOrReplacePartitioned("gold", "oc", df, Seq("pt"))
+    def files(p: String) = wh.table("gold", "oc").inputFiles
+      .filter(_.contains(s"pt=$p")).map(_.split('/').last).toSet
+    val (a0, b0) = (files("a"), files("b"))
+    assert(a0.size > 1, "fixture must be fragmented")
+    val removed = sql.execute("optimize main.gold.oc where pt = 'a'").head().getLong(3)
+    assert(removed == a0.size - 1L, "pt=a collapses to one file")
+    assert(files("a").size == 1)
+    assert(files("b") == b0, "unselected partition must keep its files by name")
+    assert(wh.table("gold", "oc").count() == 40)
+    assert(wh.lastOperation("gold.oc").get.getAs[String]("operation") == "COMPACT")
+    // predicates over non-partition columns are refused, not silently
+    // promoted to a whole-table rewrite
+    intercept[IllegalArgumentException](wh.compactWhere("gold", "oc", $"id" > 3))
+    // a predicate selecting nothing is a no-op commit
+    assert(wh.compactWhere("gold", "oc", $"pt" === "zzz") == 0L)
+  }
+
   test("views are late-binding: a SELECT after DML sees the live table") {
     import spark.implicits._
     val (wh, sql) = fresh()
