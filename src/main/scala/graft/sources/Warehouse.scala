@@ -1449,6 +1449,50 @@ final class Warehouse(
     filesBefore - spark.read.parquet(target).inputFiles.length
   }
 
+  /** Auto-compaction — Delta's `autoOptimize.autoCompact` policy as an
+    * explicit call a pipeline runs after its write wave: compact
+    * exactly the partitions whose data-file count exceeds
+    * `maxFilesPerPartition` (driver-side listing finds offenders — no
+    * data I/O; [[compactWhere]] rewrites only them), or the whole
+    * table when unpartitioned and fragmented past the bound. Appends
+    * fragment partitions one small file per writer task per day; this
+    * is the bounded-cost cleanup that keeps scan file counts O(data),
+    * not O(commits), at 100 TB. Returns the number of partitions
+    * compacted (1 for an unpartitioned whole-table pass, 0 for a
+    * no-op).
+    */
+  def autoCompact(layer: String, table: String, maxFilesPerPartition: Int = 8): Long =
+    withWriterLock(layer, table) {
+      require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+      val pcols = partitionColumns(layer, table)
+      if (pcols.isEmpty) {
+        val files = rawTable(layer, table).inputFiles.length
+        if (files > maxFilesPerPartition) { compactImpl(layer, table, 1_000_000L); 1L }
+        else 0L
+      } else {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val target = new Path(tablePath(layer, table))
+        val ptypes = {
+          val schema = rawTable(layer, table).schema
+          pcols.map(c => schema(c).dataType)
+        }
+        val offenders = leafPartitionDirs(target, pcols.length)
+          .filter(rel => dataFilesUnder(target, Seq(rel)).lengthCompare(maxFilesPerPartition) > 0)
+        if (offenders.isEmpty) 0L
+        else {
+          val tuples: Seq[Seq[String]] = offenders.map { rel =>
+            rel.split("/").toSeq.zip(ptypes).map { case (seg, t) =>
+              val raw = ExternalCatalogUtils.unescapePathName(seg.split("=", 2)(1))
+              if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+              else normalizePartitionValue(raw, t)
+            }
+          }
+          compactWhereImpl(layer, table, partitionPredicate(tuples, pcols))
+          offenders.length.toLong
+        }
+      }
+    }
+
   /** Partition-scoped compaction — Delta's `OPTIMIZE t WHERE
     * <partition predicate>`: only the partitions the predicate selects
     * rewrite (one file per touched directory via a hash repartition on

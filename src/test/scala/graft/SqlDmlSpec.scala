@@ -349,6 +349,31 @@ class SqlDmlSpec extends SparkSpec {
     assert(wh.compactWhere("gold", "oc", $"pt" === "zzz") == 0L)
   }
 
+  test("autoCompact compacts only over-fragmented partitions") {
+    import spark.implicits._
+    val (wh, _) = fresh()
+    wh.createOrReplacePartitioned("gold", "ac",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "pt").repartition(1), Seq("pt"))
+    // 6 small appends land 6 extra files in pt=a only — the daily
+    // ingest fragmentation pattern auto-compaction exists for
+    (3L to 8L).foreach(i => wh.append("gold", "ac", Seq((i, "a")).toDF("id", "pt")))
+    def files(p: String) = wh.table("gold", "ac").inputFiles
+      .filter(_.contains(s"pt=$p")).map(_.split('/').last).toSet
+    val (a0, b0) = (files("a"), files("b"))
+    assert(a0.size == 7 && b0.size == 1)
+    assert(wh.autoCompact("gold", "ac", maxFilesPerPartition = 4) == 1L,
+      "exactly the fragmented partition compacts")
+    assert(files("a").size == 1)
+    assert(files("b") == b0, "healthy partition keeps its file by name")
+    assert(wh.table("gold", "ac").count() == 8)
+    assert(wh.autoCompact("gold", "ac", maxFilesPerPartition = 4) == 0L, "idempotent no-op")
+    // unpartitioned: whole-table pass over the bound, no-op under it
+    wh.createOrReplace("gold", "acflat", (1 to 20).toDF("v").repartition(6))
+    assert(wh.autoCompact("gold", "acflat", maxFilesPerPartition = 4) == 1L)
+    assert(wh.table("gold", "acflat").inputFiles.length == 1)
+    assert(wh.autoCompact("gold", "acflat", maxFilesPerPartition = 4) == 0L)
+  }
+
   test("views are late-binding: a SELECT after DML sees the live table") {
     import spark.implicits._
     val (wh, sql) = fresh()
