@@ -207,4 +207,118 @@ object DocStreams {
         ()
       }
       .start()
+
+  // ---- per-source dedup telemetry stream (q127's ingest twin) ----
+
+  private def hashesDir(indexDir: String) = s"$indexDir/hashes"
+
+  /** Seed the telemetry indexes: the near-dup index ([[seedIndex]])
+    * plus a content-hash index (idCol, sha256(text)) under
+    * `batch_id=-1` for the exact stage.
+    */
+  def seedTelemetryIndex(
+      seedDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 32
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    seedIndex(seedDocs, idCol, textCol, indexDir, n, k, bands)
+    seedDocs.select(col(idCol), sha2(col(textCol), 256).as("ck"))
+      .write.mode("overwrite").parquet(s"${hashesDir(indexDir)}/batch_id=-1")
+  }
+
+  /** Ingest-time per-source dedup telemetry — the streaming twin of
+    * the q127 funnel's exact and near stages: each micro-batch (1)
+    * marks exact losers (content hash already in the index, or
+    * repeated within the batch with a smaller id), (2) probes the
+    * persisted near-dup index with the exact SURVIVORS only (the
+    * funnel's stage-sequential rule), (3) writes one per-source
+    * counter row set under `telemetryDir/batch_id=<id>` (docs_in /
+    * n_exact_dup / n_near_dup / n_survivors), and (4) appends the
+    * survivors' index rows and ALL batch hashes — so the running
+    * telemetry after N batches equals the one-shot funnel over seed ∪
+    * batches when ids increase with ingest order. Per-batch cost is
+    * O(|batch| + collisions); the corpus is never re-read. Same
+    * batch-partition overwrite idempotence as [[incrementalDedup]].
+    */
+  def incrementalDedupTelemetry(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      telemetryDir: String,
+      indexDir: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5
+  ): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val withCk = Materialize(batch.select(idCol, textCol, sourceCol)
+          .withColumn("ck", sha2(col(textCol), 256)))
+        val idxHashes = spark.read.parquet(hashesDir(indexDir)).select(col("ck")).distinct()
+        val inBatchDup = withCk
+          .withColumn("rk", row_number().over(Window.partitionBy(col("ck")).orderBy(col(idCol))))
+          .filter(col("rk") > 1).select(col(idCol))
+        val inIdxDup = withCk.join(idxHashes, Seq("ck"), "left_semi").select(col(idCol))
+        val exactLosers = Materialize(inBatchDup.unionByName(inIdxDup).distinct())
+        val surv   = Materialize(withCk.join(exactLosers, Seq(idCol), "left_anti"))
+        val sSets  = Materialize(Dedup.nearDupSets(surv, idCol, textCol, n))
+        val sBands = Materialize(Dedup.nearDupBandRows(sSets, idCol, k, bands))
+        val idxSets  = spark.read.parquet(setsDir(indexDir)).select(idCol, "shingle_set")
+        val idxBands = spark.read.parquet(bandsDir(indexDir)).select(idCol, "band", "h")
+        val pairs = Materialize(Dedup.incrementalNearDupPairsIndexed(
+          idxSets, idxBands, sSets, sBands, idCol, threshold))
+        // batch-side loser: the later doc of a batch-batch pair (id_b),
+        // or a batch doc paired with an index doc on either side
+        val batchIds = surv.select(col(idCol).as("bid"))
+        val losersB = pairs
+          .join(batchIds, pairs("id_b") === batchIds("bid"), "left_semi")
+          .select(col("id_b").as(idCol))
+        val losersA = pairs
+          .join(batchIds, pairs("id_a") === batchIds("bid"), "left_semi")
+          .join(batchIds.withColumnRenamed("bid", "bid2"),
+            pairs("id_b") === col("bid2"), "left_anti")
+          .select(col("id_a").as(idCol))
+        val nearLosers = Materialize(losersB.unionByName(losersA).distinct())
+        withCk
+          .join(exactLosers.withColumn("st_e", lit(1)), Seq(idCol), "left")
+          .join(nearLosers.withColumn("st_n", lit(1)), Seq(idCol), "left")
+          .groupBy(col(sourceCol))
+          .agg(
+            count(lit(1)).as("docs_in"),
+            sum(coalesce(col("st_e"), lit(0))).cast("long").as("n_exact_dup"),
+            sum(coalesce(col("st_n"), lit(0))).cast("long").as("n_near_dup"))
+          .withColumn("n_survivors",
+            col("docs_in") - col("n_exact_dup") - col("n_near_dup"))
+          .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        sSets.write.mode("overwrite").parquet(s"${setsDir(indexDir)}/batch_id=$batchId")
+        sBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/batch_id=$batchId")
+        withCk.select(col(idCol), col("ck"))
+          .write.mode("overwrite").parquet(s"${hashesDir(indexDir)}/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Running telemetry totals per source across every ingested batch. */
+  def dedupTelemetry(spark: SparkSession, telemetryDir: String, sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(telemetryDir)
+      .groupBy(col(sourceCol))
+      .agg(
+        sum("docs_in").as("docs_in"),
+        sum("n_exact_dup").as("n_exact_dup"),
+        sum("n_near_dup").as("n_near_dup"),
+        sum("n_survivors").as("n_survivors"))
+  }
 }

@@ -431,6 +431,12 @@ object ScaleSmoke {
           "doc_id", "text", k = 8, maxDf = Some(64L))
         .count()
     }
+    time("q127 dedup report (exact->near->substring funnel)") {
+      graft.QueriesCorpus.q127_dedup_report(spark, out).count()
+    }
+    time("q126 tokenizer packing (BPE dict + shard cumsum)") {
+      graft.QueriesCorpus.q126_tokenizer_packing(spark, out).count()
+    }
     time("persisted IVF: build index (centroids + cell partitions)") {
       graft.operators.Similarity
         .ivfIndexWrite(spark.read.parquet(s"$out/embeddings.parquet"),

@@ -554,4 +554,48 @@ class StreamingSpec extends SparkSpec {
         s"$k: streamed ledger must equal the single-build sketch")
     }
   }
+
+  test("streaming per-source dedup telemetry tracks the q127 funnel stages (exact + near)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_stream_tel").toString
+    val seed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s1"),
+      (2L, "one two three four five six seven eight", "s2")
+    ).toDF("doc_id", "text", "source")
+    graft.streaming.DocStreams.seedTelemetryIndex(seed, "doc_id", "text", s"$dir/index")
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocStreams.incrementalDedupTelemetry(
+      ms.toDF().toDF("doc_id", "text", "source"), "doc_id", "text", "source",
+      telemetryDir = s"$dir/telemetry", indexDir = s"$dir/index")
+    try {
+      ms.addData(
+        (11L, "alpha beta gamma delta epsilon zeta eta theta", "s1"), // exact vs seed
+        (12L, "alpha beta gamma delta epsilon zeta eta theta lambda", "s1"), // near vs seed
+        (13L, "completely different unique words here today", "s2")   // survivor
+      )
+      q.processAllAvailable()
+      ms.addData(
+        (21L, "completely different unique words here today", "s2"),  // exact vs batch-1 doc
+        (22L, "alpha beta gamma delta epsilon zeta eta theta lambda", "s1"), // exact vs a batch-1 NEAR LOSER's hash
+        (23L, "completely different unique words here tomorrow", "s2"), // near vs batch-1 survivor
+        (24L, "pack my box with five dozen jugs", "s2"),              // survivor
+        (25L, "pack my box with five dozen jugs", "s2")               // within-batch exact dup
+      )
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = graft.streaming.DocStreams
+      .dedupTelemetry(spark, s"$dir/telemetry", "source")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // s1 streamed 3 docs: 11 exact (seed hash), 22 exact (near-loser
+    // 12's hash still indexes), 12 near — zero survivors
+    assert(got("s1") == ((3L, 2L, 1L, 0L)), s"s1 funnel: ${got("s1")}")
+    // s2 streamed 5 docs: 21 + 25 exact, 23 near, 13 + 24 survive
+    assert(got("s2") == ((5L, 2L, 1L, 2L)), s"s2 funnel: ${got("s2")}")
+  }
 }
