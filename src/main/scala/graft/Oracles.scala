@@ -1544,7 +1544,28 @@ object Oracles {
           |SELECT doc_id, source, n_tok, bucket,
           |       CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch_id,
           |       CAST((rn - 1) % 8 AS BIGINT) AS batch_pos
-          |FROM r ORDER BY source, bucket, batch_id, batch_pos""".stripMargin)
+          |FROM r ORDER BY source, bucket, batch_id, batch_pos""".stripMargin) +
+      // q132: the q63 funnel's survivors packed shard-locally — the
+      // funnel SQL nests verbatim as a CTE, then one join back to the
+      // text and the q68 window
+      ("q132_curated_packing" -> {
+        val funnel = preAlias("q63_curation_pipeline")
+        s"""WITH curated AS (
+          |$funnel
+          |),
+          |toks AS (
+          |  SELECT c.doc_id, c.source,
+          |         CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+          |  FROM curated c JOIN documents d ON c.doc_id = d.doc_id),
+          |cum AS (
+          |  SELECT doc_id, source, n_tok,
+          |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_tok
+          |  FROM toks)
+          |SELECT doc_id, source, n_tok,
+          |       CAST(floor(start_tok / 256.0) AS BIGINT) AS bin,
+          |       CAST(start_tok % 256 AS BIGINT) AS offset
+          |FROM cum ORDER BY source, doc_id""".stripMargin
+      })
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

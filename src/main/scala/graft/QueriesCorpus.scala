@@ -586,6 +586,37 @@ object QueriesCorpus {
       .orderBy($"source", $"bucket", $"batch_id", $"batch_pos")
   }
 
+  /** The curation funnel piped straight into sequence packing — the
+    * end-to-end "corpus in, training batches out" composition: q63's
+    * survivors (language → hash sample → quality → repetition →
+    * exact-dup collapse) rejoin their text once and pack shard-locally
+    * under the q68 budget. One plan: every funnel predicate stays at
+    * the scan, the packing window partitions by source, and the only
+    * post-funnel shuffle is the per-source cumsum — what a real
+    * curate-then-pack run executes as a single job instead of two
+    * materialized passes.
+    */
+  def q132_curated_packing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget  = 256L
+    val curated = q63_curation_pipeline(spark, dir).select($"doc_id", $"source")
+    val w       = Window.partitionBy($"source").orderBy($"doc_id")
+    curated
+      .join(Tables.documents(spark, dir).select($"doc_id", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"source",
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").cast("long").as("n_tok"))
+      .withColumn("start_tok", sum($"n_tok").over(w) - $"n_tok")
+      .select(
+        $"doc_id",
+        $"source",
+        $"n_tok",
+        ($"start_tok" / budget).cast("long").as("bin"),
+        ($"start_tok" % budget).as("offset")
+      )
+      .orderBy($"source", $"doc_id")
+  }
+
   /** Token-distribution Shannon entropy per document — the diversity
     * signal of the quality family (templated / spammy docs have low
     * unigram entropy; natural text sits high). Each term

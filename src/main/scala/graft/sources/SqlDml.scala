@@ -79,6 +79,12 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     */
   private val views = scala.collection.mutable.Map.empty[String, String]
 
+  /** View keys currently being late-bound on this thread — the cycle
+    * guard for views referencing themselves through other views.
+    */
+  private val resolvingViews =
+    ThreadLocal.withInitial[java.util.HashSet[String]](() => new java.util.HashSet[String]())
+
   /** Execute one statement. Queries return their result; DML returns a
     * one-row metrics DataFrame (operation, inserted, updated, deleted).
     */
@@ -657,9 +663,14 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
         if (views.contains(key)) {
           // late binding: re-run the stored SELECT against the live
           // warehouse state (recursing for views over views) and hand
-          // the outer query a fresh temp view over it
+          // the outer query a fresh temp view over it; the in-flight
+          // set refuses reference cycles instead of recursing forever
+          require(!resolvingViews.get().contains(key),
+            s"view $key references itself (directly or through another view)")
+          resolvingViews.get().add(key)
           val v = s"__graft_view_${l}_$t"
-          spark.sql(resolveRefs(views(key))).createOrReplaceTempView(v)
+          try spark.sql(resolveRefs(views(key))).createOrReplaceTempView(v)
+          finally { resolvingViews.get().remove(key); () }
           Some(v)
         }
         else if (wh.tableExists(l, t)) {

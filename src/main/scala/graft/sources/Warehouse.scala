@@ -1429,7 +1429,10 @@ final class Warehouse(
     materializeDv(layer, table) // rewrite never runs against live tombstones
     repairCrashedSwap(layer, table)
     val target = tablePath(layer, table)
-    val before = spark.read.parquet(target)
+    // mergeSchema: an evolved table's older files lack the newer
+    // columns — a plain read takes one footer's schema and the compact
+    // rewrite would silently DROP the evolved columns' data
+    val before = spark.read.option("mergeSchema", "true").parquet(target)
     val rows   = before.count()
     val filesBefore = before.inputFiles.length.toLong
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
@@ -1513,7 +1516,7 @@ final class Warehouse(
     val pcols = partitionColumns(layer, table)
     require(pcols.nonEmpty, "OPTIMIZE ... WHERE needs a hive-partitioned table")
     val target = tablePath(layer, table)
-    val df     = spark.read.parquet(target)
+    val df     = spark.read.option("mergeSchema", "true").parquet(target)
     // partition-columns-only enforcement: inspect the ANALYZED filter's
     // references (the analyzer's resolve-missing-references rule would
     // silently satisfy a data-column predicate through the projection —

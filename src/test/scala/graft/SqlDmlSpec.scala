@@ -349,6 +349,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(wh.compactWhere("gold", "oc", $"pt" === "zzz") == 0L)
   }
 
+  test("compaction preserves schema-evolved columns (merged read, not one footer's schema)") {
+    import spark.implicits._
+    val (wh, _) = fresh()
+    wh.createOrReplace("gold", "ev", Seq((1L, "a"), (2L, "b")).toDF("id", "p"))
+    // evolution: the appended file carries a column the original lacks
+    wh.append("gold", "ev", Seq((3L, "c", 30)).toDF("id", "p", "v"))
+    assert(wh.table("gold", "ev").columns.toSeq == Seq("id", "p", "v"))
+    wh.compact("gold", "ev")
+    val rows = wh.table("gold", "ev").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a", -1), (2L, "b", -1), (3L, "c", 30)),
+      "compaction must keep the evolved column and its values")
+    // same guarantee on the partition-scoped path
+    wh.createOrReplacePartitioned("gold", "evp",
+      Seq((1L, "x", "pa"), (2L, "y", "pb")).toDF("id", "p", "pt"), Seq("pt"))
+    wh.append("gold", "evp", Seq((3L, "z", 9, "pa")).toDF("id", "p", "v", "pt"))
+    wh.compactWhere("gold", "evp", $"pt" === "pa")
+    val pa = wh.table("gold", "evp").filter($"pt" === "pa").orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), if (r.isNullAt(r.fieldIndex("v"))) -1
+        else r.getAs[Int]("v"))).toSeq
+    assert(pa == Seq((1L, -1), (3L, 9)))
+  }
+
   test("autoCompact compacts only over-fragmented partitions") {
     import spark.implicits._
     val (wh, _) = fresh()
@@ -394,6 +417,12 @@ class SqlDmlSpec extends SparkSpec {
     sql.execute("create or replace view main.gold.vw2 as select count(*) as n from main.gold.vw")
     sql.execute("delete from main.gold.base where id = 2")
     assert(sql.execute("select n from main.gold.vw2").head().getLong(0) == 1)
+    // a view redefined over ITSELF refuses at reference instead of
+    // recursing forever (Spark rejects these at creation; late binding
+    // moves the detection to the read)
+    sql.execute("create or replace view main.gold.vw as select * from main.gold.vw")
+    val cyc = intercept[Exception](sql.execute("select * from main.gold.vw"))
+    assert(cyc.getMessage.contains("references itself"))
   }
 
   test("MERGE binds by alias, not by textual order (target aliased s, source t)") {
