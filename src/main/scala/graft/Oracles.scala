@@ -1565,7 +1565,57 @@ object Oracles {
           |       CAST(floor(start_tok / 256.0) AS BIGINT) AS bin,
           |       CAST(start_tok % 256 AS BIGINT) AS offset
           |FROM cum ORDER BY source, doc_id""".stripMargin
-      })
+      }) +
+      // q133: unigram LM trained on the corpus itself, scored as
+      // bits-per-token — per-term doubles are single IEEE ops, the
+      // per-doc sum runs in DECIMAL(18,12) (the q74 discipline)
+      ("q133_unigram_lm_bits" ->
+        """WITH tok AS (
+          |  SELECT doc_id, token FROM (
+          |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+          |  WHERE token <> ''),
+          |vocab AS (SELECT token, count(*) AS c_tok FROM tok GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM tok),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |n AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+          |terms AS (
+          |  SELECT tf.doc_id,
+          |         CAST(tf * -ln(c_tok / CAST(n_total AS DOUBLE)) AS DECIMAL(18,12)) AS term
+          |  FROM tf JOIN vocab USING (token) CROSS JOIN tot)
+          |SELECT doc_id, n_tokens,
+          |       round(CAST(sum(term) AS DOUBLE) / n_tokens / ln(2), 6) AS bits_per_token
+          |FROM terms JOIN n USING (doc_id)
+          |GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin) +
+      // q134/q135: boilerplate 5-gram mining and the per-doc fraction
+      // policy; grams are DISTINCT per doc (list_distinct ≡ the native
+      // shingle expression), the flag compares in integer arithmetic
+      ("q134_boilerplate_ngrams" ->
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(list_distinct(
+          |    list_transform(range(1, len(toks) - 3),
+          |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+          |  FROM w WHERE len(toks) >= 5)
+          |SELECT gram, count(*) AS n_docs
+          |FROM grams GROUP BY gram HAVING count(*) >= 3
+          |ORDER BY n_docs DESC, gram""".stripMargin) +
+      ("q135_boilerplate_fraction" ->
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(list_distinct(
+          |    list_transform(range(1, len(toks) - 3),
+          |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+          |  FROM w WHERE len(toks) >= 5),
+          |common AS (
+          |  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 3)
+          |SELECT g.doc_id, count(*) AS n_grams,
+          |       CAST(count(c.gram) AS BIGINT) AS n_common,
+          |       CAST(CASE WHEN count(c.gram) * 20 >= count(*) THEN 1 ELSE 0 END AS BIGINT)
+          |         AS flagged
+          |FROM grams g LEFT JOIN common c ON g.gram = c.gram
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

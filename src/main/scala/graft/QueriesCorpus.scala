@@ -617,6 +617,105 @@ object QueriesCorpus {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Corpus-unigram language-model score per document — the KenLM-style
+    * quality signal computed from the corpus itself: train the unigram
+    * LM (token → corpus count / corpus total) in one token-keyed
+    * aggregation, then score every document as bits-per-token
+    * (-Σ tf·log₂ p(token) / n_tokens). Out-of-distribution documents
+    * (rare-token soup, other languages, binary junk) score high;
+    * templated text scores low — the standard cheap perplexity proxy
+    * for corpus filtering when a real LM is too expensive to run at
+    * 100 TB. Plan shape: ONE pass tokenizes, the model is a token-keyed
+    * count (partial aggregation map-side), and scoring joins tf rows to
+    * the model on token — the model side is vocab-sized (≪ corpus) so
+    * AQE broadcasts it at real scale; the corpus total rides in as a
+    * broadcast single row. Per-term doubles are single IEEE ops
+    * (cross-engine bit-exact); the per-doc sum runs in DECIMAL(18,12)
+    * so aggregation order cannot perturb the hash (the q74 discipline).
+    */
+  def q133_unigram_lm_bits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val tok = Tables
+      .documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c_tok"))
+    val tot   = tok.agg(count(lit(1)).as("n_total"))
+    val tf    = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val n     = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    tf.join(vocab, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select($"doc_id",
+        ($"tf" * -log($"c_tok" / $"n_total".cast("double")))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"term").as("s"))
+      .join(n, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        round($"s".cast("double") / $"n_tokens" / lit(math.log(2.0)), 6)
+          .as("bits_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus-level boilerplate mining: 5-gram shingles per document
+    * (distinct within a doc — [[graft.operators.Dedup.shingles]]'s
+    * native one-pass expression), counted by DOCUMENT frequency, kept
+    * where ≥ 3 documents share the gram. This is the discovery half of
+    * boilerplate removal (headers, navigation chrome, license blurbs
+    * repeat verbatim across pages); the filtering half is
+    * [[q135_boilerplate_fraction]]. One gram-keyed aggregation — the
+    * same candidates-∝-shared-content shape as the substring-dedup
+    * family, never documents².
+    */
+  def q134_boilerplate_ngrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docGrams(spark, dir)
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 3)
+      .orderBy($"n_docs".desc, $"gram")
+  }
+
+  /** Per-document boilerplate fraction: the share of a document's
+    * distinct 5-grams that are corpus-common (document frequency ≥ 3),
+    * flagged when ≥ 5 % — the doc-level policy built on
+    * [[q134_boilerplate_ngrams]]'s mining. The flag compares in
+    * INTEGER arithmetic (20·n_common ≥ n_grams ⟺ fraction ≥ 0.05), so
+    * the output carries no doubles at all and hashes cross-engine
+    * exactly. The common-gram set is df-thresholded and tiny relative
+    * to the corpus, so the gram join broadcasts at scale; the per-doc
+    * aggregate is the only corpus-sized shuffle.
+    */
+  def q135_boilerplate_fraction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams  = docGrams(spark, dir)
+    val common = grams.groupBy($"gram").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 3)
+      .select($"gram", lit(1L).as("is_common"))
+    grams
+      .join(common, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"is_common", lit(0L))).as("n_common"))
+      .select($"doc_id", $"n_grams", $"n_common",
+        when($"n_common" * 20 >= $"n_grams", 1L).otherwise(0L).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
+  /** Distinct 5-gram shingles per document, exploded — shared by the
+    * boilerplate pair (mining + fraction). Documents shorter than the
+    * gram width contribute nothing (empty shingle array), matching the
+    * oracle's length guard.
+    */
+  private def docGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id",
+        explode(graft.operators.Dedup.shingles(split($"text", "\\s+"), 5)).as("gram"))
+  }
+
   /** Token-distribution Shannon entropy per document — the diversity
     * signal of the quality family (templated / spammy docs have low
     * unigram entropy; natural text sits high). Each term

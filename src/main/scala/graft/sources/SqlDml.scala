@@ -161,6 +161,16 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
             wh.partitions(l, t).toDF("partition")
           case _ => sys.error(s"unsupported SHOW statement: ${stmt.take(120)}")
         }
+      case Seq("show", "tblproperties", _*) =>
+        import spark.implicits._
+        val tRe = "(?is)^show\\s+tblproperties\\s+([\\w.]+)\\s*$".r
+        stmt match {
+          case tRe(name) =>
+            val (l, t) = parseQualified(name).getOrElse(
+              sys.error(s"SHOW TBLPROPERTIES needs a <layer>.<table> name, got: $name"))
+            wh.tableProperties(l, t).toDF("key", "value")
+          case _ => sys.error(s"unsupported SHOW statement: ${stmt.take(120)}")
+        }
       case Seq("analyze", "table", _*) => executeAnalyze(stmt)
       case _ => spark.sql(resolveRefs(stmt))
     }
@@ -198,6 +208,11 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     * clustering when ZORDER BY is given (Delta OPTIMIZE parity).
     */
   private def executeOptimize(stmt: String): DataFrame = {
+    // `OPTIMIZE LEDGER` — fold the one-file-per-commit metrics ledger
+    // into a single checkpoint file (metadata-path maintenance; the
+    // metrics row carries the folded file count)
+    if (stmt.matches("(?is)^optimize\\s+ledger\\s*$"))
+      return metricsRow("OPTIMIZE LEDGER", 0, 0, wh.checkpointLedger())
     val re = ("(?is)^optimize\\s+([\\w.]+)(?:\\s+where\\s+(.+?))?" +
       "(?:\\s+zorder\\s+by\\s*\\(([^)]*)\\))?\\s*$").r
     stmt match {
@@ -269,15 +284,36 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     val checkRe  = "(?is)^add\\s+constraint\\s+([\\w]+)\\s+check\\s*\\((.*)\\)\\s*$".r
     val dropCRe  = "(?is)^drop\\s+constraint\\s+([\\w]+)\\s*$".r
     val nnRe     = "(?is)^alter\\s+column\\s+([\\w]+)\\s+set\\s+not\\s+null\\s*$".r
+    val setPRe   = "(?is)^set\\s+tblproperties\\s*\\((.*)\\)\\s*$".r
+    val unsetPRe = "(?is)^unset\\s+tblproperties\\s*(?:(if\\s+exists)\\s*)?\\((.*)\\)\\s*$".r
     rest match {
       case renameRe(a, b) => wh.renameColumn(l, t, a, b); metricsRow("RENAME COLUMN", 0, 0, 0)
       case dropRe(c)      => wh.dropColumn(l, t, c); metricsRow("DROP COLUMN", 0, 0, 0)
       case checkRe(n, e)  => wh.addCheckConstraint(l, t, n, e); metricsRow("ADD CONSTRAINT", 0, 0, 0)
       case dropCRe(n)     => wh.dropConstraint(l, t, n); metricsRow("DROP CONSTRAINT", 0, 0, 0)
       case nnRe(c)        => wh.addNotNullConstraint(l, t, c); metricsRow("SET NOT NULL", 0, 0, 0)
+      case setPRe(kvTxt) =>
+        val props = splitTopLevel(kvTxt, ',').map(_.trim).filter(_.nonEmpty).map { kv =>
+          val eq = kv.indexOf('=')
+          require(eq > 0, s"SET TBLPROPERTIES expects 'key' = 'value' pairs, got: $kv")
+          (unquote(kv.substring(0, eq).trim), unquote(kv.substring(eq + 1).trim))
+        }
+        wh.setTableProperties(l, t, props)
+        metricsRow("SET TBLPROPERTIES", 0, 0, 0)
+      case unsetPRe(ifEx, keysTxt) =>
+        val keys = splitTopLevel(keysTxt, ',').map(k => unquote(k.trim)).filter(_.nonEmpty)
+        wh.unsetTableProperties(l, t, keys, ifExists = ifEx != null)
+        metricsRow("UNSET TBLPROPERTIES", 0, 0, 0)
       case _ => sys.error(s"unsupported ALTER TABLE action: ${rest.take(120)}")
     }
   }
+
+  /** Strip one level of single/double quotes or backticks, if present. */
+  private def unquote(s: String): String =
+    if (s.length >= 2 &&
+      ((s.head == '\'' && s.last == '\'') || (s.head == '"' && s.last == '"') ||
+        (s.head == '`' && s.last == '`'))) s.substring(1, s.length - 1)
+    else s
 
   // ---------------------------------------------------------- statements
 

@@ -1827,7 +1827,8 @@ final class Warehouse(
     * rewrite's kept-row count) are non-zero.
     */
   private def rewritingOpPred: Column =
-    !col("operation").isin("APPEND", "VACUUM", "DELETE_MOR", "UPDATE_MOR", "MERGE_MOR") &&
+    !col("operation").isin("APPEND", "VACUUM", "DELETE_MOR", "UPDATE_MOR", "MERGE_MOR",
+      "SET TBLPROPERTIES", "UNSET TBLPROPERTIES") &&
       (!col("operation").isin("MERGE", "DELETE", "UPDATE") ||
         col("num_inserted") + col("num_updated") + col("num_deleted") > 0 ||
         col("num_output_rows") > 0)
@@ -3422,6 +3423,73 @@ final class Warehouse(
       finally out.close()
     }
 
+  // ── Table properties ──────────────────────────────────────────────
+  // Delta TBLPROPERTIES parity: free-form key/value metadata that
+  // survives REPLACE / generation swaps (same `.__` sidecar lifecycle
+  // as constraints — dropTable's prefix delete removes it). Properties
+  // are metadata only; nothing in the engine interprets them, exactly
+  // like Delta's user-facing property bag.
+
+  private def propertiesPath(layer: String, table: String): Path =
+    new Path(tablePath(layer, table) + ".__properties")
+
+  /** The table's recorded properties, insertion-ordered. */
+  def tableProperties(layer: String, table: String): Seq[(String, String)] = {
+    val p = propertiesPath(layer, table)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val f = line.split('\t')
+        require(f.length == 2, s"corrupt properties sidecar line: $line")
+        (unescField(f(0)), unescField(f(1)))
+      }.toSeq
+    }
+  }
+
+  private def writePropertiesSidecar(
+      layer: String, table: String, ps: Seq[(String, String)]): Unit =
+    if (ps.isEmpty) { fs.delete(propertiesPath(layer, table), false); () }
+    else {
+      val out = fs.create(propertiesPath(layer, table), true)
+      try out.write(ps.map { case (k, v) => s"${escField(k)}\t${escField(v)}" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Upsert properties (Delta `ALTER TABLE SET TBLPROPERTIES`); an
+    * existing key is overwritten in place, new keys append. Logged as
+    * a zero-metric commit so DESCRIBE HISTORY shows the change, like
+    * Delta's SET TBLPROPERTIES commit.
+    */
+  def setTableProperties(layer: String, table: String, props: Seq[(String, String)]): Unit =
+    withWriterLock(layer, table) {
+      require(fs.exists(new Path(tablePath(layer, table))),
+        s"$layer.$table does not exist")
+      val cur   = tableProperties(layer, table)
+      val byKey = props.toMap
+      val merged = cur.map { case (k, v) => k -> byKey.getOrElse(k, v) } ++
+        props.filterNot { case (k, _) => cur.exists(_._1 == k) }
+      writePropertiesSidecar(layer, table, merged)
+      logOp(layer, table, "SET TBLPROPERTIES", inserted = 0, updated = 0, outputRows = 0)
+    }
+
+  /** Remove properties by key (Delta `ALTER TABLE UNSET TBLPROPERTIES`);
+    * unknown keys are ignored unless `ifExists` is false.
+    */
+  def unsetTableProperties(
+      layer: String, table: String, keys: Seq[String], ifExists: Boolean = true): Unit =
+    withWriterLock(layer, table) {
+      val cur = tableProperties(layer, table)
+      if (!ifExists) keys.foreach(k =>
+        require(cur.exists(_._1 == k), s"table property $k is not set on $layer.$table"))
+      writePropertiesSidecar(layer, table, cur.filterNot(p => keys.contains(p._1)))
+      logOp(layer, table, "UNSET TBLPROPERTIES", inserted = 0, updated = 0, outputRows = 0)
+    }
+
   /** Record a CHECK constraint after validating the existing data
     * against it (Delta `ALTER TABLE ADD CONSTRAINT`): throws
     * [[Warehouse.ConstraintViolationException]] and records nothing if
@@ -4510,6 +4578,108 @@ final class Warehouse(
   }
 
   private def nextVersion(tableName: String): Long = latestVersion(tableName) + 1L
+
+  /** Compact the ledger's one-file-per-commit tail into a single
+    * checkpoint file — Delta's `_last_checkpoint` idea applied to this
+    * warehouse's metrics ledger. Every DML commit appends one tiny
+    * parquet file ([[logOp]]), so a long-running pipeline accrues one
+    * ledger file PER COMMIT and every version lookup / history read
+    * pays O(commits) file opens; at 100 TB scale (thousands of daily
+    * commits across tables) the metadata path, not the data path,
+    * becomes the bottleneck — exactly why Delta checkpoints its JSON
+    * log every 10 commits. This folds all current ledger files into
+    * one multi-row checkpoint file with identical rows, after which
+    * both [[ledgerMaxVersion]] and [[history]] read O(1) files.
+    *
+    * Safety under concurrency, without pausing writers:
+    *  - only the files LISTED at entry are folded and deleted — a
+    *    commit landing mid-checkpoint writes a fresh UUID file that is
+    *    neither read nor deleted, so no commit is ever lost;
+    *  - a listed file still mid-write (footer race — the same window
+    *    [[ledgerMaxVersion]] retries over) is retried, then LEFT IN
+    *    PLACE (neither folded nor deleted) for the next checkpoint;
+    *    skipping a read-failure but deleting it would lose a commit;
+    *  - checkpoint-vs-checkpoint races are serialized by the ledger's
+    *    own writer lock; the checkpoint file is named like a data part
+    *    (no leading `_`/`.`), so readers need no special handling and
+    *    a reader racing the final deletes sees at worst a transient
+    *    duplicate row, which max()/Set-shaped consumers absorb.
+    *
+    * Legacy rows whose file predates the `num_deleted` column are
+    * backfilled with [[history]]'s exact rule (DELETE → 1, else 0) so
+    * the checkpointed row is indistinguishable from the runtime
+    * backfill. Returns the number of files folded (0 = below
+    * `minFiles`, nothing to do).
+    */
+  def checkpointLedger(minFiles: Int = 2): Long =
+    withWriterLock(ledgerLayer, ledgerTable) {
+      val dir = new Path(tablePath(ledgerLayer, ledgerTable))
+      if (!fs.exists(dir)) return 0L
+      val files = fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (files.length < math.max(2, minFiles)) return 0L
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long, Long, Long, Long, Long, Long)]
+      val folded = scala.collection.mutable.ArrayBuffer.empty[Path]
+      files.foreach { st =>
+        var attempt = 0
+        var done    = false
+        while (!done && attempt <= 3) {
+          try {
+            val reader = org.apache.parquet.hadoop.ParquetReader
+              .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+              .withConf(spark.sparkContext.hadoopConfiguration)
+              .build()
+            try {
+              var g = reader.read()
+              while (g != null) {
+                val t   = g.getType
+                val op  = g.getString("operation", 0)
+                val del =
+                  if (t.containsField("num_deleted")) g.getLong("num_deleted", 0)
+                  else if (op == "DELETE") 1L
+                  else 0L
+                rows += ((g.getString("table_name", 0), op,
+                  g.getLong("num_inserted", 0), g.getLong("num_updated", 0), del,
+                  g.getLong("num_output_rows", 0), g.getLong("ts_millis", 0),
+                  g.getLong("version", 0)))
+                g = reader.read()
+              }
+              folded += st.getPath
+            } finally reader.close()
+            done = true
+          } catch {
+            case _: Throwable =>
+              attempt += 1
+              if (attempt <= 3) Thread.sleep(50L << attempt)
+              // else: leave the file for the next checkpoint
+          }
+        }
+      }
+      if (folded.length < 2) return 0L
+      val out = new Path(dir, s"part-graft-ckpt-${java.util.UUID.randomUUID()}.snappy.parquet")
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          out, spark.sparkContext.hadoopConfiguration))
+        .withType(Warehouse.LedgerSchema)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      try rows.foreach { case (tn, op, ins, upd, del, outRows, ts, ver) =>
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(Warehouse.LedgerSchema)
+        g.append("table_name", tn)
+        g.append("operation", op)
+        g.append("num_inserted", ins)
+        g.append("num_updated", upd)
+        g.append("num_deleted", del)
+        g.append("num_output_rows", outRows)
+        g.append("ts_millis", ts)
+        g.append("version", ver)
+        writer.write(g)
+      } finally writer.close()
+      folded.foreach(p => fs.delete(p, false))
+      folded.length.toLong
+    }
 
   /** The table's current ledger version — what [[tableAsOf]] of this
     * value reads, and the cursor an incremental consumer records.

@@ -372,6 +372,68 @@ class SqlDmlSpec extends SparkSpec {
     assert(pa == Seq((1L, -1), (3L, 9)))
   }
 
+  test("OPTIMIZE LEDGER folds per-commit files into one checkpoint; history and time travel survive") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    wh.createOrReplace("gold", "lg", Seq((1L, "a"), (2L, "b")).toDF("id", "p"))
+    wh.append("gold", "lg", Seq((3L, "c")).toDF("id", "p"))
+    wh.delete("gold", "lg", $"id" === 2L)
+    wh.update("gold", "lg", $"id" === 1L, Map("p" -> lit("A")))
+    val before  = wh.history("gold.lg").orderBy("version").collect().map(_.toSeq).toSeq
+    val verPre  = wh.currentVersion("gold", "lg")
+    val asOf0   = wh.tableAsOf("gold", "lg", 0L).orderBy("id").collect().map(_.toSeq).toSeq
+    val ledger  = new java.io.File(wh.tablePath("_ops", "ledger"))
+    def parts() = ledger.listFiles.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(parts() >= 4, "one ledger file per commit expected before checkpoint")
+    val folded = sql.execute("optimize ledger").head().getLong(3)
+    assert(folded >= 4L && parts() == 1, "all per-commit files folded into one checkpoint")
+    // identical history rows, same current version, time travel intact
+    assert(wh.history("gold.lg").orderBy("version").collect().map(_.toSeq).toSeq == before)
+    assert(wh.currentVersion("gold", "lg") == verPre)
+    assert(wh.tableAsOf("gold", "lg", 0L).orderBy("id").collect().map(_.toSeq).toSeq == asOf0)
+    // commits after the checkpoint append fresh files and version on
+    wh.append("gold", "lg", Seq((4L, "d")).toDF("id", "p"))
+    assert(wh.currentVersion("gold", "lg") == verPre + 1)
+    assert(parts() == 2)
+    // a second checkpoint folds checkpoint + tail again; idempotent after
+    assert(sql.execute("optimize ledger").head().getLong(3) == 2L)
+    assert(sql.execute("optimize ledger").head().getLong(3) == 0L)
+    assert(wh.table("gold", "lg").count() == 3)
+  }
+
+  test("TBLPROPERTIES set/unset/show survive REPLACE and DML; history logs the change") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    wh.createOrReplace("gold", "props", Seq((1L, "a")).toDF("id", "p"))
+    sql.execute("alter table main.gold.props set tblproperties (" +
+      "'delta.appendOnly' = 'false', 'owner' = 'data eng', quality = gold)")
+    def show() = sql.execute("show tblproperties gold.props")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(show() == Seq("delta.appendOnly" -> "false", "owner" -> "data eng", "quality" -> "gold"))
+    // upsert-in-place keeps order; new key appends
+    sql.execute("alter table gold.props set tblproperties ('owner' = 'ml eng', 'pii' = 'no')")
+    assert(show() == Seq("delta.appendOnly" -> "false", "owner" -> "ml eng",
+      "quality" -> "gold", "pii" -> "no"))
+    // properties survive DML and a full REPLACE (sidecar lives beside the dir)
+    wh.append("gold", "props", Seq((2L, "b")).toDF("id", "p"))
+    wh.createOrReplace("gold", "props", Seq((9L, "z")).toDF("id", "p"))
+    assert(show().map(_._1) == Seq("delta.appendOnly", "owner", "quality", "pii"))
+    // UNSET: bare form refuses unknown keys, IF EXISTS ignores them
+    intercept[IllegalArgumentException](
+      sql.execute("alter table gold.props unset tblproperties ('nope')"))
+    sql.execute("alter table gold.props unset tblproperties if exists ('nope', 'pii')")
+    assert(show().map(_._1) == Seq("delta.appendOnly", "owner", "quality"))
+    // the change is a visible zero-metric commit; time travel still works across it
+    val ops = wh.history("gold.props").select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "SET TBLPROPERTIES") == 2 && ops.contains("UNSET TBLPROPERTIES"))
+    assert(wh.tableAsOf("gold", "props", wh.currentVersion("gold", "props")).count() == 1)
+    // dropTable removes the sidecar with the table
+    wh.dropTable("gold", "props")
+    wh.createOrReplace("gold", "props", Seq((1L, "a")).toDF("id", "p"))
+    assert(show().isEmpty)
+  }
+
   test("autoCompact compacts only over-fragmented partitions") {
     import spark.implicits._
     val (wh, _) = fresh()
