@@ -1615,7 +1615,87 @@ object Oracles {
           |       CAST(CASE WHEN count(c.gram) * 20 >= count(*) THEN 1 ELSE 0 END AS BIGINT)
           |         AS flagged
           |FROM grams g LEFT JOIN common c ON g.gram = c.gram
-          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) +
+      // q136: the per-doc feature-store row — lang ID, token stats,
+      // entropy, corpus-LM bits, boilerplate share assembled from ONE
+      // (doc, token) aggregation; all double terms decimal-summed
+      ("q136_doc_features" -> {
+        def occ(m: String) =
+          s"CAST((length(text) - length(replace(text, '$m', ''))) / ${m.length} AS INT)"
+        val (en, es, de, fr) = (occ(" the "), occ(" el "), occ(" der "), occ(" le "))
+        s"""WITH lang AS (
+          |  SELECT doc_id,
+          |       CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+          |            WHEN $es >= $de AND $es >= $fr THEN 'es'
+          |            WHEN $de >= $fr THEN 'de'
+          |            ELSE 'fr' END AS predicted_lang
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, token, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+          |  WHERE token <> '' GROUP BY 1, 2),
+          |base AS (
+          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |         CAST(sum(CASE WHEN token IN ($stopwordsSqlList) THEN tf ELSE 0 END) AS BIGINT) AS n_stop,
+          |         CAST(sum(length(token) * tf) AS BIGINT) AS sum_len
+          |  FROM tf GROUP BY 1),
+          |ent AS (
+          |  SELECT tf.doc_id,
+          |         CAST(sum(CAST(-(tf / CAST(n_tokens AS DOUBLE)) * ln(tf / CAST(n_tokens AS DOUBLE))
+          |                       AS DECIMAL(18,12))) AS DOUBLE) AS entropy_raw
+          |  FROM tf JOIN base USING (doc_id) GROUP BY 1),
+          |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_tok FROM tf GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_total FROM vocab),
+          |lm AS (
+          |  SELECT tf.doc_id,
+          |         CAST(sum(CAST(tf * -ln(c_tok / CAST(n_total AS DOUBLE)) AS DECIMAL(18,12)))
+          |              AS DOUBLE) AS lm_raw
+          |  FROM tf JOIN vocab USING (token) CROSS JOIN tot GROUP BY 1),
+          |w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(list_distinct(
+          |    list_transform(range(1, len(toks) - 3),
+          |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+          |  FROM w WHERE len(toks) >= 5),
+          |cmn AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 3),
+          |boiler AS (
+          |  SELECT g.doc_id, count(*) AS n_grams, CAST(count(c.gram) AS BIGINT) AS n_common
+          |  FROM grams g LEFT JOIN cmn c ON g.gram = c.gram GROUP BY 1)
+          |SELECT l.doc_id, l.predicted_lang, b.n_tokens, b.n_stop,
+          |       CAST(b.n_stop AS DOUBLE) / b.n_tokens AS stop_ratio,
+          |       CAST(b.sum_len AS DOUBLE) / b.n_tokens AS avg_token_len,
+          |       round(e.entropy_raw, 6) AS entropy,
+          |       round(m.lm_raw / b.n_tokens / ln(2), 6) AS bits_per_token,
+          |       COALESCE(bl.n_grams, 0) AS n_grams,
+          |       COALESCE(bl.n_common, 0) AS n_common,
+          |       CAST(CASE WHEN COALESCE(bl.n_grams, 0) > 0
+          |                  AND COALESCE(bl.n_common, 0) * 20 >= bl.n_grams
+          |                 THEN 1 ELSE 0 END AS BIGINT) AS boiler_flagged
+          |FROM lang l
+          |JOIN base b USING (doc_id)
+          |JOIN ent e USING (doc_id)
+          |JOIN lm m ON l.doc_id = m.doc_id
+          |LEFT JOIN boiler bl ON l.doc_id = bl.doc_id
+          |ORDER BY l.doc_id""".stripMargin
+      }) +
+      // q137: equal-share mixture rebalancing plan — integer targets,
+      // single-division rates (bit-identical cross-engine, unrounded)
+      ("q137_mixture_plan" ->
+        """WITH per AS (
+          |  SELECT source, count(*) AS n_docs,
+          |         CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT)
+          |           AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |tgt AS (
+          |  SELECT source, n_docs, n_tokens,
+          |         CAST(floor(sum(n_tokens) OVER () / CAST(count(*) OVER () AS DOUBLE)) AS BIGINT)
+          |           AS target_tokens
+          |  FROM per)
+          |SELECT source, n_docs, n_tokens, target_tokens,
+          |       CAST(target_tokens AS DOUBLE) / n_tokens AS sampling_rate,
+          |       CAST(ceil(CAST(target_tokens AS DOUBLE) / n_tokens) AS BIGINT) AS n_epochs,
+          |       CAST(CASE WHEN target_tokens > n_tokens THEN 1 ELSE 0 END AS BIGINT) AS needs_repeat
+          |FROM tgt ORDER BY source""".stripMargin)
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -716,6 +716,127 @@ object QueriesCorpus {
         explode(graft.operators.Dedup.shingles(split($"text", "\\s+"), 5)).as("gram"))
   }
 
+  /** The per-document FEATURE STORE row — every scalar quality signal
+    * the curation family computes, assembled in ONE job: language ID
+    * (per-row, scan-level), token stats (count / stop-word ratio /
+    * mean length), unigram Shannon entropy (q74), corpus-LM
+    * bits-per-token (q133) and the boilerplate-gram share (q135) —
+    * the table a quality-classifier trains on and a filtering run
+    * joins against. Plan shape: ONE tokenize feeds a single
+    * (doc, token) aggregation from which the doc stats, the entropy
+    * terms AND the LM vocabulary all derive (no second scan of the
+    * corpus text); every downstream join is doc_id-keyed, so after the
+    * tf shuffle the assembly is co-partitioned; the vocabulary side is
+    * vocab-sized (≪ corpus) and the corpus total rides in as one
+    * broadcast row. Doubles follow the house discipline: single IEEE
+    * ops per row, DECIMAL(18,12) sums, round-6 only at the end.
+    */
+  def q136_doc_features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+    val t    = $"text"
+    val sEn  = TextFunctions.occurrences(t, " the ")
+    val sEs  = TextFunctions.occurrences(t, " el ")
+    val sDe  = TextFunctions.occurrences(t, " der ")
+    val sFr  = TextFunctions.occurrences(t, " le ")
+    val lang = docs.select(
+      $"doc_id",
+      when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+        .when(sEs >= sDe && sEs >= sFr, "es")
+        .when(sDe >= sFr, "de")
+        .otherwise("fr").as("predicted_lang"))
+    val tf = docs
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val base = tf.groupBy($"doc_id").agg(
+      sum($"tf").as("n_tokens"),
+      sum(when($"token".isin(TextFunctions.englishStopWords: _*), $"tf")
+        .otherwise(0L)).as("n_stop"),
+      sum(length($"token") * $"tf").as("sum_len"))
+    val entropy = tf.join(base.select($"doc_id", $"n_tokens"), Seq("doc_id"))
+      .select($"doc_id",
+        (-($"tf" / $"n_tokens".cast("double")) * log($"tf" / $"n_tokens".cast("double")))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"term").cast("double").as("entropy_raw"))
+    val vocab = tf.groupBy($"token").agg(sum($"tf").as("c_tok"))
+    val tot   = vocab.agg(sum($"c_tok").as("n_total"))
+    val lm = tf.join(vocab, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select($"doc_id",
+        ($"tf" * -log($"c_tok" / $"n_total".cast("double")))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"term").cast("double").as("lm_raw"))
+    val grams  = docGrams(spark, dir)
+    val common = grams.groupBy($"gram").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 3).select($"gram", lit(1L).as("is_common"))
+    val boiler = grams.join(common, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"is_common", lit(0L))).as("n_common"))
+    lang
+      .join(base, Seq("doc_id"))
+      .join(entropy, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(boiler, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"predicted_lang",
+        $"n_tokens",
+        $"n_stop",
+        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+        ($"sum_len".cast("double") / $"n_tokens").as("avg_token_len"),
+        round($"entropy_raw", 6).as("entropy"),
+        round($"lm_raw" / $"n_tokens" / lit(math.log(2.0)), 6).as("bits_per_token"),
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_common", lit(0L)).as("n_common"),
+        when(coalesce($"n_grams", lit(0L)) > 0 &&
+          coalesce($"n_common", lit(0L)) * 20 >= $"n_grams", 1L)
+          .otherwise(0L).as("boiler_flagged"))
+      .orderBy($"doc_id")
+  }
+
+  /** Equal-share mixture REBALANCING plan — the arithmetic a training
+    * run does between [[q65_mixture_weights]] (what the corpus has)
+    * and the sampler (what the run should draw): give every source an
+    * equal token share of the budget (here the corpus total, so rates
+    * center on 1), derive each source's sampling rate, the epoch count
+    * an over-demanded source must repeat (ceil), and an undersampled
+    * flag. All arithmetic is integer or single-IEEE-division (emitted
+    * unrounded — one division is bit-identical cross-engine), so the
+    * plan hashes exactly. One source-keyed aggregation + a scalar
+    * window; the plan table is sources-sized, trivially broadcast to
+    * whatever consumes it.
+    */
+  def q137_mixture_plan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long")
+    val w    = Window.partitionBy()
+    Tables
+      .documents(spark, dir)
+      .select($"source", nTok.as("doc_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_tokens").as("n_tokens"))
+      .select($"source", $"n_docs", $"n_tokens",
+        floor(sum($"n_tokens").over(w) / count(lit(1)).over(w)).cast("long")
+          .as("target_tokens"))
+      .select(
+        $"source",
+        $"n_docs",
+        $"n_tokens",
+        $"target_tokens",
+        ($"target_tokens".cast("double") / $"n_tokens").as("sampling_rate"),
+        ceil($"target_tokens".cast("double") / $"n_tokens").cast("long").as("n_epochs"),
+        when($"target_tokens" > $"n_tokens", 1L).otherwise(0L).as("needs_repeat"))
+      .orderBy($"source")
+  }
+
   /** Token-distribution Shannon entropy per document — the diversity
     * signal of the quality family (templated / spammy docs have low
     * unigram entropy; natural text sits high). Each term

@@ -4490,6 +4490,13 @@ final class Warehouse(
     if (heldLocks.get().contains(s"$layer.$table"))
       lockedVersionCache.merge(s"$layer.$table", ver,
         (a, b) => if (a >= b) a else b)
+    // Delta-style automatic checkpoint cadence: every 64th commit of a
+    // table folds the ledger tail inline (Delta checkpoints its JSON
+    // log every 10 commits for the same reason — metadata reads must
+    // not scale with commit count). The minFiles gate makes the check
+    // a no-op listing when other tables' cadence already folded; the
+    // fold itself is bounded by the files accrued since the last one.
+    if (ver > 0 && ver % 64 == 0) { checkpointLedger(minFiles = 16); () }
   }
 
   /** Ledger versions in (`version`, current] whose op actually REWROTE

@@ -402,6 +402,23 @@ class SqlDmlSpec extends SparkSpec {
     assert(wh.table("gold", "lg").count() == 3)
   }
 
+  test("ledger auto-checkpoints on the 64-commit cadence") {
+    import spark.implicits._
+    val (wh, _) = fresh()
+    wh.createOrReplace("gold", "ac", Seq((1L, "a")).toDF("id", "p")) // v0
+    val ledger  = new java.io.File(wh.tablePath("_ops", "ledger"))
+    def parts() = ledger.listFiles.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // 63 metadata commits → v63, no fold yet (cadence is v % 64 == 0)
+    (1 to 63).foreach(i => wh.setTableProperties("gold", "ac", Seq("i" -> i.toString)))
+    assert(parts() == 64)
+    // the 64th commit folds the tail inline: ledger collapses to 1 file
+    wh.setTableProperties("gold", "ac", Seq("i" -> "64"))
+    assert(parts() == 1)
+    assert(wh.currentVersion("gold", "ac") == 64)
+    assert(wh.history("gold.ac").count() == 65)
+  }
+
   test("TBLPROPERTIES set/unset/show survive REPLACE and DML; history logs the change") {
     import spark.implicits._
     val (wh, sql) = fresh()
