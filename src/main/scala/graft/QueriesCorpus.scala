@@ -636,14 +636,19 @@ object QueriesCorpus {
   def q133_unigram_lm_bits(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val tok = Tables
-      .documents(spark, dir)
-      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
-      .filter($"token" =!= "")
-    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c_tok"))
-    val tot   = tok.agg(count(lit(1)).as("n_total"))
-    val tf    = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val n     = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    // ONE corpus scan: tf is materialized (lineage truncates) and the
+    // model (vocab), the total and the per-doc lengths all derive from
+    // it — without this, each branch re-derives its own scan+explode
+    // (Catalyst does not common-subexpression whole subtrees)
+    val tf = graft.operators.Materialize(
+      Tables.documents(spark, dir)
+        .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token")
+        .agg(count(lit(1)).as("tf")))
+    val vocab = tf.groupBy($"token").agg(sum($"tf").as("c_tok"))
+    val tot   = vocab.agg(sum($"c_tok").as("n_total"))
+    val n     = tf.groupBy($"doc_id").agg(sum($"tf").as("n_tokens"))
     tf.join(vocab, Seq("token"))
       .crossJoin(broadcast(tot))
       .select($"doc_id",
@@ -689,7 +694,9 @@ object QueriesCorpus {
     */
   def q135_boilerplate_fraction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams  = docGrams(spark, dir)
+    // materialized: the mining aggregate and the membership-probe side
+    // share one shingle pass instead of exploding the corpus twice
+    val grams  = graft.operators.Materialize(docGrams(spark, dir))
     val common = grams.groupBy($"gram").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 3)
       .select($"gram", lit(1L).as("is_common"))
@@ -747,11 +754,13 @@ object QueriesCorpus {
         .when(sEs >= sDe && sEs >= sFr, "es")
         .when(sDe >= sFr, "de")
         .otherwise("fr").as("predicted_lang"))
-    val tf = docs
+    // materialized: four signal branches reuse the one (doc, token)
+    // aggregation instead of each re-deriving its own corpus scan
+    val tf = graft.operators.Materialize(docs
       .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
       .filter($"token" =!= "")
       .groupBy($"doc_id", $"token")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val base = tf.groupBy($"doc_id").agg(
       sum($"tf").as("n_tokens"),
       sum(when($"token".isin(TextFunctions.englishStopWords: _*), $"tf")
@@ -772,7 +781,7 @@ object QueriesCorpus {
           .cast(DecimalType(18, 12)).as("term"))
       .groupBy($"doc_id")
       .agg(sum($"term").cast("double").as("lm_raw"))
-    val grams  = docGrams(spark, dir)
+    val grams  = graft.operators.Materialize(docGrams(spark, dir))
     val common = grams.groupBy($"gram").agg(count(lit(1)).as("nd"))
       .filter($"nd" >= 3).select($"gram", lit(1L).as("is_common"))
     val boiler = grams.join(common, Seq("gram"), "left")
