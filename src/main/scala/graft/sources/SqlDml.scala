@@ -108,6 +108,27 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
         val (l, t) = parseQualified(stmt.split("\\s+", 3)(2).trim).getOrElse(
           sys.error("TRUNCATE TABLE needs a <layer>.<table> name"))
         metricsRow("TRUNCATE", 0, 0, wh.delete(l, t, lit(true)))
+      case Seq("drop", "view", _*) =>
+        val rest = stmt.split("\\s+", 3)(2).trim
+        val ifExists = rest.toLowerCase.startsWith("if exists")
+        val name = if (ifExists) rest.substring("if exists".length).trim else rest
+        val (l, t) = parseQualified(name).getOrElse(
+          sys.error("DROP VIEW needs a <layer>.<view> name"))
+        val key = s"$l.$t".toLowerCase
+        if (views.contains(key)) { views.remove(key); () }
+        else require(ifExists, s"view $l.$t does not exist")
+        metricsRow("DROP VIEW", 0, 0, 0)
+      case Seq("show", "views", _*) =>
+        import spark.implicits._
+        val inRe = "(?is)^show\\s+views(?:\\s+in\\s+(?:main\\.)?([\\w]+))?\\s*$".r
+        stmt match {
+          case inRe(layer) =>
+            views.keys.toSeq.sorted
+              .map { k => val Array(l, t) = k.split("\\.", 2); (l, t) }
+              .filter { case (l, _) => layer == null || l == layer.toLowerCase }
+              .toDF("layer", "view_name")
+          case _ => sys.error(s"unsupported SHOW statement: ${stmt.take(120)}")
+        }
       case Seq("drop", "table", _*) =>
         val rest = stmt.split("\\s+", 3)(2).trim
         val ifExists = rest.toLowerCase.startsWith("if exists")

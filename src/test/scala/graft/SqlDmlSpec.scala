@@ -402,6 +402,23 @@ class SqlDmlSpec extends SparkSpec {
     assert(wh.table("gold", "lg").count() == 3)
   }
 
+  test("SHOW VIEWS lists registered views; DROP VIEW unregisters (IF EXISTS tolerated)") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    wh.createOrReplace("silver", "vbase", Seq((1L, "a"), (2L, "b")).toDF("id", "p"))
+    sql.execute("create or replace view main.silver.v1 as select id from silver.vbase")
+    sql.execute("create or replace view main.gold.v2 as select count(*) as n from silver.v1")
+    assert(sql.execute("show views").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("gold", "v2"), ("silver", "v1")))
+    assert(sql.execute("show views in silver").collect().map(_.getString(1)).toSeq == Seq("v1"))
+    sql.execute("drop view main.gold.v2")
+    assert(sql.execute("show views").count() == 1)
+    intercept[IllegalArgumentException](sql.execute("drop view main.gold.v2"))
+    sql.execute("drop view if exists main.gold.v2")
+    // the dropped name no longer resolves in queries
+    intercept[Exception](sql.execute("select * from gold.v2"))
+  }
+
   test("ledger auto-checkpoints on the 64-commit cadence") {
     import spark.implicits._
     val (wh, _) = fresh()
