@@ -1695,7 +1695,80 @@ object Oracles {
           |       CAST(target_tokens AS DOUBLE) / n_tokens AS sampling_rate,
           |       CAST(ceil(CAST(target_tokens AS DOUBLE) / n_tokens) AS BIGINT) AS n_epochs,
           |       CAST(CASE WHEN target_tokens > n_tokens THEN 1 ELSE 0 END AS BIGINT) AS needs_repeat
-          |FROM tgt ORDER BY source""".stripMargin)
+          |FROM tgt ORDER BY source""".stripMargin) +
+      // q138–q140: the k-means family. The CTE replays both Lloyd
+      // iterations relationally with the SAME exactness scheme the
+      // engine uses: 1/1024 integer-grid quantization (exact), BIGINT
+      // component sums (order-independent) finished by one IEEE
+      // division, |v|²−2·v·c+|c|² distances via list_inner_product
+      // (accumulation parity with the codegen DotProduct, q29-proven),
+      // tie-break on cluster id.
+      ("q138_kmeans_clusters" ->
+        s"""$kmeansCte
+           |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+           |FROM a2 ORDER BY vec_id""".stripMargin) +
+      // q139: SemDeDup — within-cluster cosine ≥ 0.45 pairs drop the
+      // larger id; survivors keep their cluster
+      ("q139_semdedup" ->
+        s"""$kmeansCte,
+           |losers AS (
+           |  SELECT DISTINCT b.vec_id AS vec_id
+           |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.45)
+           |SELECT a2.vec_id, CAST(a2.cluster AS INTEGER) AS cluster
+           |FROM a2 WHERE a2.vec_id NOT IN (SELECT vec_id FROM losers)
+           |ORDER BY a2.vec_id""".stripMargin) +
+      // q140: 16-per-cluster balanced draw by the deterministic
+      // sha256(vec_id) rule (the q59 discipline per cluster)
+      ("q140_cluster_balanced_sample" ->
+        s"""$kmeansCte
+           |SELECT CAST(cluster AS INTEGER) AS cluster,
+           |       CAST(rn AS BIGINT) AS draw_rank, vec_id FROM (
+           |  SELECT cluster, vec_id,
+           |         row_number() OVER (PARTITION BY cluster
+           |           ORDER BY sha256(CAST(vec_id AS VARCHAR))) AS rn
+           |  FROM a2)
+           |WHERE rn <= 16 ORDER BY cluster, draw_rank""".stripMargin)
+
+  /** Shared k-means CTE (k = 8, two assignment passes, one exact
+    * integer-sum centroid update): `a2` is the final (vec_id, cluster)
+    * assignment. Mirrors [[graft.operators.Clustering.kmeans]]
+    * step-for-step; see the q138 comment for the exactness argument.
+    */
+  private def kmeansCte: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |vd AS (SELECT vec_id, vq, list_transform(vq, x -> CAST(x AS DOUBLE)) AS dv FROM v),
+      |init AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, dv AS cent
+      |  FROM vd ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vd.vec_id, i.cluster,
+      |           row_number() OVER (PARTITION BY vd.vec_id
+      |             ORDER BY list_inner_product(vd.dv, vd.dv)
+      |                      - 2 * list_inner_product(vd.dv, i.cent)
+      |                      + list_inner_product(i.cent, i.cent), i.cluster) AS rn
+      |    FROM vd CROSS JOIN init i) WHERE rn = 1),
+      |comp1 AS (
+      |  SELECT a1.cluster, generate_subscripts(vd.vq, 1) AS pos, unnest(vd.vq) AS val
+      |  FROM vd JOIN a1 USING (vec_id)),
+      |c1 AS (
+      |  SELECT cluster, list(comp ORDER BY pos) AS cent FROM (
+      |    SELECT cluster, pos, CAST(sum(val) AS DOUBLE) / count(*) AS comp
+      |    FROM comp1 GROUP BY cluster, pos) GROUP BY cluster),
+      |a2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vd.vec_id, c.cluster,
+      |           row_number() OVER (PARTITION BY vd.vec_id
+      |             ORDER BY list_inner_product(vd.dv, vd.dv)
+      |                      - 2 * list_inner_product(vd.dv, c.cent)
+      |                      + list_inner_product(c.cent, c.cent), c.cluster) AS rn
+      |    FROM vd CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -899,4 +899,74 @@ object QueriesCorpus {
         nprobe = 16)
       .orderBy($"query_id", $"rank")
   }
+
+  /** Deterministic k-means topic clustering over the embedding corpus
+    * ([[graft.operators.Clustering.kmeans]]) — the partitioning stage
+    * every cluster-scoped curation method (SemDeDup, balanced
+    * sampling) builds on. k = 8, two assignment passes with one exact
+    * integer-grid centroid update between them; the DuckDB oracle
+    * replays both Lloyd iterations relationally. Assignment is a pure
+    * codegen projection (centroids are plan literals); the update is
+    * the engine's only shuffle, with k·d output rows.
+    */
+  def q138_kmeans_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Clustering
+    Clustering
+      .kmeans(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy($"vec_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): cluster FIRST, then semantic-dedup
+    * WITHIN each cluster — pair generation becomes a cluster-keyed
+    * equi-join, so candidates scale with Σ n_c² instead of n² (k× fewer
+    * at balanced clusters), which is the whole reason the method exists
+    * at 100 TB. Within a cluster, any pair with cosine ≥ 0.45 drops the
+    * larger vec_id (exists-style keep rule); output = survivors with
+    * their cluster. Cosine runs on the ORIGINAL float embeddings via
+    * the codegen dot (same parity as q29/q62).
+    */
+  def q139_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Clustering, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = Clustering
+      .kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+    val a = assigned.select($"cluster", $"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = assigned.select($"cluster", $"vec_id".as("id_b"), $"embedding".as("vb"))
+    val losers = a
+      .join(b, Seq("cluster"))
+      .filter($"id_a" < $"id_b" &&
+        Similarity.cosine($"va", $"vb") >= 0.45)
+      .select($"id_b".as("vec_id"))
+      .distinct()
+    assigned
+      .join(losers, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cluster")
+      .orderBy($"vec_id")
+  }
+
+  /** Cluster-balanced sampling: an equal per-topic quota drawn by the
+    * house deterministic-sha256 rule (reproducible across runs,
+    * engines and retries — the q59 discipline applied per cluster).
+    * 16 docs per k-means cluster, ranked by sha256(vec_id); one
+    * cluster-keyed window over a clusters-sized quota. The balanced
+    * subset is what a topic-diverse eval set or an anchor sample for
+    * curriculum mixing draws from.
+    */
+  def q140_cluster_balanced_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Clustering
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy($"cluster")
+      .orderBy(sha2($"vec_id".cast("string"), 256))
+    Clustering
+      .kmeans(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter($"draw_rank" <= 16)
+      .select($"cluster", $"draw_rank", $"vec_id")
+      .orderBy($"cluster", $"draw_rank")
+  }
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.plans.VectorExpressions.vecDot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an embedding column — the topic-
+  * clustering stage of a curation pipeline (SemDeDup's cluster-then-
+  * dedup, cluster-balanced sampling, topic mixture analysis).
+  *
+  * Cross-engine exact BY CONSTRUCTION (oracle-gated against DuckDB):
+  *   - inputs quantize to a 1/1024 integer grid: float→double widening
+  *     and the ×1024 scaling are both exact (power-of-two), and
+  *     nearest-integer rounding of the identical double is the same on
+  *     every engine;
+  *   - centroid updates are BIGINT component sums — exact and
+  *     aggregation-ORDER-INDEPENDENT, the property a float mean lacks —
+  *     finished by ONE IEEE division per component (single IEEE ops are
+  *     bit-identical cross-engine);
+  *   - distances are left-to-right double dot products (native codegen
+  *     [[graft.plans.DotProduct]], accumulation parity with DuckDB's
+  *     `list_inner_product` proven since q29), expanded as
+  *     |v|² − 2·v·c + |c|² so the comparison sees identical doubles;
+  *   - argmin tie-breaks on cluster id (struct ordering = ORDER BY
+  *     dist, cluster).
+  *
+  * Scale shape (the same topology Spark MLlib's KMeans uses): centroids
+  * ride into the assignment projection as LITERALS — k·d doubles baked
+  * into the plan, so assignment is a pure map (no join, no shuffle, no
+  * broadcast table); the update is one posexplode + (cluster, pos)
+  * aggregation with map-side partial sums whose OUTPUT is k·d rows; the
+  * only driver materializations are the k seed rows and the k·d sum
+  * table per iteration (~512 values at k=8, d=64 — bounded metadata,
+  * never corpus-sized). The quantized projection materializes once
+  * ([[Materialize]]) so the iteration loop re-reads a KB-per-row
+  * intermediate instead of re-scanning the corpus per pass.
+  *
+  * Empty clusters drop (their ids vanish from later iterations), the
+  * standard Lloyd convention and the one a relational replay follows
+  * naturally.
+  */
+object Clustering {
+
+  /** Quantize a float/double vector to the 1/1024 integer grid. */
+  def quantized(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * lit(1024.0), 0).cast("long"))
+
+  /** `iters` assignment passes with `iters − 1` centroid updates
+    * between them; seeds are the quantized vectors of the k smallest
+    * ids. Returns (idCol, cluster int), one row per input row.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kmeans needs k>=1, iters>=1, got k=$k iters=$iters")
+    val base = Materialize(
+      df.select(col(idCol).as("id"), quantized(col(vecCol)).as("vq"))
+        .withColumn("dv", transform(col("vq"), _.cast("double"))))
+
+    // Seed centroids: the k smallest ids' quantized vectors (k rows to
+    // the driver — bounded by k, never by the corpus).
+    var cents: Seq[(Int, Array[Double])] =
+      base.orderBy("id").limit(k).collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](r.fieldIndex("vq")).map(_.toDouble).toArray
+      }.toSeq
+
+    // argmin over literal centroids: array_min of (dist, cluster)
+    // structs — lexicographic struct ordering IS the dist-then-id
+    // tie-break, and the whole thing is one codegen projection.
+    def assign(): DataFrame = {
+      val vNorm2 = vecDot(col("dv"), col("dv"))
+      val candidates = cents.map { case (c, cent) =>
+        // |c|² is a plan-time constant; left-to-right like DotProduct.
+        var c2 = 0.0
+        var i  = 0
+        while (i < cent.length) { c2 += cent(i) * cent(i); i += 1 }
+        val lc = typedLit(cent.toSeq)
+        struct(
+          (vNorm2 - lit(2.0) * vecDot(col("dv"), lc) + lit(c2)).as("d"),
+          lit(c).as("c"))
+      }
+      base.withColumn("cluster", array_min(array(candidates: _*)).getField("c"))
+    }
+
+    var current = assign()
+    for (_ <- 2 to iters) {
+      // Exact integer component sums; k·d output rows; empty clusters
+      // simply produce no rows and drop out.
+      val sums = current
+        .select(col("cluster"), posexplode(col("vq")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = sums
+        .groupBy(_.getInt(0))
+        .toSeq
+        .map { case (c, rows) =>
+          val comps = rows.sortBy(_.getInt(1)).map(r => r.getLong(2).toDouble / r.getLong(3))
+          c -> comps.toArray
+        }
+        .sortBy(_._1)
+      current = assign()
+    }
+    current.select(col("id").as(idCol), col("cluster"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-means and the cluster-scoped curation family
+  * (SemDeDup, balanced sampling). The oracle (q138–q140) pins
+  * cross-engine exactness; these tests pin the OPERATOR invariants:
+  * planted geometry lands where it must, the run is bit-reproducible,
+  * Lloyd iterations never increase total distortion on a planted set,
+  * and the SemDeDup/draw rules hold row-by-row.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private def planted() = {
+    import spark.implicits._
+    // two tight blobs on opposite axes + one straggler near blob A:
+    // seeds (ids 0,1) fall one in each blob, so k=2 must separate them
+    val a   = Array.fill(8)(0.0f)
+    val b   = Array.fill(8)(0.0f)
+    val mkA = (eps: Float) => { val v = a.clone(); v(0) = 1.0f + eps; v }
+    val mkB = (eps: Float) => { val v = b.clone(); v(1) = 1.0f + eps; v }
+    Seq(
+      (0L, mkA(0.00f), 0), (2L, mkA(0.01f), 0), (4L, mkA(-0.01f), 0), (6L, mkA(0.02f), 0),
+      (1L, mkB(0.00f), 1), (3L, mkB(0.01f), 1), (5L, mkB(-0.01f), 1), (7L, mkB(0.02f), 1)
+    ).toDF("vec_id", "embedding", "expected")
+  }
+
+  test("planted blobs separate; assignment is reproducible bit-for-bit") {
+    val df  = planted()
+    val out = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iters = 2).collect()
+    val exp = df.select("vec_id", "expected").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.length == 8)
+    out.foreach(r => assert(r.getInt(1) == exp(r.getLong(0)),
+      s"vec ${r.getLong(0)} landed in ${r.getInt(1)}"))
+    val again = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iters = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted ==
+      again.map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted)
+  }
+
+  test("an extra iteration never increases total distortion (Lloyd monotonicity)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    def distortion(iters: Int): Double = {
+      val assigned = Clustering.kmeans(emb, "vec_id", "embedding", k = 8, iters = iters)
+        .join(emb, Seq("vec_id"))
+      // recompute each cluster's mean on the quantized grid, then sum
+      // squared distances — the objective Lloyd minimizes
+      val q = assigned.withColumn("vq", Clustering.quantized($"embedding"))
+        .select($"cluster", posexplode($"vq").as(Seq("pos", "v")))
+      val cents = q.groupBy("cluster", "pos")
+        .agg((sum($"v") / count(lit(1))).as("c"))
+      q.join(cents, Seq("cluster", "pos"))
+        .select((($"v" - $"c") * ($"v" - $"c")).as("d2"))
+        .agg(sum($"d2")).collect()(0).getDouble(0)
+    }
+    val d1 = distortion(1)
+    val d2 = distortion(2)
+    val d3 = distortion(3)
+    assert(d2 <= d1 + 1e-6, s"iter2 distortion $d2 > iter1 $d1")
+    assert(d3 <= d2 + 1e-6, s"iter3 distortion $d3 > iter2 $d2")
+  }
+
+  test("semdedup survivors: no within-cluster pair ≥ threshold remains; dropped ids had a smaller keeper") {
+    import spark.implicits._
+    val dir  = sfDir
+    val emb  = Tables.embeddings(spark, dir)
+    val out  = QueriesCorpus.q139_semdedup(spark, dir)
+    val surv = out.select($"vec_id", $"cluster")
+    // survivors are pairwise below threshold within a cluster
+    val a = surv.join(emb, Seq("vec_id")).select($"cluster", $"vec_id".as("ia"), $"embedding".as("va"))
+    val b = surv.join(emb, Seq("vec_id")).select($"cluster", $"vec_id".as("ib"), $"embedding".as("vb"))
+    val bad = a.join(b, Seq("cluster"))
+      .filter($"ia" < $"ib" && graft.operators.Similarity.cosine($"va", $"vb") >= 0.45)
+      .count()
+    assert(bad == 0L, s"$bad near-dup pairs survive")
+    // every dropped id has a smaller-id near-dup in its cluster (the keep rule)
+    val assigned = QueriesCorpus.q138_kmeans_clusters(spark, dir)
+    val dropped  = assigned.join(surv, Seq("vec_id"), "left_anti")
+    val all      = assigned.join(emb, Seq("vec_id"))
+    val dA = dropped.join(emb, Seq("vec_id")).select($"cluster", $"vec_id".as("ib"), $"embedding".as("vb"))
+    val wit = all.select($"cluster", $"vec_id".as("ia"), $"embedding".as("va"))
+      .join(dA, Seq("cluster"))
+      .filter($"ia" < $"ib" && graft.operators.Similarity.cosine($"va", $"vb") >= 0.45)
+      .select($"ib").distinct().count()
+    assert(wit == dropped.count(), "a dropped id lacks a smaller-id witness")
+  }
+
+  test("balanced sample: exactly min(16, cluster size) per cluster, ranks dense from 1") {
+    import spark.implicits._
+    val dir   = sfDir
+    val out   = QueriesCorpus.q140_cluster_balanced_sample(spark, dir)
+    val sizes = QueriesCorpus.q138_kmeans_clusters(spark, dir)
+      .groupBy($"cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = out.groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), min($"draw_rank").as("lo"), max($"draw_rank").as("hi"))
+      .collect()
+    assert(got.map(_.getInt(0)).toSet == sizes.keySet)
+    got.foreach { r =>
+      val want = math.min(16L, sizes(r.getInt(0)))
+      assert(r.getLong(1) == want && r.getLong(2) == 1L && r.getLong(3) == want)
+    }
+  }
+
+  test("q138 assignment plan: centroids are literals — no join, no shuffle before the final sort") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val plan = Clustering.kmeans(emb, "vec_id", "embedding", k = 8, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "assignment must not join")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "assignment must not shuffle the corpus")
+  }
+}
