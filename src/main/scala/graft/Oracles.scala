@@ -1730,7 +1730,34 @@ object Oracles {
            |         row_number() OVER (PARTITION BY cluster
            |           ORDER BY sha256(CAST(vec_id AS VARCHAR))) AS rn
            |  FROM a2)
-           |WHERE rn <= 16 ORDER BY cluster, draw_rank""".stripMargin)
+           |WHERE rn <= 16 ORDER BY cluster, draw_rank""".stripMargin) +
+      // q141: nearest-centroid classifier — per-label exact-grid means
+      // on the 80% train split, argmin prediction on the held-out fifth
+      ("q141_centroid_classifier" ->
+        """WITH v AS (
+          |  SELECT vec_id, label,
+          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
+          |  FROM embeddings),
+          |vd AS (SELECT vec_id, label, vq, list_transform(vq, x -> CAST(x AS DOUBLE)) AS dv FROM v),
+          |tr AS (SELECT * FROM vd WHERE vec_id % 5 <> 0),
+          |te AS (SELECT * FROM vd WHERE vec_id % 5 = 0),
+          |comp AS (
+          |  SELECT label AS cls, generate_subscripts(vq, 1) AS pos, unnest(vq) AS val FROM tr),
+          |cents AS (
+          |  SELECT cls, list(c ORDER BY pos) AS cent FROM (
+          |    SELECT cls, pos, CAST(sum(val) AS DOUBLE) / count(*) AS c
+          |    FROM comp GROUP BY cls, pos) GROUP BY cls),
+          |pred AS (
+          |  SELECT vec_id, label, cls FROM (
+          |    SELECT te.vec_id, te.label, c.cls,
+          |           row_number() OVER (PARTITION BY te.vec_id
+          |             ORDER BY list_inner_product(te.dv, te.dv)
+          |                      - 2 * list_inner_product(te.dv, c.cent)
+          |                      + list_inner_product(c.cent, c.cent), c.cls) AS rn
+          |    FROM te CROSS JOIN cents c) WHERE rn = 1)
+          |SELECT vec_id, label, CAST(cls AS INTEGER) AS predicted,
+          |       CAST(CASE WHEN label = cls THEN 1 ELSE 0 END AS BIGINT) AS correct
+          |FROM pred ORDER BY vec_id""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

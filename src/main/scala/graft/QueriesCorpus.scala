@@ -969,4 +969,30 @@ object QueriesCorpus {
       .select($"cluster", $"draw_rank", $"vec_id")
       .orderBy($"cluster", $"draw_rank")
   }
+
+  /** Nearest-centroid classification over the labeled embeddings — the
+    * supervised half of the clustering machinery (a trained quality /
+    * topic classifier is what curation pipelines RUN after features
+    * are built). Train = vec_id % 5 ≠ 0 (per-label exact-grid mean via
+    * [[graft.operators.Clustering.centroids]] — one aggregation, k·d
+    * collected), predict = one codegen projection over the held-out
+    * fifth ([[graft.operators.Clustering.assignTo]] with per-LABEL
+    * centroids as plan literals). Same exactness scheme as q138, so
+    * train AND inference hash identically cross-engine. Output keeps
+    * the true label and a correctness flag — the eval table an
+    * accuracy report aggregates.
+    */
+  def q141_centroid_classifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Clustering
+    val emb   = Tables.embeddings(spark, dir)
+    val train = emb.filter($"vec_id" % 5 =!= 0)
+    val test  = emb.filter($"vec_id" % 5 === 0)
+    val cents = Clustering.centroids(train, "label", "embedding")
+    Clustering
+      .assignTo(test, "embedding", cents, "predicted")
+      .select($"vec_id", $"label", $"predicted",
+        when($"label" === $"predicted", 1L).otherwise(0L).as("correct"))
+      .orderBy($"vec_id")
+  }
 }

@@ -45,6 +45,58 @@ object Clustering {
   def quantized(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(1024.0), 0).cast("long"))
 
+  /** Per-key mean vectors on the quantized grid: BIGINT component sums
+    * (exact, order-independent) finished by one IEEE division. The
+    * collect is k·d rows — bounded by the key cardinality, never the
+    * corpus. Keys ascend in the returned seq.
+    */
+  def centroids(df: DataFrame, keyCol: String, vecCol: String): Seq[(Int, Array[Double])] =
+    df.select(col(keyCol).cast("int").as("k"), quantized(col(vecCol)).as("vq"))
+      .select(col("k"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy("k", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .toSeq
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getInt(1)).map(r => r.getLong(2).toDouble / r.getLong(3)).toArray
+      }
+      .sortBy(_._1)
+
+  /** Append `outCol` = the nearest centroid's key (squared-L2 argmin on
+    * the quantized grid, tie-break on key). Centroids are PLAN
+    * LITERALS, so this is a pure codegen projection — no join, no
+    * broadcast table, no shuffle; every input column passes through.
+    * This is both k-means assignment and nearest-centroid
+    * CLASSIFICATION (predict = assign to per-label centroids).
+    */
+  def assignTo(
+      df: DataFrame,
+      vecCol: String,
+      cents: Seq[(Int, Array[Double])],
+      outCol: String): DataFrame =
+    assignQ(df, transform(quantized(col(vecCol)), _.cast("double")), cents, outCol)
+
+  /** [[assignTo]] over an ALREADY-quantized double vector column. */
+  private def assignQ(
+      df: DataFrame,
+      dv: Column,
+      cents: Seq[(Int, Array[Double])],
+      outCol: String): DataFrame = {
+    val vNorm2 = vecDot(dv, dv)
+    val candidates = cents.map { case (c, cent) =>
+      // |c|² is a plan-time constant; left-to-right like DotProduct.
+      var c2 = 0.0
+      var i  = 0
+      while (i < cent.length) { c2 += cent(i) * cent(i); i += 1 }
+      val lc = typedLit(cent.toSeq)
+      struct(
+        (vNorm2 - lit(2.0) * vecDot(dv, lc) + lit(c2)).as("d"),
+        lit(c).as("c"))
+    }
+    df.withColumn(outCol, array_min(array(candidates: _*)).getField("c"))
+  }
+
   /** `iters` assignment passes with `iters − 1` centroid updates
     * between them; seeds are the quantized vectors of the k smallest
     * ids. Returns (idCol, cluster int), one row per input row.
@@ -65,25 +117,14 @@ object Clustering {
     // argmin over literal centroids: array_min of (dist, cluster)
     // structs — lexicographic struct ordering IS the dist-then-id
     // tie-break, and the whole thing is one codegen projection.
-    def assign(): DataFrame = {
-      val vNorm2 = vecDot(col("dv"), col("dv"))
-      val candidates = cents.map { case (c, cent) =>
-        // |c|² is a plan-time constant; left-to-right like DotProduct.
-        var c2 = 0.0
-        var i  = 0
-        while (i < cent.length) { c2 += cent(i) * cent(i); i += 1 }
-        val lc = typedLit(cent.toSeq)
-        struct(
-          (vNorm2 - lit(2.0) * vecDot(col("dv"), lc) + lit(c2)).as("d"),
-          lit(c).as("c"))
-      }
-      base.withColumn("cluster", array_min(array(candidates: _*)).getField("c"))
-    }
+    def assign(): DataFrame = assignQ(base, col("dv"), cents, "cluster")
 
     var current = assign()
     for (_ <- 2 to iters) {
-      // Exact integer component sums; k·d output rows; empty clusters
-      // simply produce no rows and drop out.
+      // Exact integer component sums (same scheme as [[centroids]],
+      // inlined over the already-quantized `vq` so nothing
+      // re-quantizes); k·d collected rows; empty clusters produce no
+      // rows and drop out.
       val sums = current
         .select(col("cluster"), posexplode(col("vq")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")

@@ -104,6 +104,25 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("nearest-centroid classifier: planted separable labels predict 100%; accuracy flag counts") {
+    import spark.implicits._
+    // blobs as in planted(), but labeled — train on 6, hold out 2
+    val df = planted().withColumnRenamed("expected", "label")
+    val train = df.filter($"vec_id" % 5 =!= 0) // drops 0 (A) and 5 (B)
+    val test_ = df.filter($"vec_id" % 5 === 0)
+    val cents = Clustering.centroids(train, "label", "embedding")
+    assert(cents.map(_._1) == Seq(0, 1))
+    val out = Clustering.assignTo(test_, "embedding", cents, "predicted")
+      .select($"vec_id", $"label", $"predicted").collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"vec ${r.getLong(0)}: label ${r.getInt(1)} predicted ${r.getInt(2)}"))
+    // the sf0.001 q141 output: correct == (label = predicted) row-wise
+    val q = QueriesCorpus.q141_centroid_classifier(spark, sfDir).collect()
+    assert(q.nonEmpty)
+    q.foreach(r => assert((r.getLong(3) == 1L) == (r.getInt(1) == r.getInt(2))))
+  }
+
   test("q138 assignment plan: centroids are literals — no join, no shuffle before the final sort") {
     val emb  = Tables.embeddings(spark, sfDir)
     val plan = Clustering.kmeans(emb, "vec_id", "embedding", k = 8, iters = 1)
