@@ -1757,7 +1757,49 @@ object Oracles {
           |    FROM te CROSS JOIN cents c) WHERE rn = 1)
           |SELECT vec_id, label, CAST(cls AS INTEGER) AS predicted,
           |       CAST(CASE WHEN label = cls THEN 1 ELSE 0 END AS BIGINT) AS correct
-          |FROM pred ORDER BY vec_id""".stripMargin)
+          |FROM pred ORDER BY vec_id""".stripMargin) +
+      // q142: pruned-IVF recall@5 vs brute force — full relational
+      // replay of clustering, probe selection, both top-5s and the
+      // intersection (deterministic end-to-end, so recall is EXACT)
+      ("q142_ann_recall" ->
+        s"""$kmeansCte,
+           |qs AS (SELECT vec_id AS query_id, dv FROM vd WHERE vec_id < 10),
+           |probe AS (
+           |  SELECT query_id, cluster FROM (
+           |    SELECT q.query_id, c.cluster,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY list_inner_product(q.dv, q.dv)
+           |                      - 2 * list_inner_product(q.dv, c.cent)
+           |                      + list_inner_product(c.cent, c.cent), c.cluster) AS rn
+           |    FROM qs q CROSS JOIN c1 c) WHERE rn <= 2),
+           |approx AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT p.query_id, a2.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY p.query_id
+           |             ORDER BY list_cosine_similarity(eq.embedding, en.embedding) DESC,
+           |                      a2.vec_id) AS rn
+           |    FROM probe p JOIN a2 ON a2.cluster = p.cluster
+           |    JOIN embeddings eq ON eq.vec_id = p.query_id
+           |    JOIN embeddings en ON en.vec_id = a2.vec_id
+           |    WHERE a2.vec_id <> p.query_id) WHERE rn <= 5),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY list_cosine_similarity(q.embedding, s.embedding) DESC,
+           |                      s.vec_id) AS rn
+           |    FROM embeddings q JOIN embeddings s ON s.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 10) WHERE rn <= 5),
+           |hits AS (
+           |  SELECT e.query_id, count(*) AS n_hits
+           |  FROM exact e JOIN approx a
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY e.query_id)
+           |SELECT q.vec_id AS query_id,
+           |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+           |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+           |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

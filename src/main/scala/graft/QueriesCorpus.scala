@@ -995,4 +995,53 @@ object QueriesCorpus {
         when($"label" === $"predicted", 1L).otherwise(0L).as("correct"))
       .orderBy($"vec_id")
   }
+
+  /** Measured recall@5 of a PRUNED IVF probe (nprobe = 2 of 8 k-means
+    * cells) against exact brute force — the eval harness that tells an
+    * operator of the q61/q123 index family what a given nprobe
+    * actually costs in recall before they dial it down at 100 TB.
+    * Every stage is deterministic (exact-grid cells and centroids,
+    * dist-then-id probe order, cosine-then-id ranking), so unlike the
+    * usual sampled-recall estimate this one is oracle-gated: DuckDB
+    * replays clustering, probe selection, both top-5s and the
+    * intersection count. The probe-side candidate join is
+    * cluster-keyed; recall is one single-division per query.
+    */
+  def q142_ann_recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Clustering, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val (cells, cents) =
+      Clustering.kmeansModel(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val queries = emb.filter($"vec_id" < 10)
+    val probes = Clustering
+      .probeTo(queries, "embedding", cents, nprobe = 2, "probe")
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        explode($"probe").as("cluster"))
+    val corpus = cells
+      .join(emb, Seq("vec_id"))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("cv"), $"cluster")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id")
+      .orderBy(Similarity.cosine($"qv", $"cv").desc, $"neighbor_id")
+    val approx5 = corpus
+      .join(broadcast(probes), Seq("cluster"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val exact5 = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = exact5
+      .join(approx5, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_hits"))
+    queries
+      .select($"vec_id".as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / 5.0).as("recall_at_5"))
+      .orderBy($"query_id")
+  }
 }

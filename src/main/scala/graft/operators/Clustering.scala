@@ -77,6 +77,33 @@ object Clustering {
       outCol: String): DataFrame =
     assignQ(df, transform(quantized(col(vecCol)), _.cast("double")), cents, outCol)
 
+  /** Append `outCol` = the `nprobe` nearest centroid keys, nearest
+    * first (array<int>) — the probe-selection half of an IVF search
+    * over k-means cells. Same literal-centroid, pure-projection shape
+    * as [[assignTo]]: array_sort over the (dist, key) structs IS the
+    * dist-then-id order, sliced to nprobe.
+    */
+  def probeTo(
+      df: DataFrame,
+      vecCol: String,
+      cents: Seq[(Int, Array[Double])],
+      nprobe: Int,
+      outCol: String): DataFrame = {
+    val dv     = transform(quantized(col(vecCol)), _.cast("double"))
+    val vNorm2 = vecDot(dv, dv)
+    val candidates = cents.map { case (c, cent) =>
+      var c2 = 0.0
+      var i  = 0
+      while (i < cent.length) { c2 += cent(i) * cent(i); i += 1 }
+      val lc = typedLit(cent.toSeq)
+      struct(
+        (vNorm2 - lit(2.0) * vecDot(dv, lc) + lit(c2)).as("d"),
+        lit(c).as("c"))
+    }
+    df.withColumn(outCol,
+      transform(slice(array_sort(array(candidates: _*)), 1, nprobe), s => s.getField("c")))
+  }
+
   /** [[assignTo]] over an ALREADY-quantized double vector column. */
   private def assignQ(
       df: DataFrame,
@@ -101,7 +128,18 @@ object Clustering {
     * between them; seeds are the quantized vectors of the k smallest
     * ids. Returns (idCol, cluster int), one row per input row.
     */
-  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame =
+    kmeansModel(df, idCol, vecCol, k, iters)._1
+
+  /** [[kmeans]] plus the MODEL: the centroids the final assignment was
+    * made against (what an IVF probe or a later [[assignTo]] needs).
+    */
+  def kmeansModel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
     require(k >= 1 && iters >= 1, s"kmeans needs k>=1, iters>=1, got k=$k iters=$iters")
     val base = Materialize(
       df.select(col(idCol).as("id"), quantized(col(vecCol)).as("vq"))
@@ -140,6 +178,6 @@ object Clustering {
         .sortBy(_._1)
       current = assign()
     }
-    current.select(col("id").as(idCol), col("cluster"))
+    (current.select(col("id").as(idCol), col("cluster")), cents)
   }
 }

@@ -123,6 +123,38 @@ class ClusteringSpec extends SparkSpec {
     q.foreach(r => assert((r.getLong(3) == 1L) == (r.getInt(1) == r.getInt(2))))
   }
 
+  test("probe order: first probed cell IS the assignment; probing every cell gives recall 1.0") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val (cells, cents) =
+      Clustering.kmeansModel(emb, "vec_id", "embedding", k = 8, iters = 2)
+    // probe[0] == assignTo for every vector (same argmin, same tie-break)
+    val both = Clustering.probeTo(
+      Clustering.assignTo(emb, "embedding", cents, "assigned"),
+      "embedding", cents, nprobe = 3, "probe")
+    assert(both.filter(element_at($"probe", 1) =!= $"assigned").count() == 0L)
+    // exhaustive probe (nprobe = k): the pruned search must reproduce
+    // brute force exactly — recall@5 of 1.0 for every query
+    val queries = emb.filter($"vec_id" < 5)
+    val probes = Clustering.probeTo(queries, "embedding", cents, nprobe = 8, "probe")
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), explode($"probe").as("cluster"))
+    val corpus = cells.join(emb, Seq("vec_id"))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("cv"), $"cluster")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id")
+      .orderBy(graft.operators.Similarity.cosine($"qv", $"cv").desc, $"neighbor_id")
+    val approx = corpus.join(probes, Seq("cluster"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == exact, "nprobe = nlist must equal brute force")
+  }
+
   test("q138 assignment plan: centroids are literals — no join, no shuffle before the final sort") {
     val emb  = Tables.embeddings(spark, sfDir)
     val plan = Clustering.kmeans(emb, "vec_id", "embedding", k = 8, iters = 1)

@@ -598,4 +598,76 @@ class StreamingSpec extends SparkSpec {
     // s2 streamed 5 docs: 21 + 25 exact, 23 near, 13 + 24 survive
     assert(got("s2") == ((5L, 2L, 1L, 2L)), s"s2 funnel: ${got("s2")}")
   }
+
+  test("online k-means: frozen model equals batch assignTo; evolving stats fold exactly; model moved") {
+    import graft.operators.Clustering
+    import graft.streaming.ClusterStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_km").toString
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    // arrivals: copies of corpus vectors under fresh ids (known geometry)
+    val byId = emb.filter($"vec_id".isin(1L, 2L, 3L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b1 = Seq((20001L, byId(1L)), (20002L, byId(2L)))
+    val b2 = Seq((20003L, byId(3L)), (20004L, byId(4L)))
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ---- frozen model: streaming INFERENCE == batch assignTo ----
+    ClusterStreams.seedModel(emb, "vec_id", "embedding", s"$dir/ixf", k = 8, iters = 2)
+    val cSeed = ClusterStreams.currentCentroids(spark, s"$dir/ixf")
+    val ms1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = ClusterStreams.incrementalAssign(
+      ms1.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/asgf", s"$dir/ixf", updateStats = false)
+    try {
+      ms1.addData(b1: _*); q1.processAllAvailable()
+      ms1.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // stats untouched by a frozen run
+    val cAfterFrozen = ClusterStreams.currentCentroids(spark, s"$dir/ixf")
+    assert(cSeed.map(_._1) == cAfterFrozen.map(_._1) &&
+      cSeed.zip(cAfterFrozen).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    val gotF = spark.read.parquet(s"$dir/asgf")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val arrivals = (b1 ++ b2).toDF("vec_id", "embedding")
+    val wantF = Clustering.assignTo(arrivals, "embedding", cSeed, "cluster")
+      .select($"vec_id", $"cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotF == wantF, s"frozen stream $gotF != batch $wantF")
+
+    // ---- evolving model: mini-batch fold is exact and sequential ----
+    ClusterStreams.seedModel(emb, "vec_id", "embedding", s"$dir/ix", k = 8, iters = 2)
+    val ms2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = ClusterStreams.incrementalAssign(
+      ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/asg", s"$dir/ix", updateStats = true)
+    try {
+      ms2.addData(b1: _*); q2.processAllAvailable()
+      ms2.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    // driver-side sequential twin through a DIFFERENT code path
+    // (Clustering.centroids re-sums unioned assigned frames from scratch
+    // — associativity of the exact sums is the property under test)
+    val seedAssigned = Clustering.kmeans(emb, "vec_id", "embedding", 8, 2)
+      .join(emb, Seq("vec_id")).select($"cluster", $"embedding")
+    val b1df = b1.toDF("vec_id", "embedding")
+    val b2df = b2.toDF("vec_id", "embedding")
+    val a1 = Clustering.assignTo(b1df, "embedding", cSeed, "cluster")
+      .select($"cluster", $"embedding")
+    val cAfterB1 = Clustering.centroids(
+      seedAssigned.unionByName(a1), "cluster", "embedding")
+    val a2 = Clustering.assignTo(b2df, "embedding", cAfterB1, "cluster")
+      .select($"cluster", $"embedding")
+    val cFinalWant = Clustering.centroids(
+      seedAssigned.unionByName(a1).unionByName(a2), "cluster", "embedding")
+    val cFinalGot = ClusterStreams.currentCentroids(spark, s"$dir/ix")
+    assert(cFinalGot.map(_._1) == cFinalWant.map(_._1))
+    cFinalGot.zip(cFinalWant).foreach { case ((c, g), (_, w)) =>
+      assert(g.sameElements(w), s"cluster $c centroid drifted from the exact fold")
+    }
+    // the model actually moved (the arrivals changed the sums)
+    assert(!cSeed.zip(cFinalGot).forall { case ((_, a), (_, b)) => a.sameElements(b) },
+      "mini-batch updates should move at least one centroid")
+  }
 }
