@@ -1799,7 +1799,66 @@ object Oracles {
            |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
            |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
            |FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
-           |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin)
+           |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin) +
+      // q143: quality-aware dedup representative — q38's closure +
+      // q133's LM bits, argmin (bits, id) per cluster
+      ("q143_dedup_keep_best" ->
+        """WITH RECURSIVE
+          |tokd AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+          |       FROM tokd WHERE len(toks) >= 3),
+          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+          |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |           GROUP BY 1, 2),
+          |pairs AS (SELECT id_a, id_b
+          |          FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          |          WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5),
+          |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+          |reach(src, dst) AS (
+          |  SELECT u, v FROM edges
+          |  UNION
+          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+          |clus AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          |         FROM reach GROUP BY src),
+          |tok AS (
+          |  SELECT doc_id, token FROM (
+          |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+          |  WHERE token <> ''),
+          |vocab AS (SELECT token, count(*) AS c_tok FROM tok GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM tok),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |n AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+          |terms AS (
+          |  SELECT tf.doc_id,
+          |         CAST(tf * -ln(c_tok / CAST(n_total AS DOUBLE)) AS DECIMAL(18,12)) AS term
+          |  FROM tf JOIN vocab USING (token) CROSS JOIN tot),
+          |lm AS (
+          |  SELECT doc_id,
+          |         round(CAST(sum(term) AS DOUBLE) / n_tokens / ln(2), 6) AS bits
+          |  FROM terms JOIN n USING (doc_id)
+          |  GROUP BY doc_id, n_tokens),
+          |sel AS (
+          |  SELECT cluster_id, doc_id, bits,
+          |         row_number() OVER (PARTITION BY cluster_id ORDER BY bits, doc_id) AS rn,
+          |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+          |  FROM clus JOIN lm USING (doc_id))
+          |SELECT cluster_id, doc_id AS kept_doc_id, bits AS kept_bits,
+          |       CAST(n_members AS BIGINT) AS n_members
+          |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin) +
+      // q144: hard negatives — top-5 by cosine among DIFFERENT-label
+      // vectors (label inequality also excludes self)
+      ("q144_hard_negatives" ->
+        """SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, neighbor_label FROM (
+          |  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+          |         s.label AS neighbor_label,
+          |         row_number() OVER (PARTITION BY q.vec_id
+          |           ORDER BY list_cosine_similarity(q.embedding, s.embedding) DESC,
+          |                    s.vec_id) AS rn
+          |  FROM embeddings q JOIN embeddings s ON s.label <> q.label
+          |  WHERE q.vec_id < 10)
+          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

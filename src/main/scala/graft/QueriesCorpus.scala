@@ -1044,4 +1044,49 @@ object QueriesCorpus {
         (coalesce($"n_hits", lit(0L)).cast("double") / 5.0).as("recall_at_5"))
       .orderBy($"query_id")
   }
+
+  /** Quality-aware dedup representative: per near-dup cluster keep the
+    * doc the unigram LM scores MOST natural (lowest bits-per-token,
+    * ties → smallest id) instead of q39's longest-doc rule — what
+    * production curation actually does once a quality signal exists
+    * (the shortest clean copy beats a longer boilerplate-padded one).
+    * Clusters come from the collapse-first composition
+    * ([[graft.operators.Graph.nearDupClusters]]); the argmin is one
+    * struct-min aggregation over the cluster-keyed join, so the step
+    * adds a doc-keyed join + a clusters-sized aggregation to the
+    * audited dedup + LM plans.
+    */
+  def q143_dedup_keep_best(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Graph
+    val docs  = Tables.documents(spark, dir)
+    val comps = Graph.nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val lm    = q133_unigram_lm_bits(spark, dir).select($"doc_id", $"bits_per_token")
+    comps
+      .select($"id".as("doc_id"), $"cluster_id")
+      .join(lm, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(
+        min(struct($"bits_per_token".as("b"), $"doc_id".as("d"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select($"cluster_id", $"best.d".as("kept_doc_id"), $"best.b".as("kept_bits"),
+        $"n_members")
+      .orderBy($"cluster_id")
+  }
+
+  /** Hard-negative mining ([[graft.operators.Similarity.hardNegatives]])
+    * over the labeled embeddings: per anchor the 5 most similar vectors
+    * of a DIFFERENT label — the contrastive-training pair table (easy
+    * negatives teach an embedding nothing; these are the near-misses it
+    * must push apart). One corpus scan, anchors broadcast, label
+    * inequality rides the join condition.
+    */
+  def q144_hard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .hardNegatives(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", "label", k = 5)
+      .orderBy($"query_id", $"rank")
+  }
 }

@@ -192,6 +192,43 @@ object Similarity {
     * (query_id, rank, neighbor_id), rank dense within the filtered
     * candidate set.
     */
+  /** Hard-negative mining for contrastive / metric training: per
+    * anchor, the k most similar corpus vectors with a DIFFERENT label
+    * — the near-misses a trained embedding must learn to push apart
+    * (easy negatives teach nothing; random sampling finds mostly easy
+    * ones). Same broadcast topology as [[bruteForceTopK]] with the
+    * label INEQUALITY riding the join condition: the corpus is scanned
+    * once and never shuffled, the anchor set broadcasts; at index
+    * scale the probe swaps in like the q123/q124 family. Output
+    * (query_id, rank, neighbor_id, neighbor_label), cosine-then-id
+    * ranked.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), col(labelCol).as("__q_label"))
+    val c = Dedup
+      .computeParallel(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("neighbor_label"))
+    val scored = c
+      .join(broadcast(q), col("__q_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("neighbor_label"))
+  }
+
   def bruteForceTopKFiltered(
       corpus: DataFrame,
       queries: DataFrame,
