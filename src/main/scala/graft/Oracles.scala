@@ -1858,7 +1858,51 @@ object Oracles {
           |                    s.vec_id) AS rn
           |  FROM embeddings q JOIN embeddings s ON s.label <> q.label
           |  WHERE q.vec_id < 10)
-          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
+          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) +
+      // q145: per-source KL(source ‖ corpus) in bits — q133's decimal
+      // discipline (single-IEEE-op terms, DECIMAL(18,12) sum, round 6)
+      ("q145_source_drift" ->
+        """WITH tok AS (
+          |  SELECT source, token FROM (
+          |    SELECT source, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+          |  WHERE token <> ''),
+          |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |vocab AS (SELECT token, count(*) AS c_tok FROM tok GROUP BY 1),
+          |nsrc AS (SELECT source, count(*) AS n_src FROM tok GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM tok),
+          |terms AS (
+          |  SELECT tf.source, n_src,
+          |         CAST((tf / CAST(n_src AS DOUBLE)) *
+          |              ln((tf / CAST(n_src AS DOUBLE)) /
+          |                 (c_tok / CAST(n_total AS DOUBLE)))
+          |              AS DECIMAL(18,12)) AS term
+          |  FROM tf JOIN vocab USING (token) JOIN nsrc USING (source) CROSS JOIN tot)
+          |SELECT source, n_src AS n_tokens,
+          |       round(CAST(sum(term) AS DOUBLE) / ln(2), 6) AS kl_bits
+          |FROM terms GROUP BY source, n_src ORDER BY source""".stripMargin) +
+      // q146: execute the q137 plan — per-doc sha256 draw at each
+      // source's planned rate (floor(rate·2³²) hash threshold)
+      ("q146_mixture_draw" ->
+        """WITH per AS (
+          |  SELECT source,
+          |         CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT)
+          |           AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |tgt AS (
+          |  SELECT source, n_tokens,
+          |         CAST(floor(sum(n_tokens) OVER () / CAST(count(*) OVER () AS DOUBLE)) AS BIGINT)
+          |           AS target_tokens
+          |  FROM per)
+          |SELECT d.doc_id, d.source,
+          |       CAST(CASE
+          |         WHEN t.target_tokens >= t.n_tokens THEN 1
+          |         WHEN substr(sha256(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          |              lpad(lower(to_hex(CAST(floor(
+          |                (CAST(t.target_tokens AS DOUBLE) / t.n_tokens) * 4294967296.0)
+          |                AS BIGINT))), 8, '0')
+          |         THEN 1 ELSE 0 END AS BIGINT) AS kept
+          |FROM documents d JOIN tgt t ON t.source = d.source
+          |ORDER BY d.doc_id""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

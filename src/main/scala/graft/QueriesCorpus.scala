@@ -1089,4 +1089,72 @@ object QueriesCorpus {
       .hardNegatives(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", "label", k = 5)
       .orderBy($"query_id", $"rank")
   }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * token distributions, in bits — the shift telemetry that tells a
+    * mixture owner WHICH source moved away from the blend (new crawl
+    * snapshot, upstream format change) before it poisons a training
+    * run. Same exactness discipline as q133: every per-token term is a
+    * product of single IEEE ops cast to DECIMAL(18,12) before the
+    * order-independent sum, round-6 endpoint. Cost: the one (source,
+    * token) tf aggregation + a token-keyed join against the vocab-sized
+    * corpus model (broadcast at scale) + a sources-sized output.
+    */
+  def q145_source_drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val tok = Tables
+      .documents(spark, dir)
+      .select($"source", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val tf    = tok.groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c_tok"))
+    val nSrc  = tok.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val nTot  = tok.count() // one scalar to the driver
+    tf.join(vocab, Seq("token"))
+      .join(nSrc, Seq("source"))
+      .select($"source", $"n_src",
+        // p_src·ln(p_src/p_corpus), each factor a single IEEE op chain
+        (($"tf" / $"n_src".cast("double")) *
+          log(($"tf" / $"n_src".cast("double")) /
+            ($"c_tok" / lit(nTot.toDouble))))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"source", $"n_src")
+      .agg(sum($"term").as("s"))
+      .select($"source", $"n_src".as("n_tokens"),
+        round($"s".cast("double") / lit(math.log(2.0)), 6).as("kl_bits"))
+      .orderBy($"source")
+  }
+
+  /** EXECUTE the q137 mixture plan: a per-doc keep decision at each
+    * source's planned sampling rate, drawn by the deterministic sha256
+    * rule — the plan→sample loop closed in one query. The rate maps to
+    * a 32-bit hash threshold (floor(rate·2³²) — one double multiply +
+    * floor, identical cross-engine) and the draw compares the first 8
+    * sha256 hex chars against it, so the sample is reproducible across
+    * runs, engines and retries AND lands each source within one doc of
+    * its planned token share in expectation. Over-demanded sources
+    * (rate ≥ 1, the needs_repeat side) keep everything. Cost: the
+    * sources-sized plan broadcasts onto one corpus scan — the decision
+    * is a pure per-row predicate, exactly like q59.
+    */
+  def q146_mixture_draw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val plan = q137_mixture_plan(spark, dir)
+      .select($"source", $"n_tokens", $"target_tokens")
+    val keyHash =
+      substring(sha2(concat($"source", lit(":"), $"doc_id".cast("string")), 256), 1, 8)
+    val threshold = lpad(
+      lower(hex(floor(($"target_tokens".cast("double") / $"n_tokens") * lit(4294967296.0))
+        .cast("long"))),
+      8, "0")
+    Tables
+      .documents(spark, dir)
+      .join(broadcast(plan), Seq("source"))
+      .select($"doc_id", $"source",
+        when($"target_tokens" >= $"n_tokens", 1L)
+          .when(keyHash < threshold, 1L)
+          .otherwise(0L).as("kept"))
+      .orderBy($"doc_id")
+  }
 }
