@@ -273,6 +273,97 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("keep-best dedup: the LM-cleaner copy wins its cluster even when shorter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_best").toString
+    // docs 1/2 are near-dups (shared 3-gram mass, Jaccard ≥ 0.5); doc 2
+    // is LONGER but padded with a corpus-rare token ("zq") that the
+    // unigram LM prices high, so q39's longest-doc rule would keep 2
+    // while q143's LM rule must keep 1. docs 10.. supply corpus mass
+    // that makes the shared tokens common (cheap) and zq rare.
+    val common = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (1L, common, "en", "src0", 40L),
+      (2L, common + " zq", "en", "src0", 44L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName((10 to 29).map(i =>
+        (i.toLong, common, "en", "src1", 40L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // sanity: under the length rule, doc 2 would win
+    val byLen = QueriesDedup.q39_dedup_keep_one(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = QueriesCorpus.q143_dedup_keep_best(spark, dir).collect()
+    val cluster1 = best.find(_.getLong(0) == 1L)
+    assert(cluster1.isDefined, "docs 1/2 must cluster (plus the common-text copies)")
+    assert(cluster1.get.getLong(1) == 1L, s"LM rule must keep doc 1, kept ${cluster1.get.getLong(1)}")
+    assert(byLen(1L) != 1L, "the length rule must have preferred a longer copy (the contrast)")
+    // n_members covers the whole planted near-dup component
+    assert(cluster1.get.getLong(3) == 22L)
+  }
+
+  test("hard negatives never share the anchor's label and rank by similarity") {
+    import spark.implicits._
+    val out  = QueriesCorpus.q144_hard_negatives(spark, sfDir)
+    val emb  = Tables.embeddings(spark, sfDir)
+    val lbl  = emb.select($"vec_id", $"label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n, nl) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(lbl(n) == nl, "emitted neighbor_label must be the neighbor's label")
+      assert(lbl(q) != nl, s"anchor $q drew a same-label negative $n")
+    }
+    // ranks dense 1..5 per anchor
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+    }
+  }
+
+  test("source drift: a source distributed like the corpus scores 0 bits; a skewed one doesn't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_drift").toString
+    // srcA and srcB have IDENTICAL token distributions -> corpus dist ==
+    // each source's dist -> KL = 0 for both; srcC is disjoint -> KL > 0
+    Seq(
+      (1L, "a a b", "en", "srcA", 5L),
+      (2L, "a a b", "en", "srcB", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kl0 = QueriesCorpus.q145_source_drift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl0("srcA") == 0.0 && kl0("srcB") == 0.0, s"identical dists must score 0: $kl0")
+
+    Seq(
+      (1L, "a a a a", "en", "srcA", 7L),
+      (2L, "b b b b", "en", "srcC", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kl1 = QueriesCorpus.q145_source_drift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // each source is a point mass on half the corpus: KL = ln(2)/ln(2) = 1 bit
+    assert(kl1("srcA") == 1.0 && kl1("srcC") == 1.0, s"disjoint point masses: $kl1")
+  }
+
+  test("mixture draw: over-demanded sources keep all; drawn sample is deterministic") {
+    import spark.implicits._
+    val out = QueriesCorpus.q146_mixture_draw(spark, sfDir)
+    val plan = QueriesCorpus.q137_mixture_plan(spark, sfDir)
+      .select($"source", $"needs_repeat").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = out.collect().groupBy(_.getString(1))
+    bySrc.foreach { case (src, rows) =>
+      if (plan(src) == 1L)
+        assert(rows.forall(_.getLong(2) == 1L), s"repeat source $src must keep everything")
+    }
+    // at least one under-demanded source actually drops rows
+    assert(bySrc.exists { case (src, rows) =>
+      plan(src) == 0L && rows.exists(_.getLong(2) == 0L) })
+    val again = QueriesCorpus.q146_mixture_draw(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("persisted IVF index probe equals the in-memory IVF at every operating point") {
     import spark.implicits._
     import graft.operators.Similarity
