@@ -92,6 +92,9 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
     val stmt = stripComments(sql).trim.stripSuffix(";").trim
     val head = firstWords(stmt, 4).map(_.toLowerCase)
     head match {
+      // CREATE TABLE x LIKE y must dodge the general CREATE route
+      // (executeCreate requires an AS SELECT body)
+      case Seq("create", "table", _, "like") => executeCreateLike(stmt)
       case "create" +: rest if rest.take(2) == Seq("or", "replace") || rest.headOption.contains("table") || rest.headOption.contains("view") =>
         executeCreate(stmt)
       case Seq("merge", _*) => executeMerge(stmt, ctePrefix = "")
@@ -193,6 +196,26 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
           case _ => sys.error(s"unsupported SHOW statement: ${stmt.take(120)}")
         }
       case Seq("analyze", "table", _*) => executeAnalyze(stmt)
+      case Seq("show", "create", "table", _*) =>
+        import spark.implicits._
+        val (l, t) = parseQualified(stmt.split("\\s+", 4)(3).trim).getOrElse(
+          sys.error("SHOW CREATE TABLE needs a <layer>.<table> name"))
+        val cols = wh.table(l, t).schema.fields
+          .map(f => s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
+          .mkString(",\n")
+        val parts = wh.partitionColumns(l, t)
+        val partSql =
+          if (parts.isEmpty) "" else s"\nPARTITIONED BY (${parts.mkString(", ")})"
+        val checks = wh.constraints(l, t).collect {
+          case (n, "CHECK", e) => s"\n  CONSTRAINT $n CHECK ($e)"
+        }.mkString(",")
+        val props = wh.tableProperties(l, t)
+        val propSql =
+          if (props.isEmpty) ""
+          else "\nTBLPROPERTIES (" +
+            props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"
+        Seq(s"CREATE TABLE main.$l.$t (\n$cols$checks\n)$partSql$propSql")
+          .toDF("createtab_stmt")
       case _ => spark.sql(resolveRefs(stmt))
     }
   }
@@ -363,6 +386,38 @@ final class SqlDml(spark: SparkSession, wh: Warehouse) {
           metricsRow("CREATE TABLE AS SELECT", n, 0, 0)
         }
       case _ => sys.error(s"unsupported CREATE statement: ${stmt.take(120)}")
+    }
+  }
+
+  /** CREATE TABLE <new> LIKE <src>: EMPTY table with the source's
+    * schema, constraints and properties (data NOT copied — Delta's
+    * CREATE ... LIKE semantics). Hive partition LAYOUT is not cloned:
+    * this warehouse derives layout from the data directories (the
+    * discovery Spark's own reader runs, `Warehouse.partitionColumns`),
+    * so an empty table has no layout yet — it materializes with the
+    * first partitioned write, where Delta would carry it in the log.
+    * The 0-row unpartitioned parquet write keeps the schema readable
+    * (footer survives empty data; an empty PARTITIONED write leaves no
+    * files at all and an unreadable table).
+    */
+  private def executeCreateLike(stmt: String): DataFrame = {
+    val re = "(?is)^create\\s+table\\s+([\\w.]+)\\s+like\\s+([\\w.]+)\\s*$".r
+    stmt match {
+      case re(dstName, srcName) =>
+        val (dl, dt) = parseQualified(dstName).getOrElse(
+          sys.error(s"CREATE TABLE LIKE needs a <layer>.<table> target, got: $dstName"))
+        val (sl, st) = parseQualified(srcName).getOrElse(
+          sys.error(s"CREATE TABLE LIKE needs a <layer>.<table> source, got: $srcName"))
+        require(!wh.tableExists(dl, dt), s"table $dl.$dt already exists")
+        wh.createOrReplace(dl, dt, wh.table(sl, st).limit(0))
+        wh.constraints(sl, st).foreach { case (n, kind, e) =>
+          if (kind == "CHECK") wh.addCheckConstraint(dl, dt, n, e)
+          else wh.addNotNullConstraint(dl, dt, e)
+        }
+        val props = wh.tableProperties(sl, st)
+        if (props.nonEmpty) wh.setTableProperties(dl, dt, props)
+        metricsRow("CREATE TABLE LIKE", 0, 0, 0)
+      case _ => sys.error(s"unsupported CREATE TABLE LIKE statement: ${stmt.take(120)}")
     }
   }
 

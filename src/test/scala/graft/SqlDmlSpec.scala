@@ -419,6 +419,32 @@ class SqlDmlSpec extends SparkSpec {
     intercept[Exception](sql.execute("select * from gold.v2"))
   }
 
+  test("SHOW CREATE TABLE renders schema/partitions/constraints/props; CREATE TABLE LIKE clones them empty") {
+    import spark.implicits._
+    val (wh, sql) = fresh()
+    wh.createOrReplacePartitioned("silver", "src",
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "part"), Seq("part"))
+    wh.addCheckConstraint("silver", "src", "id_pos", "id > 0")
+    wh.setTableProperties("silver", "src", Seq("owner" -> "graft"))
+    val ddl = sql.execute("show create table silver.src").collect()(0).getString(0)
+    assert(ddl.contains("CREATE TABLE main.silver.src"))
+    assert(ddl.contains("id BIGINT") && ddl.contains("v STRING") && ddl.contains("part STRING"))
+    assert(ddl.contains("PARTITIONED BY (part)"))
+    assert(ddl.contains("CONSTRAINT id_pos CHECK (id > 0)"))
+    assert(ddl.contains("'owner' = 'graft'"))
+
+    sql.execute("create table gold.dst like silver.src")
+    assert(wh.table("gold", "dst").count() == 0, "LIKE must not copy data")
+    assert(wh.table("gold", "dst").schema == wh.table("silver", "src").schema)
+    assert(wh.constraints("gold", "dst").map(c => (c._1, c._2)) == Seq(("id_pos", "CHECK")))
+    assert(wh.tableProperties("gold", "dst") == Seq("owner" -> "graft"))
+    // the clone enforces the cloned constraint
+    intercept[Exception](wh.append("gold", "dst",
+      Seq((-1L, "x", "p1")).toDF("id", "v", "part")))
+    // and refuses to overwrite an existing table
+    intercept[IllegalArgumentException](sql.execute("create table gold.dst like silver.src"))
+  }
+
   test("ledger auto-checkpoints on the 64-commit cadence") {
     import spark.implicits._
     val (wh, _) = fresh()
