@@ -1902,7 +1902,36 @@ object Oracles {
           |                AS BIGINT))), 8, '0')
           |         THEN 1 ELSE 0 END AS BIGINT) AS kept
           |FROM documents d JOIN tgt t ON t.source = d.source
-          |ORDER BY d.doc_id""".stripMargin)
+          |ORDER BY d.doc_id""".stripMargin) +
+      // q147: keep each source's best half by LM bits (rank ≤ ⌈n/2⌉,
+      // integer arithmetic; q133's scoring replayed verbatim)
+      ("q147_quality_percentile" ->
+        """WITH tok AS (
+          |  SELECT doc_id, token FROM (
+          |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+          |  WHERE token <> ''),
+          |vocab AS (SELECT token, count(*) AS c_tok FROM tok GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM tok),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |n AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+          |terms AS (
+          |  SELECT tf.doc_id,
+          |         CAST(tf * -ln(c_tok / CAST(n_total AS DOUBLE)) AS DECIMAL(18,12)) AS term
+          |  FROM tf JOIN vocab USING (token) CROSS JOIN tot),
+          |lm AS (
+          |  SELECT doc_id,
+          |         round(CAST(sum(term) AS DOUBLE) / n_tokens / ln(2), 6) AS bits_per_token
+          |  FROM terms JOIN n USING (doc_id)
+          |  GROUP BY doc_id, n_tokens),
+          |ranked AS (
+          |  SELECT d.doc_id, d.source, lm.bits_per_token,
+          |         CAST(row_number() OVER (PARTITION BY d.source
+          |           ORDER BY lm.bits_per_token, d.doc_id) AS BIGINT) AS rank_in_source,
+          |         count(*) OVER (PARTITION BY d.source) AS n_source
+          |  FROM documents d JOIN lm ON lm.doc_id = d.doc_id)
+          |SELECT doc_id, source, bits_per_token, rank_in_source
+          |FROM ranked WHERE rank_in_source * 2 <= n_source + 1
+          |ORDER BY doc_id""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

@@ -1138,6 +1138,29 @@ object QueriesCorpus {
     * sources-sized plan broadcasts onto one corpus scan — the decision
     * is a pure per-row predicate, exactly like q59.
     */
+  /** Quantile-adaptive quality filter: keep each source's BEST HALF by
+    * unigram-LM bits-per-token (rank ≤ ⌈n/2⌉, ties → smaller id) —
+    * fixed thresholds (q22's absolute bands) misfire when sources have
+    * different base rates; ranking within the source adapts the cutoff
+    * to each source's own distribution, the Gopher/FineWeb practice.
+    * Integer rank arithmetic only (no percentile floats); one
+    * source-keyed window over the q133 scores joined to their source.
+    */
+  def q147_quality_percentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lm = q133_unigram_lm_bits(spark, dir).select($"doc_id", $"bits_per_token")
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val w   = Window.partitionBy($"source").orderBy($"bits_per_token", $"doc_id")
+    val n   = Window.partitionBy($"source")
+    lm.join(src, Seq("doc_id"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(n))
+      .filter($"rank_in_source" * 2 <= $"n_source" + 1) // rank ≤ ⌈n/2⌉
+      .select($"doc_id", $"source", $"bits_per_token", $"rank_in_source")
+      .orderBy($"doc_id")
+  }
+
   def q146_mixture_draw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val plan = q137_mixture_plan(spark, dir)

@@ -321,4 +321,86 @@ object DocStreams {
         sum("n_near_dup").as("n_near_dup"),
         sum("n_survivors").as("n_survivors"))
   }
+
+  // ---- distribution-drift telemetry at ingest (the q145 twin) ----
+
+  private def driftModelDir(indexDir: String) = s"$indexDir/model"
+
+  /** Seed the drift model: the corpus unigram token counts as
+    * `batch_id=-1`. The model is a (token, c) BIGINT ledger — the same
+    * sufficient-statistics idea as [[graft.streaming.ClusterStreams]]:
+    * per-batch delta partitions whose fold is exact integer addition,
+    * replay-safe and order-independent.
+    */
+  def seedDriftModel(seedDocs: DataFrame, textCol: String, indexDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    seedDocs
+      .select(explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"${driftModelDir(indexDir)}/batch_id=-1")
+  }
+
+  /** Start the drift-telemetry sink: each micro-batch scores its OWN
+    * per-source unigram distribution as KL(source ‖ corpus-so-far) in
+    * bits — a spiking source (new crawl snapshot, format change) shows
+    * up in the batch it arrives in, not after the next full-corpus
+    * sweep. The reference distribution INCLUDES the current batch
+    * (matching q145, where every source is part of the corpus — and
+    * keeping every batch token's model probability non-zero), then the
+    * batch's (token, c) delta lands as a new model partition so the
+    * ledger evolves. Per-batch cost: the batch's own tokenize + a
+    * vocab-sized model fold; the corpus text is never re-read. Same
+    * decimal-sum/round-6 exactness discipline as q145, so the
+    * telemetry is deterministic under replay (which OVERWRITES the
+    * batch's own partitions — the house exactly-once recipe).
+    */
+  def incrementalDrift(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      telemetryDir: String,
+      indexDir: String,
+      updateModel: Boolean = true
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.DecimalType
+        val tokB = graft.operators.Materialize(
+          batch
+            .select(col(sourceCol).as("source"),
+              explode(split(col(textCol), "\\s+")).as("token"))
+            .filter(col("token") =!= ""))
+        val delta = tokB.groupBy("token").agg(count(lit(1)).as("c"))
+        val eff = spark.read
+          .parquet(driftModelDir(indexDir))
+          .select(col("token"), col("c")) // drop the batch_id partition col
+          .unionByName(delta)
+          .groupBy("token").agg(sum("c").as("c"))
+        val total = eff.agg(sum("c")).head().getLong(0) // one driver scalar
+        val tf    = tokB.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+        val nSrc  = tokB.groupBy("source").agg(count(lit(1)).as("n_src"))
+        tf.join(eff, Seq("token"))
+          .join(nSrc, Seq("source"))
+          .select(col("source"), col("n_src"),
+            ((col("tf") / col("n_src").cast("double")) *
+              log((col("tf") / col("n_src").cast("double")) /
+                (col("c") / lit(total.toDouble))))
+              .cast(DecimalType(18, 12)).as("term"))
+          .groupBy(col("source"), col("n_src"))
+          .agg(sum(col("term")).as("s"))
+          .select(col("source"), col("n_src").as("n_tokens"),
+            round(col("s").cast("double") / lit(math.log(2.0)), 6).as("kl_bits"))
+          // batch_id rides as the hive partition dir (like every other
+          // telemetry/index ledger here), not as a data column
+          .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        if (updateModel)
+          delta.write.mode("overwrite")
+            .parquet(s"${driftModelDir(indexDir)}/batch_id=$batchId")
+        ()
+      }
+      .start()
 }

@@ -599,6 +599,65 @@ class StreamingSpec extends SparkSpec {
     assert(got("s2") == ((5L, 2L, 1L, 2L)), s"s2 funnel: ${got("s2")}")
   }
 
+  test("streaming drift telemetry: per-batch KL matches an independent recomputation; model ledger folds exactly") {
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir  = Files.createTempDirectory("graft_stream_drift").toString
+    val seed = Seq(("s0", "a a b"), ("s0", "a b b")).toDF("source", "text")
+    DocStreams.seedDriftModel(seed, "text", s"$dir/ix")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val q = DocStreams.incrementalDrift(
+      ms.toDF().toDF("source", "text"), "text", "source",
+      s"$dir/tel", s"$dir/ix", updateModel = true)
+    val b1 = Seq(("sA", "a b"), ("sB", "b b"))
+    val b2 = Seq(("sA", "c c")) // token c is new — model-incl-batch keeps it finite
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // independent recomputation: pure-Scala decimal fold with the same
+    // rounding rule Spark's round() applies (HALF_UP on Double.toString)
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def tokens(rows: Seq[(String, String)]): Seq[(String, String)] =
+      rows.flatMap { case (s, t) => t.split("\\s+").filter(_.nonEmpty).map(s -> _) }
+    val seedToks = tokens(Seq(("s0", "a a b"), ("s0", "a b b")))
+    def expectKl(batch: Seq[(String, String)], corpusToks: Seq[(String, String)]): Map[String, Double] = {
+      val corpus = corpusToks.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+      val total  = corpusToks.size.toDouble
+      tokens(batch).groupBy(_._1).map { case (src, toks) =>
+        val n  = toks.size.toDouble
+        val tf = toks.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+        val s = tf.toSeq.sortBy(_._1).map { case (t, c) =>
+          val term = (c / n) * math.log((c / n) / (corpus(t) / total))
+          BigDecimal(java.math.BigDecimal.valueOf(term))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        src -> round6(s.toDouble / math.log(2.0))
+      }
+    }
+    val got = spark.read.parquet(s"$dir/tel")
+      .select($"batch_id".cast("long"), $"source", $"kl_bits").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val want1 = expectKl(b1, seedToks ++ tokens(b1))
+    val want2 = expectKl(b2, seedToks ++ tokens(b1) ++ tokens(b2))
+    assert(got((0L, "sA")) == want1("sA") && got((0L, "sB")) == want1("sB"),
+      s"batch-0 KL $got vs $want1")
+    assert(got((1L, "sA")) == want2("sA"), s"batch-1 KL $got vs $want2")
+    // a spike is visible: sB's all-b batch diverges more than sA's a+b mix
+    assert(got((0L, "sB")) > got((0L, "sA")))
+    // the model ledger folds to the exact token counts of everything seen
+    val folded = spark.read.parquet(s"$dir/ix/model")
+      .groupBy($"token").agg(sum($"c").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantCounts = (seedToks ++ tokens(b1) ++ tokens(b2))
+      .groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    assert(folded == wantCounts, s"model $folded != $wantCounts")
+  }
+
   test("online k-means: frozen model equals batch assignTo; evolving stats fold exactly; model moved") {
     import graft.operators.Clustering
     import graft.streaming.ClusterStreams
