@@ -1931,7 +1931,99 @@ object Oracles {
           |  FROM documents d JOIN lm ON lm.doc_id = d.doc_id)
           |SELECT doc_id, source, bits_per_token, rank_in_source
           |FROM ranked WHERE rank_in_source * 2 <= n_source + 1
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin) +
+      // q148: per-source report card — q133 bits + q145 KL + q17 dedup
+      // counts recomputed from one token table
+      ("q148_source_report" ->
+        """WITH tok AS (
+          |  SELECT doc_id, source, token FROM (
+          |    SELECT doc_id, source, unnest(string_split_regex(text, '\s+')) AS token
+          |    FROM documents)
+          |  WHERE token <> ''),
+          |tf AS (SELECT doc_id, source, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+          |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_tok FROM tf GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_total FROM vocab),
+          |ndoc AS (SELECT doc_id, source, CAST(sum(tf) AS BIGINT) AS n_doc
+          |         FROM tf GROUP BY 1, 2),
+          |terms AS (
+          |  SELECT tf.doc_id,
+          |         CAST(tf * -ln(c_tok / CAST(n_total AS DOUBLE)) AS DECIMAL(18,12)) AS term
+          |  FROM tf JOIN vocab USING (token) CROSS JOIN tot),
+          |bits AS (
+          |  SELECT n.source, t.doc_id,
+          |         round(CAST(sum(term) AS DOUBLE) / n.n_doc / ln(2), 6) AS bits
+          |  FROM terms t JOIN ndoc n ON n.doc_id = t.doc_id
+          |  GROUP BY n.source, t.doc_id, n.n_doc),
+          |mb AS (
+          |  SELECT source, count(*) AS n_docs,
+          |         round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+          |           AS mean_bits
+          |  FROM bits GROUP BY source),
+          |stf AS (SELECT source, token, CAST(sum(tf) AS BIGINT) AS stf
+          |        FROM tf GROUP BY 1, 2),
+          |nsrc AS (SELECT source, CAST(sum(stf) AS BIGINT) AS n_tokens FROM stf GROUP BY 1),
+          |klt AS (
+          |  SELECT s.source,
+          |         CAST((stf / CAST(n_tokens AS DOUBLE)) *
+          |              ln((stf / CAST(n_tokens AS DOUBLE)) /
+          |                 (c_tok / CAST(n_total AS DOUBLE)))
+          |              AS DECIMAL(18,12)) AS term
+          |  FROM stf s JOIN vocab USING (token) JOIN nsrc n ON n.source = s.source
+          |  CROSS JOIN tot),
+          |kl AS (
+          |  SELECT k.source, n.n_tokens,
+          |         round(CAST(sum(term) AS DOUBLE) / ln(2), 6) AS kl_bits
+          |  FROM klt k JOIN nsrc n ON n.source = k.source
+          |  GROUP BY k.source, n.n_tokens),
+          |keyed AS (SELECT doc_id, source, sha256(text) AS ck FROM documents),
+          |dups AS (
+          |  SELECT k.source, count(*) AS n_exact_dup
+          |  FROM keyed k JOIN (SELECT ck, min(doc_id) AS keep_id FROM keyed GROUP BY ck) m
+          |    ON m.ck = k.ck
+          |  WHERE k.doc_id <> m.keep_id GROUP BY k.source)
+          |SELECT mb.source, mb.n_docs, kl.n_tokens,
+          |       CAST(COALESCE(d.n_exact_dup, 0) AS BIGINT) AS n_exact_dup,
+          |       mb.mean_bits, kl.kl_bits
+          |FROM mb JOIN kl ON kl.source = mb.source
+          |LEFT JOIN dups d ON d.source = mb.source
+          |ORDER BY mb.source""".stripMargin) +
+      // q149: curriculum rank of q68 bins by mean LM bits (decimal
+      // per-bin mean, global rank tie-broken on source/bin)
+      ("q149_curriculum_order" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |s AS (SELECT doc_id, source,
+          |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_tok
+          |      FROM t),
+          |b AS (SELECT doc_id, source, CAST(floor(start_tok / 256.0) AS BIGINT) AS bin FROM s),
+          |tok AS (
+          |  SELECT doc_id, token FROM (
+          |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+          |  WHERE token <> ''),
+          |vocab AS (SELECT token, count(*) AS c_tok FROM tok GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_total FROM tok),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |n AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+          |terms AS (
+          |  SELECT tf.doc_id,
+          |         CAST(tf * -ln(c_tok / CAST(n_total AS DOUBLE)) AS DECIMAL(18,12)) AS term
+          |  FROM tf JOIN vocab USING (token) CROSS JOIN tot),
+          |lm AS (
+          |  SELECT doc_id,
+          |         round(CAST(sum(term) AS DOUBLE) / n_tokens / ln(2), 6) AS bits
+          |  FROM terms JOIN n USING (doc_id)
+          |  GROUP BY doc_id, n_tokens),
+          |per AS (
+          |  SELECT b.source, b.bin, count(*) AS n_docs,
+          |         round(CAST(sum(CAST(lm.bits AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+          |           AS mean_bits
+          |  FROM b JOIN lm USING (doc_id) GROUP BY b.source, b.bin)
+          |SELECT CAST(row_number() OVER (ORDER BY mean_bits, source, bin) AS BIGINT)
+          |         AS curriculum_rank,
+          |       source, bin, n_docs, mean_bits
+          |FROM per ORDER BY curriculum_rank""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

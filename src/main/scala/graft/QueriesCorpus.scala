@@ -1138,6 +1138,106 @@ object QueriesCorpus {
     * sources-sized plan broadcasts onto one corpus scan — the decision
     * is a pure per-row predicate, exactly like q59.
     */
+  /** Curriculum ordering of training bins: q68's packed (source, bin)
+    * batches ranked easy → hard by mean LM bits-per-token — the batch
+    * schedule a curriculum-learning run feeds the trainer (start on
+    * predictable text, introduce surprising text late). Mean bits per
+    * bin sums the round-6 per-doc scores as DECIMAL(18,6) (exact,
+    * order-independent) before one division; the global rank window
+    * runs over a BINS-sized table (corpus_tokens / 256 rows, metadata
+    * next to the corpus), tie-broken on (source, bin).
+    */
+  def q149_curriculum_order(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val bins = q68_packing(spark, dir).select($"doc_id", $"source", $"bin")
+    val bits = q133_unigram_lm_bits(spark, dir).select($"doc_id", $"bits_per_token")
+    val perBin = bins
+      .join(bits, Seq("doc_id"))
+      .groupBy($"source", $"bin")
+      .agg(sum($"bits_per_token".cast(DecimalType(18, 6))).as("sb"),
+        count(lit(1)).as("n_docs"))
+      .select($"source", $"bin", $"n_docs",
+        round($"sb".cast("double") / $"n_docs", 6).as("mean_bits"))
+    val w = Window.orderBy($"mean_bits", $"source", $"bin")
+    perBin
+      .withColumn("curriculum_rank", row_number().over(w).cast("long"))
+      .select($"curriculum_rank", $"source", $"bin", $"n_docs", $"mean_bits")
+      .orderBy($"curriculum_rank")
+  }
+
+  /** Per-SOURCE report card — the q136 feature-store discipline lifted
+    * to source granularity: docs, tokens, exact-dup count, mean LM
+    * bits and KL drift as ONE wide row per source, the table a mixture
+    * owner reviews after an ingest wave. ONE tokenize pass feeds every
+    * signal: the (doc, source, token) tf aggregation materializes once
+    * and the vocab, per-doc LM bits, per-source distributions and KL
+    * all fold out of it (un-materialized, each signal branch would
+    * re-scan the corpus); the dedup signal adds one sha-keyed pass
+    * over the doc table. Mean bits sums the round-6 per-doc scores as
+    * DECIMAL(18,6) (exact, order-independent) before its single
+    * division. All joins source- or token-keyed; output is
+    * sources-sized.
+    */
+  def q148_source_report(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Materialize
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"text")
+    val tf = Materialize(
+      docs
+        .select($"doc_id", $"source", explode(split($"text", "\\s+")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"source", $"token")
+        .agg(count(lit(1)).as("tf")))
+    val vocab = Materialize(tf.groupBy($"token").agg(sum($"tf").as("c_tok")))
+    val nTot  = vocab.agg(sum($"c_tok")).head().getLong(0) // one driver scalar
+    val nDoc  = tf.groupBy($"doc_id", $"source").agg(sum($"tf").as("n_doc"))
+    // per-doc LM bits — q133's discipline verbatim
+    val bits = tf
+      .join(vocab, Seq("token"))
+      .select($"doc_id",
+        ($"tf" * -log($"c_tok" / lit(nTot.toDouble)))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id").agg(sum($"term").as("s"))
+      .join(nDoc, Seq("doc_id"))
+      .select($"source", $"doc_id",
+        round($"s".cast("double") / $"n_doc" / lit(math.log(2.0)), 6).as("bits"))
+    val meanBits = bits
+      .groupBy($"source")
+      .agg(sum($"bits".cast(DecimalType(18, 6))).as("sb"), count(lit(1)).as("n_docs"))
+      .select($"source", $"n_docs",
+        round($"sb".cast("double") / $"n_docs", 6).as("mean_bits"))
+    // per-source distribution + KL — q145's discipline over the same tf
+    val srcTf = tf.groupBy($"source", $"token").agg(sum($"tf").as("stf"))
+    val nSrc  = srcTf.groupBy($"source").agg(sum($"stf").as("n_tokens"))
+    val kl = srcTf
+      .join(vocab, Seq("token"))
+      .join(nSrc, Seq("source"))
+      .select($"source",
+        (($"stf" / $"n_tokens".cast("double")) *
+          log(($"stf" / $"n_tokens".cast("double")) / ($"c_tok" / lit(nTot.toDouble))))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"source").agg(sum($"term").as("s"))
+      .join(nSrc, Seq("source"))
+      .select($"source", $"n_tokens",
+        round($"s".cast("double") / lit(math.log(2.0)), 6).as("kl_bits"))
+    // exact-dup count per source (q17's keep rule: min id per content key)
+    val keyed = docs.select($"doc_id", $"source", sha2($"text", 256).as("ck"))
+    val dups = keyed
+      .join(keyed.groupBy($"ck").agg(min($"doc_id").as("keep_id")), Seq("ck"))
+      .filter($"doc_id" =!= $"keep_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_exact_dup"))
+    meanBits
+      .join(kl, Seq("source"))
+      .join(dups, Seq("source"), "left")
+      .select($"source", $"n_docs", $"n_tokens",
+        coalesce($"n_exact_dup", lit(0L)).as("n_exact_dup"),
+        $"mean_bits", $"kl_bits")
+      .orderBy($"source")
+  }
+
   /** Quantile-adaptive quality filter: keep each source's BEST HALF by
     * unigram-LM bits-per-token (rank ≤ ⌈n/2⌉, ties → smaller id) —
     * fixed thresholds (q22's absolute bands) misfire when sources have
