@@ -450,6 +450,21 @@ object ScaleSmoke {
           "vec_id", "embedding", s"$out/ivf", k = 5, nprobe = 4)
         .count()
     }
+    time("q138 kmeans (k=8, 2 Lloyd passes, literal-centroid assign)") {
+      graft.operators.Clustering
+        .kmeans(spark.read.parquet(s"$out/embeddings.parquet"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .count()
+    }
+    time("q139 semdedup (cluster-scoped cosine pairs, dup-heavy)") {
+      graft.QueriesCorpus.q139_semdedup(spark, out).count()
+    }
+    time("q141 centroid classifier (train 80% + predict 20%)") {
+      graft.QueriesCorpus.q141_centroid_classifier(spark, out).count()
+    }
+    time("q148 source report (one tf feeds bits+KL+dedup)") {
+      graft.QueriesCorpus.q148_source_report(spark, out).count()
+    }
     spark.stop()
   }
 }
