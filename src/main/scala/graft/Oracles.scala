@@ -2023,7 +2023,52 @@ object Oracles {
           |SELECT CAST(row_number() OVER (ORDER BY mean_bits, source, bin) AS BIGINT)
           |         AS curriculum_rank,
           |       source, bin, n_docs, mean_bits
-          |FROM per ORDER BY curriculum_rank""".stripMargin)
+          |FROM per ORDER BY curriculum_rank""".stripMargin) +
+      // q150: per-source OOV rate vs the deterministic top-1000 vocab
+      // (count desc, token asc), integer counts + one division
+      ("q150_oov_rate" ->
+        """WITH tok AS (
+          |  SELECT source, token FROM (
+          |    SELECT source, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+          |  WHERE token <> ''),
+          |vocab AS (
+          |  SELECT token FROM (
+          |    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS r
+          |    FROM tok GROUP BY token) WHERE r <= 1000)
+          |SELECT t.source,
+          |       CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          |         AS oov_rate
+          |FROM tok t LEFT JOIN vocab v ON v.token = t.token
+          |GROUP BY t.source ORDER BY t.source""".stripMargin) +
+      // q151: span-level decontamination — cut exactly the positions
+      // covered by eval 8-grams, reassemble in token order
+      ("q151_span_decontamination" ->
+        """WITH d AS (
+          |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |ev AS (
+          |  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 6),
+          |           i -> array_to_string(toks[i:i+7], ' '))) AS g
+          |  FROM d WHERE doc_id % 5 = 0 AND len(toks) >= 8),
+          |cg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+          |           i -> {'gpos': i, 'g': array_to_string(toks[i:i+7], ' ')})) AS s
+          |  FROM d WHERE doc_id % 5 <> 0 AND len(toks) >= 8),
+          |hits AS (SELECT cg.doc_id, s.gpos AS gpos FROM cg JOIN ev ON ev.g = s.g),
+          |cov AS (SELECT DISTINCT doc_id, unnest(range(gpos, gpos + 8)) AS pos FROM hits),
+          |tokpos AS (
+          |  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+          |  FROM d WHERE doc_id % 5 <> 0)
+          |SELECT t.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(count(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT) AS n_removed,
+          |       COALESCE(array_to_string(
+          |         list(t.token ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), ' '), '')
+          |         AS clean_text
+          |FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

@@ -1138,6 +1138,90 @@ object QueriesCorpus {
     * sources-sized plan broadcasts onto one corpus scan — the decision
     * is a pure per-row predicate, exactly like q59.
     */
+  /** SPAN-level decontamination: instead of dropping every document
+    * that shares an 8-gram with the eval suite (q66's doc-level
+    * policy, which throws away a whole book for one quoted benchmark
+    * question), remove exactly the contaminated token spans and keep
+    * the rest. Positions covered by any matching 8-gram are cut; the
+    * cleaned text reassembles in token order. Candidates are matched
+    * anchors only (the eval gram set broadcasts, q66's topology);
+    * the surgery itself is one doc-keyed aggregation over positions.
+    * Output keeps every corpus doc with its removal count — the
+    * downstream filter can still drop docs whose removed fraction is
+    * too high.
+    */
+  def q151_span_decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables
+      .documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("toks"))
+    val ev = d
+      .filter($"doc_id" % 5 === 0 && size($"toks") >= 8)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+        .as("g"))
+      .distinct()
+    val corpus = d.filter($"doc_id" % 5 =!= 0)
+    val hits = corpus
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> struct(i AS gpos, array_join(slice(toks, i, 8), ' ') AS g))")).as("s"))
+      .select($"doc_id", $"s.gpos".as("gpos"), $"s.g".as("g"))
+      .join(broadcast(ev), Seq("g"))
+    val cov = hits
+      .select($"doc_id", explode(expr("sequence(gpos, gpos + 7)")).as("pos"))
+      .distinct()
+      .withColumn("covered", lit(1))
+    corpus
+      .select($"doc_id", posexplode($"toks").as(Seq("p0", "token")))
+      .withColumn("pos", $"p0" + 1)
+      .join(cov, Seq("doc_id", "pos"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"covered".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"covered".isNull, struct($"pos", $"token")))),
+            x => x.getField("token")),
+          " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-source OOV rate against the top-1000 corpus vocabulary — the
+    * tokenizer-design telemetry: a fixed-size vocab covers each source
+    * differently, and a source whose tokens fall outside the head
+    * fragments into long byte-level encodings (cost) or UNKs (loss).
+    * Vocab selection is deterministic (count desc, token asc — the
+    * exact-integer analogue of BPE's merge-pick rule); the rate is
+    * integer counts + one division. One tokenize, one token-keyed join
+    * against the 1000-row vocab (broadcast at scale), sources-sized
+    * output.
+    */
+  def q150_oov_rate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables
+      .documents(spark, dir)
+      .select($"source", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val w = Window.orderBy($"c".desc, $"token")
+    val vocab = tok
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" <= 1000)
+      .select($"token")
+    tok
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("token"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"source", $"n_tokens", $"n_oov",
+        ($"n_oov".cast("double") / $"n_tokens").as("oov_rate"))
+      .orderBy($"source")
+  }
+
   /** Curriculum ordering of training bins: q68's packed (source, bin)
     * batches ranked easy → hard by mean LM bits-per-token — the batch
     * schedule a curriculum-learning run feeds the trainer (start on
