@@ -364,6 +364,45 @@ class CorpusSpec extends SparkSpec {
     assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("span decontamination: the quoted eval span is cut, the surrounding prose survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_span").toString
+    // doc 5 (id % 5 == 0) is the eval doc; doc 1 quotes its 8-gram in
+    // the middle of otherwise-clean prose; doc 2 is fully the quote;
+    // doc 3 is clean. 8-gram = e1..e8.
+    val quote = (1 to 8).map(i => s"e$i").mkString(" ")
+    Seq(
+      (5L, quote, "en", "eval", 10L),
+      (1L, s"alpha beta $quote gamma delta", "en", "src0", 50L),
+      (2L, quote, "en", "src0", 20L),
+      (3L, "alpha beta gamma delta epsilon", "en", "src0", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = QueriesCorpus.q151_span_decontamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((12L, 8L, "alpha beta gamma delta")), s"doc1: ${rows(1L)}")
+    assert(rows(2L) == ((8L, 8L, "")), s"doc2 fully cut: ${rows(2L)}")
+    assert(rows(3L) == ((5L, 0L, "alpha beta gamma delta epsilon")), s"doc3 untouched: ${rows(3L)}")
+    assert(!rows.contains(5L), "the eval doc itself is not in the output")
+  }
+
+  test("OOV rate: a source speaking only tail tokens scores 1.0; a head-only source 0.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_oov").toString
+    // "hot" repeats enough to dominate the head; srcTail's tokens are
+    // unique singletons that fall outside any 1000-token head once the
+    // head is padded with 1000 distinct repeated tokens
+    val headDocs = (1 to 1000).map(i => (i.toLong, s"h$i h$i h$i", "en", "srcHead", 12L))
+    val tailDocs = Seq((2001L, (1 to 5).map(i => s"rare$i").mkString(" "), "en", "srcTail", 30L))
+    (headDocs ++ tailDocs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueriesCorpus.q150_oov_rate(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("srcHead") == ((3000L, 0L, 0.0)), s"head source: ${got("srcHead")}")
+    assert(got("srcTail") == ((5L, 5L, 1.0)), s"tail source: ${got("srcTail")}")
+  }
+
   test("persisted IVF index probe equals the in-memory IVF at every operating point") {
     import spark.implicits._
     import graft.operators.Similarity
