@@ -1058,12 +1058,35 @@ object QueriesCorpus {
     */
   def q143_dedup_keep_best(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.operators.Graph
+    import graft.operators.{Graph, Materialize}
+    import org.apache.spark.sql.types.DecimalType
     val docs  = Tables.documents(spark, dir)
-    val comps = Graph.nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    val lm    = q133_unigram_lm_bits(spark, dir).select($"doc_id", $"bits_per_token")
-    comps
+    val comps = Graph
+      .nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select($"id".as("doc_id"), $"cluster_id")
+    // The LM MODEL trains on the whole corpus (vocab + total are
+    // corpus statistics), but SCORING restricts to cluster members —
+    // the only docs the argmin reads. At 100 TB this is the difference
+    // between scoring every document and scoring the dup clusters.
+    val tok = docs
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val tf    = Materialize(tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
+    val vocab = tf.groupBy($"token").agg(sum($"tf").as("c_tok"))
+    val nTot  = vocab.agg(sum($"c_tok")).head().getLong(0)
+    val mTf   = tf.join(comps.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val nDoc  = mTf.groupBy($"doc_id").agg(sum($"tf").as("n_tokens"))
+    val lm = mTf
+      .join(vocab, Seq("token"))
+      .select($"doc_id",
+        ($"tf" * -log($"c_tok" / lit(nTot.toDouble)))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id").agg(sum($"term").as("s"))
+      .join(nDoc, Seq("doc_id"))
+      .select($"doc_id",
+        round($"s".cast("double") / $"n_tokens" / lit(math.log(2.0)), 6)
+          .as("bits_per_token"))
+    comps
       .join(lm, Seq("doc_id"))
       .groupBy($"cluster_id")
       .agg(
