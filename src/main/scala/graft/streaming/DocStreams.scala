@@ -322,6 +322,80 @@ object DocStreams {
         sum("n_survivors").as("n_survivors"))
   }
 
+  // ---- span decontamination at ingest (the q151 twin) ----
+
+  private def evalGramsDir(indexDir: String) = s"$indexDir/eval_grams"
+
+  /** Persist the eval suite's distinct 8-gram set ONCE (eval suites are
+    * fixed at registration time). Every ingest batch probes this —
+    * the eval docs are never re-shingled.
+    */
+  def seedEvalGrams(evalDocs: DataFrame, textCol: String, indexDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    evalDocs
+      .select(expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+        .as("g"))
+      .distinct()
+      .write.mode("overwrite").parquet(evalGramsDir(indexDir))
+  }
+
+  /** Start the span-scrub sink: each micro-batch cuts exactly the
+    * token spans covered by eval 8-grams from its OWN documents (the
+    * q151 surgery at ingest — contaminated quotes never reach the
+    * curated store, and partially-contaminated docs keep their clean
+    * remainder). Cleaned docs land under `cleanDir/batch_id=<id>`
+    * with (idCol, n_tokens, n_removed, clean_text); replay overwrites
+    * the batch's own partition. Per-batch cost: the batch's own
+    * shingling + a broadcast probe of the persisted gram set —
+    * the eval suite and earlier batches are never re-read.
+    */
+  def incrementalSpanScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cleanDir: String,
+      indexDir: String
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        val ev = broadcast(spark.read.parquet(evalGramsDir(indexDir)))
+        val d = Materialize(batch.select(col(idCol),
+          expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')").as("toks")))
+        val hits = d
+          .filter(size(col("toks")) >= 8)
+          .select(col(idCol), explode(expr(
+            "transform(sequence(1, size(toks) - 7), " +
+              "i -> struct(i AS gpos, array_join(slice(toks, i, 8), ' ') AS g))")).as("s"))
+          .select(col(idCol), col("s.gpos").as("gpos"), col("s.g").as("g"))
+          .join(ev, Seq("g"))
+        val cov = hits
+          .select(col(idCol), explode(expr("sequence(gpos, gpos + 7)")).as("pos"))
+          .distinct()
+          .withColumn("covered", lit(1))
+        d.select(col(idCol), posexplode(col("toks")).as(Seq("p0", "token")))
+          .withColumn("pos", col("p0") + 1)
+          .join(cov, Seq(idCol, "pos"), "left")
+          .groupBy(col(idCol))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("covered").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+            array_join(
+              transform(
+                array_sort(collect_list(when(col("covered").isNull,
+                  struct(col("pos"), col("token"))))),
+                x => x.getField("token")),
+              " ").as("clean_text"))
+          .write.mode("overwrite").parquet(s"$cleanDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   // ---- distribution-drift telemetry at ingest (the q145 twin) ----
 
   private def driftModelDir(indexDir: String) = s"$indexDir/model"

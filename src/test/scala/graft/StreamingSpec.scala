@@ -599,6 +599,52 @@ class StreamingSpec extends SparkSpec {
     assert(got("s2") == ((5L, 2L, 1L, 2L)), s"s2 funnel: ${got("s2")}")
   }
 
+  test("streaming span scrub: every batch's cleaned docs match an independent pure-Scala surgery") {
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir   = Files.createTempDirectory("graft_stream_scrub").toString
+    val quote = (1 to 8).map(i => s"e$i").mkString(" ")
+    val evalDocs = Seq((100L, quote + " extra tail words here pad pad pad")).toDF("doc_id", "text")
+    DocStreams.seedEvalGrams(evalDocs, "text", s"$dir/ix")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = DocStreams.incrementalSpanScrub(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", s"$dir/clean", s"$dir/ix")
+    val b1 = Seq((1L, s"alpha beta $quote gamma"), (2L, "clean words only here"))
+    val b2 = Seq((3L, quote), (4L, s"$quote and then $quote"))
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // independent pure-Scala surgery over the eval suite's gram set
+    val evGrams = evalDocs.collect().flatMap { r =>
+      val t = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" "))
+    }.toSet
+    def scrub(text: String): (Long, Long, String) = {
+      val toks  = text.split("\\s+").filter(_.nonEmpty)
+      val cover = Array.fill(toks.length)(false)
+      for (i <- 0 to toks.length - 8)
+        if (evGrams(toks.slice(i, i + 8).mkString(" ")))
+          (i until i + 8).foreach(cover(_) = true)
+      (toks.length.toLong, cover.count(identity).toLong,
+        toks.zip(cover).collect { case (t, false) => t }.mkString(" "))
+    }
+    val got = spark.read.parquet(s"$dir/clean")
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val want = (b1 ++ b2).map { case (id, t) => id -> scrub(t) }.toMap
+    assert(got == want, s"stream scrub $got != pure-Scala $want")
+    // the interesting cases actually occurred: mid-doc cut, clean
+    // passthrough, full cut, double-quote cut
+    assert(want(1L)._3 == "alpha beta gamma")
+    assert(want(2L)._2 == 0L)
+    assert(want(3L)._3 == "")
+    assert(want(4L)._3 == "and then")
+  }
+
   test("streaming drift telemetry: per-batch KL matches an independent recomputation; model ledger folds exactly") {
     import graft.streaming.DocStreams
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
