@@ -2068,7 +2068,60 @@ object Oracles {
           |         list(t.token ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), ' '), '')
           |         AS clean_text
           |FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
-          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) +
+      // q152: intra-doc repeated-span removal — non-first occurrences
+      // of a doc's own 8-grams cut their spans, first kept
+      ("q152_repetition_scrub" ->
+        """WITH d AS (
+          |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |cg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+          |           i -> {'gpos': i, 'g': array_to_string(toks[i:i+7], ' ')})) AS s
+          |  FROM d WHERE len(toks) >= 8),
+          |occ AS (
+          |  SELECT doc_id, s.gpos AS gpos,
+          |         row_number() OVER (PARTITION BY doc_id, s.g ORDER BY s.gpos) AS rn
+          |  FROM cg),
+          |cov AS (
+          |  SELECT DISTINCT doc_id, unnest(range(gpos, gpos + 8)) AS pos
+          |  FROM occ WHERE rn >= 2),
+          |tokpos AS (
+          |  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+          |  FROM d)
+          |SELECT t.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(count(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT) AS n_removed,
+          |       COALESCE(array_to_string(
+          |         list(t.token ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), ' '), '')
+          |         AS clean_text
+          |FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) +
+      // q153: bigram-LM bits-per-transition — ML conditional
+      // c(w1w2)/c(w1·), q133's decimal discipline pair-keyed
+      ("q153_bigram_lm_bits" ->
+        """WITH d AS (
+          |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          |           i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+          |  FROM d WHERE len(toks) >= 2),
+          |tf AS (
+          |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+          |  FROM pairs GROUP BY 1, 2, 3),
+          |model AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_pair FROM tf GROUP BY 1, 2),
+          |prev AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS c_prev FROM tf GROUP BY 1),
+          |n AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions FROM tf GROUP BY 1),
+          |terms AS (
+          |  SELECT tf.doc_id,
+          |         CAST(tf * -ln(c_pair / CAST(c_prev AS DOUBLE)) AS DECIMAL(18,12)) AS term
+          |  FROM tf JOIN model USING (w1, w2) JOIN prev USING (w1))
+          |SELECT doc_id, n_transitions,
+          |       round(CAST(sum(term) AS DOUBLE) / n_transitions / ln(2), 6)
+          |         AS bits_per_transition
+          |FROM terms JOIN n USING (doc_id)
+          |GROUP BY doc_id, n_transitions ORDER BY doc_id""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

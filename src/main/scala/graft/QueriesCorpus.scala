@@ -1212,6 +1212,89 @@ object QueriesCorpus {
       .orderBy($"doc_id")
   }
 
+  /** Intra-document repeated-span removal: inside each doc, any 8-gram
+    * that already occurred EARLIER in the same doc cuts its span (first
+    * occurrence kept) — the surgical half of repetition handling, where
+    * q58 only flags. A templated doc keeps one copy of its repeated
+    * block instead of being dropped whole. Purely doc-local: grams,
+    * the first-occurrence window and the position surgery all key by
+    * doc_id, so the operator is embarrassingly parallel at 100 TB —
+    * the only shuffles are doc-keyed.
+    */
+  def q152_repetition_scrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables
+      .documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("toks"))
+    val grams = d
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> struct(i AS gpos, array_join(slice(toks, i, 8), ' ') AS g))")).as("s"))
+      .select($"doc_id", $"s.gpos".as("gpos"), $"s.g".as("g"))
+    val w = Window.partitionBy($"doc_id", $"g").orderBy($"gpos")
+    val cov = grams
+      .withColumn("occ", row_number().over(w))
+      .filter($"occ" >= 2)
+      .select($"doc_id", explode(expr("sequence(gpos, gpos + 7)")).as("pos"))
+      .distinct()
+      .withColumn("covered", lit(1))
+    d.select($"doc_id", posexplode($"toks").as(Seq("p0", "token")))
+      .withColumn("pos", $"p0" + 1)
+      .join(cov, Seq("doc_id", "pos"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"covered".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"covered".isNull, struct($"pos", $"token")))),
+            x => x.getField("token")),
+          " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bigram-LM quality scoring — the conditional upgrade of
+    * [[q133_unigram_lm_bits]]: each transition scores
+    * −ln c(w₁w₂)/c(w₁·) (maximum-likelihood conditional, corpus-trained
+    * so every in-corpus transition is finite), summed per doc as
+    * DECIMAL(18,12) and normalized by transition count — the
+    * bits-per-transition a KenLM-style filter thresholds on, sensitive
+    * to word ORDER where the unigram score is bag-of-words blind. Cost:
+    * one pair-explode pass; the bigram model is pair-vocab-sized and
+    * the scoring join is pair-keyed (broadcast at scale like q133's
+    * vocab). Docs need ≥ 2 tokens to have a transition.
+    */
+  def q153_bigram_lm_bits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = Tables
+      .documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val tf    = graft.operators.Materialize(
+      pairs.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf")))
+    val model = tf.groupBy($"w1", $"w2").agg(sum($"tf").as("c_pair"))
+    val prev  = tf.groupBy($"w1").agg(sum($"tf").as("c_prev"))
+    val n     = tf.groupBy($"doc_id").agg(sum($"tf").as("n_transitions"))
+    tf.join(model, Seq("w1", "w2"))
+      .join(prev, Seq("w1"))
+      .select($"doc_id",
+        ($"tf" * -log($"c_pair" / $"c_prev".cast("double")))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id").agg(sum($"term").as("s"))
+      .join(n, Seq("doc_id"))
+      .select($"doc_id", $"n_transitions",
+        round($"s".cast("double") / $"n_transitions" / lit(math.log(2.0)), 6)
+          .as("bits_per_transition"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-source OOV rate against the top-1000 corpus vocabulary — the
     * tokenizer-design telemetry: a fixed-size vocab covers each source
     * differently, and a source whose tokens fall outside the head
