@@ -2121,7 +2121,16 @@ object Oracles {
           |       round(CAST(sum(term) AS DOUBLE) / n_transitions / ln(2), 6)
           |         AS bits_per_transition
           |FROM terms JOIN n USING (doc_id)
-          |GROUP BY doc_id, n_transitions ORDER BY doc_id""".stripMargin)
+          |GROUP BY doc_id, n_transitions ORDER BY doc_id""".stripMargin) +
+      // q154: cross-source mirror matrix — shared exact content keys
+      ("q154_source_overlap" ->
+        """WITH keyed AS (
+          |  SELECT DISTINCT sha256(array_to_string(list_sort(list_distinct(
+          |    string_split_regex(text, '\s+'))), ' ')) AS ck, source FROM documents)
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |       CAST(count(*) AS BIGINT) AS n_shared_keys
+          |FROM keyed a JOIN keyed b ON a.ck = b.ck AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

@@ -1212,6 +1212,34 @@ object QueriesCorpus {
       .orderBy($"doc_id")
   }
 
+  /** Cross-source mirror matrix: for every source pair, how many
+    * bag-of-words FINGERPRINT keys (q24's sorted-distinct-token sha —
+    * robust to reordering, which is how mirrors actually differ) they
+    * SHARE — the signal that two crawl sources syndicate the same
+    * content, which a mixture design must know before counting them as
+    * independent evidence. One fingerprint groupBy to distinct
+    * (key, source), then a key-keyed self-join whose candidates scale
+    * with shared content mass (keys in ≥ 2 sources), never sources² ×
+    * docs. Ordered pairs (a < b).
+    */
+  def q154_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables
+      .documents(spark, dir)
+      .select(
+        sha2(concat_ws(" ", array_sort(array_distinct(split($"text", "\\s+")))), 256)
+          .as("ck"),
+        $"source")
+      .distinct()
+    val a = keyed.select($"ck", $"source".as("source_a"))
+    val b = keyed.select($"ck", $"source".as("source_b"))
+    a.join(b, Seq("ck"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_shared_keys"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Intra-document repeated-span removal: inside each doc, any 8-gram
     * that already occurred EARLIER in the same doc cuts its span (first
     * occurrence kept) — the surgical half of repetition handling, where
