@@ -2130,7 +2130,35 @@ object Oracles {
           |SELECT a.source AS source_a, b.source AS source_b,
           |       CAST(count(*) AS BIGINT) AS n_shared_keys
           |FROM keyed a JOIN keyed b ON a.ck = b.ck AND a.source < b.source
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      // q155: ordered funnel — first view, first click after it, first
+      // purchase after that; (ts, event_id) tie-break throughout
+      ("q155_funnel" ->
+        """WITH s1 AS (
+          |  SELECT user_id, ts AS ts1, event_id AS id1 FROM (
+          |    SELECT user_id, ts, event_id,
+          |           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+          |s2 AS (
+          |  SELECT user_id, ts AS ts2, event_id AS id2 FROM (
+          |    SELECT e.user_id, e.ts, e.event_id,
+          |           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          |    FROM events e JOIN s1 USING (user_id)
+          |    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.ts1, s1.id1))
+          |  WHERE rn = 1),
+          |s3 AS (
+          |  SELECT user_id FROM (
+          |    SELECT e.user_id,
+          |           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          |    FROM events e JOIN s2 USING (user_id)
+          |    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.ts2, s2.id2))
+          |  WHERE rn = 1)
+          |SELECT s1.user_id,
+          |       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+          |                 WHEN s2.user_id IS NOT NULL THEN 2
+          |                 ELSE 1 END AS INT) AS stage_reached
+          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+          |ORDER BY s1.user_id""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

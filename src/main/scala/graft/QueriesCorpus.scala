@@ -1212,6 +1212,38 @@ object QueriesCorpus {
       .orderBy($"doc_id")
   }
 
+  /** Ordered funnel conversion over the event stream: per user, the
+    * farthest stage reached in view → click → purchase where each
+    * stage must happen strictly AFTER the previous one (first-match
+    * semantics, (ts, event_id) tie-break) — the product-analytics op
+    * relational engines express as MATCH_RECOGNIZE, here as three
+    * stage-keyed min-chained aggregations. Each stage's table is
+    * users-sized (broadcast-able onto the next stage's filter); the
+    * event log is filtered to one stage's type BEFORE each join, so
+    * every pass moves O(stage events), not the whole log.
+    */
+  def q155_funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts", $"event_id")
+    def firstAfter(stage: String, prev: DataFrame): DataFrame = {
+      val base = ev.filter($"event_type" === stage)
+      val gated = prev match {
+        case null => base
+        case p    => base.join(p, Seq("user_id")).filter(struct($"ts", $"event_id") > $"t")
+      }
+      gated.groupBy($"user_id").agg(min(struct($"ts", $"event_id")).as("t"))
+    }
+    val s1 = firstAfter("view", null)
+    val s2 = firstAfter("click", s1)
+    val s3 = firstAfter("purchase", s2)
+    s1.select($"user_id")
+      .join(s2.select($"user_id", lit(1).as("c2")), Seq("user_id"), "left")
+      .join(s3.select($"user_id", lit(1).as("c3")), Seq("user_id"), "left")
+      .select($"user_id",
+        when($"c3".isNotNull, 3).when($"c2".isNotNull, 2).otherwise(1).as("stage_reached"))
+      .orderBy($"user_id")
+  }
+
   /** Cross-source mirror matrix: for every source pair, how many
     * bag-of-words FINGERPRINT keys (q24's sorted-distinct-token sha —
     * robust to reordering, which is how mirrors actually differ) they
