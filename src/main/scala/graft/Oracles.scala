@@ -2158,7 +2158,21 @@ object Oracles {
           |                 WHEN s2.user_id IS NOT NULL THEN 2
           |                 ELSE 1 END AS INT) AS stage_reached
           |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-          |ORDER BY s1.user_id""".stripMargin)
+          |ORDER BY s1.user_id""".stripMargin) +
+      // q156: retention cohorts — first signup day x active-day offset
+      ("q156_retention_cohorts" ->
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+          |cohort AS (
+          |  SELECT user_id, min(day) AS cohort_day
+          |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+          |active AS (SELECT DISTINCT user_id, day FROM ev)
+          |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort,
+          |       CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+          |       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+          |FROM cohort c JOIN active a ON a.user_id = c.user_id
+          |WHERE a.day >= c.cohort_day
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

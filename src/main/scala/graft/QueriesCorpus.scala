@@ -1212,6 +1212,32 @@ object QueriesCorpus {
       .orderBy($"doc_id")
   }
 
+  /** Retention cohorts: users grouped by their FIRST signup day, then
+    * for each later day offset, how many of the cohort were active
+    * (any event) — the triangle table every product dashboard draws.
+    * Two aggregations (first-signup per user, distinct user-day
+    * activity) and one user-keyed join; the output is
+    * cohorts × offsets, tiny. Day arithmetic in whole days on the
+    * date string (the DATE-typed column never leaves the plan — the
+    * house cross-engine date discipline).
+    */
+  def q156_retention_cohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+    val cohort = ev
+      .filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val active = ev.select($"user_id", $"day").distinct()
+    cohort
+      .join(active, Seq("user_id"))
+      .filter($"day" >= $"cohort_day")
+      .groupBy(date_format($"cohort_day", "yyyy-MM-dd").as("cohort"),
+        datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort", $"day_offset")
+  }
+
   /** Ordered funnel conversion over the event stream: per user, the
     * farthest stage reached in view → click → purchase where each
     * stage must happen strictly AFTER the previous one (first-match
