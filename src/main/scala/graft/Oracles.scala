@@ -2172,7 +2172,21 @@ object Oracles {
           |       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
           |FROM cohort c JOIN active a ON a.user_id = c.user_id
           |WHERE a.day >= c.cohort_day
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      // q157: per-user event-type transition matrix + row-normalized
+      // probability (one division per cell)
+      ("q157_event_transitions" ->
+        """WITH nxt AS (
+          |  SELECT event_type AS prev_type,
+          |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |           AS next_type
+          |  FROM events),
+          |m AS (
+          |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+          |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT prev_type, next_type, n,
+          |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+          |FROM m ORDER BY prev_type, next_type""".stripMargin)
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

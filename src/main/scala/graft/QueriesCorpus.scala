@@ -1212,6 +1212,30 @@ object QueriesCorpus {
       .orderBy($"doc_id")
   }
 
+  /** Event-transition matrix: counts of consecutive (prev → next)
+    * event-type pairs within each user's timeline ((ts, event_id)
+    * order) plus the row-normalized transition probability — the
+    * Markov view of user behavior that feeds next-action models and
+    * anomaly detection. One user-keyed lag window + one pair
+    * aggregation; the matrix is |types|², tiny.
+    */
+  def q157_event_transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("prev_type"), $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy($"prev_type")
+    pairs
+      .withColumn("p", $"n".cast("double") / sum($"n").over(wp))
+      .select($"prev_type", $"next_type", $"n", $"p")
+      .orderBy($"prev_type", $"next_type")
+  }
+
   /** Retention cohorts: users grouped by their FIRST signup day, then
     * for each later day offset, how many of the cohort were active
     * (any event) — the triangle table every product dashboard draws.
