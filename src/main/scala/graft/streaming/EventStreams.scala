@@ -107,6 +107,44 @@ object EventStreams {
       }
   }
 
+  /** Stateful funnel tracking — the streaming twin of the batch
+    * ordered-funnel query (q155): per user, a tiny
+    * (stage, last ts, last id) state advances greedily through the
+    * stage list as events arrive; each micro-batch emits the user's
+    * current farthest stage (Update mode). Within a batch events sort
+    * by (ts, event_id); ACROSS batches the greedy chain equals the
+    * batch first-match chain whenever arrival is time-monotone at the
+    * batch level (the watermark discipline every funnel consumer
+    * already assumes) — pinned against q155 in StreamingSpec. State is
+    * three fields per ACTIVE user, the smallest possible footprint for
+    * sequence analytics at stream scale.
+    */
+  def funnelProgress(
+      events: Dataset[Event],
+      stages: Seq[String]
+  ): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Long.MinValue))
+          for (e <- batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+               if st.stage < stages.length) {
+            val t = micros(e.ts)
+            val after = st.stage == 0 || t > st.lastUs ||
+              (t == st.lastUs && e.event_id > st.lastId)
+            if (e.event_type == stages(st.stage) && after)
+              st = FunnelState(st.stage + 1, t, e.event_id)
+          }
+          state.update(st)
+          FunnelOut(uid, st.stage)
+      }
+  }
+
+  final case class FunnelState(stage: Int, lastUs: Long, lastId: Long)
+  final case class FunnelOut(user_id: Long, stage_reached: Int)
+
   final case class OpenSession(startUs: Long, endUs: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 

@@ -599,6 +599,52 @@ class StreamingSpec extends SparkSpec {
     assert(got("s2") == ((5L, 2L, 1L, 2L)), s"s2 funnel: ${got("s2")}")
   }
 
+  test("streaming funnel progress converges to the batch ordered-funnel (q155 twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val evs = eventsAsMicros
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .orderBy($"ts", $"event_id")
+      .as[EventStreams.Event].collect()
+    val (b1, b2) = evs.splitAt(evs.length / 2) // time-monotone batches
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    ms.addData(b1.toSeq: _*)
+    ms.addData(b2.toSeq: _*)
+    val got = EventStreams
+      .runBounded(
+        EventStreams.funnelProgress(ms.toDS(), Seq("view", "click", "purchase")).toDF(),
+        "funnel_progress", OutputMode.Update())
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap // later updates overwrite earlier ones
+      .filter(_._2 >= 1)
+    val want = QueriesCorpus.q155_funnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(want.nonEmpty)
+    assert(got == want, s"stream funnel differs from batch: ${got.toSeq.sorted.take(5)}...")
+
+    // planted partial stages: out-of-order within a batch, a click
+    // BEFORE the view (must not count), stage-1-only and stage-2-only
+    // users — cross-batch chaining exercised for user 3
+    def ev(id: Long, uid: Long, tpe: String, ms0: Long) = EventStreams.Event(
+      id, new java.sql.Timestamp(ms0), uid, tpe, 0.0, "{}")
+    val ms2 = MemoryStream[EventStreams.Event]
+    ms2.addData(
+      ev(1, 1L, "click", 1000), ev(2, 1L, "view", 2000),             // click precedes view -> stage 1
+      ev(3, 2L, "view", 1000), ev(4, 2L, "click", 3000),             // stage 2
+      ev(5, 3L, "view", 1000), ev(6, 3L, "click", 2000))
+    ms2.addData(
+      ev(7, 3L, "purchase", 4000),                                   // completes across batches -> 3
+      ev(8, 4L, "purchase", 1000))                                   // purchase first -> stage 0
+    val got2 = EventStreams
+      .runBounded(
+        EventStreams.funnelProgress(ms2.toDS(), Seq("view", "click", "purchase")).toDF(),
+        "funnel_progress2", OutputMode.Update())
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 0), s"planted funnel: $got2")
+  }
+
   test("streaming span scrub: every batch's cleaned docs match an independent pure-Scala surgery") {
     import graft.streaming.DocStreams
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
