@@ -2173,6 +2173,33 @@ object Oracles {
           |FROM cohort c JOIN active a ON a.user_id = c.user_id
           |WHERE a.day >= c.cohort_day
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+      // q158: view→purchase conversion latency (whole seconds) for
+      // funnel completers — same min-chained stages as q155
+      ("q158_time_to_convert" ->
+        """WITH s1 AS (
+          |  SELECT user_id, ts AS ts1, event_id AS id1 FROM (
+          |    SELECT user_id, ts, event_id,
+          |           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+          |s2 AS (
+          |  SELECT user_id, ts AS ts2, event_id AS id2 FROM (
+          |    SELECT e.user_id, e.ts, e.event_id,
+          |           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          |    FROM events e JOIN s1 USING (user_id)
+          |    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.ts1, s1.id1))
+          |  WHERE rn = 1),
+          |s3 AS (
+          |  SELECT user_id, ts AS ts3 FROM (
+          |    SELECT e.user_id, e.ts,
+          |           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          |    FROM events e JOIN s2 USING (user_id)
+          |    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.ts2, s2.id2))
+          |  WHERE rn = 1)
+          |SELECT s1.user_id,
+          |       CAST(floor(epoch(s3.ts3)) AS BIGINT)
+          |         - CAST(floor(epoch(s1.ts1)) AS BIGINT) AS seconds_to_convert
+          |FROM s1 JOIN s3 USING (user_id)
+          |ORDER BY s1.user_id""".stripMargin) +
       // q157: per-user event-type transition matrix + row-normalized
       // probability (one division per cell)
       ("q157_event_transitions" ->

