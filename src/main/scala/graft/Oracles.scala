@@ -2213,7 +2213,91 @@ object Oracles {
           |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
           |SELECT prev_type, next_type, n,
           |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
-          |FROM m ORDER BY prev_type, next_type""".stripMargin)
+          |FROM m ORDER BY prev_type, next_type""".stripMargin) +
+      // q159: last-touch attribution — ignore-nulls carry of the last
+      // click per user + a 7-day RANGE touch count, whole-second epochs
+      ("q159_attribution" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_id, event_type,
+          |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          |  FROM events),
+          |w AS (
+          |  SELECT *,
+          |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          |           OVER (PARTITION BY user_id ORDER BY sec, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+          |         last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+          |           OVER (PARTITION BY user_id ORDER BY sec, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_sec,
+          |         sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id ORDER BY sec
+          |                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS n_touches
+          |  FROM ev)
+          |SELECT event_id AS purchase_id, user_id,
+          |       CASE WHEN last_click_sec >= sec - 604800 THEN last_click_id END AS click_id,
+          |       CASE WHEN last_click_sec >= sec - 604800 THEN sec - last_click_sec END
+          |         AS click_lag_seconds,
+          |       CAST(coalesce(n_touches, 0) AS BIGINT) AS n_touches
+          |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin) +
+      // q160: daily-volume anomaly flags — z²≥4 cleared of divisions,
+      // evaluated in BIGINT over the trailing up-to-7 observed days
+      ("q160_daily_anomaly" ->
+        """WITH daily AS (
+          |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT event_type, day, n,
+          |         CAST(count(n) OVER tw AS BIGINT) AS n_prior,
+          |         CAST(sum(n) OVER tw AS BIGINT) AS s,
+          |         CAST(sum(n * n) OVER tw AS BIGINT) AS q
+          |  FROM daily
+          |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+          |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          |SELECT event_type, day, n, n_prior,
+          |       CASE WHEN n_prior >= 3 THEN CAST(s AS DOUBLE) / n_prior END AS mean_prior,
+          |       CASE WHEN n_prior >= 3
+          |            THEN CAST((n_prior * n - s) * (n_prior * n - s)
+          |                      >= 4 * (n_prior * q - s * s) AS INT)
+          |       END AS is_anomaly
+          |FROM w ORDER BY event_type, day""".stripMargin) +
+      // q161: truncation-loss telemetry at max_len = 64 whitespace
+      // tokens; loss_frac is the single allowed division
+      ("q161_truncation_loss" ->
+        """SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN n_tokens > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+          |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+          |       CAST(sum(greatest(n_tokens - 64, 0)) AS BIGINT) AS tokens_lost,
+          |       CAST(sum(greatest(n_tokens - 64, 0)) AS DOUBLE) / sum(n_tokens) AS loss_frac
+          |FROM (SELECT source,
+          |             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+          |               AS BIGINT) AS n_tokens
+          |      FROM documents)
+          |GROUP BY source ORDER BY source""".stripMargin) +
+      // q162: per-doc distinct-8-gram novelty — min-doc_id gram
+      // ownership, q66's shingle semantics (raw split, list_distinct)
+      ("q162_ngram_novelty" -> {
+        val gram = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+        s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 7),
+          |         i -> $gram))) AS g
+          |       FROM t WHERE len(toks) >= 8),
+          |own AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+          |per AS (
+          |  SELECT sh.doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_grams,
+          |         CAST(sum(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n_novel
+          |  FROM sh JOIN own USING (g) GROUP BY sh.doc_id)
+          |SELECT d.doc_id,
+          |       coalesce(per.n_grams, 0) AS n_grams,
+          |       coalesce(per.n_novel, 0) AS n_novel,
+          |       CASE WHEN per.n_grams IS NOT NULL
+          |            THEN CAST(per.n_novel AS DOUBLE) / per.n_grams END AS novelty_frac
+          |FROM documents d LEFT JOIN per USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin
+      })
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

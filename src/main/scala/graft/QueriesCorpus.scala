@@ -1610,4 +1610,144 @@ object QueriesCorpus {
           .otherwise(0L).as("kept"))
       .orderBy($"doc_id")
   }
+
+  /** Multi-touch attribution: for every purchase, the LAST click by the
+    * same user strictly earlier in (ts, event_id) order AND within a
+    * 7-day lookback — last-touch credit — plus how many touches (views
+    * + clicks) landed inside the lookback, the denominator a
+    * linear-credit model divides by. Two window frames over ONE
+    * user-keyed sort (an ignore-nulls last-value carry for the click,
+    * a whole-second RANGE frame for the touch count), then a filter to
+    * purchases: the log shuffles once by user_id and there is NO
+    * purchase×touch self-join, so per-user cost is O(events) — at
+    * 100 TB of clickstream the plan moves each event exactly once.
+    * Whole-second epochs keep the lag arithmetic BIGINT-exact
+    * cross-engine (the q158 discipline).
+    */
+  def q159_attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lookback = 604800L // 7 days in seconds
+    val ev = Tables
+      .events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_timestamp($"ts").as("sec"))
+    val wOrd = Window
+      .partitionBy($"user_id")
+      .orderBy($"sec", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRange = Window
+      .partitionBy($"user_id")
+      .orderBy($"sec")
+      .rangeBetween(-lookback, -1)
+    val inWindow = $"last_click_sec" >= $"sec" - lookback
+    ev.withColumn("last_click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(wOrd))
+      .withColumn("last_click_sec",
+        last(when($"event_type" === "click", $"sec"), ignoreNulls = true).over(wOrd))
+      .withColumn("n_touches",
+        sum(when($"event_type".isin("view", "click"), 1L).otherwise(0L)).over(wRange))
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id".as("purchase_id"),
+        $"user_id",
+        when(inWindow, $"last_click_id").as("click_id"),
+        when(inWindow, $"sec" - $"last_click_sec").as("click_lag_seconds"),
+        coalesce($"n_touches", lit(0L)).as("n_touches"))
+      .orderBy($"purchase_id")
+  }
+
+  /** Daily-volume anomaly flags: each (event_type, day) count against
+    * its trailing up-to-7 OBSERVED days, flagged when |count − μ| ≥ 2σ
+    * — the alert a pipeline owner wants the morning an ingest source
+    * doubles or dies. The z² ≥ 4 inequality is cleared of divisions
+    * and evaluated ENTIRELY in BIGINT — (n·x − s)² ≥ 4·(n·q − s²) with
+    * s = Σprior, q = Σprior² — so the flag hashes cross-engine exactly;
+    * the reported prior mean is the single allowed division. Fewer
+    * than 3 prior days ⇒ NULL (warm-up). The corpus-sized work is one
+    * map-side-combinable groupBy; the window runs over a types × days
+    * table that is metadata-sized at any scale.
+    */
+  def q160_daily_anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy($"event_type", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day").rowsBetween(-7, -1)
+    val dev = $"n_prior" * $"n" - $"s" // n·x − s, BIGINT
+    daily
+      .withColumn("n_prior", count($"n").over(w))
+      .withColumn("s", sum($"n").over(w))
+      .withColumn("q", sum($"n" * $"n").over(w))
+      .select(
+        $"event_type", $"day", $"n", $"n_prior",
+        when($"n_prior" >= 3, $"s".cast("double") / $"n_prior").as("mean_prior"),
+        when($"n_prior" >= 3,
+          (dev * dev >= lit(4L) * ($"n_prior" * $"q" - $"s" * $"s")).cast("int"))
+          .as("is_anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Truncation-loss telemetry: per source, how many documents exceed
+    * the training context budget (max_len = 64 whitespace tokens here;
+    * the sf corpus tops out at 99) and what fraction of the source's
+    * tokens a hard truncation would discard — the number that decides
+    * between truncating, chunking (q67) and packing (q68) for each
+    * source. Pure map work + one sources-sized aggregate; the loss
+    * fraction is the single allowed division.
+    */
+  def q161_truncation_loss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxLen = 64L
+    Tables
+      .documents(spark, dir)
+      .select($"source",
+        expr("CAST(size(filter(split(text, '\\\\s+'), x -> x <> '')) AS BIGINT)")
+          .as("n_tokens"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"n_tokens" > maxLen, 1L).otherwise(0L)).as("n_truncated"),
+        sum($"n_tokens").as("tokens_total"),
+        sum(greatest($"n_tokens" - maxLen, lit(0L))).as("tokens_lost"))
+      .withColumn("loss_frac", $"tokens_lost".cast("double") / $"tokens_total")
+      .orderBy($"source")
+  }
+
+  /** N-gram novelty: per document, the share of its DISTINCT 8-grams
+    * whose corpus-wide first occurrence (min doc_id) is this document —
+    * the "how much genuinely new text does this doc add" signal that
+    * separates fresh content from recombinations of already-seen spans,
+    * complementary to pairwise dedup (a doc stitched from ten earlier
+    * docs has no single near-dup partner but ~zero novelty). One
+    * gram-keyed aggregation for ownership + one gram-keyed join back —
+    * candidates scale with the distinct-gram mass exactly like the
+    * decontamination family; docs with < 8 tokens keep a row
+    * (n_grams = 0, NULL fraction) so a threshold policy sees every
+    * document. Shingling is the native [[graft.plans.WordNgrams]]
+    * expression (codegen, one pass).
+    */
+  def q162_ngram_novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select($"doc_id",
+        explode(graft.operators.Dedup.shingles(split($"text", "\\s+"), 8)).as("g"))
+    val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    val per = grams
+      .join(first, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    docs
+      .select($"doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        when($"n_grams".isNotNull, $"n_novel".cast("double") / $"n_grams")
+          .as("novelty_frac"))
+      .orderBy($"doc_id")
+  }
 }

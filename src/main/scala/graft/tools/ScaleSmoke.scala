@@ -465,6 +465,13 @@ object ScaleSmoke {
     time("q148 source report (one tf feeds bits+KL+dedup)") {
       graft.QueriesCorpus.q148_source_report(spark, out).count()
     }
+    time("q162 ngram novelty (min-doc ownership, dup-heavy)") {
+      // the 10-copy corpus is the worst case for novelty: every gram
+      // has 10 claimants, so the ownership aggregate carries the full
+      // collision mass — the point is that it stays an algebraic
+      // min-aggregation, never a pair enumeration
+      graft.QueriesCorpus.q162_ngram_novelty(spark, out).count()
+    }
     spark.stop()
   }
 }

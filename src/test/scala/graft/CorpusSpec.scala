@@ -462,4 +462,117 @@ class CorpusSpec extends SparkSpec {
       s.contains("label") && s.contains("cell")),
       "probe scan is not pruned on (label, cell)")
   }
+
+  test("attribution: planted click/purchase timelines credit the right touch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_attr").toString
+    Seq(
+      // user 1: view → click → two purchases; both credit the same click
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 01:00:00", 1L, "click"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase"),
+      (4L, "2024-01-02 02:00:00", 1L, "purchase"),
+      // user 2: click 10 days before the purchase — outside the 7-day
+      // lookback, so no credit and no counted touches
+      (5L, "2024-01-01 00:00:00", 2L, "click"),
+      (6L, "2024-01-11 00:00:00", 2L, "purchase"),
+      // user 3: purchase with no preceding events at all
+      (7L, "2024-01-05 00:00:00", 3L, "purchase"),
+      // user 4: the only click lands AFTER the purchase — no credit
+      (8L, "2024-01-03 00:00:00", 4L, "purchase"),
+      (9L, "2024-01-03 01:00:00", 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q159_attribution(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.length == 5)
+    // first purchase: click 2 one hour earlier, 2 touches in window
+    assert(byId(3L).getLong(2) == 2L && byId(3L).getLong(3) == 3600L)
+    assert(byId(3L).getLong(4) == 2L)
+    // second purchase a day later: same click carries forward
+    assert(byId(4L).getLong(2) == 2L && byId(4L).getLong(3) == 90000L)
+    assert(byId(4L).getLong(4) == 2L)
+    // stale click: no attribution, no in-window touches
+    assert(byId(6L).isNullAt(2) && byId(6L).isNullAt(3) && byId(6L).getLong(4) == 0L)
+    // no events at all / click after the purchase: no attribution
+    assert(byId(7L).isNullAt(2) && byId(7L).getLong(4) == 0L)
+    assert(byId(8L).isNullAt(2) && byId(8L).getLong(4) == 0L)
+  }
+
+  test("daily anomaly: planted spike flags, steady traffic does not, warm-up is NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_anom").toString
+    // view counts by day: 10, 12, 14, 12, 100 — the last day is the spike
+    val counts = Seq(10, 12, 14, 12, 100)
+    val evs = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i =>
+        (d * 1000L + i, f"2024-01-${d + 1}%02d 0${i % 10}:00:00", i.toLong, "view"))
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q160_daily_anomaly(spark, dir).collect()
+    val byDay = rows.map(r => r.getString(1) -> r).toMap
+    assert(rows.length == 5)
+    // days 1-3 have < 3 prior observed days: warm-up, NULL flag
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
+      assert(byDay(d).isNullAt(4) && byDay(d).isNullAt(5), s"day $d should be warm-up")
+    }
+    // day 4 (n=12, prior 10/12/14): within 2σ — not an anomaly
+    assert(byDay("2024-01-04").getInt(5) == 0)
+    assert(byDay("2024-01-04").getDouble(4) == 12.0)
+    // day 5 (n=100, prior 10/12/14/12): way past 2σ — flagged
+    assert(byDay("2024-01-05").getInt(5) == 1)
+    assert(byDay("2024-01-05").getDouble(4) == 12.0)
+  }
+
+  test("truncation loss: planted long/short docs split tokens kept vs lost") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_trunc").toString
+    val long70  = (1 to 70).map(i => s"w$i").mkString(" ")  // 70 tokens: 6 lost
+    val short10 = (1 to 10).map(i => s"s$i").mkString(" ")  // 10 tokens: kept whole
+    Seq(
+      (1L, long70, "en", "srcA", 0L),
+      (2L, short10, "en", "srcA", 0L),
+      (3L, short10, "en", "srcB", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q161_truncation_loss(spark, dir).collect()
+    val bySrc = rows.map(r => r.getString(0) -> r).toMap
+    val a = bySrc("srcA")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L)          // docs, truncated
+    assert(a.getLong(3) == 80L && a.getLong(4) == 6L)         // total, lost
+    assert(a.getDouble(5) == 6.0 / 80.0)
+    val b = bySrc("srcB")
+    assert(b.getLong(2) == 0L && b.getLong(4) == 0L && b.getDouble(5) == 0.0)
+  }
+
+  test("ngram novelty: copies score 0, fresh text 1, a stitched doc in between") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_novel").toString
+    val t = (1 to 10).map(i => s"t$i") // 10 distinct tokens → 3 distinct 8-grams
+    Seq(
+      (1L, t.mkString(" "), "en", "src0", 0L),                       // fresh
+      (2L, t.mkString(" "), "en", "src0", 0L),                       // exact copy
+      (3L, (t.take(8) ++ Seq("u9", "u10")).mkString(" "), "en", "src0", 0L), // stitched
+      (4L, "a b c", "en", "src0", 0L)                                // < 8 tokens
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q162_ngram_novelty(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.length == 4)
+    assert(byId(1L).getLong(1) == 3L && byId(1L).getLong(2) == 3L)
+    assert(byId(1L).getDouble(3) == 1.0)
+    // the exact copy owns nothing — every gram's first occurrence is doc 1
+    assert(byId(2L).getLong(1) == 3L && byId(2L).getLong(2) == 0L)
+    assert(byId(2L).getDouble(3) == 0.0)
+    // stitched: gram (t1..t8) is doc 1's; the two u-suffixed grams are new
+    assert(byId(3L).getLong(1) == 3L && byId(3L).getLong(2) == 2L)
+    assert(byId(3L).getDouble(3) == 2.0 / 3.0)
+    // too short to shingle: kept with zero grams and a NULL fraction
+    assert(byId(4L).getLong(1) == 0L && byId(4L).getLong(2) == 0L && byId(4L).isNullAt(3))
+  }
 }
