@@ -396,6 +396,81 @@ object DocStreams {
       }
       .start()
 
+  // ---- per-doc n-gram novelty at ingest (the q162 twin) ----
+
+  private def noveltyGramsDir(indexDir: String) = s"$indexDir/novelty_grams"
+
+  /** Seed the novelty gram set: the existing corpus's distinct 8-grams
+    * as `batch_id=-1` — shingled ONCE, like every other persisted index
+    * here. Seed with an empty slice of the schema to start from nothing.
+    */
+  def seedNoveltyGrams(seedDocs: DataFrame, textCol: String, indexDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    seedDocs
+      .select(explode(Dedup.shingles(split(col(textCol), "\\s+"), 8)).as("g"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"${noveltyGramsDir(indexDir)}/batch_id=-1")
+  }
+
+  /** Per-document novelty at ingest (q162's signal, incremental): each
+    * micro-batch shingles ONLY its own docs, anti-joins the persisted
+    * distinct-gram set to find never-seen grams, assigns within-batch
+    * ownership by min doc_id (q162's rule scoped to the arrivals), and
+    * emits (doc_id, n_grams, n_novel, novelty_frac) — the "is this feed
+    * still adding new text" telemetry, per batch, without ever
+    * re-shingling the corpus. The batch's fresh grams then land as a
+    * new index partition, so the gram set stays exactly the corpus's
+    * distinct-gram set, partitioned by first-arrival batch. Per-batch
+    * cost: the batch's shingle pass + one gram-keyed anti-join probe —
+    * O(batch), corpus never re-read. Replay overwrites the batch's own
+    * telemetry and gram partitions, and the probe EXCLUDES the batch's
+    * own partition so a replayed batch scores as if running first-time.
+    * When batches arrive doc_id-monotone, the per-batch emissions union
+    * to the batch q162 over the same corpus — pinned in StreamingSpec.
+    */
+  def incrementalNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      telemetryDir: String,
+      indexDir: String
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        val seen = spark.read
+          .parquet(noveltyGramsDir(indexDir))
+          .filter(col("batch_id") =!= batchId) // replay: ignore own leftovers
+          .select(col("g"))
+        val grams = Materialize(
+          batch.select(col(idCol).as("doc_id"),
+            explode(Dedup.shingles(split(col(textCol), "\\s+"), 8)).as("g")))
+        val fresh = Materialize(grams.join(seen, Seq("g"), "left_anti"))
+        val own   = fresh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        val per = grams
+          .join(own, Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        batch
+          .select(col(idCol).as("doc_id")).distinct()
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            when(col("n_grams").isNotNull,
+              col("n_novel").cast("double") / col("n_grams")).as("novelty_frac"))
+          .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        fresh
+          .select("g").distinct()
+          .write.mode("overwrite").parquet(s"${noveltyGramsDir(indexDir)}/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   // ---- distribution-drift telemetry at ingest (the q145 twin) ----
 
   private def driftModelDir(indexDir: String) = s"$indexDir/model"

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface. The reference has NO stream compute
@@ -238,6 +238,78 @@ object EventStreams {
            |purchase_ts <= click_ts + $lookback""".stripMargin)
     ).select(col("purchase_id"), col("click_id"), col("user_id"))
   }
+
+  /** Per-(event_type, day) counts — the q160 grouping, shared by the
+    * batch seed and the per-micro-batch delta.
+    */
+  private def dailyCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Seed the daily-count ledger (batch_id = -1). The ledger is a
+    * (event_type, day, n) BIGINT table built from per-batch delta
+    * partitions whose fold is exact integer addition — the
+    * sufficient-statistics discipline of [[graft.streaming.DocStreams]]
+    * drift and [[graft.streaming.ClusterStreams]]: replay-safe,
+    * order-independent, and types × days small forever. Seed with an
+    * empty slice of the events schema to start from nothing.
+    */
+  def seedDailyLedger(events: DataFrame, ledgerDir: String): Unit =
+    dailyCounts(events).write.mode("overwrite").parquet(s"$ledgerDir/batch_id=-1")
+
+  /** Streaming twin of q160's daily-volume anomaly flags: each
+    * micro-batch folds its own (event_type, day) counts into the
+    * ledger, re-runs the trailing-7-observed-days z² ≥ 4 test (same
+    * BIGINT-cleared inequality — the flag itself is exact under
+    * replay) and emits flags for ONLY the (event_type, day) pairs the
+    * batch touched — the alert fires in the micro-batch the spike
+    * arrives in, not after the nightly rollup. Per-batch cost: the
+    * batch's own count + a types×days-sized window; the event history
+    * is never re-read; the ledger fold EXCLUDES the batch's own
+    * partition so a replayed batch flags identically to its first
+    * attempt. Replay overwrites the batch's own telemetry
+    * and delta partitions (the house exactly-once recipe). When
+    * batches arrive day-monotone, each day's final emission equals
+    * the batch q160 row — pinned in StreamingSpec.
+    */
+  def incrementalDailyAnomaly(
+      events: DataFrame,
+      telemetryDir: String,
+      ledgerDir: String
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val delta = graft.operators.Materialize(dailyCounts(batch))
+        val eff = spark.read
+          .parquet(ledgerDir)
+          .filter(col("batch_id") =!= batchId) // replay: ignore own leftovers
+          .select(col("event_type"), col("day"), col("n"))
+          .unionByName(delta)
+          .groupBy("event_type", "day").agg(sum("n").as("n"))
+        val w   = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-7, -1)
+        val dev = col("n_prior") * col("n") - col("s")
+        eff
+          .withColumn("n_prior", count(col("n")).over(w))
+          .withColumn("s", sum(col("n")).over(w))
+          .withColumn("q", sum(col("n") * col("n")).over(w))
+          .select(
+            col("event_type"), col("day"), col("n"), col("n_prior"),
+            when(col("n_prior") >= 3, col("s").cast("double") / col("n_prior"))
+              .as("mean_prior"),
+            when(col("n_prior") >= 3,
+              (dev * dev >= lit(4L) * (col("n_prior") * col("q") - col("s") * col("s")))
+                .cast("int"))
+              .as("is_anomaly"))
+          .join(delta.select("event_type", "day"), Seq("event_type", "day"), "left_semi")
+          .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        delta.write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 
   /** Run a bounded stream to completion into a memory sink and return
     * the result — the batch-equivalence harness used by tests.

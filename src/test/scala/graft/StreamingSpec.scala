@@ -821,4 +821,113 @@ class StreamingSpec extends SparkSpec {
     assert(!cSeed.zip(cFinalGot).forall { case ((_, a), (_, b)) => a.sameElements(b) },
       "mini-batch updates should move at least one centroid")
   }
+
+  test("streaming novelty: doc_id-monotone batches reproduce the batch q162 scores") {
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_novel").toString
+    // real corpus split by doc_id — the monotone-arrival regime the
+    // batch-equivalence claim covers — plus one PLANTED copy of the
+    // first doc at the top id, so a batch-2 doc provably repeats
+    // batch-1 content (cross-batch ownership exercised by construction)
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val docs = base :+ ((base.map(_._1).max + 1) -> base.head._2)
+    val fixtureDir = s"$dir/fixture"
+    docs.toSeq.map { case (id, t) => (id, t, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$fixtureDir/documents.parquet")
+    val cut = docs(docs.length / 2)._1
+    val (b1, b2) = docs.partition(_._1 <= cut)
+
+    val empty = Tables.documents(spark, sfDir).filter(lit(false))
+    DocStreams.seedNoveltyGrams(empty, "text", s"$dir/ix")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = DocStreams.incrementalNovelty(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", s"$dir/tel", s"$dir/ix")
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))
+    val got = spark.read.parquet(s"$dir/tel")
+      .select($"doc_id", $"n_grams", $"n_novel", $"novelty_frac")
+      .collect().map(key).toSet
+    val want = QueriesCorpus.q162_ngram_novelty(spark, fixtureDir).collect().map(key).toSet
+    assert(got == want, s"stream novelty diverged: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+    // the planted copy scored zero novelty in batch 2 (batch-1 owner)
+    val planted = spark.read.parquet(s"$dir/tel")
+      .filter($"doc_id" === docs.last._1).collect()
+    assert(planted.length == 1 && planted.head.getLong(2) == 0L
+      && planted.head.getDouble(3) == 0.0)
+    // the gram index is exactly the corpus's distinct-gram set
+    val nIndexed = spark.read.parquet(s"$dir/ix/novelty_grams").select($"g").distinct().count()
+    val nCorpus = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select(explode(graft.operators.Dedup.shingles(split($"text", "\\s+"), 8)).as("g"))
+      .distinct().count()
+    assert(nIndexed == nCorpus)
+  }
+
+  test("streaming daily anomaly: day-monotone batches reproduce the batch q160 flags") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_anom").toString
+    // the q160 planted fixture: view counts 10/12/14/12/100 by day —
+    // day 5 is the spike and must flag IN ITS OWN micro-batch
+    val counts = Seq(10, 12, 14, 12, 100)
+    val evs = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i =>
+        (d * 1000L + i, f"2024-01-${d + 1}%02d 0${i % 10}:00:00", i.toLong, "view"))
+    }
+    val fixtureDir = s"$dir/fixture"
+    evs.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$fixtureDir/events.parquet")
+    val want = QueriesCorpus.q160_daily_anomaly(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getInt(5)))).toMap
+
+    // seed from nothing; stream the same events in day-grouped batches
+    val empty = Tables.events(spark, fixtureDir).filter(lit(false))
+    EventStreams.seedDailyLedger(empty, s"$dir/ledger")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val q = EventStreams.incrementalDailyAnomaly(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("ts", $"ts".cast("timestamp")),
+      s"$dir/tel", s"$dir/ledger")
+    val byDay = evs.groupBy(_._2.take(10)).toSeq.sortBy(_._1).map(_._2)
+    val (b1, b2, b3) = (byDay.take(2).flatten, byDay.slice(2, 4).flatten, byDay(4))
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // each day lands in exactly one batch, so its single emission must
+    // equal the batch q160 row for that day
+    val got = spark.read.parquet(s"$dir/tel")
+      .select($"event_type", $"day", $"n", $"n_prior", $"mean_prior", $"is_anomaly")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getInt(5)))).toMap
+    assert(got == want, s"stream anomaly $got != batch q160 $want")
+    // the spike flagged in the batch it arrived in (single emission, flag 1)
+    assert(got(("view", "2024-01-05"))._4 == 1)
+    // the ledger folds to the exact daily counts
+    val folded = spark.read.parquet(s"$dir/ledger")
+      .groupBy($"event_type", $"day").agg(sum($"n").as("n")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(folded == counts.zipWithIndex.map { case (c, d) =>
+      f"2024-01-${d + 1}%02d" -> c.toLong }.toMap)
+  }
 }
