@@ -2297,7 +2297,106 @@ object Oracles {
           |            THEN CAST(per.n_novel AS DOUBLE) / per.n_grams END AS novelty_frac
           |FROM documents d LEFT JOIN per USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin
-      })
+      }) +
+      // q163: RFM terciles — pure integer rank arithmetic, decimal-
+      // summed monetary, whole-second recency anchored at max event ts
+      ("q163_rfm_segments" ->
+        """WITH ev AS (
+          |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+          |  FROM events),
+          |anchor AS (SELECT max(sec) AS now_sec FROM ev),
+          |pu AS (
+          |  SELECT user_id,
+          |         CAST(count(*) AS BIGINT) AS frequency,
+          |         max(sec) AS last_sec,
+          |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+          |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+          |base AS (
+          |  SELECT user_id, frequency, monetary,
+          |         (a.now_sec - last_sec) // 86400 AS recency_days
+          |  FROM pu CROSS JOIN anchor a),
+          |ranked AS (
+          |  SELECT user_id, recency_days, frequency, monetary,
+          |         row_number() OVER (ORDER BY recency_days, user_id) AS rn_r,
+          |         row_number() OVER (ORDER BY frequency DESC, user_id) AS rn_f,
+          |         row_number() OVER (ORDER BY monetary DESC, user_id) AS rn_m,
+          |         count(*) OVER () AS cnt
+          |  FROM base)
+          |SELECT user_id, recency_days, frequency, monetary,
+          |       ((rn_r - 1) * 3) // cnt + 1 AS r_seg,
+          |       ((rn_f - 1) * 3) // cnt + 1 AS f_seg,
+          |       ((rn_m - 1) * 3) // cnt + 1 AS m_seg,
+          |       CAST(((rn_r - 1) * 3) // cnt + 1 AS VARCHAR)
+          |         || CAST(((rn_f - 1) * 3) // cnt + 1 AS VARCHAR)
+          |         || CAST(((rn_m - 1) * 3) // cnt + 1 AS VARCHAR) AS rfm
+          |FROM ranked ORDER BY user_id""".stripMargin) +
+      // q164: per-source inventory before/after near-dup collapse —
+      // the q38 closure + q39's keeper rule, then one source aggregate
+      ("q164_mixture_dedup_shift" -> (nearDupClosureCte +
+        """,
+          |keep AS (SELECT doc_id FROM (
+          |  SELECT c.cluster_id, c.doc_id,
+          |         row_number() OVER (PARTITION BY c.cluster_id
+          |                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn = 1),
+          |dt AS (SELECT doc_id, source,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+          |           AS BIGINT) AS t
+          |       FROM documents),
+          |k AS (SELECT dt.source, dt.t,
+          |        CASE WHEN c.doc_id IS NULL OR kp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+          |      FROM dt LEFT JOIN comp c ON c.doc_id = dt.doc_id
+          |              LEFT JOIN keep kp ON kp.doc_id = dt.doc_id),
+          |s AS (SELECT source,
+          |        CAST(count(*) AS BIGINT) AS n_docs,
+          |        CAST(sum(t) AS BIGINT) AS n_tokens,
+          |        CAST(sum(kept) AS BIGINT) AS n_docs_dedup,
+          |        CAST(sum(kept * t) AS BIGINT) AS n_tokens_dedup
+          |      FROM k GROUP BY source)
+          |SELECT source, n_docs, n_tokens, n_docs_dedup, n_tokens_dedup,
+          |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+          |       CAST(n_tokens_dedup AS DOUBLE) / sum(n_tokens_dedup) OVER ()
+          |         AS token_share_dedup
+          |FROM s ORDER BY source""".stripMargin)) +
+      // q165: near-dup cluster-size histogram incl. singletons
+      ("q165_cluster_size_histogram" -> (nearDupClosureCte +
+        """,
+          |csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+          |        FROM comp GROUP BY cluster_id),
+          |hist AS (
+          |  SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM csz GROUP BY size
+          |  UNION ALL
+          |  SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+          |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+          |  WHERE c.doc_id IS NULL)
+          |SELECT size, n_clusters, size * n_clusters AS n_docs
+          |FROM hist WHERE n_clusters > 0 ORDER BY size""".stripMargin))
+
+  /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
+    * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →
+    * `comp` = (doc_id, cluster_id) for every clustered doc. Reused by
+    * the q164 mixture shift and the q165 size histogram.
+    */
+  private def nearDupClosureCte: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+      |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+      |       FROM tok WHERE len(toks) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b
+      |          FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |          WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |         FROM reach GROUP BY src)""".stripMargin
 
   /** Shared k-means CTE (k = 8, two assignment passes, one exact
     * integer-sum centroid update): `a2` is the final (vec_id, cluster)

@@ -1713,6 +1713,95 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** RFM user segmentation: per purchasing user, recency (whole days
+    * since last purchase, anchored at the log's max event time),
+    * frequency (purchase count) and monetary value (DECIMAL-summed so
+    * the double is order-independent), each cut into terciles by pure
+    * integer rank arithmetic (seg = ((rank−1)·3)/n + 1 — no ntile, no
+    * percentile floats) — the segmentation marketing pipelines feed.
+    * The log collapses to a users-sized table in ONE aggregation; the
+    * anchor is a 1-row broadcast; the tercile windows rank the
+    * users-sized aggregate, not the log (a global sort, but of the
+    * small table — at extreme user cardinality swap in approximate
+    * quantile cutoffs).
+    */
+  def q163_rfm_segments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables
+      .events(spark, dir)
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("sec"), $"value")
+    val anchor = ev.agg(max($"sec").as("now_sec"))
+    val perUser = ev
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("frequency"),
+        max($"sec").as("last_sec"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select($"user_id", $"frequency", $"monetary",
+        expr("(now_sec - last_sec) div 86400").as("recency_days"))
+    val n  = Window.partitionBy()
+    val wR = Window.orderBy($"recency_days", $"user_id")
+    val wF = Window.orderBy($"frequency".desc, $"user_id")
+    val wM = Window.orderBy($"monetary".desc, $"user_id")
+    perUser
+      .select($"user_id", $"recency_days", $"frequency", $"monetary",
+        row_number().over(wR).cast("long").as("rn_r"),
+        row_number().over(wF).cast("long").as("rn_f"),
+        row_number().over(wM).cast("long").as("rn_m"),
+        count(lit(1)).over(n).as("cnt"))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary",
+        // tercile in pure integer arithmetic: ((rank-1)*3) div n + 1
+        expr("(rn_r - 1) * 3 div cnt + 1").as("r_seg"),
+        expr("(rn_f - 1) * 3 div cnt + 1").as("f_seg"),
+        expr("(rn_m - 1) * 3 div cnt + 1").as("m_seg"))
+      .withColumn("rfm",
+        concat($"r_seg".cast("string"), $"f_seg".cast("string"), $"m_seg".cast("string")))
+      .orderBy($"user_id")
+  }
+
+  /** Dedup-adjusted mixture inventory: each source's doc/token counts
+    * BEFORE and AFTER near-duplicate collapse (q39's keeper rule — max
+    * n_chars, min doc_id per Jaccard-0.5 cluster; singletons survive)
+    * plus both token shares — the readout that shows how dedup SHIFTS
+    * the mixture before anyone re-runs q137's plan on stale counts (a
+    * syndication-heavy source can lose half its effective mass). Adds
+    * two doc-keyed left joins and a sources-sized aggregate on top of
+    * the audited cluster machinery; shares are single divisions of
+    * exact BIGINTs.
+    */
+  def q164_mixture_dedup_shift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nTok = size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long")
+    val docs = Tables.documents(spark, dir)
+    val comps = graft.operators.Graph
+      .nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"id", $"cluster_id".as("component"))
+    val keepers = graft.operators.Graph
+      .keepOnePerComponent(comps, docs, "doc_id", "n_chars")
+      .select($"kept_id".as("doc_id"), lit(1L).as("is_keeper"))
+    val clustered = comps.select($"id".as("doc_id"), lit(1L).as("in_cluster"))
+    val wAll = Window.partitionBy()
+    docs
+      .select($"doc_id", $"source", nTok.as("t"))
+      .join(clustered, Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when($"in_cluster".isNull || $"is_keeper".isNotNull, 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"t").as("n_tokens"),
+        sum($"kept").as("n_docs_dedup"),
+        sum($"kept" * $"t").as("n_tokens_dedup"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_docs_dedup", $"n_tokens_dedup",
+        ($"n_tokens".cast("double") / sum($"n_tokens").over(wAll)).as("token_share"),
+        ($"n_tokens_dedup".cast("double") / sum($"n_tokens_dedup").over(wAll))
+          .as("token_share_dedup"))
+      .orderBy($"source")
+  }
+
   /** N-gram novelty: per document, the share of its DISTINCT 8-grams
     * whose corpus-wide first occurrence (min doc_id) is this document —
     * the "how much genuinely new text does this doc add" signal that

@@ -483,4 +483,30 @@ object QueriesDedup {
         threshold = 0.5)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Near-dup cluster-size histogram: how many clusters exist at each
+    * size, including the singletons (docs in no pair) as size-1 rows —
+    * the distribution that decides dedup POLICY (keep-one suffices for
+    * long-tail pairs; a few giant families call for a per-cluster cap
+    * or a boilerplate investigation). Two tiny aggregations over the
+    * q38 closure plus one anti-join for the singleton count; output is
+    * as small as the largest family.
+    */
+  def q165_cluster_size_histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = q38_dedup_clusters(spark, dir)
+    val hist = clusters
+      .groupBy($"cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy($"size").agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables
+      .documents(spark, dir)
+      .join(clusters.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("size"), $"n_clusters")
+    hist
+      .unionByName(singles)
+      .filter($"n_clusters" > 0)
+      .select($"size", $"n_clusters", ($"size" * $"n_clusters").as("n_docs"))
+      .orderBy($"size")
+  }
 }

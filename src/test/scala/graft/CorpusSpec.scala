@@ -549,6 +549,61 @@ class CorpusSpec extends SparkSpec {
     assert(b.getLong(2) == 0L && b.getLong(4) == 0L && b.getDouble(5) == 0.0)
   }
 
+  test("rfm segments: planted purchase histories land in the right terciles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_rfm").toString
+    Seq(
+      // user 1: two purchases, last 5 days before the anchor
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 10.0),
+      (2L, "2024-01-05 00:00:00", 1L, "purchase", 20.0),
+      // user 2: one big purchase 12h before the anchor (recency 0 days)
+      (3L, "2024-01-09 12:00:00", 2L, "purchase", 100.0),
+      // user 3: one small purchase 8 days before the anchor
+      (4L, "2024-01-02 00:00:00", 3L, "purchase", 5.0),
+      // the anchor: a non-purchase event defines "now"
+      (5L, "2024-01-10 00:00:00", 1L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q163_rfm_segments(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.length == 3)
+    assert(byId(1L).getLong(1) == 5L && byId(1L).getLong(2) == 2L
+      && byId(1L).getDouble(3) == 30.0 && byId(1L).getString(7) == "212")
+    assert(byId(2L).getLong(1) == 0L && byId(2L).getLong(2) == 1L
+      && byId(2L).getDouble(3) == 100.0 && byId(2L).getString(7) == "121")
+    assert(byId(3L).getLong(1) == 8L && byId(3L).getLong(2) == 1L
+      && byId(3L).getDouble(3) == 5.0 && byId(3L).getString(7) == "333")
+  }
+
+  test("mixture dedup shift + cluster histogram: a planted near-dup pair moves the inventory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_shift").toString
+    val dupText = (1 to 12).map(i => s"x$i").mkString(" ") // 12 tokens
+    val solo    = (1 to 10).map(i => s"y$i").mkString(" ") // 10 tokens, disjoint
+    Seq(
+      (1L, dupText, "en", "src0", 100L), // keeper (max n_chars)
+      (2L, dupText, "en", "src1", 50L),  // loser of the pair
+      (3L, solo, "en", "src1", 60L)      // singleton
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val shift = QueriesCorpus.q164_mixture_dedup_shift(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = shift("src0")
+    assert(a.getLong(1) == 1L && a.getLong(3) == 1L)    // keeper survives
+    assert(a.getLong(2) == 12L && a.getLong(4) == 12L)
+    assert(a.getDouble(5) == 12.0 / 34.0 && a.getDouble(6) == 12.0 / 22.0)
+    val b = shift("src1")
+    assert(b.getLong(1) == 2L && b.getLong(3) == 1L)    // loser dropped, solo kept
+    assert(b.getLong(2) == 22L && b.getLong(4) == 10L)
+    assert(b.getDouble(5) == 22.0 / 34.0 && b.getDouble(6) == 10.0 / 22.0)
+
+    val hist = QueriesDedup.q165_cluster_size_histogram(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
+  }
+
   test("ngram novelty: copies score 0, fresh text 1, a stitched doc in between") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_novel").toString
