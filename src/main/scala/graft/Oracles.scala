@@ -2370,7 +2370,43 @@ object Oracles {
           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
           |  WHERE c.doc_id IS NULL)
           |SELECT size, n_clusters, size * n_clusters AS n_docs
-          |FROM hist WHERE n_clusters > 0 ORDER BY size""".stripMargin))
+          |FROM hist WHERE n_clusters > 0 ORDER BY size""".stripMargin)) +
+      // q166: top-K vocab coverage under the deterministic BPE-pick
+      // ordering (count desc, token asc)
+      ("q166_vocab_coverage" ->
+        """WITH tf AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS c FROM (
+          |       SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+          |       FROM documents) GROUP BY 1),
+          |ranked AS (SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rk FROM tf),
+          |total AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM tf),
+          |ks AS (SELECT unnest([4, 8, 16, 32]) AS vocab_size)
+          |SELECT CAST(ks.vocab_size AS BIGINT) AS vocab_size,
+          |       CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+          |       t.total_tokens,
+          |       CAST(sum(r.c) AS DOUBLE) / t.total_tokens AS coverage
+          |FROM ks JOIN ranked r ON r.rk <= ks.vocab_size CROSS JOIN total t
+          |GROUP BY 1, 3 ORDER BY 1""".stripMargin) +
+      // q167: declared-vs-detected lang mismatch per source (q21's
+      // marker rule, one per-row prediction + a sources-sized agg)
+      ("q167_lang_mismatch" -> {
+        def occ(m: String) =
+          s"CAST((length(text) - length(replace(text, '$m', ''))) / ${m.length} AS INT)"
+        val (en, es, de, fr) = (occ(" the "), occ(" el "), occ(" der "), occ(" le "))
+        s"""WITH pred AS (
+          |  SELECT doc_id, source, lang,
+          |         CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+          |              WHEN $es >= $de AND $es >= $fr THEN 'es'
+          |              WHEN $de >= $fr THEN 'de'
+          |              ELSE 'fr' END AS predicted_lang
+          |  FROM documents)
+          |SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN predicted_lang <> lang THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_mismatch,
+          |       CAST(sum(CASE WHEN predicted_lang <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+          |         / count(*) AS mismatch_rate
+          |FROM pred GROUP BY source ORDER BY source""".stripMargin
+      })
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →

@@ -1713,6 +1713,37 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** Tokenizer vocabulary coverage curve: for each candidate vocab size
+    * K, the corpus token mass covered by the top-K tokens under the
+    * deterministic BPE-pick ordering (count desc, token asc — q150's
+    * rule) — the curve that sizes a tokenizer before training one.
+    * One corpus tokenize → a vocab-sized tf table; the rank window and
+    * the K-join both run on vocab-sized data (each token row fans out
+    * to at most |K| constant rows), so the curve is metadata work after
+    * the tf aggregation. K = {4, 8, 16, 32} here because the synthetic
+    * corpus has a 31-token vocabulary; the ladder is a parameter.
+    */
+  def q166_vocab_coverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables
+      .documents(spark, dir)
+      .select(explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("c"))
+    val ranked = tf.withColumn("rk",
+      row_number().over(Window.orderBy($"c".desc, $"token")).cast("long"))
+    val total = tf.agg(sum($"c").as("total_tokens"))
+    val ks    = Seq(4L, 8L, 16L, 32L).toDF("vocab_size")
+    ranked
+      .join(broadcast(ks), $"rk" <= $"vocab_size")
+      .groupBy($"vocab_size")
+      .agg(sum($"c").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select($"vocab_size", $"covered_tokens", $"total_tokens",
+        ($"covered_tokens".cast("double") / $"total_tokens").as("coverage"))
+      .orderBy($"vocab_size")
+  }
+
   /** RFM user segmentation: per purchasing user, recency (whole days
     * since last purchase, anchored at the log's max event time),
     * frequency (purchase count) and monetary value (DECIMAL-summed so

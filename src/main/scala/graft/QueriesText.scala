@@ -191,4 +191,29 @@ object QueriesText {
       .orderBy($"n".desc, $"pair")
       .limit(20)
   }
+
+  /** Declared-vs-detected language consistency: per source, how many
+    * documents the marker-based detector (q21's rule) disagrees with
+    * the declared `lang` column on — the metadata-quality telemetry
+    * that catches a crawl feed whose language tags went stale (a
+    * mixture plan that trusts bad tags mis-weights whole sources).
+    * Pure per-row prediction + one sources-sized aggregate; the rate
+    * is the single allowed division. Mismatch counts are honest about
+    * detector reach: a language with no marker rule (zh here) always
+    * mismatches, which is exactly what a coverage owner needs to see.
+    */
+  def q167_lang_mismatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pred = q21_lang_id(spark, dir).select($"doc_id", $"predicted_lang")
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source", $"lang")
+      .join(pred, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"predicted_lang" =!= $"lang", 1L).otherwise(0L)).as("n_mismatch"))
+      .withColumn("mismatch_rate", $"n_mismatch".cast("double") / $"n_docs")
+      .orderBy($"source")
+  }
 }

@@ -604,6 +604,41 @@ class CorpusSpec extends SparkSpec {
     assert(hist == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
   }
 
+  test("vocab coverage: planted counts give the exact rank-K curve") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_vocab").toString
+    // counts: a=8, b=4, c=2, d=1, e=1 (15 total); ties break token-asc
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")
+      ++ Seq("d", "e")).mkString(" ")
+    Seq((1L, text, "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q166_vocab_coverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // ranks: a(8) b(4) c(2) then d before e (tie on 1, token asc) —
+    // top-4 covers 8+4+2+1 = 15 of 16 tokens
+    assert(rows(4L) == ((15L, 16L, 15.0 / 16.0)))
+    // ladder rungs beyond the 5-token vocab cover everything
+    Seq(8L, 16L, 32L).foreach(k => assert(rows(k) == ((16L, 16L, 1.0)), s"K=$k: ${rows(k)}"))
+  }
+
+  test("lang mismatch: planted marker docs split match vs mismatch per source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_lang").toString
+    Seq(
+      (1L, "word the word the word", "en", "src0", 0L), // detected en, declared en
+      (2L, "word the word the word", "de", "src0", 0L), // detected en, declared de
+      (3L, "word der word der word", "de", "src1", 0L)  // detected de, declared de
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesText.q167_lang_mismatch(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("src0") == ((2L, 1L, 0.5)))
+    assert(rows("src1") == ((1L, 0L, 0.0)))
+  }
+
   test("ngram novelty: copies score 0, fresh text 1, a stitched doc in between") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_novel").toString
