@@ -2406,7 +2406,40 @@ object Oracles {
           |       CAST(sum(CASE WHEN predicted_lang <> lang THEN 1 ELSE 0 END) AS DOUBLE)
           |         / count(*) AS mismatch_rate
           |FROM pred GROUP BY source ORDER BY source""".stripMargin
-      })
+      }) +
+      // q168: deterministic epoch shuffle — sha256(epoch:doc_id) key,
+      // first hex char shards, full key orders within the shard
+      ("q168_epoch_shuffle" ->
+        """WITH keyed AS (
+          |  SELECT e.epoch, d.doc_id,
+          |         sha256(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS k
+          |  FROM documents d CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e)
+          |SELECT CAST(epoch AS BIGINT) AS epoch, substr(k, 1, 1) AS shard,
+          |       CAST(row_number() OVER (PARTITION BY epoch, substr(k, 1, 1) ORDER BY k)
+          |         AS BIGINT) AS pos,
+          |       doc_id
+          |FROM keyed ORDER BY epoch, shard, pos""".stripMargin) +
+      // q169: exact per-source token-length quantiles by integer rank
+      // selection — value at rank (q*n + 99) div 100
+      ("q169_source_length_quantiles" ->
+        """WITH dt AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+          |           AS BIGINT) AS t
+          |  FROM documents),
+          |rk AS (
+          |  SELECT source, t,
+          |         CAST(row_number() OVER (PARTITION BY source ORDER BY t, doc_id)
+          |           AS BIGINT) AS rn,
+          |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          |  FROM dt)
+          |SELECT source, max(n) AS n_docs,
+          |       CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN t END) AS BIGINT)
+          |         AS p50_tokens,
+          |       CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN t END) AS BIGINT)
+          |         AS p90_tokens,
+          |       max(t) AS max_tokens
+          |FROM rk GROUP BY source ORDER BY source""".stripMargin)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →

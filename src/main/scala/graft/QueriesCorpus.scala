@@ -1713,6 +1713,59 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** Deterministic epoch shuffle: the training-order layout — for each
+    * epoch, every doc gets a sha256(epoch:doc_id) key; the first hex
+    * char is its shard and the full key orders it WITHIN the shard —
+    * a reproducible global permutation (re-runs, retries and engines
+    * agree) with no global sort: each epoch is 16 independent
+    * shard-keyed rank windows (widen to more hex chars for more
+    * shards at scale). Different epochs get genuinely different
+    * permutations because the epoch salts the hash.
+    */
+  def q168_epoch_shuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epochs = Seq(0L, 1L).toDF("epoch")
+    val keyed = Tables
+      .documents(spark, dir)
+      .select($"doc_id")
+      .crossJoin(broadcast(epochs))
+      .select($"epoch", $"doc_id",
+        sha2(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string")), 256)
+          .as("k"))
+    val w = Window.partitionBy($"epoch", substring($"k", 1, 1)).orderBy($"k")
+    keyed
+      .select($"epoch", substring($"k", 1, 1).as("shard"),
+        row_number().over(w).cast("long").as("pos"), $"doc_id")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  /** Per-source exact length quantiles: p50/p90/max whitespace-token
+    * counts by pure integer rank selection (value at rank
+    * ⌈q·n/100⌉ = (q·n + 99) div 100, ties → doc_id) — the corpus-sizing
+    * table that picks chunk lengths and packing budgets per source,
+    * EXACT and cross-engine (approx-percentile sketches disagree
+    * between engines; a rank pick cannot). One source-keyed window
+    * over the doc-length table; output sources-sized.
+    */
+  def q169_source_length_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nTok = size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long")
+    val w = Window.partitionBy($"source").orderBy($"t", $"doc_id")
+    val n = Window.partitionBy($"source")
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source", nTok.as("t"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .groupBy($"source")
+      .agg(
+        max($"n").as("n_docs"),
+        max(when($"rn" === expr("(50 * n + 99) div 100"), $"t")).as("p50_tokens"),
+        max(when($"rn" === expr("(90 * n + 99) div 100"), $"t")).as("p90_tokens"),
+        max($"t").as("max_tokens"))
+      .orderBy($"source")
+  }
+
   /** Tokenizer vocabulary coverage curve: for each candidate vocab size
     * K, the corpus token mass covered by the top-K tokens under the
     * deterministic BPE-pick ordering (count desc, token asc — q150's

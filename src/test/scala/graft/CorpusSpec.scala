@@ -604,6 +604,47 @@ class CorpusSpec extends SparkSpec {
     assert(hist == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
   }
 
+  test("epoch shuffle: reproducible, complete, and epoch-salted") {
+    import spark.implicits._
+    val out = QueriesCorpus.q168_epoch_shuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // each epoch is a complete permutation of the corpus
+    Seq(0L, 1L).foreach { e =>
+      val ids = out.filter(_._1 == e).map(_._4)
+      assert(ids.length == nDocs && ids.distinct.length == nDocs, s"epoch $e incomplete")
+    }
+    // positions are dense ranks within (epoch, shard)
+    out.groupBy(r => (r._1, r._2)).foreach { case (k, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"gap in $k")
+    }
+    // the two epochs order the corpus differently
+    def order(e: Long) = out.filter(_._1 == e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(0L) != order(1L), "epoch salt did not change the permutation")
+    // reproducible across evaluations
+    val again = QueriesCorpus.q168_epoch_shuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("length quantiles: planted lengths pick the exact rank values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_quant").toString
+    // srcA lengths 1..10 -> p50 = rank ceil(5.0)=5 -> 5 tokens; p90 = rank 9
+    def doc(id: Long, n: Int, src: String) =
+      (id, (1 to n).map(i => s"w$i").mkString(" "), "en", src, 0L)
+    val docs = (1 to 10).map(i => doc(i.toLong, i, "srcA")) :+ doc(11L, 3, "srcB")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q169_source_length_quantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows("srcA") == ((10L, 5L, 9L, 10L)))
+    // single-doc source: every quantile is that doc
+    assert(rows("srcB") == ((1L, 3L, 3L, 3L)))
+  }
+
   test("vocab coverage: planted counts give the exact rank-K curve") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_vocab").toString
