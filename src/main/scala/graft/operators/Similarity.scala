@@ -700,6 +700,51 @@ object Similarity {
       .write.mode("overwrite").partitionBy(metaCols :+ "cell": _*).parquet(s"$dir/cells")
   }
 
+  /** Per-cell occupancy of a persisted IVF index: vector count and load
+    * ratio (count / mean) per cell — the probe-latency skew a drifted
+    * ingest accumulates (steady appends assign against the SEED's
+    * centroids; if the arrival distribution moved, a few cells soak up
+    * the mass and every probe touching them pays their whole weight).
+    * The readout an operator checks before deciding to
+    * [[ivfRebalance]]. One aggregation; output is cells-sized.
+    */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    spark.read
+      .parquet(s"$dir/cells")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") * count(lit(1)).over(w)
+          / sum(col("n_vectors")).over(w)).as("load_ratio"))
+      .orderBy(col("cell"))
+  }
+
+  /** Rebalance a persisted IVF index IN PLACE: retrain the centroids on
+    * the currently indexed vectors (k-means refinement over the
+    * deterministic seed pick) and rewrite every cell assignment — the
+    * OPTIMIZE verb of the vector index, run when [[ivfIndexStats]]
+    * shows drifted-ingest skew. The indexed rows are materialized
+    * (lineage cut) before the overwrite so the rewrite never reads the
+    * files it is replacing. Answers are invariant: a full probe
+    * (nprobe = nlist) equals brute force before AND after — rebalance
+    * moves cell BOUNDARIES, never the vectors (pinned in CorpusSpec).
+    */
+  def ivfRebalance(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      kmeansIters: Int = 2,
+      metaCols: Seq[String] = Seq.empty
+  ): Unit = {
+    val corpus = Materialize(
+      spark.read.parquet(s"$dir/cells").drop("cell", "batch_id"))
+    ivfIndexWrite(corpus, idCol, vecCol, dir, nlist, seed, kmeansIters, metaCols)
+  }
+
   /** IVF top-k against a PERSISTED index ([[ivfIndexWrite]]) — the
     * repeated-use path: signing the corpus once at ingest and probing
     * the cell-partitioned parquet per query batch. The broadcast

@@ -463,6 +463,55 @@ class CorpusSpec extends SparkSpec {
       "probe scan is not pruned on (label, cell)")
   }
 
+  test("ivf rebalance: answers invariant, assignments follow the new centroids") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val qs  = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_rebal").toString
+    // simulate drifted ingest: seed the index from the low-id half,
+    // then append the high-id half assigned against the SEED centroids
+    val cut = emb.agg(expr("percentile_approx(vec_id, 0.5)")).head().getLong(0)
+    Similarity.ivfIndexWrite(emb.filter($"vec_id" <= cut), "vec_id", "embedding", dir,
+      nlist = 16)
+    val seedCent = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Similarity.assignCells(emb.filter($"vec_id" > cut), "vec_id", "embedding",
+        spark.read.parquet(s"$dir/centroids"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+
+    val statsBefore = Similarity.ivfIndexStats(spark, dir).collect()
+    assert(statsBefore.map(_.getLong(1)).sum == emb.count())
+
+    Similarity.ivfRebalance(spark, dir, "vec_id", "embedding", nlist = 16, kmeansIters = 2)
+
+    // nothing lost, still 16 cells
+    val statsAfter = Similarity.ivfIndexStats(spark, dir).collect()
+    assert(statsAfter.map(_.getLong(1)).sum == emb.count())
+    assert(statsAfter.length == 16)
+    // the refinement actually moved the centroids
+    val newCent = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert((seedCent.keySet != newCent.keySet) ||
+      seedCent.exists { case (k, v) => newCent.get(k).exists(_ != v) },
+      "rebalance left every centroid unchanged")
+    // every indexed vector sits in its nearest-new-centroid cell
+    val reassigned = Similarity.assignCells(emb, "vec_id", "embedding",
+        spark.read.parquet(s"$dir/centroids"))
+      .select($"vec_id", $"cell".cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val indexed = spark.read.parquet(s"$dir/cells")
+      .select($"vec_id", $"cell".cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(indexed == reassigned, "an indexed row is not in its nearest cell")
+    // answers invariant: full probe through the rebalanced index ≡ brute force
+    val exact = QueriesDedup.q30_ann_topk(spark, sfDir).collect().map(_.toSeq).toSeq
+    val probed = Similarity
+      .ivfTopKIndexed(spark, qs, "vec_id", "embedding", dir, k = 5, nprobe = 16)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(probed == exact, "full probe diverged from brute force after rebalance")
+  }
+
   test("attribution: planted click/purchase timelines credit the right touch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_attr").toString
