@@ -358,9 +358,24 @@ object ScaleSmoke {
       )
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events amplify with per-copy USER offsets: copies are new users
+    // with intact timelines — the faithful scaling for user-keyed
+    // sequence analytics (duplicating events under the same user would
+    // corrupt every funnel/attribution semantics)
+    Tables
+      .events(spark, src)
+      .select(col("*"), copies)
+      .select(
+        (col("event_id") + col("copy") * lit(100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"SCALE corpus: $nDocs docs, $nVecs vectors (factor $factor)")
+    val nEvs  = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"SCALE corpus: $nDocs docs, $nVecs vectors, $nEvs events (factor $factor)")
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -464,6 +479,15 @@ object ScaleSmoke {
     }
     time("q148 source report (one tf feeds bits+KL+dedup)") {
       graft.QueriesCorpus.q148_source_report(spark, out).count()
+    }
+    time("q155 ordered funnel (min-chained stage aggregations)") {
+      graft.QueriesCorpus.q155_funnel(spark, out).count()
+    }
+    time("q159 attribution (one user-keyed sort, no self-join)") {
+      graft.QueriesCorpus.q159_attribution(spark, out).count()
+    }
+    time("q160 daily anomaly (one groupBy + types-by-days window)") {
+      graft.QueriesCorpus.q160_daily_anomaly(spark, out).count()
     }
     time("q162 ngram novelty (min-doc ownership, dup-heavy)") {
       // the 10-copy corpus is the worst case for novelty: every gram
