@@ -47,4 +47,34 @@ final class Pipeline(
     )
     RunReport(stages.map { case (name, f) => name -> f() })
   }
+
+  /** Backfill a CLOSED date range [fromDate, toDate] (yyyyMMdd): one
+    * [[run]] per day in order — the scheduler-facing catch-up surface
+    * after an outage or a late-landing feed. Idempotent by
+    * construction: each stage's watermark / missing-input checks
+    * Left-skip work already done or data not yet landed, so re-running
+    * a window after a partial failure converges instead of
+    * double-ingesting. `freshLoad` applies to the FIRST day only (a
+    * wipe between days would destroy the backfill's own progress).
+    * Returns the per-day reports in date order.
+    */
+  def backfill(
+      fromDate: String,
+      toDate: String,
+      freshLoad: Boolean = false
+  ): Seq[(String, RunReport)] = {
+    val fmt  = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val from = java.time.LocalDate.parse(fromDate, fmt)
+    val to   = java.time.LocalDate.parse(toDate, fmt)
+    require(!from.isAfter(to), s"backfill range is inverted: $fromDate > $toDate")
+    Iterator
+      .iterate(from)(_.plusDays(1))
+      .takeWhile(!_.isAfter(to))
+      .zipWithIndex
+      .map { case (d, i) =>
+        val rd = d.format(fmt)
+        rd -> run(rd, freshLoad = freshLoad && i == 0)
+      }
+      .toSeq
+  }
 }

@@ -314,4 +314,28 @@ from source
     assert(after.collect().map(_.toSeq).toSet == rowsBefore, "compaction must not change values")
     assert(wh.lastOperation("bronze.clicks").get.getAs[String]("operation") == "COMPACT")
   }
+
+  test("backfill runs a date range in order; empty days skip, re-backfill converges") {
+    val (pipe, wh, _, _) = freshPipeline()
+    // fixtures land files for 20221220 only — the 19th and 21st must
+    // Left-skip at bronze instead of failing the window
+    val reports = pipe.backfill("20221219", "20221221")
+    assert(reports.map(_._1) == Seq("20221219", "20221220", "20221221"))
+    val byDay = reports.toMap
+    assert(byDay("20221220").skipped.isEmpty)
+    assert(byDay("20221220").written("bronze_scholar").contains(2L))
+    Seq("20221219", "20221221").foreach { d =>
+      assert(byDay(d).skipped.exists(_._1.startsWith("bronze")),
+        s"day $d should skip at bronze (no landed files)")
+    }
+    val scored = wh.table("gold", "scored_articles").count()
+    assert(scored == 6L)
+    // a second backfill of the same window is a no-op on the tables
+    val again = pipe.backfill("20221219", "20221221")
+    assert(again.length == 3)
+    assert(wh.table("gold", "scored_articles").count() == scored)
+    assert(wh.table("silver", "arxiv").count() == 2L)
+    // inverted ranges are a caller bug, not an empty window
+    intercept[IllegalArgumentException](pipe.backfill("20221222", "20221220"))
+  }
 }
