@@ -1859,9 +1859,10 @@ object QueriesCorpus {
     import spark.implicits._
     val nTok = size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long")
     val docs = Tables.documents(spark, dir)
-    val comps = graft.operators.Graph
-      .nearDupClusters(docs, "doc_id", "text", n = 3, threshold = 0.5)
-      .select($"id", $"cluster_id".as("component"))
+    // the dedup wave's persisted cluster table — this report only READS it
+    val comps = QueriesDedup
+      .clustersOnce(spark, dir)
+      .select($"doc_id".as("id"), $"cluster_id".as("component"))
     val keepers = graft.operators.Graph
       .keepOnePerComponent(comps, docs, "doc_id", "n_chars")
       .select($"kept_id".as("doc_id"), lit(1L).as("is_keeper"))

@@ -484,6 +484,26 @@ object QueriesDedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** The persisted near-dup cluster table ((doc_id, cluster_id), the
+    * q38/q47 closure), built ONCE per session and read back — the
+    * consumers below (q164 mixture shift, q165 size histogram) are
+    * post-dedup reporting: in a real pipeline the dedup wave already
+    * wrote this table, and the reports only read it. Scratch.once is
+    * that write-at-dedup / read-at-report split.
+    */
+  private[graft] def clustersOnce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Scratch.dir(spark, "neardup_clusters", dir)
+    Scratch.once(p) {
+      Graph
+        .nearDupClusters(Tables.documents(spark, dir), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select($"id".as("doc_id"), $"cluster_id")
+        .write.mode("overwrite").parquet(s"$p/clusters")
+    }
+    spark.read.parquet(s"$p/clusters")
+  }
+
   /** Near-dup cluster-size histogram: how many clusters exist at each
     * size, including the singletons (docs in no pair) as size-1 rows —
     * the distribution that decides dedup POLICY (keep-one suffices for
@@ -494,7 +514,7 @@ object QueriesDedup {
     */
   def q165_cluster_size_histogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val clusters = q38_dedup_clusters(spark, dir)
+    val clusters = clustersOnce(spark, dir)
     val hist = clusters
       .groupBy($"cluster_id").agg(count(lit(1)).as("size"))
       .groupBy($"size").agg(count(lit(1)).as("n_clusters"))
