@@ -2439,7 +2439,34 @@ object Oracles {
           |       CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN t END) AS BIGINT)
           |         AS p90_tokens,
           |       max(t) AS max_tokens
-          |FROM rk GROUP BY source ORDER BY source""".stripMargin)
+          |FROM rk GROUP BY source ORDER BY source""".stripMargin) +
+      // q170: embedding-quality gate — decimal-summed squared norms,
+      // NaN/Inf guarded to NULL exactly like the engine
+      ("q170_embedding_quality" ->
+        """WITH n2 AS (
+          |  SELECT label,
+          |         CAST(len(embedding) AS BIGINT) AS dim,
+          |         CAST(len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+          |           OR NOT isfinite(CAST(x AS DOUBLE)))) AS BIGINT) AS n_bad,
+          |         embedding
+          |  FROM embeddings),
+          |n3 AS (
+          |  SELECT label, dim, n_bad,
+          |         CASE WHEN n_bad = 0 THEN
+          |           CAST(list_sum(list_transform(embedding,
+          |             x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))))
+          |             AS DOUBLE)
+          |         END AS norm2
+          |  FROM n2)
+          |SELECT label,
+          |       CAST(count(*) AS BIGINT) AS n_vecs,
+          |       min(dim) AS min_dim,
+          |       max(dim) AS max_dim,
+          |       CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+          |       CAST(sum(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+          |       min(norm2) AS min_norm2,
+          |       max(norm2) AS max_norm2
+          |FROM n3 GROUP BY label ORDER BY label""".stripMargin)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →

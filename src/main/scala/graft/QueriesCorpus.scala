@@ -1713,6 +1713,46 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** Embedding-quality gate: per label, vector counts, dimension
+    * bounds, non-finite detection (NaN/±Inf elements) and zero-norm
+    * counts plus exact min/max squared norms — the audit that runs
+    * BEFORE vectors reach an ANN index (one broken encoder batch of
+    * zeros or NaNs silently poisons every cosine in its cells). Each
+    * x² is a single exact IEEE product cast to DECIMAL before the
+    * order-independent sum (the q74 discipline), so min/max norms hash
+    * cross-engine; norms of non-finite vectors are NULL by guard (a
+    * NaN would throw in the decimal cast under ANSI — and a poisoned
+    * norm is not a norm). Pure map work + one labels-sized aggregate.
+    */
+  def q170_embedding_quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xd  = "CAST(x AS DOUBLE)"
+    val bad = s"isnan($xd) OR abs($xd) = CAST('Infinity' AS DOUBLE)"
+    val n2 = Tables
+      .embeddings(spark, dir)
+      .select(
+        $"label",
+        size($"embedding").cast("long").as("dim"),
+        expr(s"CAST(size(filter(embedding, x -> $bad)) AS BIGINT)").as("n_bad"),
+        $"embedding")
+      .withColumn("norm2",
+        when($"n_bad" === 0L,
+          expr("CAST(aggregate(transform(embedding, " +
+            s"x -> CAST($xd * $xd AS DECIMAL(28,12))), " +
+            "CAST(0 AS DECIMAL(28,12)), " +
+            "(a, x) -> CAST(a + x AS DECIMAL(28,12))) AS DOUBLE)")))
+    n2.groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min($"dim").as("min_dim"),
+        max($"dim").as("max_dim"),
+        sum(when($"n_bad" > 0, 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when($"norm2" === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min($"norm2").as("min_norm2"),
+        max($"norm2").as("max_norm2"))
+      .orderBy($"label")
+  }
+
   /** Deterministic epoch shuffle: the training-order layout — for each
     * epoch, every doc gets a sha256(epoch:doc_id) key; the first hex
     * char is its shard and the full key orders it WITHIN the shard —

@@ -653,6 +653,30 @@ class CorpusSpec extends SparkSpec {
     assert(hist == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
   }
 
+  test("embedding quality: planted NaN/Inf/zero/short vectors flag exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_vq").toString
+    Seq(
+      (1L, Array(3.0f, 4.0f), 0),                    // clean: norm2 = 25
+      (2L, Array(0.0f, 0.0f), 0),                    // zero vector
+      (3L, Array(Float.NaN, 1.0f), 0),               // non-finite
+      (4L, Array(Float.PositiveInfinity, 1.0f), 1),  // non-finite
+      (5L, Array(2.0f), 1)                           // dimension drift
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = QueriesCorpus.q170_embedding_quality(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val a = rows(0)
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L && a.getLong(3) == 2L)
+    assert(a.getLong(4) == 1L && a.getLong(5) == 1L) // one NaN vec, one zero vec
+    assert(a.getDouble(6) == 0.0 && a.getDouble(7) == 25.0)
+    val b = rows(1)
+    assert(b.getLong(1) == 2L && b.getLong(2) == 1L && b.getLong(3) == 2L)
+    assert(b.getLong(4) == 1L && b.getLong(5) == 0L)
+    assert(b.getDouble(6) == 4.0 && b.getDouble(7) == 4.0) // only the finite vec has a norm
+  }
+
   test("epoch shuffle: reproducible, complete, and epoch-salted") {
     import spark.implicits._
     val out = QueriesCorpus.q168_epoch_shuffle(spark, sfDir).collect()
