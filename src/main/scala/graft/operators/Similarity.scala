@@ -700,6 +700,21 @@ object Similarity {
       .write.mode("overwrite").partitionBy(metaCols :+ "cell": _*).parquet(s"$dir/cells")
   }
 
+  /** Per-row vector-quality predicate — the q170 gate as a reusable
+    * Column: non-null, expected dimension, every element finite, and a
+    * non-zero norm (any non-zero element ⇔ positive norm for finite
+    * vectors — no norm computation needed). The ingest-side guard that
+    * keeps one broken encoder batch from poisoning an ANN index; used
+    * by [[graft.streaming.VecStreams]]' quarantine path.
+    */
+  def vectorOk(vec: Column, dim: Int): Column = {
+    val finite = (x: Column) =>
+      !(isnan(x.cast("double")) || abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    vec.isNotNull && size(vec) === dim &&
+      forall(vec, finite) &&
+      exists(vec, x => x.cast("double") =!= 0.0)
+  }
+
   /** Per-cell occupancy of a persisted IVF index: vector count and load
     * ratio (count / mean) per cell — the probe-latency skew a drifted
     * ingest accumulates (steady appends assign against the SEED's

@@ -66,14 +66,33 @@ object VecStreams {
       pairsDir: String,
       indexDir: String,
       threshold: Double,
-      nprobe: Int = 16
+      nprobe: Int = 16,
+      quarantineDir: Option[String] = None
   ): StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark  = batch.sparkSession
         val cent   = spark.read.parquet(s"$indexDir/centroids")
-        val b      = Materialize(batch.select(idCol, vecCol))
+        // Optional quality gate ([[Similarity.vectorOk]], the q170
+        // predicate): NaN/Inf/zero/mis-dimensioned vectors land in a
+        // quarantine partition instead of the index — one broken
+        // encoder batch must not poison every cosine in its cells.
+        // Expected dimension comes from the seed centroids (driver
+        // reads one tiny table).
+        val gated = quarantineDir match {
+          case Some(qd) =>
+            val dim = cent.select(size(col("centv"))).head().getInt(0)
+            val flagged = Materialize(batch
+              .select(idCol, vecCol)
+              .withColumn("__ok", Similarity.vectorOk(col(vecCol), dim)))
+            flagged
+              .filter(!col("__ok")).drop("__ok")
+              .write.mode("overwrite").parquet(s"$qd/batch_id=$batchId")
+            flagged.filter(col("__ok")).drop("__ok")
+          case None => batch.select(idCol, vecCol)
+        }
+        val b = Materialize(gated)
         val bCells = Materialize(Similarity.assignCells(b, idCol, vecCol, cent))
         // probe side = persisted index ∪ this batch (within-batch pairs
         // emit here; earlier batches are already in the index)

@@ -524,6 +524,47 @@ class StreamingSpec extends SparkSpec {
     assert(viaIndex == exact, "grown persisted index must reproduce brute force at nprobe=nlist")
   }
 
+  test("vector ingest quarantine: bad vectors never reach the index or the pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import graft.streaming.VecStreams
+    val dir = Files.createTempDirectory("graft_stream_vq").toString
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val v1  = emb.filter($"vec_id" === 1L).head().getSeq[Float](1)
+    val dim = v1.length
+    val clean  = (10001L, v1)                                        // near-dup of vec 1
+    val nanVec = (10002L, v1.updated(0, Float.NaN))
+    val infVec = (10003L, v1.updated(0, Float.PositiveInfinity))
+    val zero   = (10004L, Seq.fill(dim)(0.0f))
+    val short  = (10005L, v1.take(dim - 1))
+
+    VecStreams.seedIndex(emb, "vec_id", "embedding", s"$dir/index", nlist = 16)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = VecStreams.incrementalDedup(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      pairsDir = s"$dir/pairs", indexDir = s"$dir/index",
+      threshold = 0.45, nprobe = 16, quarantineDir = Some(s"$dir/bad"))
+    try {
+      ms.addData(Seq(clean, nanVec, infVec, zero, short): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val quarantined = spark.read.parquet(s"$dir/bad")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(quarantined == Set(10002L, 10003L, 10004L, 10005L), s"got $quarantined")
+    // the index grew by exactly the clean vector
+    val indexed = spark.read.parquet(s"$dir/index/cells")
+      .filter($"vec_id" >= 10000L).select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(10001L))
+    // pairs only involve the clean arrival (its planted near-dup of vec 1)
+    val pairIds = spark.read.parquet(s"$dir/pairs")
+      .select($"id_a", $"id_b").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairIds.contains(10001L) && !pairIds.exists(_ > 10001L),
+      s"quarantined ids leaked into pairs: $pairIds")
+  }
+
   test("streaming frequency ledger equals the single-build sketch over everything ingested") {
     import graft.operators.Sketches
     import spark.implicits._
