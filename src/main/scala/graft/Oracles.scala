@@ -2466,7 +2466,55 @@ object Oracles {
           |       CAST(sum(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
           |       min(norm2) AS min_norm2,
           |       max(norm2) AS max_norm2
-          |FROM n3 GROUP BY label ORDER BY label""".stripMargin)
+          |FROM n3 GROUP BY label ORDER BY label""".stripMargin) +
+      // q171: gap-session conversion per session-start day (q37's
+      // session rule + a purchase flag)
+      ("q171_session_conversion" ->
+        """WITH o AS (SELECT user_id, event_id, ts, event_type,
+          |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |           FROM events),
+          |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+          |                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+          |                     THEN 1 ELSE 0 END AS new_sess FROM o),
+          |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f),
+          |sess AS (
+          |  SELECT user_id, sess_seq, min(CAST(ts AS DATE)) AS d,
+          |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS converted
+          |  FROM s GROUP BY 1, 2)
+          |SELECT strftime(d, '%Y-%m-%d') AS day,
+          |       CAST(count(*) AS BIGINT) AS n_sessions,
+          |       CAST(sum(converted) AS BIGINT) AS n_converting,
+          |       CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
+          |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin) +
+      // q172: boilerplate span removal — df>=3 5-grams cut everywhere,
+      // q151/q152's covered-position reassembly
+      ("q172_boilerplate_scrub" ->
+        """WITH d AS (
+          |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |cg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+          |           i -> {'gpos': i, 'g': array_to_string(toks[i:i+4], ' ')})) AS s
+          |  FROM d WHERE len(toks) >= 5),
+          |gp AS (SELECT doc_id, s.gpos AS gpos, s.g AS g FROM cg),
+          |common AS (SELECT g FROM (
+          |  SELECT g, count(DISTINCT doc_id) AS df FROM gp GROUP BY g) WHERE df >= 3),
+          |cov AS (SELECT DISTINCT doc_id, unnest(range(gpos, gpos + 5)) AS pos
+          |        FROM gp JOIN common USING (g)),
+          |tokpos AS (
+          |  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+          |  FROM d)
+          |SELECT t.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_removed,
+          |       COALESCE(array_to_string(
+          |         list(t.token ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), ' '), '')
+          |         AS clean_text
+          |FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →

@@ -1713,6 +1713,83 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** Session conversion rate: gap-sessionize the event log (30-min
+    * inactivity, q37's rule), flag sessions containing a purchase, and
+    * report per session-start day the session count and conversion
+    * rate — the KPI a funnel experiment reads daily. The log shuffles
+    * once by user for the session window, collapses to a sessions-sized
+    * table, then to days; the rate is the single allowed division.
+    */
+  def q171_session_conversion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables
+      .events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+    val w    = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run  = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag($"ts", 1).over(w)
+    val sess = ev
+      .withColumn("new_sess",
+        when(prev.isNull || (unix_micros($"ts") - unix_micros(prev)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum($"new_sess").over(run).cast("int"))
+      .groupBy($"user_id", $"session_seq")
+      .agg(
+        min(to_date($"ts")).as("d"), // session-start day; DATE stays in-plan
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("converted"))
+    sess
+      .groupBy(date_format($"d", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_sessions"), sum($"converted").as("n_converting"))
+      .withColumn("conversion_rate", $"n_converting".cast("double") / $"n_sessions")
+      .orderBy($"day")
+  }
+
+  /** Boilerplate span removal: cut EVERY occurrence of a corpus-common
+    * 5-gram (document frequency ≥ 3 — q134's mining rule) and
+    * reassemble the documents — the execution half of boilerplate
+    * handling, where q135 only flags (headers, footers and licence
+    * blocks vanish from every document at once, not just the flagged
+    * ones). One positioned-shingle pass feeds BOTH the df mining and
+    * the cover (materialized — two scans otherwise); the common set is
+    * df-thresholded and broadcast-sized; the surgery is q151/q152's
+    * covered-position reassembly, all doc-keyed.
+    */
+  def q172_boilerplate_scrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables
+      .documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("toks"))
+    val grams = graft.operators.Materialize(
+      d.filter(size($"toks") >= 5)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 4), " +
+            "i -> struct(i AS gpos, array_join(slice(toks, i, 5), ' ') AS g))")).as("s"))
+        .select($"doc_id", $"s.gpos".as("gpos"), $"s.g".as("g")))
+    val common = grams
+      .select($"g", $"doc_id").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 3)
+      .select($"g")
+    val cov = grams
+      .join(common, Seq("g"))
+      .select($"doc_id", explode(expr("sequence(gpos, gpos + 4)")).as("pos"))
+      .distinct()
+      .withColumn("covered", lit(1))
+    d.select($"doc_id", posexplode($"toks").as(Seq("p0", "token")))
+      .withColumn("pos", $"p0" + 1)
+      .join(cov, Seq("doc_id", "pos"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"covered".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"covered".isNull, struct($"pos", $"token")))),
+            x => x.getField("token")),
+          " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-quality gate: per label, vector counts, dimension
     * bounds, non-finite detection (NaN/±Inf elements) and zero-norm
     * counts plus exact min/max squared norms — the audit that runs

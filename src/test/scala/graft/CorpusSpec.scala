@@ -653,6 +653,54 @@ class CorpusSpec extends SparkSpec {
     assert(hist == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
   }
 
+  test("session conversion: planted sessions split by the 30-min gap and flag purchases") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_sconv").toString
+    Seq(
+      // user 1, session A (converts): view then purchase 10 min later
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:10:00", 1L, "purchase"),
+      // user 1, session B (same day, 2h later — new session, no purchase)
+      (3L, "2024-01-01 12:30:00", 1L, "view"),
+      // user 2, one session next day, no purchase
+      (4L, "2024-01-02 09:00:00", 2L, "click"),
+      (5L, "2024-01-02 09:20:00", 2L, "view"),
+      // session spanning midnight counts on its START day (Jan 2)
+      (6L, "2024-01-02 23:50:00", 3L, "view"),
+      (7L, "2024-01-03 00:10:00", 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q171_session_conversion(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.size == 2, s"expected 2 days, got $rows") // nothing starts on Jan 3
+    assert(rows("2024-01-01") == ((2L, 1L, 0.5)))
+    assert(rows("2024-01-02") == ((2L, 1L, 0.5)))
+  }
+
+  test("boilerplate scrub: a shared header is cut everywhere, unique text survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_bscrub").toString
+    val header = "terms of use apply here" // the planted 5-gram boilerplate
+    Seq(
+      (1L, s"$header alpha beta gamma", "en", "src0", 0L),
+      (2L, s"$header delta epsilon", "en", "src0", 0L),
+      (3L, s"zeta $header", "en", "src1", 0L), // mid-doc occurrence
+      (4L, "completely unrelated words here now", "en", "src1", 0L),
+      (5L, "tiny doc", "en", "src1", 0L) // too short to shingle
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q172_boilerplate_scrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((8L, 5L, "alpha beta gamma")))
+    assert(rows(2L) == ((7L, 5L, "delta epsilon")))
+    assert(rows(3L) == ((6L, 5L, "zeta")))
+    // df < 3 grams never cut; short docs pass through whole
+    assert(rows(4L) == ((5L, 0L, "completely unrelated words here now")))
+    assert(rows(5L) == ((2L, 0L, "tiny doc")))
+  }
+
   test("embedding quality: planted NaN/Inf/zero/short vectors flag exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_vq").toString
