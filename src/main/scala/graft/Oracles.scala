@@ -2514,7 +2514,114 @@ object Oracles {
           |         list(t.token ORDER BY t.pos) FILTER (WHERE c.pos IS NULL), ' '), '')
           |         AS clean_text
           |FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
-          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) +
+      // q173: DSIR importance weights — Laplace-smoothed unigram
+      // log-likelihood ratio (target = lang 'en') summed per doc in
+      // DECIMAL(18,12) (the q133 order-independence convention), top
+      // quarter by rounded weight selected
+      ("q173_dsir_weights" ->
+        """WITH tf AS (
+          |  SELECT doc_id, lang, t AS token, CAST(count(*) AS BIGINT) AS tf FROM (
+          |    SELECT doc_id, lang,
+          |           unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+          |    FROM documents) GROUP BY 1, 2, 3),
+          |raw AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_raw FROM tf GROUP BY 1),
+          |tgt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_tgt
+          |        FROM tf WHERE lang = 'en' GROUP BY 1),
+          |model AS (SELECT r.token, r.c_raw, COALESCE(t.c_tgt, CAST(0 AS BIGINT)) AS c_tgt
+          |          FROM raw r LEFT JOIN tgt t USING (token)),
+          |sc AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+          |              CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+          |              CAST(count(*) AS BIGINT) AS v FROM model),
+          |per AS (
+          |  SELECT f.doc_id,
+          |         CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+          |         sum(CAST(f.tf * (ln(CAST(m.c_tgt + 1 AS DOUBLE) / (sc.n_tgt + sc.v)) -
+          |                          ln(CAST(m.c_raw + 1 AS DOUBLE) / (sc.n_raw + sc.v)))
+          |             AS DECIMAL(18,12))) AS s
+          |  FROM tf f JOIN model m USING (token) CROSS JOIN sc GROUP BY 1),
+          |w AS (SELECT doc_id, n_tokens,
+          |             round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logratio FROM per),
+          |r AS (SELECT doc_id, n_tokens, avg_logratio,
+          |             row_number() OVER (ORDER BY avg_logratio DESC, doc_id) AS rn,
+          |             count(*) OVER () AS cnt FROM w)
+          |SELECT doc_id, n_tokens, avg_logratio, rn <= cnt // 4 AS selected
+          |FROM r ORDER BY doc_id""".stripMargin) +
+      // q174: DAU / trailing-7-day WAU stickiness over the distinct
+      // user-day table
+      ("q174_stickiness" ->
+        """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+          |days AS (SELECT DISTINCT day AS d FROM ud),
+          |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+          |        FROM ud GROUP BY 1),
+          |wau AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+          |        FROM days JOIN ud ON ud.day >= d - 6 AND ud.day <= d GROUP BY 1)
+          |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+          |       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+          |FROM dau JOIN wau USING (day) ORDER BY 1""".stripMargin) +
+      // q175: per-source keyness — +1-smoothed log-odds vs the rest of
+      // the corpus (rest counts by subtraction from the global model),
+      // top-5 per source
+      ("q175_source_keyness" ->
+        """WITH tf AS (
+          |  SELECT source, t AS token, CAST(count(*) AS BIGINT) AS c_s FROM (
+          |    SELECT source,
+          |           unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+          |    FROM documents) GROUP BY 1, 2),
+          |per AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM tf GROUP BY 1),
+          |gl AS (SELECT token, CAST(sum(c_s) AS BIGINT) AS c_g FROM tf GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g FROM gl),
+          |sc AS (SELECT f.source, f.token,
+          |         round(ln((CAST(f.c_s + 1 AS DOUBLE) / (p.n_s - f.c_s + 1)) /
+          |                  (CAST(g.c_g - f.c_s + 1 AS DOUBLE) /
+          |                   (t.n_g - p.n_s - (g.c_g - f.c_s) + 1))), 6) AS keyness
+          |       FROM tf f JOIN gl g USING (token) JOIN per p USING (source)
+          |       CROSS JOIN tot t),
+          |r AS (SELECT source, token, keyness,
+          |             row_number() OVER (PARTITION BY source
+          |                                ORDER BY keyness DESC, token) AS rk FROM sc)
+          |SELECT source, token, keyness, CAST(rk AS BIGINT) AS rk
+          |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin) +
+      // q176: diagonal-Mahalanobis whitened norms — per-dim moments in
+      // DECIMAL sums, standardized squared terms re-summed in DECIMAL
+      ("q176_embedding_whitening" ->
+        """WITH flat AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+          |         CAST(unnest(embedding) AS DOUBLE) AS x
+          |  FROM embeddings),
+          |m AS (SELECT dim, count(*) AS n,
+          |             sum(CAST(x AS DECIMAL(18,12))) AS sx,
+          |             sum(CAST(x * x AS DECIMAL(18,12))) AS sxx
+          |      FROM flat GROUP BY 1),
+          |mm AS (SELECT dim, CAST(sx AS DOUBLE) / n AS mean,
+          |              sqrt(CAST(sxx AS DOUBLE) / n -
+          |                   (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS std
+          |       FROM m)
+          |SELECT f.vec_id,
+          |       round(sqrt(CAST(sum(CAST(((f.x - mm.mean) / mm.std) *
+          |                                ((f.x - mm.mean) / mm.std)
+          |                       AS DECIMAL(18,12))) AS DOUBLE)), 6) AS whitened_norm
+          |FROM flat f JOIN mm USING (dim) GROUP BY 1 ORDER BY 1""".stripMargin) +
+      // q177: Pareto revenue deciles — q163's integer-rank cut over
+      // DECIMAL-summed spend, running share over the 10-row rollup
+      ("q177_revenue_deciles" ->
+        """WITH pu AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS spend
+          |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |r AS (SELECT user_id, spend,
+          |             row_number() OVER (ORDER BY spend DESC, user_id) AS rn,
+          |             count(*) OVER () AS cnt FROM pu),
+          |d AS (SELECT user_id, spend, (rn - 1) * 10 // cnt + 1 AS decile FROM r),
+          |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS users,
+          |             sum(spend) AS revenue FROM d GROUP BY 1),
+          |c AS (SELECT decile, users, revenue,
+          |             sum(revenue) OVER (ORDER BY decile
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue,
+          |             sum(revenue) OVER () AS total FROM g)
+          |SELECT CAST(decile AS BIGINT) AS decile, users,
+          |       CAST(revenue AS DOUBLE) AS revenue,
+          |       round(CAST(revenue AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+          |       round(CAST(cum_revenue AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+          |FROM c ORDER BY decile""".stripMargin)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →

@@ -2041,4 +2041,216 @@ object QueriesCorpus {
           .as("novelty_frac"))
       .orderBy($"doc_id")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", re-expressed
+    * relationally): per document, the average per-token log-likelihood
+    * ratio between a TARGET bag-of-words model (here the `lang = 'en'`
+    * slice — the "domain we want more of") and the RAW corpus model,
+    * both Laplace-smoothed over the shared vocabulary; the top quarter
+    * by weight is flagged `selected`. The two unigram models are
+    * token-keyed aggregates (vocab-sized, shuffle ∝ distinct tokens,
+    * map-side combined); scalars (token totals, vocab size, doc count)
+    * broadcast as 1-row frames; per-token log ratios join back to the
+    * doc×token tf table on the token key — candidates scale with tf
+    * mass, never docs². Per-doc sums run in DECIMAL(18,12) so the
+    * double accumulation is order-independent (the q133 convention);
+    * the selection rank orders by the ROUNDED weight + doc_id so the
+    * cutoff is reproducible cross-engine. The global selection rank is
+    * a docs-sized window — at extreme doc counts swap in an
+    * approximate-quantile weight cutoff instead of row_number.
+    */
+  def q173_dsir_weights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val tf = graft.operators.Materialize(
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", explode(split($"text", "\\s+")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"lang", $"token")
+        .agg(count(lit(1)).as("tf")))
+    val raw = tf.groupBy($"token").agg(sum($"tf").as("c_raw"))
+    val tgt = tf.filter($"lang" === "en")
+      .groupBy($"token").agg(sum($"tf").as("c_tgt_nz"))
+    val model = raw.join(tgt, Seq("token"), "left")
+      .select($"token", $"c_raw", coalesce($"c_tgt_nz", lit(0L)).as("c_tgt"))
+    val scalars = broadcast(model.agg(
+      sum($"c_raw").as("n_raw"),
+      sum($"c_tgt").as("n_tgt"),
+      count(lit(1)).as("v")))
+    val perDoc = tf
+      .join(model, Seq("token"))
+      .crossJoin(scalars)
+      .select($"doc_id",
+        $"tf",
+        ($"tf" * (log(($"c_tgt" + 1).cast("double") / ($"n_tgt" + $"v")) -
+          log(($"c_raw" + 1).cast("double") / ($"n_raw" + $"v"))))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"), sum($"term").as("s"))
+      .select($"doc_id", $"n_tokens",
+        round($"s".cast("double") / $"n_tokens", 6).as("avg_logratio"))
+    val wSel = Window.orderBy($"avg_logratio".desc, $"doc_id")
+    val wAll = Window.partitionBy()
+    perDoc
+      .select($"doc_id", $"n_tokens", $"avg_logratio",
+        row_number().over(wSel).cast("long").as("rn"),
+        count(lit(1)).over(wAll).as("cnt"))
+      .select($"doc_id", $"n_tokens", $"avg_logratio",
+        ($"rn" <= expr("cnt div 4")).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  /** DAU / WAU stickiness: per calendar day, the distinct active users
+    * that day, the distinct users across the trailing 7-day window,
+    * and their ratio — the product-analytics engagement readout. The
+    * raw log first collapses to the distinct (day, user) table (ONE
+    * aggregation — everything downstream touches user-days, never raw
+    * events); the trailing window is a bounded range join (each
+    * user-day lands in ≤ 7 day buckets, so the fan-out is a fixed 7×
+    * of the user-day table, keyed by day for the distinct count). At
+    * 1000 executors the day key is low-cardinality but each day's
+    * distinct-user set is user-sized — AQE splits the skew; for
+    * extreme user counts swap the exact rolling distinct for a merged
+    * HLL ledger (the q55 machinery).
+    */
+  def q174_stickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = graft.operators.Materialize(
+      Tables.events(spark, dir)
+        .select(to_date($"ts").as("day"), $"user_id")
+        .distinct())
+    val days = ud.select($"day").distinct().withColumnRenamed("day", "d")
+    val dau = ud.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val wau = days
+      .join(ud, $"day".between(date_sub($"d", 6), $"d"))
+      .groupBy($"d")
+      .agg(countDistinct($"user_id").as("wau"))
+      .withColumnRenamed("d", "day")
+    dau.join(wau, Seq("day"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
+        round($"dau".cast("double") / $"wau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
+  /** Per-source distinctive vocabulary (keyness): for every source,
+    * the top-5 tokens by smoothed log-odds ratio of the token's odds
+    * inside the source vs in the REST of the corpus (Monroe et al.
+    * 2008's fightin'-words shape with +1 pseudo-counts) — the
+    * telemetry that surfaces what a source actually contributes
+    * ("src7 is the error-log source") before mixture decisions. The
+    * rest-of-corpus counts derive by subtraction from the global
+    * token aggregate, so the corpus shuffles ONCE on the token key
+    * (vocab-sized model, sources × vocab compare table); per-source
+    * totals broadcast. Each keyness value is one log of exact BIGINT
+    * arithmetic — deterministic cross-engine at round-6; the top-5
+    * window partitions by source over the source's vocab slice.
+    */
+  def q175_source_keyness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = graft.operators.Materialize(
+      Tables.documents(spark, dir)
+        .select($"source", explode(split($"text", "\\s+")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"source", $"token")
+        .agg(count(lit(1)).as("c_s")))
+    val perSrc = tf.groupBy($"source").agg(sum($"c_s").as("n_s"))
+    val global = tf.groupBy($"token").agg(sum($"c_s").as("c_g"))
+    val totals = broadcast(global.agg(sum($"c_g").as("n_g")))
+    val scored = tf
+      .join(global, Seq("token"))
+      .join(broadcast(perSrc), Seq("source"))
+      .crossJoin(totals)
+      .select($"source", $"token",
+        round(
+          log((($"c_s" + 1).cast("double") / ($"n_s" - $"c_s" + 1)) /
+            (($"c_g" - $"c_s" + 1).cast("double") / ($"n_g" - $"n_s" - ($"c_g" - $"c_s") + 1))),
+          6).as("keyness"))
+    val w = Window.partitionBy($"source").orderBy($"keyness".desc, $"token")
+    scored
+      .select($"source", $"token", $"keyness",
+        row_number().over(w).cast("long").as("rk"))
+      .filter($"rk" <= 5)
+      .orderBy($"source", $"rk")
+  }
+
+  /** Embedding whitening norms (diagonal Mahalanobis): standardize
+    * every dimension to zero mean / unit variance using corpus-wide
+    * per-dimension moments, then score each vector by its whitened
+    * L2 norm — the outlier readout that flags vectors far from the
+    * corpus distribution in ANY direction, where the raw L2 norm
+    * (q170's gate) misses directions with small natural variance.
+    * Plan: one posexplode pass (n×64 rows, doc-keyed), a 64-row
+    * per-dimension moment aggregate (map-side combined, DECIMAL sums
+    * so the float accumulation is order-independent — the q133
+    * convention, with x ∈ (−1, 1) so DECIMAL(18,12) truncation is
+    * identical cross-engine), broadcast back, and one per-vector
+    * aggregation. Nothing is ever vectors²; the moment table is KB-
+    * sized at any corpus scale.
+    */
+  def q176_embedding_whitening(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val flat = graft.operators.Materialize(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+        .select($"vec_id", $"dim", $"x".cast("double").as("x")))
+    val moments = broadcast(flat
+      .groupBy($"dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(DecimalType(18, 12))).as("sx"),
+        sum(($"x" * $"x").cast(DecimalType(18, 12))).as("sxx"))
+      .select($"dim",
+        ($"sx".cast("double") / $"n").as("mean"),
+        sqrt($"sxx".cast("double") / $"n" -
+          ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n")).as("std")))
+    flat
+      .join(moments, Seq("dim"))
+      .select($"vec_id",
+        ((($"x" - $"mean") / $"std") * (($"x" - $"mean") / $"std"))
+          .cast(DecimalType(18, 12)).as("t"))
+      .groupBy($"vec_id")
+      .agg(round(sqrt(sum($"t").cast("double")), 6).as("whitened_norm"))
+      .orderBy($"vec_id")
+  }
+
+  /** Revenue concentration (Pareto deciles): purchasing users ranked
+    * by DECIMAL-summed spend, cut into deciles by pure integer rank
+    * arithmetic (the q163 tercile rule), rolled up to per-decile user
+    * count, revenue, revenue share and cumulative share — the "top
+    * 10% of users drive X% of revenue" readout. The log collapses to
+    * a users-sized table in ONE aggregation; the decile windows rank
+    * that aggregate, not the log; the final table is 10 rows with a
+    * running DECIMAL sum. At extreme user cardinality swap the global
+    * rank for approximate spend-quantile cutoffs.
+    */
+  def q177_revenue_deciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables
+      .events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum($"value".cast("decimal(18,2)")).as("spend"))
+    val wR   = Window.orderBy($"spend".desc, $"user_id")
+    val wAll = Window.partitionBy()
+    val deciled = perUser
+      .select($"user_id", $"spend",
+        row_number().over(wR).cast("long").as("rn"),
+        count(lit(1)).over(wAll).as("cnt"))
+      .select($"user_id", $"spend", expr("(rn - 1) * 10 div cnt + 1").as("decile"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("users"), sum($"spend").as("revenue"))
+      .select($"decile", $"users", $"revenue",
+        sum($"revenue").over(wCum).as("cum_revenue"),
+        sum($"revenue").over(Window.partitionBy()).as("total"))
+      .select($"decile", $"users",
+        $"revenue".cast("double").as("revenue"),
+        round($"revenue".cast("double") / $"total".cast("double"), 6).as("share"),
+        round($"cum_revenue".cast("double") / $"total".cast("double"), 6).as("cum_share"))
+      .orderBy($"decile")
+  }
 }

@@ -827,4 +827,109 @@ class CorpusSpec extends SparkSpec {
     // too short to shingle: kept with zero grams and a NULL fraction
     assert(byId(4L).getLong(1) == 0L && byId(4L).getLong(2) == 0L && byId(4L).isNullAt(3))
   }
+
+  test("DSIR weights: target-aligned docs rank first, top quarter selected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_dsir").toString
+    Seq(
+      (1L, "alpha alpha", "en", "src0", 0L), // pure target vocabulary
+      (2L, "alpha beta", "en", "src0", 0L),
+      (3L, "beta beta", "fr", "src0", 0L),
+      (4L, "gamma gamma", "de", "src0", 0L) // never seen in target
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q173_dsir_weights(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // hand model: target alpha=3 beta=1 (N_t=4); raw alpha=3 beta=3
+    // gamma=2 (N_r=8); V=3 → λ(alpha)=ln(11/7), λ(beta)=ln(11/14),
+    // λ(gamma)=ln(11/21)
+    assert(math.abs(rows(1L)._2 - math.log(11.0 / 7)) < 5e-6)
+    assert(math.abs(rows(3L)._2 - math.log(11.0 / 14)) < 5e-6)
+    assert(math.abs(rows(4L)._2 - math.log(11.0 / 21)) < 5e-6)
+    // weights order d1 > d2 > d3 > d4; 4 div 4 = 1 doc selected
+    assert(rows(1L)._2 > rows(2L)._2 && rows(2L)._2 > rows(3L)._2 &&
+      rows(3L)._2 > rows(4L)._2)
+    assert(rows(1L)._3 && !rows(2L)._3 && !rows(3L)._3 && !rows(4L)._3)
+    assert(rows(1L)._1 == 2L && rows(2L)._1 == 2L)
+  }
+
+  test("stickiness: trailing 7-day WAU counts users active on ANY window day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_stick").toString
+    val ev = (1 to 8).map(d =>
+      (d.toLong, f"2024-01-$d%02d 10:00:00", 1L, "view", 0.0)) ++ Seq(
+      (20L, "2024-01-01 12:00:00", 3L, "click", 0.0), // user 3 only day 1
+      (21L, "2024-01-08 12:00:00", 2L, "view", 0.0)   // user 2 only day 8
+    )
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q174_stickiness(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.size == 8)
+    assert(rows("2024-01-01") == ((2L, 2L, 1.0))) // users {1,3} both day and window
+    assert(rows("2024-01-02") == ((1L, 2L, 0.5))) // user 3 still in the window
+    assert(rows("2024-01-07") == ((1L, 2L, 0.5))) // day 1 is the window's edge
+    assert(rows("2024-01-08") == ((2L, 2L, 1.0))) // user 3 aged out, user 2 in
+  }
+
+  test("source keyness: each source's exclusive token tops its ranking") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_key").toString
+    Seq(
+      (1L, "alpha alpha common", "en", "srcA", 0L),
+      (2L, "beta beta common", "en", "srcB", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q175_source_keyness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> ((r.getString(1), r.getDouble(2)))).toMap
+    // keyness(srcA, alpha) = ln((3/2)/(1/4)) = ln 6; the shared token
+    // has identical odds on both sides → exactly 0
+    assert(rows(("srcA", 1L))._1 == "alpha")
+    assert(math.abs(rows(("srcA", 1L))._2 - math.log(6.0)) < 5e-6)
+    assert(rows(("srcB", 1L))._1 == "beta")
+    assert(rows(("srcA", 2L)) == (("common", 0.0)))
+    assert(rows(("srcB", 2L)) == (("common", 0.0)))
+  }
+
+  test("embedding whitening: unit-variance dims give exact Mahalanobis norms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_whiten").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 2.0f), 1),
+      (4L, Array(-1.0f, -2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = QueriesCorpus.q176_embedding_whitening(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // dim0: mean 0, std 1; dim1: mean 0, std √2 → norms 1 and √3
+    assert(rows(1L) == 1.0 && rows(2L) == 1.0)
+    assert(math.abs(rows(3L) - math.sqrt(3.0)) < 5e-6)
+    assert(math.abs(rows(4L) - math.sqrt(3.0)) < 5e-6)
+  }
+
+  test("revenue deciles: integer-rank cut, running share reaches exactly 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_decile").toString
+    val ev = (1 to 20).map(i =>
+      (i.toLong, "2024-01-01 00:00:00", i.toLong, "purchase", i.toDouble)) :+
+      (99L, "2024-01-01 01:00:00", 1L, "view", 999.0) // non-purchase ignored
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q177_revenue_deciles(spark, dir).collect()
+    assert(rows.length == 10)
+    val byDecile = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // 20 users → 2 per decile; decile 1 = spenders {20, 19}, total 210
+    assert(byDecile(1L)._1 == 2L && byDecile(1L)._2 == 39.0)
+    assert(math.abs(byDecile(1L)._3 - 39.0 / 210) < 5e-7)
+    assert(byDecile(10L)._1 == 2L && byDecile(10L)._2 == 3.0)
+    assert(byDecile(10L)._4 == 1.0) // cumulative share closes exactly
+  }
 }
