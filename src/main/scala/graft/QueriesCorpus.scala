@@ -2106,13 +2106,15 @@ object QueriesCorpus {
     * and their ratio — the product-analytics engagement readout. The
     * raw log first collapses to the distinct (day, user) table (ONE
     * aggregation — everything downstream touches user-days, never raw
-    * events); the trailing window is a bounded range join (each
-    * user-day lands in ≤ 7 day buckets, so the fan-out is a fixed 7×
-    * of the user-day table, keyed by day for the distinct count). At
-    * 1000 executors the day key is low-cardinality but each day's
-    * distinct-user set is user-sized — AQE splits the skew; for
-    * extreme user counts swap the exact rolling distinct for a merged
-    * HLL ledger (the q55 machinery).
+    * events); the trailing window avoids a non-equi range join
+    * entirely: each user-day EXPLODES into the ≤ 7 anchor days whose
+    * window covers it (a fixed 7× fan-out of the user-day table),
+    * semi-joined on the equi day key against the observed-days list
+    * (tiny, broadcast) and aggregated per anchor. At 1000 executors
+    * the day key is low-cardinality but each day's distinct-user set
+    * is user-sized — AQE splits the skew; for extreme user counts
+    * swap the exact rolling distinct for a merged HLL ledger (the
+    * q55 machinery).
     */
   def q174_stickiness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2120,13 +2122,13 @@ object QueriesCorpus {
       Tables.events(spark, dir)
         .select(to_date($"ts").as("day"), $"user_id")
         .distinct())
-    val days = ud.select($"day").distinct().withColumnRenamed("day", "d")
+    val days = ud.select($"day").distinct()
     val dau = ud.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
-    val wau = days
-      .join(ud, $"day".between(date_sub($"d", 6), $"d"))
-      .groupBy($"d")
+    val wau = ud
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"), $"user_id")
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy($"day")
       .agg(countDistinct($"user_id").as("wau"))
-      .withColumnRenamed("d", "day")
     dau.join(wau, Seq("day"))
       .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
         round($"dau".cast("double") / $"wau", 6).as("stickiness"))
