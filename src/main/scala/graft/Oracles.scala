@@ -2621,7 +2621,39 @@ object Oracles {
           |       CAST(revenue AS DOUBLE) AS revenue,
           |       round(CAST(revenue AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
           |       round(CAST(cum_revenue AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
-          |FROM c ORDER BY decile""".stripMargin)
+          |FROM c ORDER BY decile""".stripMargin) +
+      // q178: Efraimidis–Spirakis weighted sample — 52-bit sha uniform,
+      // key = ln(u)/weight, top-50 by the unrounded key
+      ("q178_weighted_sample" ->
+        """WITH keyed AS (
+          |  SELECT doc_id, source, n_chars,
+          |         ln((('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+          |             + 0.5) / 4503599627370496.0) / n_chars AS k
+          |  FROM documents WHERE n_chars > 0),
+          |top AS (SELECT doc_id, source, n_chars, k FROM keyed
+          |        ORDER BY k DESC, doc_id LIMIT 50)
+          |SELECT doc_id, source, n_chars, round(k, 6) AS sample_key
+          |FROM top ORDER BY doc_id""".stripMargin) +
+      // q179: directed near-containment pairs — q25's shared-shingle
+      // join, both directions, normalized by the contained side's size
+      ("q179_containment_pairs" ->
+        """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+          |       FROM tok WHERE len(toks) >= 3),
+          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+          |shared AS (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS n_shared
+          |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |           GROUP BY 1, 2),
+          |directed AS (
+          |  SELECT lo AS id_a, hi AS id_b, n_shared FROM shared
+          |  UNION ALL
+          |  SELECT hi AS id_a, lo AS id_b, n_shared FROM shared)
+          |SELECT id_a, id_b, n_shared, sa.sz AS size_a,
+          |       CAST(n_shared AS DOUBLE) / sa.sz AS containment
+          |FROM directed JOIN sizes sa ON sa.doc_id = id_a
+          |WHERE CAST(n_shared AS DOUBLE) / sa.sz >= 0.8
+          |ORDER BY id_a, id_b""".stripMargin)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →

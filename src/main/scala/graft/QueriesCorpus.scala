@@ -2217,6 +2217,35 @@ object QueriesCorpus {
       .orderBy($"vec_id")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res, re-expressed relationally): each document draws a
+    * reproducible uniform u from sha256(doc_id) (13 hex chars → exact
+    * 52-bit integer, +0.5 to dodge ln 0) and keys itself with
+    * ln(u) / weight (the log form of u^(1/w)); the k = 50 largest keys
+    * ARE a weighted sample without replacement, longer docs (weight =
+    * n_chars) proportionally likelier. This is the distributed answer
+    * to "sample k docs by token mass" — a pure per-row projection plus
+    * ONE top-k (TakeOrderedAndProject — per-partition heads, driver
+    * merge, never a global sort), reproducible across engines, runs
+    * and retries because the randomness is content-addressed, exactly
+    * like q59's stratified thresholds. Single IEEE ops (division, ln)
+    * are bit-identical cross-engine; the output rounds for the hash
+    * while the RANK comes from the unrounded key.
+    */
+  def q178_weighted_sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = expr("cast(conv(substring(sha2(cast(doc_id as string), 256), 1, 13), 16, 10) as bigint)")
+    val key = log((v.cast("double") + 0.5) / lit(4503599627370496.0)) / $"n_chars"
+    Tables
+      .documents(spark, dir)
+      .filter($"n_chars" > 0)
+      .select($"doc_id", $"source", $"n_chars", key.as("k"))
+      .orderBy($"k".desc, $"doc_id")
+      .limit(50)
+      .select($"doc_id", $"source", $"n_chars", round($"k", 6).as("sample_key"))
+      .orderBy($"doc_id")
+  }
+
   /** Revenue concentration (Pareto deciles): purchasing users ranked
     * by DECIMAL-summed spend, cut into deciles by pure integer rank
     * arithmetic (the q163 tercile rule), rolled up to per-decile user

@@ -529,4 +529,20 @@ object QueriesDedup {
       .select($"size", $"n_clusters", ($"size" * $"n_clusters").as("n_docs"))
       .orderBy($"size")
   }
+
+  /** Directed near-containment pairs (C(a→b) = |Sa∩Sb|/|Sa| ≥ 0.8 on
+    * 3-gram shingle sets) — the asymmetric dup signal the symmetric
+    * Jaccard family (q25/q26) misses: a doc embedded inside a longer
+    * one scores low Jaccard but containment ≈ 1 (syndication with
+    * added chrome). Same candidates-∝-shared-shingle-mass join shape
+    * as q25; both directions derive from ONE undirected join.
+    */
+  def q179_containment_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup
+      .containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select($"id_a", $"id_b", $"n_shared", $"size_a", $"containment")
+      .orderBy($"id_a", $"id_b")
+  }
 }

@@ -121,6 +121,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed near-containment pairs: C(a→b) = |Sa ∩ Sb| / |Sa| over
+    * distinct n-gram shingle sets — the ASYMMETRIC dup signal Jaccard
+    * misses (a short doc wholly embedded in a long one scores low
+    * Jaccard but containment ≈ 1; the syndication-with-added-chrome
+    * case). One undirected shared-shingle equi-join (candidates ∝
+    * shared-shingle mass, exactly [[ngramJaccardPairs]]'s shape — never
+    * docs²) emits BOTH directions, each normalized by its own source
+    * set size; rows where C ≥ threshold survive. `id_a` is the
+    * contained side.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val sets  = materialize(shingleSets(df, idCol, textCol, n))
+    val ex    = sets.select(col(idCol).as("id"), explode(col("shingle_set")).as("s"))
+    val sizes = sets.select(col(idCol).as("id"), size(col("shingle_set")).cast("long").as("sz"))
+    val shared = ex
+      .as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("lo"), col("b.id").as("hi"))
+      .agg(count(lit(1)).as("n_shared"))
+    val directed = shared
+      .select(col("lo").as("id_a"), col("hi").as("id_b"), col("n_shared"))
+      .unionByName(shared
+        .select(col("hi").as("id_a"), col("lo").as("id_b"), col("n_shared")))
+    directed
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("sa.sz").as("size_a"),
+        (col("n_shared").cast("double") / col("sa.sz")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Per-shingle 64-bit base hash: ONE string hash per shingle; the k
     * signature functions then hash this 8-byte value, not the string
     * (k× cheaper on long shingles). MUST be materialized in its own

@@ -508,4 +508,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringPairs(docs.unionByName(tiny), "doc_id", "text", k = 8)
       .filter($"doc_a" === 9L || $"doc_b" === 9L).count() == 0)
   }
+
+  test("containment pairs: embedded doc scores 1 toward its host, not back") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, short),
+      (2L, s"intro words here $short plus trailing chrome tokens now"),
+      (3L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1's 2 shingles both appear in doc 2 → C(1→2) = 1; doc 2 has
+    // many more shingles → C(2→1) = 2/|S2| < 0.8 and must NOT appear
+    assert(rows.keySet == Set((1L, 2L)))
+    val (nShared, sizeA, c) = rows((1L, 2L))
+    assert(nShared == 2L && sizeA == 2L && c == 1.0)
+  }
+
+  test("weighted sample: content-addressed keys match an independent recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_spec_wsample").toString
+    val docs = (1L to 80L).map(i => (i, "txt", "en", s"src${i % 3}", 10L * (i % 7 + 1)))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def key(id: Long, w: Long): Double = {
+      val md  = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      math.log((java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0) / w
+    }
+    val expected = docs
+      .map { case (id, _, _, src, w) => (id, src, w, key(id, w)) }
+      .sortBy { case (id, _, _, k) => (-k, id) }
+      .take(50)
+      .sortBy(_._1)
+      .map { case (id, src, w, k) =>
+        (id, src, w, BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val got = QueriesCorpus.q178_weighted_sample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.size == 50)
+    assert(got == expected)
+    // reproducible: a second run returns the identical sample
+    val again = QueriesCorpus.q178_weighted_sample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(again == got)
+  }
 }
