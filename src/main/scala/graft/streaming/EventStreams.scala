@@ -311,6 +311,86 @@ object EventStreams {
       }
       .start()
 
+  private def userDays(ev: DataFrame): DataFrame =
+    ev.select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("user_id"))
+      .distinct()
+
+  /** Seed the user-day ledger (batch_id = -1): the distinct
+    * (day, user_id) table. Batch deltas arrive day-clustered, so the
+    * per-batch stickiness fold's day filter prunes on parquet footer
+    * min/max stats and reads only the ~13-day file slice around the
+    * batch — never the event history, never the full ledger (at
+    * extreme history length lay the ledger out `partitionBy(day)` for
+    * structural directory pruning; seed with a non-empty frame then).
+    * Same replay discipline as [[seedDailyLedger]]: per-batch
+    * partitions, exact set union as the fold.
+    */
+  def seedUserDayLedger(events: DataFrame, ledgerDir: String): Unit =
+    userDays(events).write.mode("overwrite").parquet(s"$ledgerDir/batch_id=-1")
+
+  /** Streaming twin of q174's DAU/WAU stickiness: each micro-batch
+    * folds its distinct user-days into the ledger and re-emits the
+    * stickiness rows for ONLY the anchor days its arrivals can move —
+    * observed days within [batch day, batch day + 6] (a day's DAU and
+    * trailing WAU both only ever see user-days ≤ 6 days older, so the
+    * ledger read prunes to the ~13-day window around the batch via
+    * footer day stats; cost is O(batch window), independent of
+    * history length).
+    * The WAU is the same explode-to-equi-join as the batch query —
+    * each user-day fans into its ≤ 7 anchors, no range join. With
+    * day-monotone arrival each day is emitted exactly once, in the
+    * micro-batch it arrives in, equal to the batch q174 row (pinned in
+    * StreamingSpec); replay overwrites the batch's own telemetry and
+    * delta partitions and excludes them from the fold, so a re-run
+    * batch emits identically.
+    */
+  def incrementalStickiness(
+      events: DataFrame,
+      telemetryDir: String,
+      ledgerDir: String
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Materialize(userDays(batch))
+        val bounds = delta.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+        if (!bounds.isNullAt(0)) {
+          val lo     = java.time.LocalDate.parse(bounds.getString(0))
+          val hi     = java.time.LocalDate.parse(bounds.getString(1))
+          val readLo = lo.minusDays(6).toString
+          val readHi = hi.plusDays(6).toString
+          // the pruned ledger slice: 13 observed-day directories max
+          val eff = spark.read.parquet(ledgerDir)
+            .filter(col("batch_id") =!= batchId) // replay: ignore own leftovers
+            .filter(col("day") >= readLo && col("day") <= readHi)
+            .select(col("day").cast("string").as("day"), col("user_id"))
+            .unionByName(delta)
+            .distinct()
+          // anchors the batch can move: observed ∩ ∪_{batch day b} [b, b+6]
+          val anchorSet = delta
+            .select(explode(expr("sequence(to_date(day), date_add(to_date(day), 6))")).as("d"))
+            .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+            .distinct()
+          val dau = eff
+            .join(anchorSet, Seq("day"), "left_semi")
+            .groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+          val wau = eff
+            .select(explode(expr("sequence(to_date(day), date_add(to_date(day), 6))")).as("d"),
+              col("user_id"))
+            .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("user_id"))
+            .join(anchorSet, Seq("day"), "left_semi")
+            .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+          dau.join(wau, Seq("day"))
+            .select(col("day"), col("dau"), col("wau"),
+              round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+            .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        }
+        delta.write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Run a bounded stream to completion into a memory sink and return
     * the result — the batch-equivalence harness used by tests.
     */

@@ -971,4 +971,48 @@ class StreamingSpec extends SparkSpec {
     assert(folded == counts.zipWithIndex.map { case (c, d) =>
       f"2024-01-${d + 1}%02d" -> c.toLong }.toMap)
   }
+
+  test("streaming stickiness: day-monotone batches reproduce the batch q174 rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_stick").toString
+    // user 1 active days 1..8, user 3 only day 1, user 2 only day 8 —
+    // the CorpusSpec window-edge/age-out fixture
+    val evs = (1 to 8).map(d =>
+      (d.toLong, f"2024-01-$d%02d 10:00:00", 1L, "view", 0.0)) ++ Seq(
+      (20L, "2024-01-01 12:00:00", 3L, "click", 0.0),
+      (21L, "2024-01-08 12:00:00", 2L, "view", 0.0))
+    val fixtureDir = s"$dir/fixture"
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$fixtureDir/events.parquet")
+    val want = QueriesCorpus.q174_stickiness(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    val empty = Tables.events(spark, fixtureDir).filter(lit(false))
+    EventStreams.seedUserDayLedger(empty, s"$dir/ledger")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String, Double)]
+    val q = EventStreams.incrementalStickiness(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts".cast("timestamp")),
+      s"$dir/tel", s"$dir/ledger")
+    // day-grouped batches: {1,2}, {3..7}, {8}
+    val byDay = evs.groupBy(_._2.take(10)).toSeq.sortBy(_._1).map(_._2)
+    try {
+      ms.addData(byDay.take(2).flatten: _*); q.processAllAvailable()
+      ms.addData(byDay.slice(2, 7).flatten: _*); q.processAllAvailable()
+      ms.addData(byDay(7): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // day-monotone arrival → each day emitted once, in its own batch,
+    // equal to the batch q174 row
+    val got = spark.read.parquet(s"$dir/tel")
+      .select($"day", $"dau", $"wau", $"stickiness").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, s"stream stickiness $got != batch q174 $want")
+    // the ledger folds to exactly the distinct user-day set
+    val folded = spark.read.parquet(s"$dir/ledger")
+      .select($"day", $"user_id").distinct().count()
+    assert(folded == 10L)
+  }
 }
