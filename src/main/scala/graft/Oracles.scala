@@ -2653,7 +2653,52 @@ object Oracles {
           |       CAST(n_shared AS DOUBLE) / sa.sz AS containment
           |FROM directed JOIN sizes sa ON sa.doc_id = id_a
           |WHERE CAST(n_shared AS DOUBLE) / sa.sz >= 0.8
-          |ORDER BY id_a, id_b""".stripMargin)
+          |ORDER BY id_a, id_b""".stripMargin) +
+      // q180: content-addressed split assignment — same salted sha
+      // byte, same threshold strings, recomputed from scratch
+      ("q180_split_assignment" ->
+        """WITH s AS (
+          |  SELECT source, n_chars,
+          |         substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+          |  FROM documents)
+          |SELECT source,
+          |       CASE WHEN b < 'cc' THEN 'train'
+          |            WHEN b < 'e6' THEN 'val' ELSE 'test' END AS split,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+          |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin) +
+      // q181: k-anonymity rollup — the same quasi-identifier grid
+      // (type, day, value // 50) and the same k = 5 bar
+      ("q181_k_anonymity" ->
+        """WITH combos AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         CAST(floor(value / 50.0) AS BIGINT) AS vb,
+          |         CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+          |         CAST(count(*) AS BIGINT) AS n_rows
+          |  FROM events GROUP BY 1, 2, 3)
+          |SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n_combos,
+          |       CAST(sum(CASE WHEN users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_combos,
+          |       CAST(sum(CASE WHEN users < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS risky_rows,
+          |       round(CAST(sum(CASE WHEN users < 5 THEN n_rows ELSE 0 END) AS DOUBLE)
+          |             / CAST(sum(n_rows) AS BIGINT), 6) AS risk_share
+          |FROM combos GROUP BY 1 ORDER BY event_type""".stripMargin) +
+      // q182: char-level entropy — per-char explode, −p·ln p / ln 2
+      // DECIMAL terms (the q74/q133 discipline)
+      ("q182_char_entropy" ->
+        """WITH ch AS (
+          |  SELECT doc_id, ch FROM (
+          |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+          |  WHERE ch <> ''),
+          |cf AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+          |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chars_tok FROM ch GROUP BY 1)
+          |SELECT doc_id, n_chars_tok,
+          |       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+          |       round(CAST(sum(CAST(-(c / CAST(n_chars_tok AS DOUBLE))
+          |                            * ln(c / CAST(n_chars_tok AS DOUBLE)) / ln(2)
+          |                          AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy_bits
+          |FROM cf JOIN n USING (doc_id)
+          |GROUP BY doc_id, n_chars_tok ORDER BY doc_id""".stripMargin)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →

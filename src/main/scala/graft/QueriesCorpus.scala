@@ -2284,4 +2284,92 @@ object QueriesCorpus {
         round($"cum_revenue".cast("double") / $"total".cast("double"), 6).as("cum_share"))
       .orderBy($"decile")
   }
+
+  /** Deterministic stratified train/val/test split: every document
+    * hashes itself into a split (first sha-256 byte of a salted
+    * doc_id: < 0xcc train ≈ 79.7%, < 0xe6 val ≈ 10.2%, else test) —
+    * content-addressed like q59's sampling thresholds, so the
+    * assignment is reproducible across engines, runs, retries and
+    * INCREMENTAL ingests (a new batch lands in the same splits with
+    * no coordination against history, which a random split cannot
+    * do). Per-row projection + one aggregation; the report is
+    * sources × 3 rows. Changing the salt string re-rolls the split
+    * without touching data.
+    */
+  def q180_split_assignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = substring(sha2(concat(lit("split:"), $"doc_id".cast("string")), 256), 1, 2)
+    Tables
+      .documents(spark, dir)
+      .select($"source", $"n_chars",
+        when(b < "cc", "train").when(b < "e6", "val").otherwise("test").as("split"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"source", $"split")
+  }
+
+  /** k-anonymity audit over the event log: quasi-identifier =
+    * (event_type, day, value bucket); a combination matched by fewer
+    * than k = 5 distinct users re-identifies them. Reports, per event
+    * type, how many combinations exist, how many are risky, and the
+    * share of event rows that would need suppression or coarsening —
+    * the privacy gate a training-data pipeline runs before events
+    * leave the trust boundary. One shuffle keyed by the combination
+    * and one tiny rollup; combinations grow with the identifier
+    * grid, not with event volume, so the intermediate stays bounded
+    * at any scale.
+    */
+  def q181_k_anonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val combos = Tables
+      .events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"),
+        floor($"value" / 50.0).cast("long").as("vb"), $"user_id")
+      .groupBy($"event_type", $"day", $"vb")
+      .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n_rows"))
+    combos
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_combos"),
+        sum(when($"users" < k, 1L).otherwise(0L)).as("risky_combos"),
+        sum(when($"users" < k, $"n_rows").otherwise(0L)).as("risky_rows"),
+        sum($"n_rows").as("total_rows"))
+      .select($"event_type", $"n_combos", $"risky_combos", $"risky_rows",
+        round($"risky_rows".cast("double") / $"total_rows", 6).as("risk_share"))
+      .orderBy($"event_type")
+  }
+
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * gibberish gate that token-level diversity (q74) cannot see:
+    * base64 blobs, minified code and key-mash runs have near-uniform
+    * char distributions (high entropy) or single-char floods (near
+    * zero), while natural text sits in a narrow band. Each −p·log₂ p
+    * term is cast to DECIMAL before summing (the q74 discipline) so
+    * the aggregate is order-independent and bit-equal across engines.
+    * Char explode fans out by document LENGTH, but both shuffles key
+    * on doc_id — even spread at any corpus size.
+    */
+  def q182_char_entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val ch = Tables
+      .documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .filter($"ch" =!= "")
+    val cf = ch.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    val n  = ch.groupBy($"doc_id").agg(count(lit(1)).as("n_chars_tok"))
+    cf.join(n, Seq("doc_id"))
+      .select(
+        $"doc_id",
+        $"n_chars_tok",
+        (-($"c" / $"n_chars_tok".cast("double")) *
+          log($"c" / $"n_chars_tok".cast("double")) / lit(math.log(2.0)))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id", $"n_chars_tok")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        round(sum($"term").cast("double"), 6).as("entropy_bits"))
+      .select($"doc_id", $"n_chars_tok", $"n_distinct_chars", $"entropy_bits")
+      .orderBy($"doc_id")
+  }
 }
