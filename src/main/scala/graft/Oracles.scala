@@ -2698,7 +2698,59 @@ object Oracles {
           |                            * ln(c / CAST(n_chars_tok AS DOUBLE)) / ln(2)
           |                          AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy_bits
           |FROM cf JOIN n USING (doc_id)
-          |GROUP BY doc_id, n_chars_tok ORDER BY doc_id""".stripMargin)
+          |GROUP BY doc_id, n_chars_tok ORDER BY doc_id""".stripMargin) +
+      ("q183_minhash_calibration" -> q183Sql) +
+      // q184: exact microsecond gaps off the same per-user window,
+      // DECIMAL moment sums, doubles only in the final division
+      ("q184_burstiness" ->
+        """WITH g AS (
+          |  SELECT user_id,
+          |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+          |  FROM events),
+          |a AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+          |         sum(CAST(gap_us AS DECIMAL(19,0))) AS sx,
+          |         sum(CAST(gap_us AS DECIMAL(19,0)) * CAST(gap_us AS DECIMAL(19,0))) AS sxx
+          |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1),
+          |m AS (
+          |  SELECT user_id, n_gaps,
+          |         CAST(sx AS DOUBLE) / n_gaps AS mean_us,
+          |         CAST(sxx AS DOUBLE) / n_gaps AS m2_us
+          |  FROM a WHERE n_gaps >= 5)
+          |SELECT user_id, n_gaps,
+          |       round(mean_us / 1e6, 6) AS mean_gap_s,
+          |       round(sqrt(greatest(0.0, m2_us - mean_us * mean_us)) / mean_us, 6) AS cv
+          |FROM m ORDER BY user_id""".stripMargin) +
+      // q185: the q120 fixed-merge recursive tokenizer, rolled up to
+      // languages with whitespace-word denominators
+      ("q185_tokenizer_fertility" ->
+        """WITH RECURSIVE words AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+          |  FROM documents),
+          |spaced AS (
+          |  SELECT doc_id, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+          |  FROM words),
+          |m1 AS (
+          |  SELECT doc_id, s FROM spaced
+          |  UNION ALL
+          |  SELECT doc_id, regexp_replace(s, ' t h ', ' th ') FROM m1 WHERE contains(s, ' t h ')),
+          |m1f AS (SELECT doc_id, s FROM m1 WHERE NOT contains(s, ' t h ')),
+          |m2 AS (
+          |  SELECT doc_id, s FROM m1f
+          |  UNION ALL
+          |  SELECT doc_id, regexp_replace(s, ' th e ', ' the ') FROM m2 WHERE contains(s, ' th e ')),
+          |m2f AS (SELECT doc_id, s FROM m2 WHERE NOT contains(s, ' th e ')),
+          |perdoc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |         CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens
+          |  FROM m2f GROUP BY doc_id)
+          |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_words) AS BIGINT) AS n_words,
+          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |       round(CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 6) AS fertility
+          |FROM perdoc JOIN documents d USING (doc_id)
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →
@@ -2763,6 +2815,54 @@ object Oracles {
       |                      - 2 * list_inner_product(vd.dv, c.cent)
       |                      + list_inner_product(c.cent, c.cent), c.cluster) AS rn
       |    FROM vd CROSS JOIN c1 c) WHERE rn = 1)""".stripMargin
+
+  /** q183: replay the PORTABLE 16-component MinHash signature (two
+    * sha-256 digests per shingle, 8-hex-char chunks, min per
+    * component) and the exact shared-shingle Jaccard, then roll the
+    * estimator error up by exact-Jaccard decile — the component list
+    * is generated, not hand-written, so engine and oracle can't drift.
+    */
+  private def q183Sql: String = {
+    val comps = (0 until 16).map { i =>
+      val src = if (i < 8) "h1" else "h2"
+      s"min(substring($src, ${1 + 8 * (i % 8)}, 8)) AS m$i"
+    }.mkString(",\n|         ")
+    val eq = (0 until 16)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+       |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+       |       FROM tok WHERE len(toks) >= 3),
+       |hx AS (SELECT doc_id, sha256(s) AS h1, sha256('x' || s) AS h2 FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $comps
+       |  FROM hx GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |         CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard
+       |  FROM shared JOIN sizes sa ON sa.doc_id = id_a
+       |              JOIN sizes sb ON sb.doc_id = id_b),
+       |est AS (
+       |  SELECT p.jaccard, ($eq) / 16.0 AS est
+       |  FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b),
+       |terms AS (
+       |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+       |         CAST(jaccard AS DECIMAL(18,12)) AS j,
+       |         CAST(est AS DECIMAL(18,12)) AS e,
+       |         CAST(abs(est - jaccard) AS DECIMAL(18,12)) AS ae
+       |  FROM est)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       round(CAST(sum(j) AS DOUBLE) / count(*), 6) AS mean_exact,
+       |       round(CAST(sum(e) AS DOUBLE) / count(*), 6) AS mean_est,
+       |       round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mean_abs_err
+       |FROM terms GROUP BY decile ORDER BY decile""".stripMargin
+  }
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -2372,4 +2372,70 @@ object QueriesCorpus {
       .select($"doc_id", $"n_chars_tok", $"n_distinct_chars", $"entropy_bits")
       .orderBy($"doc_id")
   }
+
+  /** Inter-arrival burstiness per user: mean gap and coefficient of
+    * variation (σ/μ) over successive event gaps — CV ≈ 1 is Poisson
+    * traffic, ≫ 1 is bursty (bot bursts, retry storms), ≪ 1 is
+    * metronomic (schedulers pretending to be users). Gaps are EXACT
+    * microsecond longs off one per-user window; the moment sums are
+    * DECIMAL (the q176 discipline — σ² from Σx/Σx² stays order-
+    * independent), doubles appear only in the final per-user division.
+    * One shuffle keyed by user_id; per-key state is two numbers, so a
+    * hot user never spills more than its own event slice.
+    */
+  def q184_burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val gaps = Tables
+      .events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .select($"user_id", ($"us" - lag($"us", 1).over(
+        Window.partitionBy($"user_id").orderBy($"us", $"event_id"))).as("gap_us"))
+      .filter($"gap_us".isNotNull)
+    gaps
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum($"gap_us".cast(DecimalType(19, 0))).as("sx"),
+        sum($"gap_us".cast(DecimalType(19, 0)) * $"gap_us".cast(DecimalType(19, 0))).as("sxx"))
+      .filter($"n_gaps" >= 5)
+      .select($"user_id", $"n_gaps",
+        ($"sx".cast("double") / $"n_gaps").as("mean_us"),
+        ($"sxx".cast("double") / $"n_gaps").as("m2_us"))
+      .select($"user_id", $"n_gaps",
+        round($"mean_us" / 1e6, 6).as("mean_gap_s"),
+        round(
+          sqrt(greatest(lit(0.0), $"m2_us" - $"mean_us" * $"mean_us")) / $"mean_us",
+          6).as("cv"))
+      .orderBy($"user_id")
+  }
+
+  /** Tokenizer fertility by language: BPE tokens emitted per
+    * whitespace word under the q120 fixed-merge tokenizer — the
+    * mixture-design number that prices each language's token budget
+    * (high-fertility languages consume more compute per word, so a
+    * token-budgeted mixture over-samples them unless corrected).
+    * Reuses [[graft.operators.Bpe.bpeTokenCounts]]'s dictionary
+    * discipline: the VOCABULARY encodes once, the corpus re-joins
+    * through the word — per-doc counts then roll up to languages, so
+    * the report costs one extra docs-sized aggregation over q120.
+    */
+  def q185_tokenizer_fertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, dir)
+    val toks = Bpe.bpeTokenCounts(docs, "doc_id", "text",
+      Seq(Bpe.Merge("t", "h", 0L), Bpe.Merge("th", "e", 0L)))
+    val words = docs.select($"doc_id", $"lang",
+      size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long").as("n_words"))
+    words
+      .join(toks, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_tokens").as("n_tokens"))
+      .select($"lang", $"n_docs", $"n_words", $"n_tokens",
+        round($"n_tokens".cast("double") / $"n_words", 6).as("fertility"))
+      .orderBy($"lang")
+  }
 }

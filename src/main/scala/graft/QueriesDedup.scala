@@ -545,4 +545,53 @@ object QueriesDedup {
       .select($"id_a", $"id_b", $"n_shared", $"size_a", $"containment")
       .orderBy($"id_a", $"id_b")
   }
+
+  /** MinHash ESTIMATOR CALIBRATION: for every shared-shingle candidate
+    * pair, the Jaccard a K = 16 MinHash signature estimates (matching
+    * components / K) against the exact value, rolled up by exact-
+    * Jaccard decile — the telemetry that justifies an LSH banding
+    * choice before committing a 100 TB dedup run to it (E[est] =
+    * jaccard; observed per-decile bias and absolute error make the
+    * variance concrete). The signature here is deliberately PORTABLE —
+    * 16 32-bit components carved from two sha-256 digests per shingle,
+    * min-by-hex-string per component — so a cross-engine oracle can
+    * replay it bit-for-bit (the production xxhash64 signature in
+    * [[Dedup.minhashSignature]] is oracle-gated through its LSH
+    * output, q26). Candidates come from the same shared-shingle
+    * equi-join as q25 — candidates ∝ co-occurrence mass, never docs² —
+    * and the signature build is one groupBy over shingle rows with 16
+    * min() aggregates; the report is ≤ 11 rows.
+    */
+  def q183_minhash_calibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", n = 3)
+    val ex = sets
+      .select($"doc_id", explode($"shingle_set").as("s"))
+      .select($"doc_id", sha2($"s", 256).as("h1"), sha2(concat(lit("x"), $"s"), 256).as("h2"))
+    val comps = (0 until 16).map { i =>
+      val src = if (i < 8) $"h1" else $"h2"
+      min(substring(src, 1 + 8 * (i % 8), 8)).as(s"m$i")
+    }
+    val sig = ex.groupBy($"doc_id").agg(comps.head, comps.tail: _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+    pairs
+      .join(sig.as("a"), $"id_a" === $"a.doc_id")
+      .join(sig.as("b"), $"id_b" === $"b.doc_id")
+      .select($"jaccard", (matches.cast("double") / 16.0).as("est"))
+      .select(floor($"jaccard" * 10).cast("long").as("decile"),
+        $"jaccard".cast(DecimalType(18, 12)).as("j"),
+        $"est".cast(DecimalType(18, 12)).as("e"),
+        abs($"est" - $"jaccard").cast(DecimalType(18, 12)).as("ae"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"j").cast("double") / count(lit(1)), 6).as("mean_exact"),
+        round(sum($"e").cast("double") / count(lit(1)), 6).as("mean_est"),
+        round(sum($"ae").cast("double") / count(lit(1)), 6).as("mean_abs_err"))
+      .orderBy($"decile")
+  }
 }

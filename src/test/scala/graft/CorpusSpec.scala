@@ -932,4 +932,99 @@ class CorpusSpec extends SparkSpec {
     assert(byDecile(10L)._1 == 2L && byDecile(10L)._2 == 3.0)
     assert(byDecile(10L)._4 == 1.0) // cumulative share closes exactly
   }
+
+  test("split assignment: content-addressed splits match an independent recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_split").toString
+    val docs = (1L to 200L).map(i => (i, "txt", "en", s"src${i % 2}", i))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val b  = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 2)
+      if (b < "cc") "train" else if (b < "e6") "val" else "test"
+    }
+    val expected = docs
+      .groupBy { case (id, _, _, src, _) => (src, split(id)) }
+      .map { case ((src, sp), rows) =>
+        (src, sp, rows.size.toLong, rows.map(_._5).sum) }
+      .toSeq.sorted
+    val got = QueriesCorpus.q180_split_assignment(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.sorted == expected)
+    // every document lands in exactly one split
+    assert(got.map(_._3).sum == 200L)
+  }
+
+  test("k-anonymity: a five-user combination is safe, a singleton is risky") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_kanon").toString
+    val safe = (1 to 5).map(u =>
+      (u.toLong, "2024-01-01 10:00:00", u.toLong, "view", 10.0))
+    val risky = Seq((10L, "2024-01-01 11:00:00", 9L, "click", 10.0))
+    (safe ++ risky).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q181_k_anonymity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows("view") == ((1L, 0L, 0L, 0.0)))   // 5 distinct users clear k = 5
+    assert(rows("click") == ((1L, 1L, 1L, 1.0)))  // one user → the whole type is risky
+  }
+
+  test("char entropy: uniform and single-char documents pin the bit values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_chent").toString
+    Seq(
+      (1L, "aaaa", "en", "s", 4L), // one symbol → 0 bits
+      (2L, "ab", "en", "s", 2L),   // two equiprobable → exactly 1 bit
+      (3L, "a b", "en", "s", 3L)   // three symbols incl. the space → log2 3
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q182_char_entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((4L, 1L, 0.0)))
+    assert(rows(2L) == ((2L, 2L, 1.0)))
+    assert(rows(3L) == ((3L, 3L, 1.584963))) // round(log2 3, 6)
+  }
+
+  test("burstiness: metronomic gaps give cv 0, one long gap raises it exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_burst").toString
+    // user 1: six events 10 s apart → 5 gaps of 10 s, cv = 0
+    val steady = (0 to 5).map(i =>
+      (i.toLong, f"2024-01-01 00:00:${i * 10}%02d", 1L, "view", 0.0))
+    // user 2: gaps 1,1,1,1,16 s → mean 4 s, σ² = 36, cv = 6/4
+    val bursty = Seq(0, 1, 2, 3, 4, 20).zipWithIndex.map { case (s, i) =>
+      (100L + i, f"2024-01-01 00:00:$s%02d", 2L, "view", 0.0) }
+    // user 3: too few events → filtered by the n_gaps ≥ 5 floor
+    val sparse = (0 to 2).map(i =>
+      (200L + i, f"2024-01-01 00:01:${i * 5}%02d", 3L, "view", 0.0))
+    (steady ++ bursty ++ sparse)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q184_burstiness(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == ((5L, 10.0, 0.0)))
+    assert(rows(2L) == ((5L, 4.0, 1.5)))
+  }
+
+  test("tokenizer fertility: merged words count 1 token, unmerged count chars") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_fert").toString
+    Seq(
+      (1L, "the the", "en", "s", 7L), // t+h → th, th+e → the: 1 token/word
+      (2L, "cat", "fr", "s", 3L)      // no merge applies: c a t = 3 tokens
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q185_tokenizer_fertility(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows("en") == ((1L, 2L, 2L, 1.0)))
+    assert(rows("fr") == ((1L, 1L, 3L, 3.0)))
+  }
 }

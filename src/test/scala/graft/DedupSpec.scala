@@ -556,4 +556,22 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(again == got)
   }
+
+  test("minhash calibration: identical docs estimate exactly, strangers never pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_spec_calib").toString
+    Seq(
+      (1L, "x y z w", "en", "s", 7L),
+      (2L, "x y z w", "en", "s", 7L), // exact copy → jaccard 1, est 1
+      (3L, "p q r t", "en", "s", 7L)  // no shared shingle → no candidate
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesDedup.q183_minhash_calibration(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // identical shingle sets: every signature component matches, zero error
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
+  }
 }
