@@ -2750,7 +2750,110 @@ object Oracles {
           |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
           |       round(CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 6) AS fertility
           |FROM perdoc JOIN documents d USING (doc_id)
-          |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin) +
+      // q186: the q37 sessionizer verbatim, rolled into an integer-
+      // exact duration-magnitude histogram (digits of whole seconds)
+      ("q186_session_stats" ->
+        """WITH o AS (SELECT user_id, event_id, ts,
+          |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |           FROM events),
+          |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+          |                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+          |                     THEN 1 ELSE 0 END AS new_sess FROM o),
+          |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f),
+          |agg AS (SELECT user_id, sess_seq, CAST(count(*) AS BIGINT) AS n_events,
+          |               min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+          |        FROM s GROUP BY user_id, sess_seq),
+          |d AS (SELECT n_events, (end_us - start_us) // 1000000 AS dur_s FROM agg)
+          |SELECT CAST(length(CAST(dur_s AS VARCHAR)) AS INT) AS dur_digits,
+          |       CAST(count(*) AS BIGINT) AS n_sessions,
+          |       CAST(sum(n_events) AS BIGINT) AS n_events,
+          |       round(CAST(sum(dur_s) AS DOUBLE) / count(*), 6) AS mean_dur_s,
+          |       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_events
+          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) +
+      // q187: majority label per exact-k-means cluster — the shared
+      // kmeansCte assignment joined to labels, ranked per cluster
+      ("q187_cluster_purity" ->
+        s"""$kmeansCte,
+           |cl AS (
+           |  SELECT a2.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+           |  FROM a2 JOIN embeddings e USING (vec_id)
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT cluster, label, n,
+           |         row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn,
+           |         sum(n) OVER (PARTITION BY cluster) AS size
+           |  FROM cl)
+           |SELECT CAST(cluster AS INTEGER) AS cluster,
+           |       CAST(size AS BIGINT) AS size,
+           |       label AS majority_label, n AS majority_n,
+           |       round(CAST(n AS DOUBLE) / size, 6) AS purity
+           |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin) +
+      // q188: lower-median/MAD by integer rank — exact longs, no
+      // interpolation; 3xMAD outlier flag in integer arithmetic
+      ("q188_length_outliers" ->
+        """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+          |r1 AS (SELECT source, n_chars, doc_id,
+          |              row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+          |              count(*) OVER (PARTITION BY source) AS n
+          |       FROM d),
+          |med AS (SELECT source, n_chars AS med FROM r1 WHERE rn = (n + 1) // 2),
+          |dev AS (SELECT d.source, d.doc_id, med.med, abs(d.n_chars - med.med) AS ad
+          |        FROM d JOIN med USING (source)),
+          |r2 AS (SELECT source, ad, doc_id,
+          |              row_number() OVER (PARTITION BY source ORDER BY ad, doc_id) AS rn,
+          |              count(*) OVER (PARTITION BY source) AS n
+          |       FROM dev),
+          |mad AS (SELECT source, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+          |SELECT dev.source,
+          |       CAST(max(dev.med) AS BIGINT) AS med,
+          |       CAST(max(mad.mad) AS BIGINT) AS mad,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |       round(CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS DOUBLE)
+          |             / CAST(count(*) AS BIGINT), 6) AS outlier_rate
+          |FROM dev JOIN mad USING (source)
+          |GROUP BY dev.source ORDER BY dev.source""".stripMargin) +
+      // q189: per-source type/token ratio and hapax share
+      ("q189_hapax_richness" ->
+        """WITH tok AS (
+          |  SELECT source, token FROM (
+          |    SELECT source, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+          |  WHERE token <> ''),
+          |tf AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2)
+          |SELECT source,
+          |       CAST(sum(c) AS BIGINT) AS n_tokens,
+          |       CAST(count(*) AS BIGINT) AS n_types,
+          |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          |       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS ttr,
+          |       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share
+          |FROM tf GROUP BY source ORDER BY source""".stripMargin) +
+      // q190: PMI collocations — exact integer counts, scalar totals,
+      // identical IEEE division chain, top-50 on the unrounded score
+      ("q190_pmi_collocations" ->
+        """WITH arrs AS (
+          |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS arr
+          |  FROM documents),
+          |uni AS (
+          |  SELECT t, count(*) AS c FROM (SELECT unnest(arr) AS t FROM arrs) GROUP BY 1),
+          |bi AS (
+          |  SELECT a, b, count(*) AS c_ab FROM (
+          |    SELECT arr[i+1] AS a, arr[i+2] AS b
+          |    FROM (SELECT arr, unnest(range(len(arr) - 1)) AS i FROM arrs WHERE len(arr) >= 2))
+          |  GROUP BY 1, 2),
+          |nb AS (SELECT sum(c_ab) AS n_b FROM bi),
+          |ut AS (SELECT sum(c) AS u FROM uni),
+          |scored AS (
+          |  SELECT bi.a || ' ' || bi.b AS bigram, bi.c_ab,
+          |         ln((bi.c_ab / CAST(n_b AS DOUBLE)) /
+          |            ((ua.c / CAST(u AS DOUBLE)) * (ub.c / CAST(u AS DOUBLE)))) AS pmi
+          |  FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b
+          |  CROSS JOIN nb CROSS JOIN ut
+          |  WHERE bi.c_ab >= 5),
+          |top AS (SELECT * FROM scored ORDER BY pmi DESC, bigram LIMIT 50)
+          |SELECT bigram, c_ab, round(pmi, 6) AS pmi FROM top ORDER BY bigram""".stripMargin) +
+      ("q191_split_leakage" -> q191Sql)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →
@@ -2862,6 +2965,36 @@ object Oracles {
        |       round(CAST(sum(e) AS DOUBLE) / count(*), 6) AS mean_est,
        |       round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mean_abs_err
        |FROM terms GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
+  /** q191: the q66 8-gram shingle CTE with q180's content-addressed
+    * split riding along — an eval-split doc leaks if any of its grams
+    * EXISTS in the train-split gram set.
+    */
+  private def q191Sql: String = {
+    val gram = (1 to 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |              WHEN substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |t AS (SELECT doc_id, split, string_split_regex(text, '\\s+') AS toks FROM sp),
+       |sh AS (SELECT doc_id, split, unnest(list_distinct(list_transform(range(len(toks) - 7),
+       |         i -> $gram))) AS s
+       |       FROM t WHERE len(toks) >= 8),
+       |train AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+       |leaked AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE split <> 'train' AND s IN (SELECT s FROM train))
+       |SELECT sp.split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN leaked.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS leaked_docs,
+       |       round(CAST(sum(CASE WHEN leaked.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) AS BIGINT), 6) AS leak_rate
+       |FROM sp LEFT JOIN leaked USING (doc_id)
+       |WHERE sp.split <> 'train'
+       |GROUP BY sp.split ORDER BY sp.split""".stripMargin
   }
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —

@@ -2410,6 +2410,140 @@ object QueriesCorpus {
       .orderBy($"user_id")
   }
 
+  /** Session-shape distribution: the q37 gap-sessionizer's output
+    * bucketed by duration magnitude (decimal digits of whole seconds —
+    * an integer-exact histogram key, no float log boundaries) with
+    * per-bucket session counts, event mass and means. The telemetry
+    * that picks a session gap parameter and spots bot traffic (mass in
+    * the widest buckets). Sessionize is one user-keyed window; the
+    * histogram is a second tiny aggregation over SESSIONS, and the
+    * report is ≤ 8 rows at any volume.
+    */
+  def q186_session_stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = graft.operators.Windows.sessionize(Tables.events(spark, dir),
+      key = "user_id", tsCol = "ts", tieBreak = "event_id", gapMicros = 1800000000L)
+    s.select($"n_events", expr("(end_us - start_us) div 1000000").as("dur_s"))
+      .select($"n_events", $"dur_s", length($"dur_s".cast("string")).as("dur_digits"))
+      .groupBy($"dur_digits")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        round(sum($"dur_s").cast("double") / count(lit(1)), 6).as("mean_dur_s"),
+        round(sum($"n_events").cast("double") / count(lit(1)), 6).as("mean_events"))
+      .orderBy($"dur_digits")
+  }
+
+  /** Cluster purity against ground-truth labels: for each k-means
+    * cluster (the exact q138 model), the majority embedding label and
+    * its share — the clustering-quality readout that says whether
+    * cluster-scoped curation (SemDeDup q139, balanced sampling q140)
+    * is cutting along real structure or noise. One vec-keyed join,
+    * one (cluster, label) aggregate; the ranking window runs over the
+    * clusters × labels table, which is grid-sized, not corpus-sized.
+    */
+  def q187_cluster_purity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Clustering
+    val emb = Tables.embeddings(spark, dir)
+    val assign = Clustering.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cl = assign
+      .join(emb.select($"vec_id", $"label"), Seq("vec_id"))
+      .groupBy($"cluster", $"label")
+      .agg(count(lit(1)).as("n"))
+    val wTop  = Window.partitionBy($"cluster").orderBy($"n".desc, $"label")
+    val wSize = Window.partitionBy($"cluster")
+    cl
+      .select($"cluster", $"label", $"n",
+        row_number().over(wTop).as("rn"), sum($"n").over(wSize).as("size"))
+      .filter($"rn" === 1)
+      .select($"cluster".cast("int").as("cluster"), $"size",
+        $"label".as("majority_label"), $"n".as("majority_n"),
+        round($"n".cast("double") / $"size", 6).as("purity"))
+      .orderBy($"cluster")
+  }
+
+  /** Robust per-source length outliers: median and MAD (median
+    * absolute deviation) of n_chars by INTEGER RANK selection — the
+    * lower median at rank (n+1) div 2, the q169 discipline, so both
+    * statistics are exact longs with no interpolation or float
+    * boundaries — then flag docs beyond 3×MAD. Mean/stddev outlier
+    * rules break on the heavy-tailed length distributions real
+    * corpora have; median/MAD does not. Two source-keyed window
+    * passes; at extreme per-source cardinality the q169 sha-sharded
+    * rank windows replace the global ones unchanged.
+    */
+  def q188_length_outliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars")
+    val wS = Window.partitionBy($"source")
+    val med = docs
+      .select($"source", $"n_chars",
+        row_number().over(Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")).as("rn"),
+        count(lit(1)).over(wS).as("n"))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"source", $"n_chars".as("med"))
+    val dev = docs
+      .join(med, Seq("source"))
+      .select($"source", $"doc_id", $"med", abs($"n_chars" - $"med").as("ad"))
+    val mad = dev
+      .select($"source", $"ad",
+        row_number().over(Window.partitionBy($"source").orderBy($"ad", $"doc_id")).as("rn"),
+        count(lit(1)).over(wS).as("n"))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"source", $"ad".as("mad"))
+    dev
+      .join(mad, Seq("source"))
+      .groupBy($"source")
+      .agg(
+        max($"med").as("med"),
+        max($"mad").as("mad"),
+        count(lit(1)).as("n_docs"),
+        sum(when($"ad" > lit(3L) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+      .select($"source", $"med", $"mad", $"n_docs", $"n_outliers",
+        round($"n_outliers".cast("double") / $"n_docs", 6).as("outlier_rate"))
+      .orderBy($"source")
+  }
+
+  /** Split-leakage audit: q180's content-addressed splits crossed
+    * with q66's 8-gram containment — an eval-split document that
+    * shares any 8-gram with ANY train document is leaked (the
+    * benchmark-contamination check, run split-vs-split instead of
+    * corpus-vs-benchmark). The join is shingle-keyed (candidates ∝
+    * shared-gram mass) with the train side DEDUPLICATED to distinct
+    * grams first and the eval side left-semi probing it — neither
+    * side broadcasts, because at 100 TB the train gram table is the
+    * corpus-sized one; the persisted-index variant (q122's pattern)
+    * applies unchanged when the audit runs per ingest batch.
+    */
+  def q191_split_leakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val b = substring(sha2(concat(lit("split:"), id.cast("string")), 256), 1, 2)
+      when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    }
+    val sh = Dedup
+      .nearDupSets(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .select($"doc_id", explode($"shingle_set").as("s"), splitOf($"doc_id").as("split"))
+    val train  = sh.filter($"split" === "train").select($"s").distinct()
+    val leaked = sh
+      .filter($"split" =!= "train")
+      .join(train, Seq("s"), "left_semi")
+      .select($"doc_id").distinct()
+      .withColumn("leaked", lit(1L))
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", splitOf($"doc_id").as("split"))
+      .filter($"split" =!= "train")
+      .join(leaked, Seq("doc_id"), "left")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum(coalesce($"leaked", lit(0L))).as("leaked_docs"))
+      .select($"split", $"n_docs", $"leaked_docs",
+        round($"leaked_docs".cast("double") / $"n_docs", 6).as("leak_rate"))
+      .orderBy($"split")
+  }
+
   /** Tokenizer fertility by language: BPE tokens emitted per
     * whitespace word under the q120 fixed-merge tokenizer — the
     * mixture-design number that prices each language's token budget

@@ -216,4 +216,77 @@ object QueriesText {
       .withColumn("mismatch_rate", $"n_mismatch".cast("double") / $"n_docs")
       .orderBy($"source")
   }
+
+  /** Lexical richness per source: type/token ratio and the hapax-
+    * legomenon share (types seen exactly once) — the corpus-
+    * linguistics readout that separates template-stamped sources (low
+    * TTR, few hapaxes) from natural or noisy ones (OCR junk shows up
+    * as a hapax EXPLOSION, each error a unique type). Complements
+    * q166's coverage curve: that prices a vocabulary, this profiles
+    * the sources feeding it. One token-keyed shuffle to the per-
+    * source term table, then a sources-sized rollup.
+    */
+  def q189_hapax_richness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables
+      .documents(spark, dir)
+      .select($"source", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    tok
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("hapax"))
+      .select($"source", $"n_tokens", $"n_types", $"hapax",
+        round($"n_types".cast("double") / $"n_tokens", 6).as("ttr"),
+        round($"hapax".cast("double") / $"n_types", 6).as("hapax_share"))
+      .orderBy($"source")
+  }
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * PMI = ln p(ab) / (p(a)·p(b)) over adjacent-token bigrams with a
+    * c(ab) ≥ 5 support floor (PMI without a floor surfaces noise:
+    * singleton pairs of rare words max the score). The collocation
+    * table is what multi-word-expression tokenizers and phrase-aware
+    * dedup key on. Counts are exact integers; the two corpus totals
+    * enter as 1-row broadcasts; the only data-sized shuffles are the
+    * unigram and bigram count aggregates, and top-k is a
+    * TakeOrderedAndProject on the unrounded score.
+    */
+  def q190_pmi_collocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables
+      .documents(spark, dir)
+      .select(expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("arr"))
+    val uni = toks
+      .select(explode($"arr").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .filter(size($"arr") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(arr) - 1), " +
+          "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+    val nb = bi.agg(sum($"c_ab").as("n_b"))
+    val ut = uni.agg(sum($"c").as("u"))
+    bi
+      .filter($"c_ab" >= 5)
+      .join(uni.select($"t".as("a"), $"c".as("c_a")), Seq("a"))
+      .join(uni.select($"t".as("b"), $"c".as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(ut))
+      .select(
+        concat_ws(" ", $"a", $"b").as("bigram"),
+        $"c_ab",
+        log(($"c_ab" / $"n_b".cast("double")) /
+          (($"c_a" / $"u".cast("double")) * ($"c_b" / $"u".cast("double")))).as("pmi"))
+      .orderBy($"pmi".desc, $"bigram")
+      .limit(50)
+      .select($"bigram", $"c_ab", round($"pmi", 6).as("pmi"))
+      .orderBy($"bigram")
+  }
 }

@@ -1027,4 +1027,117 @@ class CorpusSpec extends SparkSpec {
     assert(rows("en") == ((1L, 2L, 2L, 1.0)))
     assert(rows("fr") == ((1L, 1L, 3L, 3.0)))
   }
+
+  test("session stats: duration digits bucket the gap-sessionized output") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_sstats").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 00:00:10", 1L, "view", 0.0), // same session: dur 10 s
+      (3L, "2024-01-01 02:00:00", 1L, "view", 0.0)  // new session: dur 0 s
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q186_session_stats(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows(1) == ((1L, 1L, 0.0, 1.0)))   // the instant session: "0" has 1 digit
+    assert(rows(2) == ((1L, 2L, 10.0, 2.0)))  // the 10-second session
+  }
+
+  test("cluster purity: majority labels agree with an independent recompute") {
+    import spark.implicits._
+    val dir  = "/root/testdata/sf0.001"
+    val rows = QueriesCorpus.q187_cluster_purity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent recompute off the same exact-kmeans assignment
+    val assign = graft.operators.Clustering
+      .kmeans(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labels = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCluster = labels.groupBy { case (id, _) => assign(id) }
+    rows.foreach { r =>
+      val (cl, size, maj, n, purity) =
+        (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))
+      val members = byCluster(cl).values.toSeq
+      assert(size == members.size)
+      val counts = members.groupBy(identity).view.mapValues(_.size)
+      val (expMaj, expN) = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(maj == expMaj && n == expN.toLong)
+      assert(purity == BigDecimal(expN.toDouble / members.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(rows.map(_.getLong(1)).sum == labels.size)
+  }
+
+  test("length outliers: integer median/MAD with a zero-MAD long tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_lenout").toString
+    val docs = (1 to 6).map(i => (i.toLong, "t", "en", "s", 10L)) :+
+      (7L, "t", "en", "s", 100L)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val r = QueriesCorpus.q188_length_outliers(spark, dir).collect().head
+    // lower median of {10x6,100} = 10; ads {0x6,90} → MAD 0; the long
+    // doc is the single 3xMAD outlier
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((10L, 0L, 7L, 1L)))
+    assert(r.getDouble(5) == 0.142857)
+  }
+
+  test("hapax richness: type/token ratio and hapax share pin exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_hapax").toString
+    Seq((1L, "a a b", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val r = QueriesText.q189_hapax_richness(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 1L)))
+    assert(r.getDouble(4) == 0.666667 && r.getDouble(5) == 0.5)
+  }
+
+  test("pmi collocations: a pure collocation scores ln 4 at the support floor") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_pmi").toString
+    // "new york" 5 times, nothing else: c_ab=5, N_b=5, U=10 →
+    // PMI = ln((5/5) / ((5/10)·(5/10))) = ln 4
+    val docs = (1 to 5).map(i => (i.toLong, "new york", "en", "s", 8L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesText.q190_pmi_collocations(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "new york" && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("split leakage: shared grams leak every eval doc, unique text stays clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_leak").toString
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val unique = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val docs = (1L to 59L).map(i => (i, shared, "en", "s", 0L)) :+ (60L, unique, "en", "s", 0L)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val b  = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 2)
+      if (b < "cc") "train" else if (b < "e6") "val" else "test"
+    }
+    val splits = docs.map { case (id, text, _, _, _) => (id, text, split(id)) }
+    assert(splits.exists(s => s._3 == "train" && s._2 == shared)) // fixture precondition
+    val expected = splits.filter(_._3 != "train").groupBy(_._3).map { case (sp, ds) =>
+      val leaked = ds.count(_._2 == shared) // shared-gram eval docs all leak
+      sp -> ((ds.size.toLong, leaked.toLong,
+        BigDecimal(leaked.toDouble / ds.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = QueriesCorpus.q191_split_leakage(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
 }
