@@ -917,6 +917,20 @@ object Oracles {
     // nprobe = nlist, where the probed cells cover the whole corpus
     // and each row exactly once — identical ADC ranking, same oracle.
     "q86_ann_pq_topk" ->
+      (pqAdcCte + """
+        |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin)
+  )
+
+  /** Shared PQ CTE chain (train → encode → snap → ADC scores): `scored`
+    * is (query_id, neighbor_id, score) for the 8 audit queries. Used by
+    * q86/q87 (rank output) and q192 (recall vs the exact ranking).
+    */
+  private def pqAdcCte: String =
       """WITH dv AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
         |  FROM embeddings
@@ -962,14 +976,33 @@ object Oracles {
         |         list_inner_product(q.qn, s.sv) AS score
         |  FROM q CROSS JOIN snap s
         |  WHERE s.vec_id <> q.query_id
-        |)
-        |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id FROM (
-        |  SELECT query_id, neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY score DESC, neighbor_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
-  )
+        |)""".stripMargin
+
+  /** q192: PQ recall@10 — the shared ADC `scored` ranking intersected
+    * with the exact cosine ranking of the same 8 audit queries.
+    */
+  private def q192Sql: String =
+    pqAdcCte + """,
+      |pq AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |             ORDER BY score DESC, neighbor_id) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 10),
+      |ex AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY a.vec_id
+      |             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+      |    FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND b.vec_id != a.vec_id)
+      |  WHERE rn <= 10)
+      |SELECT ex.query_id,
+      |       CAST(count(*) AS BIGINT) AS k,
+      |       CAST(count(pq.neighbor_id) AS BIGINT) AS hits,
+      |       round(CAST(count(pq.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+      |FROM ex LEFT JOIN pq ON pq.query_id = ex.query_id AND pq.neighbor_id = ex.neighbor_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   // q88: selection is by EXACT count (the CMS contributes the
   // within_bound evidence, whose contract holds deterministically at
@@ -2853,7 +2886,27 @@ object Oracles {
           |  WHERE bi.c_ab >= 5),
           |top AS (SELECT * FROM scored ORDER BY pmi DESC, bigram LIMIT 50)
           |SELECT bigram, c_ab, round(pmi, 6) AS pmi FROM top ORDER BY bigram""".stripMargin) +
-      ("q191_split_leakage" -> q191Sql)
+      ("q191_split_leakage" -> q191Sql) +
+      ("q192_pq_recall" -> q192Sql) +
+      // q193: c-TF-IDF topic terms per exact-k-means cluster — q60's
+      // smoothed idf over CLUSTERS, top-3 on the unrounded score
+      ("q193_cluster_topics" ->
+        s"""$kmeansCte,
+           |tok AS (
+           |  SELECT doc_id, token FROM (
+           |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+           |  WHERE token <> ''),
+           |j AS (SELECT a2.cluster, tok.token FROM tok JOIN a2 ON a2.vec_id = tok.doc_id),
+           |ctf AS (SELECT cluster, token, count(*) AS ctf FROM j GROUP BY 1, 2),
+           |dfc AS (SELECT token, count(*) AS df_c FROM ctf GROUP BY 1),
+           |scored AS (
+           |  SELECT cluster, token, ctf, ctf * ln(9.0 / (df_c + 1.0)) AS score
+           |  FROM ctf JOIN dfc USING (token))
+           |SELECT CAST(cluster AS INTEGER) AS cluster, CAST(rn AS INT) AS rank,
+           |       token, ctf, round(score, 6) AS score
+           |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+           |        ORDER BY score DESC, token) AS rn FROM scored)
+           |WHERE rn <= 3 ORDER BY cluster, rank""".stripMargin)
 
   /** Shared near-dup closure CTE (the q38/q39/q47 machinery): distinct
     * 3-gram shingles → Jaccard ≥ 0.5 pairs → recursive reachability →

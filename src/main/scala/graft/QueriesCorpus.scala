@@ -2505,6 +2505,42 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** Topic labeling for embedding clusters (the c-TF-IDF step of the
+    * BERTopic recipe): each exact-k-means cluster (q138, vec_id ≡
+    * doc_id in the synthetic corpus) gets its top-3 terms by
+    * class-frequency × idf over CLUSTERS (ln((k+1)/(df+1)), the q60
+    * smoothing) — cluster-scoped curation is only actionable when the
+    * clusters have names. Term counting shuffles once on the token
+    * key; the scoring joins run on the clusters × vocab table; the
+    * ranking window is per cluster over that grid, and the report is
+    * 3k rows.
+    */
+  def q193_cluster_topics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Clustering
+    val k = 8
+    val assign = Clustering
+      .kmeans(Tables.embeddings(spark, dir), "vec_id", "embedding", k = k, iters = 2)
+      .select($"vec_id".as("doc_id"), $"cluster")
+    val tok = Tables
+      .documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+      .join(assign, Seq("doc_id"))
+    val ctf = tok.groupBy($"cluster", $"token").agg(count(lit(1)).as("ctf"))
+    val dfc = ctf.groupBy($"token").agg(count(lit(1)).as("df_c"))
+    val w   = Window.partitionBy($"cluster").orderBy($"score".desc, $"token")
+    ctf
+      .join(dfc, Seq("token"))
+      .select($"cluster", $"token", $"ctf",
+        ($"ctf" * log(lit(k + 1.0) / ($"df_c" + lit(1.0)))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"cluster".cast("int").as("cluster"), $"rank", $"token", $"ctf",
+        round($"score", 6).as("score"))
+      .orderBy($"cluster", $"rank")
+  }
+
   /** Split-leakage audit: q180's content-addressed splits crossed
     * with q66's 8-gram containment — an eval-split document that
     * shares any 8-gram with ANY train document is leaked (the

@@ -594,4 +594,33 @@ object QueriesDedup {
         round(sum($"ae").cast("double") / count(lit(1)), 6).as("mean_abs_err"))
       .orderBy($"decile")
   }
+
+  /** PQ recall@10 against the exact ranking — the compression-quality
+    * number that decides whether 32× byte compression (q86's ADC scan)
+    * is safe for a retrieval workload, measured instead of assumed.
+    * Both rankings already exist as oracle-gated operators (q86 ADC,
+    * q30 brute force); this query joins their top-10 sets per query
+    * and counts overlap — the extra cost over q86 is one exact ranking
+    * of the QUERY BATCH (8 rows here), not of the corpus. At scale the
+    * exact side runs on a fixed audit sample; recall on the sample
+    * estimates recall on the workload.
+    */
+  def q192_pq_recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cb    = pqCodebook(spark, dir)
+    val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", cb)
+    val approx = Pq
+      .topK(codes, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10, cb)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id")
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("hits"))
+      .select($"query_id", $"k", $"hits",
+        round($"hits".cast("double") / $"k", 6).as("recall"))
+      .orderBy($"query_id")
+  }
 }

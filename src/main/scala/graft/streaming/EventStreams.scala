@@ -391,6 +391,86 @@ object EventStreams {
       }
       .start()
 
+  private def comboUsers(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") / 50.0).cast("long").as("vb"),
+        col("user_id"))
+      .distinct()
+
+  private def comboRows(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") / 50.0).cast("long").as("vb"))
+      .groupBy("event_type", "day", "vb")
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Seed the k-anonymity ledgers: the distinct (combo, user) table
+    * and the per-combo row counts — both grid/identity-bounded (the
+    * user set per combo saturates at the user base; counts fold by
+    * exact integer addition). Same per-batch delta-partition replay
+    * discipline as [[seedDailyLedger]].
+    */
+  def seedKAnonLedger(events: DataFrame, ledgerDir: String): Unit = {
+    comboUsers(events).write.mode("overwrite").parquet(s"$ledgerDir/users/batch_id=-1")
+    comboRows(events).write.mode("overwrite").parquet(s"$ledgerDir/rows/batch_id=-1")
+  }
+
+  /** Streaming twin of q181's k-anonymity audit: each micro-batch
+    * folds its quasi-identifier combos into the ledgers and re-emits
+    * the per-event-type risk rollup for ONLY the types the batch
+    * touched — the privacy gate updates in the batch that changes it,
+    * so a combo crossing the k bar flips from risky to safe the
+    * moment its k-th distinct user arrives. Per-batch cost: the
+    * batch's own aggregates + a grid-sized rollup; the event history
+    * is never re-read. Replay excludes the batch's own partitions
+    * then overwrites them (the house exactly-once recipe). Once all
+    * data has arrived, each type's latest emission equals the batch
+    * q181 row — pinned in StreamingSpec.
+    */
+  def incrementalKAnonymity(
+      events: DataFrame,
+      telemetryDir: String,
+      ledgerDir: String,
+      k: Int = 5
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val du = graft.operators.Materialize(comboUsers(batch))
+        val dr = graft.operators.Materialize(comboRows(batch))
+        val effU = spark.read.parquet(s"$ledgerDir/users")
+          .filter(col("batch_id") =!= batchId)
+          .select("event_type", "day", "vb", "user_id")
+          .unionByName(du)
+          .groupBy("event_type", "day", "vb")
+          .agg(countDistinct(col("user_id")).as("users"))
+        val effR = spark.read.parquet(s"$ledgerDir/rows")
+          .filter(col("batch_id") =!= batchId)
+          .select("event_type", "day", "vb", "n_rows")
+          .unionByName(dr)
+          .groupBy("event_type", "day", "vb")
+          .agg(sum("n_rows").as("n_rows"))
+        effU
+          .join(effR, Seq("event_type", "day", "vb"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_combos"),
+            sum(when(col("users") < k, 1L).otherwise(0L)).as("risky_combos"),
+            sum(when(col("users") < k, col("n_rows")).otherwise(0L)).as("risky_rows"),
+            sum(col("n_rows")).as("total_rows"))
+          .select(col("event_type"), col("n_combos"), col("risky_combos"),
+            col("risky_rows"),
+            round(col("risky_rows").cast("double") / col("total_rows"), 6).as("risk_share"))
+          .join(dr.select("event_type").distinct(), Seq("event_type"), "left_semi")
+          .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        du.write.mode("overwrite").parquet(s"$ledgerDir/users/batch_id=$batchId")
+        dr.write.mode("overwrite").parquet(s"$ledgerDir/rows/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Run a bounded stream to completion into a memory sink and return
     * the result — the batch-equivalence harness used by tests.
     */

@@ -1140,4 +1140,32 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(got == expected)
   }
+
+  test("cluster topics: c-TF-IDF top terms agree with an independent recompute") {
+    import spark.implicits._
+    val dir  = "/root/testdata/sf0.001"
+    val rows = QueriesCorpus.q193_cluster_topics(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    val assign = graft.operators.Clustering
+      .kmeans(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val texts = Tables.documents(spark, dir).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val ctf = texts
+      .flatMap { case (id, t) =>
+        t.split("\\s+").filter(_.nonEmpty).map(tok => (assign(id), tok)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfc = ctf.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = ctf.toSeq
+      .map { case ((cl, tok), c) => (cl, tok, c, c * math.log(9.0 / (dfc(tok) + 1.0))) }
+      .groupBy(_._1)
+      .flatMap { case (cl, ts) =>
+        ts.sortBy { case (_, tok, _, s) => (-s, tok) }.take(3).zipWithIndex.map {
+          case ((_, tok, c, s), i) => (cl, i + 1) ->
+            ((tok, c, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)) }
+      }
+    assert(rows == expected)
+  }
 }

@@ -574,4 +574,21 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(0) == 10L && r.getLong(1) == 1L)
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
   }
+
+  test("pq recall: a losslessly-encodable corpus scores recall 1.0 everywhere") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_spec_pqrec").toString
+    // 12 vectors < ksub=16 → every subvector becomes its own centroid,
+    // the ADC ranking equals the exact ranking, recall@10 = 1.0
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 12L).map(i => (i, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = QueriesDedup.q192_pq_recall(spark, dir).collect()
+    assert(rows.length == 8) // queries vec_id < 8
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L && r.getLong(2) == 10L && r.getDouble(3) == 1.0)
+    }
+  }
 }

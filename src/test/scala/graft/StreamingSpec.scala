@@ -1015,4 +1015,50 @@ class StreamingSpec extends SparkSpec {
       .select($"day", $"user_id").distinct().count()
     assert(folded == 10L)
   }
+
+  test("streaming k-anonymity: per-type risk converges to the batch q181 rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir        = Files.createTempDirectory("graft_stream_kanon").toString
+    val fixtureDir = "/root/testdata/sf0.001"
+    val want = QueriesCorpus.q181_k_anonymity(spark, fixtureDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+    val evs = Tables.events(spark, fixtureDir)
+      .select($"event_id", $"ts".cast("string"), $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    EventStreams.seedKAnonLedger(
+      Tables.events(spark, fixtureDir).filter(lit(false)), s"$dir/ledger")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String, Double)]
+    val q = EventStreams.incrementalKAnonymity(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts".cast("timestamp")),
+      s"$dir/tel", s"$dir/ledger")
+    val parts = evs.sortBy(_._1).grouped((evs.length + 2) / 3).toSeq
+    try {
+      parts.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // a type's LATEST emission (it is touched by several batches) must
+    // equal the batch q181 row once all data has arrived
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"batch_id".desc)
+    val got = spark.read.parquet(s"$dir/tel")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_type", $"n_combos", $"risky_combos", $"risky_rows", $"risk_share")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want, s"stream k-anonymity $got != batch q181 $want")
+    // the users ledger folds to the exact distinct combo-user set
+    val foldedUsers = spark.read.parquet(s"$dir/ledger/users")
+      .select($"event_type", $"day", $"vb", $"user_id").distinct().count()
+    val exactUsers = Tables.events(spark, fixtureDir)
+      .select($"event_type", to_date($"ts").as("day"),
+        floor($"value" / 50.0).cast("long").as("vb"), $"user_id").distinct().count()
+    assert(foldedUsers == exactUsers)
+  }
 }
