@@ -2890,6 +2890,52 @@ object Oracles {
       ("q192_pq_recall" -> q192Sql) +
       // q193: c-TF-IDF topic terms per exact-k-means cluster — q60's
       // smoothed idf over CLUSTERS, top-3 on the unrounded score
+      // q194: market-basket lift over distinct (user, type) — exact
+      // integer supports, one division chain
+      ("q194_event_lift" ->
+        """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+          |sup AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+          |ab AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |         CAST(count(*) AS BIGINT) AS n_ab
+          |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_ab,
+          |       round(CAST(n_ab * n_users AS DOUBLE) / (sa.n * sb.n), 6) AS lift,
+          |       round(CAST(n_ab AS DOUBLE) / sa.n, 6) AS confidence
+          |FROM ab JOIN sup sa ON sa.event_type = type_a
+          |        JOIN sup sb ON sb.event_type = type_b
+          |CROSS JOIN nu
+          |ORDER BY type_a, type_b""".stripMargin) +
+      // q195: mean simhash hamming per exact-Jaccard decile — the
+      // shared portable signature (q27) against the q25 candidates
+      ("q195_simhash_calibration" ->
+        s"""WITH sigs AS ($simhashSigSql),
+           |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+           |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+           |       FROM tok WHERE len(toks) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b,
+           |         CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard
+           |  FROM shared JOIN sizes sa ON sa.doc_id = id_a
+           |              JOIN sizes sb ON sb.doc_id = id_b),
+           |terms AS (
+           |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+           |         CAST(jaccard AS DECIMAL(18,12)) AS j,
+           |         CAST(list_sum(list_transform(range(64), i ->
+           |           CASE WHEN substring(a.sig, i+1, 1) = substring(b.sig, i+1, 1)
+           |                THEN 0 ELSE 1 END)) AS BIGINT) AS h
+           |  FROM pairs JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b)
+           |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       round(CAST(sum(j) AS DOUBLE) / count(*), 6) AS mean_exact,
+           |       round(CAST(sum(h) AS DOUBLE) / count(*), 6) AS mean_hamming
+           |FROM terms GROUP BY decile ORDER BY decile""".stripMargin) +
       ("q193_cluster_topics" ->
         s"""$kmeansCte,
            |tok AS (

@@ -2580,6 +2580,39 @@ object QueriesCorpus {
       .orderBy($"split")
   }
 
+  /** Event-type association lift (market-basket over the event log):
+    * for every type pair, the share of users doing BOTH against the
+    * independence baseline — lift = P(A∩B)/(P(A)·P(B)) with exact
+    * integer supports and one final division chain, plus directional
+    * confidence. The log collapses to the distinct (user, type) table
+    * FIRST (users × 5 rows); the pair join runs on that collapsed
+    * table keyed by user, so fan-out is types²-bounded per user; the
+    * report is a types² grid.
+    */
+  def q194_event_lift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val ut = Materialize(
+      Tables.events(spark, dir).select($"user_id", $"event_type").distinct())
+    val nUsers = broadcast(ut.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users")))
+    val support = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val both = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    both
+      .join(support.select($"event_type".as("type_a"), $"n".as("n_a")), Seq("type_a"))
+      .join(support.select($"event_type".as("type_b"), $"n".as("n_b")), Seq("type_b"))
+      .crossJoin(nUsers)
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_ab",
+        round(($"n_ab" * $"n_users").cast("double") / ($"n_a" * $"n_b"), 6).as("lift"),
+        round($"n_ab".cast("double") / $"n_a", 6).as("confidence"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Tokenizer fertility by language: BPE tokens emitted per
     * whitespace word under the q120 fixed-merge tokenizer — the
     * mixture-design number that prices each language's token budget

@@ -595,6 +595,37 @@ object QueriesDedup {
       .orderBy($"decile")
   }
 
+  /** SimHash CALIBRATION against exact Jaccard: mean hamming distance
+    * (64-bit portable signature, [[Dedup.simhash64]]) per exact-
+    * Jaccard decile over the q25 candidate pairs — the q183 companion
+    * that turns "hamming ≤ 3 means near-dup" from folklore into a
+    * measured curve on this corpus before a 100 TB run commits to the
+    * threshold. All integer sums (hamming is exact), candidates ∝
+    * shared-shingle mass, report ≤ 11 rows.
+    */
+  def q195_simhash_calibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+    val sigs = Dedup
+      .shingleSets(docs, "doc_id", "text", n = 3)
+      .filter(size($"shingle_set") > 0)
+      .select($"doc_id", Dedup.simhash64($"shingle_set").as("sig"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+    pairs
+      .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), Seq("id_a"))
+      .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), Seq("id_b"))
+      .select(
+        floor($"jaccard" * 10).cast("long").as("decile"),
+        $"jaccard".cast(DecimalType(18, 12)).as("j"),
+        Dedup.hammingBits($"sig_a", $"sig_b").cast("long").as("h"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"j").cast("double") / count(lit(1)), 6).as("mean_exact"),
+        round(sum($"h").cast("double") / count(lit(1)), 6).as("mean_hamming"))
+      .orderBy($"decile")
+  }
+
   /** PQ recall@10 against the exact ranking — the compression-quality
     * number that decides whether 32× byte compression (q86's ADC scan)
     * is safe for a retrieval workload, measured instead of assumed.

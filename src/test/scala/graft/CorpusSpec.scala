@@ -1141,6 +1141,31 @@ class CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("event lift: co-occurrence against the independence baseline, closed form") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_lift").toString
+    // view {1,2,3}, click {1,2,5}, error {4}: only (click, view) co-occurs
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (4L, "2024-01-01 10:00:00", 2L, "click", 0.0),
+      (5L, "2024-01-01 10:00:00", 3L, "view", 0.0),
+      (6L, "2024-01-01 10:00:00", 4L, "error", 0.0),
+      (7L, "2024-01-01 10:00:00", 5L, "click", 0.0),
+      (8L, "2024-01-01 10:00:00", 5L, "click", 0.0)) // dup row: distinct-collapsed
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q194_event_lift(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == (("click", "view")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((3L, 3L, 2L)))
+    // lift = 2·5 / (3·3), confidence = 2/3
+    assert(r.getDouble(5) == 1.111111 && r.getDouble(6) == 0.666667)
+  }
+
   test("cluster topics: c-TF-IDF top terms agree with an independent recompute") {
     import spark.implicits._
     val dir  = "/root/testdata/sf0.001"

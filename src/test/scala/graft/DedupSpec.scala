@@ -575,6 +575,23 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
   }
 
+  test("simhash calibration: identical docs sit at hamming 0 in the top decile") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_spec_shcal").toString
+    Seq(
+      (1L, "x y z w", "en", "s", 7L),
+      (2L, "x y z w", "en", "s", 7L),
+      (3L, "p q r t", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesDedup.q195_simhash_calibration(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0)
+  }
+
   test("pq recall: a losslessly-encodable corpus scores recall 1.0 everywhere") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_spec_pqrec").toString
