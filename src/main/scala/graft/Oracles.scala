@@ -2908,6 +2908,24 @@ object Oracles {
           |        JOIN sup sb ON sb.event_type = type_b
           |CROSS JOIN nu
           |ORDER BY type_a, type_b""".stripMargin) +
+      // q196: 3-step path mining — same (ts, event_id) order, top-20
+      // on (count desc, path asc), re-sorted by path for the hash
+      ("q196_user_paths" ->
+        """WITH o AS (
+          |  SELECT user_id, event_type,
+          |         lead(event_type, 1) OVER w AS s2,
+          |         lead(event_type, 2) OVER w AS s3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |p AS (
+          |  SELECT event_type || ' > ' || s2 || ' > ' || s3 AS path
+          |  FROM o WHERE s2 IS NOT NULL AND s3 IS NOT NULL),
+          |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+          |top AS (SELECT * FROM c ORDER BY n DESC, path LIMIT 20)
+          |SELECT path, n FROM top ORDER BY path""".stripMargin) +
+      // q197: Pearson r from exact decimal moment sums, combined in
+      // double with the identical IEEE op sequence
+      ("q197_signal_correlation" -> q197Sql) +
       // q195: mean simhash hamming per exact-Jaccard decile — the
       // shared portable signature (q27) against the q25 candidates
       ("q195_simhash_calibration" ->
@@ -3094,6 +3112,32 @@ object Oracles {
        |FROM sp LEFT JOIN leaked USING (doc_id)
        |WHERE sp.split <> 'train'
        |GROUP BY sp.split ORDER BY sp.split""".stripMargin
+  }
+
+  /** q197: the Pearson matrix — per-signal moment sums as DECIMAL(19,0)
+    * of integers (exact), combined in DOUBLE with the engine's exact
+    * op sequence; the three pairs share one generated template.
+    */
+  private def q197Sql: String = {
+    def p(x: String, y: String, alias: String): String = {
+      def s(c: String)            = s"CAST(sum(CAST($c AS DECIMAL(19,0))) AS DOUBLE)"
+      def s2(a: String, b: String) =
+        s"CAST(sum(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))) AS DOUBLE)"
+      val n = "CAST(count(*) AS DOUBLE)"
+      s"""round(($n * ${s2(x, y)} - ${s(x)} * ${s(y)}) /
+         |  sqrt(($n * ${s2(x, x)} - ${s(x)} * ${s(x)}) *
+         |       ($n * ${s2(y, y)} - ${s(y)} * ${s(y)})), 6) AS $alias""".stripMargin
+    }
+    s"""WITH sig AS (
+       |  SELECT source, n_chars AS len,
+       |         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks,
+       |         len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS types
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       ${p("len", "toks", "r_len_toks")},
+       |       ${p("len", "types", "r_len_types")},
+       |       ${p("toks", "types", "r_toks_types")}
+       |FROM sig GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —

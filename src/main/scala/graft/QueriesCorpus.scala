@@ -2613,6 +2613,75 @@ object QueriesCorpus {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Top user paths (3-step event-type sequences): the q157
+    * transition matrix extended one hop — which three-step journeys
+    * dominate, with each user's events ordered by (ts, event_id) and
+    * paths allowed to span sessions. One user-keyed window produces
+    * both lookaheads; the count table is types³-bounded; top-20 is a
+    * TakeOrderedAndProject on (count desc, path asc).
+    */
+  def q196_user_paths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables
+      .events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .select($"event_type".as("s1"),
+        lead($"event_type", 1).over(w).as("s2"),
+        lead($"event_type", 2).over(w).as("s3"))
+      .filter($"s2".isNotNull && $"s3".isNotNull)
+      .select(concat_ws(" > ", $"s1", $"s2", $"s3").as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+      .orderBy($"path")
+  }
+
+  /** Pearson correlation matrix of per-document quality signals
+    * (length, token count, distinct-token count) per source — are the
+    * gates independent or redundant? r from EXACT integer moment sums
+    * (nΣxy − ΣxΣy over the √-product of variances; every sum is a
+    * DECIMAL of integers, so the statistic is engine-exact up to the
+    * final sqrt/divide). One tokenize pass collapses to a docs-sized
+    * signal table; the moment rollup is sources × 3 pairs.
+    */
+  def q197_signal_correlation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val sig = Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("arr"))
+      .select($"source", $"n_chars".as("len"),
+        size($"arr").cast("long").as("toks"),
+        size(array_distinct($"arr")).cast("long").as("types"))
+    def pearson(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+      // moment sums are EXACT decimals of integers; the combining
+      // arithmetic runs in double with the identical op sequence on
+      // both engines (equal inputs + equal IEEE ops = equal bits)
+      val d   = DecimalType(19, 0)
+      val n   = count(lit(1)).cast("double")
+      val sx  = sum(x.cast(d)).cast("double")
+      val sy  = sum(y.cast(d)).cast("double")
+      val sxx = sum(x.cast(d) * x.cast(d)).cast("double")
+      val syy = sum(y.cast(d) * y.cast(d)).cast("double")
+      val sxy = sum(x.cast(d) * y.cast(d)).cast("double")
+      round(
+        (n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6)
+    }
+    sig
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        pearson($"len", $"toks").as("r_len_toks"),
+        pearson($"len", $"types").as("r_len_types"),
+        pearson($"toks", $"types").as("r_toks_types"))
+      .orderBy($"source")
+  }
+
   /** Tokenizer fertility by language: BPE tokens emitted per
     * whitespace word under the q120 fixed-merge tokenizer — the
     * mixture-design number that prices each language's token budget

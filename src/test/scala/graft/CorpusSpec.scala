@@ -1166,6 +1166,49 @@ class CorpusSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.111111 && r.getDouble(6) == 0.666667)
   }
 
+  test("user paths: three-step journeys count across session boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_paths").toString
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:00:01", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:00:02", 1L, "purchase", 0.0),
+      (4L, "2024-01-01 10:00:03", 1L, "error", 0.0),
+      (5L, "2024-01-02 09:00:00", 2L, "view", 0.0),
+      (6L, "2024-01-02 09:00:01", 2L, "click", 0.0),
+      (7L, "2024-01-02 09:00:02", 2L, "purchase", 0.0))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q196_user_paths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map(
+      "view > click > purchase" -> 2L,
+      "click > purchase > error" -> 1L))
+  }
+
+  test("signal correlation: perfectly aligned and inverted signals pin r = ±1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_corr").toString
+    Seq(
+      // srcA: len tracks toks exactly → every r = 1
+      (1L, "a", "en", "srcA", 1L),
+      (2L, "a b", "en", "srcA", 2L),
+      (3L, "a b c", "en", "srcA", 3L),
+      // srcB: len runs against toks → r_len_toks = r_len_types = -1
+      (4L, "a b c", "en", "srcB", 5L),
+      (5L, "a b", "en", "srcB", 10L),
+      (6L, "a", "en", "srcB", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q197_signal_correlation(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows("srcA") == ((3L, 1.0, 1.0, 1.0)))
+    assert(rows("srcB") == ((3L, -1.0, -1.0, 1.0)))
+  }
+
   test("cluster topics: c-TF-IDF top terms agree with an independent recompute") {
     import spark.implicits._
     val dir  = "/root/testdata/sf0.001"
