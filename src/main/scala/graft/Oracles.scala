@@ -2908,6 +2908,29 @@ object Oracles {
           |        JOIN sup sb ON sb.event_type = type_b
           |CROSS JOIN nu
           |ORDER BY type_a, type_b""".stripMargin) +
+      // q198: BM25 (k1=1.2, b=0.75, Lucene idf) — DECIMAL per-term
+      // scores, identical double chain, top-20 on the exact sum
+      ("q198_bm25" ->
+        """WITH tok AS (
+          |  SELECT doc_id, token FROM (
+          |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+          |  WHERE token <> ''),
+          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |                 CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+          |       WHERE token IN ('table', 'scan', 'fast') GROUP BY 1, 2),
+          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |terms AS (
+          |  SELECT tf.doc_id,
+          |         CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+          |              * (tf * 2.2)
+          |              / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))
+          |           AS DECIMAL(18,12)) AS term
+          |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+          |agg AS (SELECT doc_id, sum(term) AS s FROM terms GROUP BY 1),
+          |top AS (SELECT * FROM agg ORDER BY s DESC, doc_id LIMIT 20)
+          |SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS score FROM top ORDER BY doc_id""".stripMargin) +
       // q196: 3-step path mining — same (ts, event_id) order, top-20
       // on (count desc, path asc), re-sorted by path for the hash
       ("q196_user_paths" ->

@@ -246,6 +246,48 @@ object QueriesText {
       .orderBy($"source")
   }
 
+  /** BM25 lexical retrieval (Robertson–Spärck Jones, the Lucene
+    * idf form) for a fixed keyword query — the sparse complement to
+    * the dense ANN family (q30/q86): top-20 documents by
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * k1 = 1.2, b = 0.75. Only documents CONTAINING a query term ever
+    * materialize a row (the tf filter is the inverted-index shape —
+    * posting lists, not a corpus scan per query); corpus stats enter
+    * as a 1-row broadcast; per-term scores cast to DECIMAL before the
+    * per-doc sum so the ranking is order-independent, and top-k is a
+    * TakeOrderedAndProject.
+    */
+  def q198_bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val terms = Seq("table", "scan", "fast")
+    val tok = Tables
+      .documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = broadcast(
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_dl")))
+    val tf = tok.filter($"token".isin(terms: _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val avgdl = $"total_dl".cast("double") / $"n_docs"
+    val idf   = log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val denom = $"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / avgdl))
+    tf
+      .join(df, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select($"doc_id",
+        (idf * ($"tf" * lit(2.2)) / denom).cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"term").as("s"))
+      .orderBy($"s".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", round($"s".cast("double"), 6).as("score"))
+      .orderBy($"doc_id")
+  }
+
   /** Top-k bigram collocations by pointwise mutual information —
     * PMI = ln p(ab) / (p(a)·p(b)) over adjacent-token bigrams with a
     * c(ab) ≥ 5 support floor (PMI without a floor surfaces noise:

@@ -1209,6 +1209,27 @@ class CorpusSpec extends SparkSpec {
     assert(rows("srcB") == ((3L, -1.0, -1.0, 1.0)))
   }
 
+  test("bm25: closed-form scores for planted term frequencies and lengths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_bm25").toString
+    Seq(
+      (1L, "table table other", "en", "s", 17L), // tf=2, dl=3
+      (2L, "scan x y z", "en", "s", 10L),        // tf=1, dl=4
+      (3L, "nothing here", "en", "s", 12L)       // no query term → no row
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesText.q198_bm25(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=3: idf = ln(1 + 2.5/1.5) for both single-df terms
+    val idf = math.log(1.0 + 2.5 / 1.5)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == r6(idf * 4.4 / (2 + 1.2 * (0.25 + 0.75 * (3.0 / 3.0)))))
+    assert(rows(2L) == r6(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * (4.0 / 3.0)))))
+  }
+
   test("cluster topics: c-TF-IDF top terms agree with an independent recompute") {
     import spark.implicits._
     val dir  = "/root/testdata/sf0.001"
