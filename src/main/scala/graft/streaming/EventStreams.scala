@@ -471,6 +471,100 @@ object EventStreams {
       }
       .start()
 
+  private val D19 = org.apache.spark.sql.types.DecimalType(19, 0)
+  private val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Per-user batch digest for the burstiness fold: endpoints plus
+    * the batch-internal gap moments (exact micro-second longs,
+    * DECIMAL sums — the q184 discipline).
+    */
+  private def burstDigest(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"),
+        sum(when(col("gap_us").isNotNull, 1L).otherwise(0L)).as("gn"),
+        sum(coalesce(col("gap_us"), lit(0L)).cast(D19)).cast(D38).as("gsx"),
+        sum(coalesce(col("gap_us"), lit(0L)).cast(D19) *
+          coalesce(col("gap_us"), lit(0L)).cast(D19)).cast(D38).as("gsxx"))
+  }
+
+  /** Seed the burstiness state ledger: one row per user —
+    * (n_gaps, Σgap, Σgap², last_us) with exact integer/decimal sums.
+    * Unlike the count ledgers this state is NOT additive across
+    * partitions; each batch writes the FULL updated row for the users
+    * it touched, and the effective state is the latest batch's row
+    * per user (a users-sized table at any history length).
+    */
+  def seedBurstLedger(events: DataFrame, ledgerDir: String): Unit =
+    burstDigest(events)
+      .select(col("user_id"), col("gn").as("n_gaps"), col("gsx").as("sx"),
+        col("gsxx").as("sxx"), col("last_us"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=-1")
+
+  /** Streaming twin of q184's inter-arrival burstiness: per
+    * micro-batch, each touched user's (n, Σx, Σx², last_ts) state
+    * stitches the batch's internal gaps PLUS the one boundary gap
+    * against the stored last timestamp — so the CV telemetry updates
+    * in the batch that moves it, and the event history is never
+    * re-read. Per-batch cost: one batch-sized window + a users-sized
+    * state join. Time-monotone arrival per user ⇒ the final state
+    * equals the batch q184 moments exactly (integer micros, DECIMAL
+    * sums — associativity is the whole design), pinned in
+    * StreamingSpec. Replay reads state excluding the batch's own
+    * partition, then overwrites it (the house exactly-once recipe).
+    */
+  def incrementalBurstiness(
+      events: DataFrame,
+      telemetryDir: String,
+      ledgerDir: String
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val digest = graft.operators.Materialize(burstDigest(batch))
+        val wLatest = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+        val prior = spark.read
+          .parquet(ledgerDir)
+          .filter(col("batch_id") =!= batchId)
+          .withColumn("rn", row_number().over(wLatest))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n_gaps").as("p_n"), col("sx").as("p_sx"),
+            col("sxx").as("p_sxx"), col("last_us").as("p_last"))
+        val bGap = (col("first_us") - col("p_last")).cast(D19)
+        val state = digest
+          .join(prior, Seq("user_id"), "left")
+          .select(
+            col("user_id"),
+            (coalesce(col("p_n"), lit(0L)) + col("gn") +
+              when(col("p_last").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+            (coalesce(col("p_sx"), lit(0L).cast(D38)) + col("gsx") +
+              coalesce(bGap, lit(0L).cast(D19))).cast(D38).as("sx"),
+            (coalesce(col("p_sxx"), lit(0L).cast(D38)) + col("gsxx") +
+              coalesce(bGap * bGap, lit(0L).cast(D38))).cast(D38).as("sxx"),
+            col("last_us"))
+        val stateM = graft.operators.Materialize(state)
+        stateM
+          .filter(col("n_gaps") >= 5)
+          .select(col("user_id"), col("n_gaps"),
+            (col("sx").cast("double") / col("n_gaps")).as("mean_us"),
+            (col("sxx").cast("double") / col("n_gaps")).as("m2_us"))
+          .select(col("user_id"), col("n_gaps"),
+            round(col("mean_us") / 1e6, 6).as("mean_gap_s"),
+            round(sqrt(greatest(lit(0.0), col("m2_us") - col("mean_us") * col("mean_us"))) /
+              col("mean_us"), 6).as("cv"))
+          .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        stateM.write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Run a bounded stream to completion into a memory sink and return
     * the result — the batch-equivalence harness used by tests.
     */

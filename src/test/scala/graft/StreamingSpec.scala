@@ -1061,4 +1061,41 @@ class StreamingSpec extends SparkSpec {
         floor($"value" / 50.0).cast("long").as("vb"), $"user_id").distinct().count()
     assert(foldedUsers == exactUsers)
   }
+
+  test("streaming burstiness: time-monotone batches converge to the batch q184 rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir        = Files.createTempDirectory("graft_stream_burst").toString
+    val fixtureDir = "/root/testdata/sf0.001"
+    val want = QueriesCorpus.q184_burstiness(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+
+    // time-terciles: per-user arrival is ts-monotone across batches
+    val evs = Tables.events(spark, fixtureDir)
+      .select($"event_id", $"ts".cast("string").as("ts"), $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e._2, e._1))
+    EventStreams.seedBurstLedger(
+      Tables.events(spark, fixtureDir).filter(lit(false)), s"$dir/ledger")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String, Double)]
+    val q = EventStreams.incrementalBurstiness(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts".cast("timestamp")),
+      s"$dir/tel", s"$dir/ledger")
+    val parts = evs.grouped((evs.length + 2) / 3).toSeq
+    try {
+      parts.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"batch_id".desc)
+    val got = spark.read.parquet(s"$dir/tel")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"n_gaps", $"mean_gap_s", $"cv")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == want, s"stream burstiness != batch q184 (got ${got.size}, want ${want.size})")
+  }
 }
