@@ -2888,6 +2888,26 @@ object Oracles {
           |SELECT bigram, c_ab, round(pmi, 6) AS pmi FROM top ORDER BY bigram""".stripMargin) +
       ("q191_split_leakage" -> q191Sql) +
       ("q192_pq_recall" -> q192Sql) +
+      ("q199_rrf_fusion" -> q199Sql) +
+      // q200: the per-source datacard — one pass, sources-sized rollup
+      ("q200_datacard" ->
+        """WITH d AS (
+          |  SELECT source, lang, n_chars,
+          |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks,
+          |         sha256(text) AS content_key,
+          |         CASE WHEN substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+          |              WHEN substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+          |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+          |       CAST(count(*) - count(DISTINCT content_key) AS BIGINT) AS dup_docs,
+          |       round(CAST(count(*) - count(DISTINCT content_key) AS DOUBLE) / count(*), 6) AS dup_rate,
+          |       round(CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS train_share
+          |FROM d GROUP BY source ORDER BY source""".stripMargin) +
       // q193: c-TF-IDF topic terms per exact-k-means cluster — q60's
       // smoothed idf over CLUSTERS, top-3 on the unrounded score
       // q194: market-basket lift over distinct (user, type) — exact
@@ -3162,6 +3182,37 @@ object Oracles {
        |       ${p("toks", "types", "r_toks_types")}
        |FROM sig GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** q199: RRF(60) of the exact and ADC rankings — ranks from the
+    * shared CTEs, full-outer fused, two-term IEEE sum.
+    */
+  private def q199Sql: String =
+    pqAdcCte + """,
+      |pqr AS (
+      |  SELECT query_id, neighbor_id, rn AS r_pq FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |             ORDER BY score DESC, neighbor_id) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 10),
+      |exr AS (
+      |  SELECT query_id, neighbor_id, rn AS r_exact FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY a.vec_id
+      |             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+      |    FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND b.vec_id != a.vec_id)
+      |  WHERE rn <= 10),
+      |fused AS (
+      |  SELECT COALESCE(exr.query_id, pqr.query_id) AS query_id,
+      |         COALESCE(exr.neighbor_id, pqr.neighbor_id) AS neighbor_id,
+      |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_exact), CAST(0.0 AS DOUBLE))
+      |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_pq), CAST(0.0 AS DOUBLE)) AS rrf
+      |  FROM exr FULL JOIN pqr
+      |    ON exr.query_id = pqr.query_id AND exr.neighbor_id = pqr.neighbor_id)
+      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, round(rrf, 6) AS rrf
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rrf DESC, neighbor_id) AS rn FROM fused)
+      |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** q103: recompute the expect-or-drop quarantine split in SQL —
     * same planted-NULL rule, same CHECK-violates-on-FALSE semantics,

@@ -2505,6 +2505,41 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** The per-source DATACARD: the one-row-per-source governance sheet
+    * a dataset release ships — volume (docs, tokens, mean length),
+    * composition (distinct languages), integrity (exact-duplicate
+    * share via content sha), and the q180 split balance — all from
+    * ONE pass over the corpus plus a sources-sized rollup (the
+    * distinct aggregates expand map-side; nothing corpus-sized
+    * crosses a second time). Deeper signals stay in their own
+    * queries (LM bits q148, drift q145, dup funnel q127); this is
+    * the cover page.
+    */
+  def q200_datacard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = substring(sha2(concat(lit("split:"), $"doc_id".cast("string")), 256), 1, 2)
+    Tables
+      .documents(spark, dir)
+      .select($"source", $"lang", $"n_chars",
+        size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long").as("toks"),
+        sha2($"text", 256).as("content_key"),
+        when(b < "cc", "train").when(b < "e6", "val").otherwise("test").as("split"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"toks").as("n_tokens"),
+        sum($"n_chars").as("n_chars"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"content_key").as("n_unique"),
+        sum(when($"split" === "train", 1L).otherwise(0L)).as("train_docs"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_langs",
+        round($"n_chars".cast("double") / $"n_docs", 6).as("mean_chars"),
+        ($"n_docs" - $"n_unique").as("dup_docs"),
+        round(($"n_docs" - $"n_unique").cast("double") / $"n_docs", 6).as("dup_rate"),
+        round($"train_docs".cast("double") / $"n_docs", 6).as("train_share"))
+      .orderBy($"source")
+  }
+
   /** Topic labeling for embedding clusters (the c-TF-IDF step of the
     * BERTopic recipe): each exact-k-means cluster (q138, vec_id ≡
     * doc_id in the synthetic corpus) gets its top-3 terms by

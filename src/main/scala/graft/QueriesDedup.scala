@@ -626,6 +626,40 @@ object QueriesDedup {
       .orderBy($"decile")
   }
 
+  /** Reciprocal-rank fusion (k = 60) of the exact cosine ranking and
+    * the PQ ADC ranking for the audit queries — the hybrid-retrieval
+    * combiner (Cormack 2009): rrf(n) = Σ_lists 1/(60 + rank), summed
+    * over the lists that returned n. RRF needs only RANKS, so it
+    * fuses heterogeneous scorers (dense/sparse/compressed) without
+    * score normalization — which is why retrieval stacks use it. The
+    * fusion join runs on the two top-k lists (k-sized per query,
+    * never corpus-sized); ranks are exact integers so the fused score
+    * is a two-term IEEE sum, engine-exact.
+    */
+  def q199_rrf_fusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id", $"rank".as("r_exact"))
+    val cb    = pqCodebook(spark, dir)
+    val codes = Pq.encodeCorpus(emb, "vec_id", "embedding", cb)
+    val pq = Pq
+      .topK(codes, emb.filter($"vec_id" < 8), "vec_id", "embedding", k = 10, cb)
+      .select($"query_id", $"neighbor_id", $"rank".as("r_pq"))
+    val rrf = coalesce(lit(1.0) / (lit(60) + $"r_exact"), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + $"r_pq"), lit(0.0))
+    val w = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"neighbor_id")
+    exact
+      .join(pq, Seq("query_id", "neighbor_id"), "full")
+      .select($"query_id", $"neighbor_id", rrf.as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", round($"rrf", 6).as("rrf"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** PQ recall@10 against the exact ranking — the compression-quality
     * number that decides whether 32× byte compression (q86's ADC scan)
     * is safe for a retrieval workload, measured instead of assumed.

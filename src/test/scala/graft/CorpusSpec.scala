@@ -1230,6 +1230,33 @@ class CorpusSpec extends SparkSpec {
     assert(rows(2L) == r6(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * (4.0 / 3.0)))))
   }
 
+  test("datacard: volume, languages, dup share and split balance in one row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_card").toString
+    val docs = Seq(
+      (1L, "a b c", "en", "srcA", 5L),
+      (2L, "a b c", "en", "srcA", 5L), // exact copy → 1 dup doc
+      (3L, "x y", "fr", "srcA", 3L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(s"split:$id".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 2) < "cc"
+    }
+    val trainDocs = docs.count { case (id, _, _, _, _) => isTrain(id) }
+    val r = QueriesCorpus.q200_datacard(spark, dir).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("srcA", 3L, 8L, 2L)))
+    assert(r.getDouble(4) == BigDecimal(13.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getLong(5) == 1L && r.getDouble(6) == BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(7) == BigDecimal(trainDocs.toDouble / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("cluster topics: c-TF-IDF top terms agree with an independent recompute") {
     import spark.implicits._
     val dir  = "/root/testdata/sf0.001"

@@ -592,6 +592,26 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0)
   }
 
+  test("rrf fusion: agreeing rankings fuse to exactly 2/(60+rank)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_spec_rrf").toString
+    // lossless PQ corpus (the q192 fixture): ADC ranking ≡ exact
+    // ranking, so both lists agree and rrf(rank r) = 2/(60+r)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 12L).map(i => (i, Array.fill(64)(rnd.nextFloat() - 0.5f), 0))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = QueriesDedup.q199_rrf_fusion(spark, dir).collect()
+    assert(rows.length == 80) // 8 queries x top-10
+    rows.foreach { r =>
+      val rank = r.getInt(1)
+      val expect = BigDecimal(1.0 / (60 + rank) + 1.0 / (60 + rank))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect, s"rank $rank fused ${r.getDouble(3)} != $expect")
+    }
+  }
+
   test("pq recall: a losslessly-encodable corpus scores recall 1.0 everywhere") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_spec_pqrec").toString
