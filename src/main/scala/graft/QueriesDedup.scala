@@ -560,7 +560,13 @@ object QueriesDedup {
     * output, q26). Candidates come from the same shared-shingle
     * equi-join as q25 — candidates ∝ co-occurrence mass, never docs² —
     * and the signature build is one groupBy over shingle rows with 16
-    * min() aggregates; the report is ≤ 11 rows.
+    * min() aggregates; the report is ≤ 11 rows. Co-occurrence mass
+    * grows superlinearly on dup-heavy corpora (the 10× smoke measures
+    * it), and CALIBRATION only needs a sample: at corpus scale run
+    * this over a content-addressed doc sample (`sha2(doc_id) < p` —
+    * the q59/q180 trick), which shrinks the candidate join
+    * quadratically while keeping the estimator statistics unbiased
+    * and the run reproducible.
     */
   def q183_minhash_calibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -496,6 +496,27 @@ object ScaleSmoke {
       // min-aggregation, never a pair enumeration
       graft.QueriesCorpus.q162_ngram_novelty(spark, out).count()
     }
+    time("q183 minhash calibration (candidates prop. to dup mass)") {
+      // on the 10-copy corpus the candidate pairs are the dup families
+      // (45 pairs per copied doc), so the calibration rollup's cost
+      // tracks duplicate mass; the 16-component signature build stays
+      // ONE doc-keyed aggregate no matter the corpus size
+      graft.QueriesDedup.q183_minhash_calibration(spark, out).count()
+    }
+    time("q191 split leakage (train grams deduped, shuffle semi-join)") {
+      // the 10-copy corpus leaks maximally: every copied doc shares
+      // all grams with its train-split siblings — eval probes the
+      // deduped gram set, neither side broadcast-materializes
+      graft.QueriesCorpus.q191_split_leakage(spark, out).count()
+    }
+    time("q184 burstiness (one user-keyed window over 10x events)") {
+      // copies are NEW users with intact timelines, so gap moments
+      // stay per-user-slice work — 10x users, same per-key state
+      graft.QueriesCorpus.q184_burstiness(spark, out).count()
+    }
+    time("q198 bm25 (posting-list rows only, stats broadcast)") {
+      graft.QueriesText.q198_bm25(spark, out).count()
+    }
     spark.stop()
   }
 }
