@@ -2889,6 +2889,43 @@ object Oracles {
       ("q191_split_leakage" -> q191Sql) +
       ("q192_pq_recall" -> q192Sql) +
       ("q199_rrf_fusion" -> q199Sql) +
+      // q201: percent-rank blend — (rank-1)/(n-1) on integer-derived
+      // orderings, identical double chain
+      ("q201_quality_blend" ->
+        """WITH sig AS (
+          |  SELECT doc_id, source, n_chars,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks,
+          |         CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+          |           / CAST(greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1) AS DOUBLE) AS ttr
+          |  FROM documents),
+          |ranked AS (
+          |  SELECT doc_id, source,
+          |         (percent_rank() OVER (PARTITION BY source ORDER BY toks)
+          |          + percent_rank() OVER (PARTITION BY source ORDER BY ttr)
+          |          + percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) / 3.0 AS blend
+          |  FROM sig)
+          |SELECT doc_id, source, round(blend, 6) AS blend,
+          |       CAST(CASE WHEN blend >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+          |FROM ranked ORDER BY doc_id""".stripMargin) +
+      // q202: winsorized mean — integer-rank P10/P90 bounds, DECIMAL
+      // sums, doubles only in the final division
+      ("q202_winsorized_mean" ->
+        """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+          |r AS (SELECT source, n_chars,
+          |             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+          |             count(*) OVER (PARTITION BY source) AS n
+          |      FROM d),
+          |b AS (SELECT source, min(n_chars) AS lo, max(n_chars) AS hi
+          |      FROM r WHERE rn = (n - 1) // 10 + 1 OR rn = n - (n - 1) // 10
+          |      GROUP BY source)
+          |SELECT d.source,
+          |       CAST(max(b.lo) AS BIGINT) AS lo, CAST(max(b.hi) AS BIGINT) AS hi,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       round(CAST(sum(CAST(d.n_chars AS DECIMAL(19,0))) AS DOUBLE) / count(*), 6) AS raw_mean,
+          |       round(CAST(sum(CAST(greatest(b.lo, least(b.hi, d.n_chars)) AS DECIMAL(19,0))) AS DOUBLE)
+          |             / count(*), 6) AS winsorized_mean
+          |FROM d JOIN b USING (source)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin) +
       // q200: the per-source datacard — one pass, sources-sized rollup
       ("q200_datacard" ->
         """WITH d AS (

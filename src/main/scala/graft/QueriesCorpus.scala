@@ -2505,6 +2505,74 @@ object QueriesCorpus {
       .orderBy($"source")
   }
 
+  /** Rank-normalized quality ensemble: three per-doc signals (token
+    * count, type/token diversity, char length) each percent-ranked
+    * WITHIN its source, averaged into one blended score — rank
+    * averaging is how real pipelines ensemble incommensurable quality
+    * signals without learning weights (a doc must rank well on
+    * several axes to survive; one spammy axis can't dominate the way
+    * it does in raw-value averaging). percent_rank is
+    * (rank−1)/(n−1) on integer-derived orderings (ties share rank),
+    * so the blend is engine-exact. One tokenize pass, three windows
+    * over the same source partitioning.
+    */
+  def q201_quality_blend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("arr"))
+      .select($"doc_id", $"source", $"n_chars",
+        size($"arr").cast("long").as("toks"),
+        (size(array_distinct($"arr")).cast("double") /
+          greatest(size($"arr"), lit(1)).cast("double")).as("ttr"))
+    def pr(c: org.apache.spark.sql.Column) =
+      percent_rank().over(Window.partitionBy($"source").orderBy(c))
+    sig
+      .select($"doc_id", $"source",
+        ((pr($"toks") + pr($"ttr") + pr($"n_chars")) / 3.0).as("blend"))
+      .select($"doc_id", $"source", round($"blend", 6).as("blend"),
+        when($"blend" >= 0.5, 1).otherwise(0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Winsorized per-source length statistics: clip n_chars to the
+    * [P10, P90] integer-rank bounds (lower-rank selection, the
+    * q169/q188 discipline — exact longs, no interpolation) and report
+    * the clipped vs raw mean — the robust location estimate that
+    * heavy-tail length distributions need before any length-based
+    * mixture or packing policy reads "average document size". Two
+    * source-keyed windows plus a DECIMAL-summed rollup.
+    */
+  def q202_winsorized_mean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars")
+    val ranked = docs.select($"source", $"n_chars",
+      row_number().over(Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")).as("rn"),
+      count(lit(1)).over(Window.partitionBy($"source")).as("n"))
+    val bounds = ranked
+      .select($"source", $"n_chars", $"rn",
+        (expr("(n - 1) div 10") + 1L).as("lo_rn"),
+        ($"n" - expr("(n - 1) div 10")).as("hi_rn"))
+      .filter($"rn" === $"lo_rn" || $"rn" === $"hi_rn")
+      .groupBy($"source")
+      .agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+    docs
+      .join(bounds, Seq("source"))
+      .select($"source", $"lo", $"hi", $"n_chars",
+        greatest($"lo", least($"hi", $"n_chars")).as("clipped"))
+      .groupBy($"source")
+      .agg(
+        max($"lo").as("lo"), max($"hi").as("hi"),
+        count(lit(1)).as("n_docs"),
+        round(sum($"n_chars".cast(DecimalType(19, 0))).cast("double") / count(lit(1)), 6)
+          .as("raw_mean"),
+        round(sum($"clipped".cast(DecimalType(19, 0))).cast("double") / count(lit(1)), 6)
+          .as("winsorized_mean"))
+      .orderBy($"source")
+  }
+
   /** The per-source DATACARD: the one-row-per-source governance sheet
     * a dataset release ships — volume (docs, tokens, mean length),
     * composition (distinct languages), integrity (exact-duplicate

@@ -1257,6 +1257,40 @@ class CorpusSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("quality blend: percent-rank averaging with a tied axis contributing zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_blend").toString
+    // toks and n_chars strictly increase; ttr ties at 1.0 for all →
+    // its percent_rank is 0 everywhere, so blend = (pr + 0 + pr)/3
+    Seq(
+      (1L, "a", "en", "s", 1L),
+      (2L, "a b", "en", "s", 2L),
+      (3L, "a b c", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = QueriesCorpus.q201_quality_blend(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    assert(rows(1L) == ((0.0, 0)))
+    assert(rows(2L) == ((0.333333, 0)))
+    assert(rows(3L) == ((0.666667, 1)))
+  }
+
+  test("winsorized mean: P10/P90 integer-rank clipping tames a planted tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_wins").toString
+    val docs = (1 to 10).map(i => (i.toLong, "t", "en", "s", i.toLong)) :+
+      (11L, "t", "en", "s", 1000L)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val r = QueriesCorpus.q202_winsorized_mean(spark, dir).collect().head
+    // n=11: lo = rank 2 value (2), hi = rank 10 value (10); clipped
+    // sum = 66 → mean 6; raw mean = 1055/11
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 10L, 11L)))
+    assert(r.getDouble(4) == 95.909091 && r.getDouble(5) == 6.0)
+  }
+
   test("cluster topics: c-TF-IDF top terms agree with an independent recompute") {
     import spark.implicits._
     val dir  = "/root/testdata/sf0.001"
