@@ -2716,6 +2716,34 @@ object Oracles {
           |       round(CAST(sum(CASE WHEN users < 5 THEN n_rows ELSE 0 END) AS DOUBLE)
           |             / CAST(sum(n_rows) AS BIGINT), 6) AS risk_share
           |FROM combos GROUP BY 1 ORDER BY event_type""".stripMargin) +
+      // q203: l-diversity — distinct sensitive values per QI combo,
+      // days-sized rollup (day emitted as a string, house rule)
+      ("q203_l_diversity" ->
+        """WITH combos AS (
+          |  SELECT CAST(ts AS DATE) AS day,
+          |         CAST(floor(value / 50.0) AS BIGINT) AS vb,
+          |         CAST(count(DISTINCT event_type) AS BIGINT) AS types,
+          |         CAST(count(*) AS BIGINT) AS n_rows
+          |  FROM events GROUP BY 1, 2)
+          |SELECT strftime(day, '%Y-%m-%d') AS day,
+          |       CAST(count(*) AS BIGINT) AS n_combos,
+          |       CAST(sum(CASE WHEN types < 3 THEN 1 ELSE 0 END) AS BIGINT) AS weak_combos,
+          |       CAST(sum(CASE WHEN types < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS weak_rows,
+          |       round(CAST(sum(CASE WHEN types < 3 THEN n_rows ELSE 0 END) AS DOUBLE)
+          |             / CAST(sum(n_rows) AS BIGINT), 6) AS weak_share
+          |FROM combos GROUP BY day ORDER BY day""".stripMargin) +
+      // q204: anonymity-set size histogram over the q181 grid
+      ("q204_anonymity_histogram" ->
+        """WITH combos AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         CAST(floor(value / 50.0) AS BIGINT) AS vb,
+          |         CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+          |         CAST(count(*) AS BIGINT) AS n_rows
+          |  FROM events GROUP BY 1, 2, 3)
+          |SELECT least(users, 5) AS bucket,
+          |       CAST(count(*) AS BIGINT) AS n_combos,
+          |       CAST(sum(n_rows) AS BIGINT) AS n_rows
+          |FROM combos GROUP BY 1 ORDER BY bucket""".stripMargin) +
       // q182: char-level entropy — per-char explode, −p·ln p / ln 2
       // DECIMAL terms (the q74/q133 discipline)
       ("q182_char_entropy" ->

@@ -2340,6 +2340,55 @@ object QueriesCorpus {
       .orderBy($"event_type")
   }
 
+  /** l-diversity audit (the k-anonymity companion): within each
+    * quasi-identifier combination (day, value bucket), how many
+    * DISTINCT sensitive values (event types) appear — a combo can be
+    * k-anonymous yet still leak if everyone in it shares one
+    * sensitive value. Reports, per day, the combos under l = 3 and
+    * the row mass needing generalization. Same grid-bounded shape as
+    * q181: one combo-keyed shuffle, days-sized report.
+    */
+  def q203_l_diversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = 3
+    Tables
+      .events(spark, dir)
+      .select(to_date($"ts").as("day"),
+        floor($"value" / 50.0).cast("long").as("vb"), $"event_type")
+      .groupBy($"day", $"vb")
+      .agg(countDistinct($"event_type").as("types"), count(lit(1)).as("n_rows"))
+      .groupBy($"day")
+      .agg(
+        count(lit(1)).as("n_combos"),
+        sum(when($"types" < l, 1L).otherwise(0L)).as("weak_combos"),
+        sum(when($"types" < l, $"n_rows").otherwise(0L)).as("weak_rows"),
+        sum($"n_rows").as("total_rows"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_combos", $"weak_combos", $"weak_rows",
+        round($"weak_rows".cast("double") / $"total_rows", 6).as("weak_share"))
+      .orderBy($"day")
+  }
+
+  /** Anonymity-set size distribution: how many quasi-identifier
+    * combinations have exactly 1, 2, … distinct users (5+ collapsed) —
+    * the histogram behind q181's binary risky/safe verdict, which is
+    * what a privacy office actually reviews when picking k. Grid-
+    * sized both ways; the report is ≤ 5 rows.
+    */
+  def q204_anonymity_histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"),
+        floor($"value" / 50.0).cast("long").as("vb"), $"user_id")
+      .groupBy($"event_type", $"day", $"vb")
+      .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n_rows"))
+      .select(least($"users", lit(5L)).as("bucket"), $"n_rows")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_combos"), sum($"n_rows").as("n_rows"))
+      .orderBy($"bucket")
+  }
+
   /** Character-level Shannon entropy per document (bits/char) — the
     * gibberish gate that token-level diversity (q74) cannot see:
     * base64 blobs, minified code and key-mash runs have near-uniform

@@ -973,6 +973,43 @@ class CorpusSpec extends SparkSpec {
     assert(rows("click") == ((1L, 1L, 1L, 1.0)))  // one user → the whole type is risky
   }
 
+  test("l-diversity: one-type combos are weak, three-type combos clear the bar") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_ldiv").toString
+    // day 1, bucket 0: three distinct types → diverse; day 2, bucket 0:
+    // three rows of ONE type → weak
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (3L, "2024-01-01 12:00:00", 3L, "purchase", 0.0),
+      (4L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (5L, "2024-01-02 11:00:00", 2L, "view", 0.0),
+      (6L, "2024-01-02 12:00:00", 3L, "view", 0.0))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q203_l_diversity(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows("2024-01-01") == ((1L, 0L, 0L, 0.0)))
+    assert(rows("2024-01-02") == ((1L, 1L, 3L, 1.0)))
+  }
+
+  test("anonymity histogram: set sizes bucket with 5+ collapsed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_ahist").toString
+    // combo A: 1 user (2 rows); combo B: 6 users → bucket 5
+    val ev = (1 to 2).map(i =>
+      (i.toLong, "2024-01-01 10:00:00", 1L, "view", 10.0)) ++
+      (1 to 6).map(i => (10L + i, "2024-01-01 10:00:00", i.toLong, "click", 10.0))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q204_anonymity_histogram(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(1L -> ((1L, 2L)), 5L -> ((1L, 6L))))
+  }
+
   test("char entropy: uniform and single-char documents pin the bit values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_chent").toString
