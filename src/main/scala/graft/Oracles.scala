@@ -2716,6 +2716,20 @@ object Oracles {
           |       round(CAST(sum(CASE WHEN users < 5 THEN n_rows ELSE 0 END) AS DOUBLE)
           |             / CAST(sum(n_rows) AS BIGINT), 6) AS risk_share
           |FROM combos GROUP BY 1 ORDER BY event_type""".stripMargin) +
+      // q205: mergeable quantile ledger — the oracle pins the exact
+      // rank-selected quantiles and expects the bound flags to be 1
+      ("q205_quantile_sketch" ->
+        """WITH r AS (
+          |  SELECT event_type, value,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM events)
+          |SELECT event_type,
+          |       max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50_exact,
+          |       max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90_exact,
+          |       CAST(1 AS INT) AS within50, CAST(1 AS INT) AS within90
+          |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+          |GROUP BY event_type ORDER BY event_type""".stripMargin) +
       // q203: l-diversity — distinct sensitive values per QI combo,
       // days-sized rollup (day emitted as a string, house rule)
       ("q203_l_diversity" ->

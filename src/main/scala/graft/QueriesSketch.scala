@@ -143,4 +143,58 @@ object QueriesSketch {
     heavy.toSeq.toDF("event_type", "exact_n", "within_bound")
       .orderBy($"event_type")
   }
+
+  /** Mergeable QUANTILE ledger — the family's missing rung next to
+    * HLL (distinct) and CMS (frequency): per-group equi-width
+    * histogram counts built over two INDEPENDENT half-runs of the
+    * stream and merged by pure addition (the ledger property — per-day
+    * histograms union into the global answer without re-reading
+    * history), then read out as P50/P90 with a bucket-width error
+    * bound. Same cross-engine contract as q49/q88: exact rank-selected
+    * quantiles (no interpolation — engine-identical) plus within-bound
+    * flags the oracle expects to be 1; the estimates themselves are
+    * pinned in SketchSpec. Histogram is groups × buckets however many
+    * rows it saw.
+    */
+  def q205_quantile_sketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val width = 5.0
+    val ev = Tables.events(spark, dir).select($"event_type", $"value", $"event_id")
+    val ranked = ev.select($"event_type", $"value",
+      row_number().over(
+        Window.partitionBy($"event_type").orderBy($"value", $"event_id")).as("rn"),
+      count(lit(1)).over(Window.partitionBy($"event_type")).as("n"))
+    val exact = ranked
+      .select($"event_type", $"value", $"rn",
+        expr("(n + 1) div 2").as("r50"), expr("(9 * n + 9) div 10").as("r90"))
+      .filter($"rn" === $"r50" || $"rn" === $"r90")
+      .groupBy($"event_type")
+      .agg(
+        max(when($"rn" === $"r50", $"value")).as("p50_exact"),
+        max(when($"rn" === $"r90", $"value")).as("p90_exact"))
+    // the ledger: two half-runs (even/odd event_id), merged by addition
+    val ledger = ev
+      .select($"event_type", pmod($"event_id", lit(2)).as("run"),
+        floor($"value" / width).cast("long").as("b"))
+      .groupBy($"event_type", $"run", $"b")
+      .agg(count(lit(1)).as("c"))
+    val merged = ledger.groupBy($"event_type", $"b").agg(sum($"c").as("c"))
+    val est = merged
+      .withColumn("cum",
+        sum($"c").over(Window.partitionBy($"event_type").orderBy($"b")))
+      .join(ranked.groupBy($"event_type").agg(max($"n").as("n")), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"b")).as("b50"),
+        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"b")).as("b90"))
+    exact
+      .join(est, Seq("event_type"))
+      .select($"event_type", $"p50_exact", $"p90_exact",
+        when($"p50_exact" >= $"b50" * width && $"p50_exact" < ($"b50" + 1) * width, 1)
+          .otherwise(0).as("within50"),
+        when($"p90_exact" >= $"b90" * width && $"p90_exact" < ($"b90" + 1) * width, 1)
+          .otherwise(0).as("within90"))
+      .orderBy($"event_type")
+  }
 }

@@ -155,4 +155,18 @@ class SketchSpec extends SparkSpec {
       assert(rel <= 0.10, s"${r.getString(0)}: union_agg est ${r.getLong(1)} vs exact ${r.getLong(2)}")
     }
   }
+
+  test("quantile ledger: planted values pin rank selection and bucket containment") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_spec_qled").toString
+    // values 1..10: r50 = rank 5 → 5.0 (bucket [5,10)), r90 = rank 9 → 9.0
+    val ev = (1 to 10).map(i =>
+      (i.toLong, "2024-01-01 10:00:00", 1L, "a", i.toDouble))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val r = QueriesSketch.q205_quantile_sketch(spark, dir).collect().head
+    assert((r.getString(0), r.getDouble(1), r.getDouble(2)) == (("a", 5.0, 9.0)))
+    assert(r.getInt(3) == 1 && r.getInt(4) == 1)
+  }
 }
