@@ -2718,6 +2718,21 @@ object Oracles {
           |FROM combos GROUP BY 1 ORDER BY event_type""".stripMargin) +
       // q205: mergeable quantile ledger — the oracle pins the exact
       // rank-selected quantiles and expects the bound flags to be 1
+      // q206: the 32x2 banding S-curve — explicit squaring chain, no
+      // pow/exp (libm last-bit divergence), zero data
+      ("q206_lsh_curve" ->
+        """WITH g AS (SELECT CAST(i * 5 AS BIGINT) AS pct FROM range(1, 20) t(i)),
+          |c AS (
+          |  SELECT pct,
+          |         (1.0 - (pct / 100.0) * (pct / 100.0)) AS m
+          |  FROM g),
+          |p AS (
+          |  SELECT pct,
+          |         ((((m*m)*(m*m)) * ((m*m)*(m*m))) * (((m*m)*(m*m)) * ((m*m)*(m*m))))
+          |         * (((((m*m)*(m*m)) * ((m*m)*(m*m))) * (((m*m)*(m*m)) * ((m*m)*(m*m))))) AS m32
+          |  FROM c)
+          |SELECT pct, round(CAST(1.0 AS DOUBLE) - m32, 6) AS p_candidate
+          |FROM p ORDER BY pct""".stripMargin) +
       ("q205_quantile_sketch" ->
         """WITH r AS (
           |  SELECT event_type, value,

@@ -666,6 +666,34 @@ object QueriesDedup {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The LSH banding OPERATING CURVE for q26's parameters (32 bands ×
+    * 2 rows): P(candidate | jaccard = j) = 1 − (1 − j²)³², tabulated
+    * at 5 %-steps — the design table that justifies the banding
+    * choice before a corpus-scale dedup commits to it (the S-curve
+    * midpoint sits near (1/32)^(1/2) ≈ 0.18; at the q26 threshold
+    * 0.5 the curve reads ≈ 0.9999). The 32nd power is an explicit
+    * squaring chain (m→m²→m⁴→m⁸→m¹⁶→m³²) — pure IEEE multiplications
+    * both engines evaluate identically, no pow()/exp() (whose libm
+    * implementations differ across engines in the last bit). Zero
+    * data touched; pairs with the MEASURED curve q183 gives on the
+    * actual corpus.
+    */
+  def q206_lsh_curve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val j = $"pct" / 100.0
+    val m = lit(1.0) - j * j
+    val m2  = m * m
+    val m4  = m2 * m2
+    val m8  = m4 * m4
+    val m16 = m8 * m8
+    val m32 = m16 * m16
+    spark
+      .range(1, 20)
+      .select(($"id" * 5).as("pct"))
+      .select($"pct", round(lit(1.0) - m32, 6).as("p_candidate"))
+      .orderBy($"pct")
+  }
+
   /** PQ recall@10 against the exact ranking — the compression-quality
     * number that decides whether 32× byte compression (q86's ADC scan)
     * is safe for a retrieval workload, measured instead of assumed.

@@ -612,6 +612,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh operating curve: closed-form S-curve values at the q26 parameters") {
+    import spark.implicits._
+    val rows = QueriesDedup.q206_lsh_curve(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 19)
+    def p(j: Double) = {
+      var m = 1.0 - j * j
+      (1 to 5).foreach(_ => m = m * m) // m^32 by squaring
+      BigDecimal(1.0 - m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows(50L) == p(0.50)) // the q26 threshold reads ≈ 0.9999
+    assert(rows(50L) > 0.999)
+    assert(rows(10L) == p(0.10)) // low-jaccard pairs rarely collide
+    assert(rows(10L) < 0.3)
+    assert(rows(95L) == 1.0)
+  }
+
   test("pq recall: a losslessly-encodable corpus scores recall 1.0 everywhere") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_spec_pqrec").toString
