@@ -2745,6 +2745,17 @@ object Oracles {
           |       CAST(1 AS INT) AS within50, CAST(1 AS INT) AS within90
           |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
           |GROUP BY event_type ORDER BY event_type""".stripMargin) +
+      // q207: weekly load grid — dow normalized to 0=Sunday (DuckDB's
+      // native dayofweek) ≡ Spark's dayofweek()-1
+      ("q207_seasonality" ->
+        """WITH cells AS (
+          |  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+          |         CAST(hour(ts) AS BIGINT) AS hod,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT dow, hod, n,
+          |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT), 6) AS dow_share
+          |FROM cells ORDER BY dow, hod""".stripMargin) +
       // q203: l-diversity — distinct sensitive values per QI combo,
       // days-sized rollup (day emitted as a string, house rule)
       ("q203_l_diversity" ->

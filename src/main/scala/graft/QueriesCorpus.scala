@@ -2340,6 +2340,30 @@ object QueriesCorpus {
       .orderBy($"event_type")
   }
 
+  /** Traffic seasonality profile: the day-of-week × hour-of-day grid
+    * of event counts with each cell's share of its weekday — the
+    * staple load profile behind capacity planning and anomaly
+    * baselines (q160 flags deviations from daily history; this shows
+    * the WEEKLY structure those baselines should condition on). One
+    * map-side-combinable aggregation; the report is ≤ 7×24 rows.
+    * Day-of-week is normalized to 0 = Sunday explicitly on both
+    * engines (their native conventions differ by one).
+    */
+  def q207_seasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables
+      .events(spark, dir)
+      .select((dayofweek($"ts") - 1).cast("long").as("dow"),
+        hour($"ts").cast("long").as("hod"))
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n"))
+    val wDow = Window.partitionBy($"dow")
+    cells
+      .select($"dow", $"hod", $"n",
+        round($"n".cast("double") / sum($"n").over(wDow), 6).as("dow_share"))
+      .orderBy($"dow", $"hod")
+  }
+
   /** l-diversity audit (the k-anonymity companion): within each
     * quasi-identifier combination (day, value bucket), how many
     * DISTINCT sensitive values (event types) appear — a combo can be

@@ -565,6 +565,69 @@ object EventStreams {
       }
       .start()
 
+  private val QWidth = 5.0
+
+  private def quantileHist(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), floor(col("value") / QWidth).cast("long").as("b"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("c"))
+
+  /** Seed the quantile-histogram ledger (the q205 sufficient
+    * statistic): per-group equi-width bucket counts, additive under
+    * union — per-batch delta partitions fold by pure integer
+    * addition, the same ledger property as [[seedDailyLedger]].
+    */
+  def seedQuantileLedger(events: DataFrame, ledgerDir: String): Unit =
+    quantileHist(events).write.mode("overwrite").parquet(s"$ledgerDir/batch_id=-1")
+
+  /** Streaming twin of q205's quantile readout: each micro-batch
+    * folds its bucket counts into the ledger and re-emits, for ONLY
+    * the event types it touched, the estimated P50/P90 bucket lower
+    * edges with the bucket-width error bound — live percentile
+    * telemetry whose per-batch cost is the batch's own histogram plus
+    * a groups × buckets readout; raw values are never retained.
+    * (Exact-rank gating lives in the batch q205; a stream cannot
+    * rank-select without keeping every value, which is the point of
+    * the sketch.) Replay excludes the batch's own partition then
+    * overwrites it.
+    */
+  def incrementalQuantiles(
+      events: DataFrame,
+      telemetryDir: String,
+      ledgerDir: String
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val delta = graft.operators.Materialize(quantileHist(batch))
+        val eff = spark.read
+          .parquet(ledgerDir)
+          .filter(col("batch_id") =!= batchId)
+          .select("event_type", "b", "c")
+          .unionByName(delta)
+          .groupBy("event_type", "b")
+          .agg(sum("c").as("c"))
+        val n = eff.groupBy("event_type").agg(sum(col("c")).as("n"))
+        eff
+          .withColumn("cum",
+            sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("b"))))
+          .join(n, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            max(col("n")).as("n"),
+            (min(when(col("cum") >= expr("(n + 1) div 2"), col("b"))) * QWidth).as("p50_lo"),
+            (min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("b"))) * QWidth).as("p90_lo"))
+          .select(col("event_type"), col("n"), col("p50_lo"), col("p90_lo"),
+            lit(QWidth).as("bound"))
+          .join(delta.select("event_type").distinct(), Seq("event_type"), "left_semi")
+          .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        delta.write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Run a bounded stream to completion into a memory sink and return
     * the result — the batch-equivalence harness used by tests.
     */

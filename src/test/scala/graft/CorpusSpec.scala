@@ -973,6 +973,26 @@ class CorpusSpec extends SparkSpec {
     assert(rows("click") == ((1L, 1L, 1L, 1.0)))  // one user → the whole type is risky
   }
 
+  test("seasonality: dow normalizes to 0=Sunday with per-weekday shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_season").toString
+    // 2024-01-07 is a Sunday, 2024-01-08 a Monday
+    val ev = Seq(
+      (1L, "2024-01-07 23:15:00", 1L, "view", 0.0),
+      (2L, "2024-01-08 10:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-08 10:30:00", 2L, "view", 0.0),
+      (4L, "2024-01-08 11:00:00", 3L, "view", 0.0))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q207_seasonality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows == Map(
+      (0L, 23L) -> ((1L, 1.0)),       // Sunday
+      (1L, 10L) -> ((2L, 0.666667)),  // Monday 10h: 2 of 3
+      (1L, 11L) -> ((1L, 0.333333))))
+  }
+
   test("l-diversity: one-type combos are weak, three-type combos clear the bar") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_ldiv").toString

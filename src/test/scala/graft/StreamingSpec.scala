@@ -1098,4 +1098,54 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(got == want, s"stream burstiness != batch q184 (got ${got.size}, want ${want.size})")
   }
+
+  test("streaming quantiles: ledger buckets bracket the exact batch quantiles") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir        = Files.createTempDirectory("graft_stream_quant").toString
+    val fixtureDir = "/root/testdata/sf0.001"
+    // exact rank-selected quantiles from the batch q205
+    val exact = QueriesSketch.q205_quantile_sketch(spark, fixtureDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+    val evs = Tables.events(spark, fixtureDir)
+      .select($"event_id", $"ts".cast("string"), $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    EventStreams.seedQuantileLedger(
+      Tables.events(spark, fixtureDir).filter(lit(false)), s"$dir/ledger")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String, Double)]
+    val q = EventStreams.incrementalQuantiles(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts".cast("timestamp")),
+      s"$dir/tel", s"$dir/ledger")
+    val parts = evs.sortBy(_._1).grouped((evs.length + 2) / 3).toSeq
+    try {
+      parts.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"batch_id".desc)
+    val got = spark.read.parquet(s"$dir/tel")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_type", $"p50_lo", $"p90_lo", $"bound")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (t, (p50lo, p90lo, bound)) =>
+      val (e50, e90) = exact(t)
+      assert(e50 >= p50lo && e50 < p50lo + bound, s"$t p50 $e50 not in [$p50lo, ${p50lo + bound})")
+      assert(e90 >= p90lo && e90 < p90lo + bound, s"$t p90 $e90 not in [$p90lo, ${p90lo + bound})")
+    }
+    // the ledger folds to the exact full-corpus histogram
+    val folded = spark.read.parquet(s"$dir/ledger")
+      .groupBy($"event_type", $"b").agg(sum($"c").as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exactHist = Tables.events(spark, fixtureDir)
+      .select($"event_type", floor($"value" / 5.0).cast("long").as("b"))
+      .groupBy($"event_type", $"b").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded == exactHist)
+  }
 }
