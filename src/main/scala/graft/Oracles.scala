@@ -2745,6 +2745,30 @@ object Oracles {
           |       CAST(1 AS INT) AS within50, CAST(1 AS INT) AS within90
           |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
           |GROUP BY event_type ORDER BY event_type""".stripMargin) +
+      // q208: PSI first-week vs last-week — Laplace-smoothed exact
+      // fractions through ln, DECIMAL terms, verdict off the rounded sum
+      ("q208_psi_drift" ->
+        """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+          |bk AS (
+          |  SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS vb,
+          |         CAST(sum(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) < 7 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |         CAST(sum(CASE WHEN date_diff('day', CAST(ts AS DATE), d1) < 7 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          |  FROM events CROSS JOIN b GROUP BY 1, 2),
+          |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+          |             CAST(sum(cb) AS BIGINT) AS nb, CAST(count(*) AS BIGINT) AS k
+          |      FROM bk GROUP BY 1),
+          |terms AS (
+          |  SELECT bk.event_type,
+          |         CAST(((ca + 1) / CAST(na + k AS DOUBLE) - (cb + 1) / CAST(nb + k AS DOUBLE))
+          |              * ln(((ca + 1) / CAST(na + k AS DOUBLE)) / ((cb + 1) / CAST(nb + k AS DOUBLE)))
+          |           AS DECIMAL(18,12)) AS term
+          |  FROM bk JOIN t USING (event_type)),
+          |agg AS (SELECT event_type, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+          |        FROM terms GROUP BY 1)
+          |SELECT event_type, psi,
+          |       CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'watch'
+          |            ELSE 'shifted' END AS verdict
+          |FROM agg ORDER BY event_type""".stripMargin) +
       // q207: weekly load grid — dow normalized to 0=Sunday (DuckDB's
       // native dayofweek) ≡ Spark's dayofweek()-1
       ("q207_seasonality" ->

@@ -2364,6 +2364,46 @@ object QueriesCorpus {
       .orderBy($"dow", $"hod")
   }
 
+  /** Population stability index (PSI) of the event-value distribution,
+    * first week vs last week, per event type — the production drift
+    * metric model-monitoring stacks alert on (PSI < 0.1 stable,
+    * > 0.25 shifted). Buckets are the q181 value grid; both window
+    * distributions come from ONE pass (conditional counts), the PSI
+    * terms are Laplace-smoothed exact fractions through ln with the
+    * DECIMAL-term discipline, and the report is types-sized.
+    */
+  def q208_psi_drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, dir).select($"event_type", $"ts", $"value")
+    val bounds = broadcast(ev.agg(
+      min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1")))
+    val bucketed = ev
+      .crossJoin(bounds)
+      .select($"event_type", floor($"value" / 50.0).cast("long").as("vb"),
+        when(datediff(to_date($"ts"), $"d0") < 7, 1L).otherwise(0L).as("in_a"),
+        when(datediff($"d1", to_date($"ts")) < 7, 1L).otherwise(0L).as("in_b"))
+      .groupBy($"event_type", $"vb")
+      .agg(sum($"in_a").as("ca"), sum($"in_b").as("cb"))
+    val totals = bucketed
+      .groupBy($"event_type")
+      .agg(sum($"ca").as("na"), sum($"cb").as("nb"), count(lit(1)).as("k"))
+    bucketed
+      .join(totals, Seq("event_type"))
+      .select($"event_type",
+        ((($"ca" + 1L) / ($"na" + $"k").cast("double") -
+          ($"cb" + 1L) / ($"nb" + $"k").cast("double")) *
+          log((($"ca" + 1L) / ($"na" + $"k").cast("double")) /
+            (($"cb" + 1L) / ($"nb" + $"k").cast("double"))))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"event_type")
+      .agg(round(sum($"term").cast("double"), 6).as("psi"))
+      .select($"event_type", $"psi",
+        when($"psi" < 0.1, "stable").when($"psi" < 0.25, "watch")
+          .otherwise("shifted").as("verdict"))
+      .orderBy($"event_type")
+  }
+
   /** l-diversity audit (the k-anonymity companion): within each
     * quasi-identifier combination (day, value bucket), how many
     * DISTINCT sensitive values (event types) appear — a combo can be

@@ -993,6 +993,26 @@ class CorpusSpec extends SparkSpec {
       (1L, 11L) -> ((1L, 0.333333))))
   }
 
+  test("psi drift: identical windows score 0, a moved distribution trips the verdict") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_psi").toString
+    // type "a": same bucket mix both weeks → PSI 0 / stable
+    // type "b": bucket 0 in week 1, bucket 9 in week 3 → shifted
+    val stable = (1 to 4).map(i =>
+      (i.toLong, if (i <= 2) "2024-01-01 10:00:00" else "2024-01-20 10:00:00",
+        1L, "a", if (i % 2 == 1) 10.0 else 110.0))
+    val moved = Seq(
+      (10L, "2024-01-01 10:00:00", 1L, "b", 10.0),
+      (11L, "2024-01-20 10:00:00", 1L, "b", 470.0))
+    (stable ++ moved).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val rows = QueriesCorpus.q208_psi_drift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(rows("a") == ((0.0, "stable")))
+    assert(rows("b")._2 == "shifted" && rows("b")._1 > 0.25)
+  }
+
   test("l-diversity: one-type combos are weak, three-type combos clear the bar") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_ldiv").toString
