@@ -2296,13 +2296,23 @@ object QueriesCorpus {
     * sources × 3 rows. Changing the salt string re-rolls the split
     * without touching data.
     */
+  /** THE content-addressed split rule — the single definition q180
+    * assigns by and q191 (leakage) / q200 (datacard) audit by, so a
+    * salt or threshold change can never leave the audits checking a
+    * different split than the one being assigned. First salted
+    * sha-256 byte: < 0xcc train (~79.7%), < 0xe6 val (~10.2%), else
+    * test.
+    */
+  private[graft] def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = substring(sha2(concat(lit("split:"), id.cast("string")), 256), 1, 2)
+    when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+  }
+
   def q180_split_assignment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val b = substring(sha2(concat(lit("split:"), $"doc_id".cast("string")), 256), 1, 2)
     Tables
       .documents(spark, dir)
-      .select($"source", $"n_chars",
-        when(b < "cc", "train").when(b < "e6", "val").otherwise("test").as("split"))
+      .select($"source", $"n_chars", splitOf($"doc_id").as("split"))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
       .orderBy($"source", $"split")
@@ -2325,7 +2335,7 @@ object QueriesCorpus {
     val combos = Tables
       .events(spark, dir)
       .select($"event_type", to_date($"ts").as("day"),
-        floor($"value" / 50.0).cast("long").as("vb"), $"user_id")
+        graft.operators.PrivacyGrid.valueBucket($"value").as("vb"), $"user_id")
       .groupBy($"event_type", $"day", $"vb")
       .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n_rows"))
     combos
@@ -2380,7 +2390,7 @@ object QueriesCorpus {
       min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1")))
     val bucketed = ev
       .crossJoin(bounds)
-      .select($"event_type", floor($"value" / 50.0).cast("long").as("vb"),
+      .select($"event_type", graft.operators.PrivacyGrid.valueBucket($"value").as("vb"),
         when(datediff(to_date($"ts"), $"d0") < 7, 1L).otherwise(0L).as("in_a"),
         when(datediff($"d1", to_date($"ts")) < 7, 1L).otherwise(0L).as("in_b"))
       .groupBy($"event_type", $"vb")
@@ -2418,7 +2428,7 @@ object QueriesCorpus {
     Tables
       .events(spark, dir)
       .select(to_date($"ts").as("day"),
-        floor($"value" / 50.0).cast("long").as("vb"), $"event_type")
+        graft.operators.PrivacyGrid.valueBucket($"value").as("vb"), $"event_type")
       .groupBy($"day", $"vb")
       .agg(countDistinct($"event_type").as("types"), count(lit(1)).as("n_rows"))
       .groupBy($"day")
@@ -2444,7 +2454,7 @@ object QueriesCorpus {
     Tables
       .events(spark, dir)
       .select($"event_type", to_date($"ts").as("day"),
-        floor($"value" / 50.0).cast("long").as("vb"), $"user_id")
+        graft.operators.PrivacyGrid.valueBucket($"value").as("vb"), $"user_id")
       .groupBy($"event_type", $"day", $"vb")
       .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n_rows"))
       .select(least($"users", lit(5L)).as("bucket"), $"n_rows")
@@ -2698,13 +2708,12 @@ object QueriesCorpus {
     */
   def q200_datacard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val b = substring(sha2(concat(lit("split:"), $"doc_id".cast("string")), 256), 1, 2)
     Tables
       .documents(spark, dir)
       .select($"source", $"lang", $"n_chars",
         size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long").as("toks"),
         sha2($"text", 256).as("content_key"),
-        when(b < "cc", "train").when(b < "e6", "val").otherwise("test").as("split"))
+        splitOf($"doc_id").as("split"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -2771,10 +2780,6 @@ object QueriesCorpus {
   def q191_split_leakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Dedup
-    def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val b = substring(sha2(concat(lit("split:"), id.cast("string")), 256), 1, 2)
-      when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
-    }
     val sh = Dedup
       .nearDupSets(Tables.documents(spark, dir), "doc_id", "text", n = 8)
       .select($"doc_id", explode($"shingle_set").as("s"), splitOf($"doc_id").as("split"))

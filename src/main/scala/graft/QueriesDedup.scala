@@ -572,7 +572,10 @@ object QueriesDedup {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(spark, dir)
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", n = 3)
+    // ONE tokenize+shingle pass feeds both the signature build and the
+    // candidate join (ngramJaccardPairsFromSets)
+    val sets = graft.operators.Materialize(
+      Dedup.shingleSets(docs, "doc_id", "text", n = 3))
     val ex = sets
       .select($"doc_id", explode($"shingle_set").as("s"))
       .select($"doc_id", sha2($"s", 256).as("h1"), sha2(concat(lit("x"), $"s"), 256).as("h2"))
@@ -584,7 +587,7 @@ object QueriesDedup {
     val matches = (0 until 16)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+    val pairs = Dedup.ngramJaccardPairsFromSets(sets, "doc_id", threshold = 0.0)
     pairs
       .join(sig.as("a"), $"id_a" === $"a.doc_id")
       .join(sig.as("b"), $"id_b" === $"b.doc_id")
@@ -613,11 +616,12 @@ object QueriesDedup {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(spark, dir)
-    val sigs = Dedup
-      .shingleSets(docs, "doc_id", "text", n = 3)
+    val sets = graft.operators.Materialize(
+      Dedup.shingleSets(docs, "doc_id", "text", n = 3))
+    val sigs = sets
       .filter(size($"shingle_set") > 0)
       .select($"doc_id", Dedup.simhash64($"shingle_set").as("sig"))
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+    val pairs = Dedup.ngramJaccardPairsFromSets(sets, "doc_id", threshold = 0.0)
     pairs
       .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sig_a")), Seq("id_a"))
       .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sig_b")), Seq("id_b"))

@@ -159,7 +159,7 @@ object QueriesSketch {
   def q205_quantile_sketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val width = 5.0
+    val width = graft.operators.Sketches.QuantileBucketWidth
     val ev = Tables.events(spark, dir).select($"event_type", $"value", $"event_id")
     val ranked = ev.select($"event_type", $"value",
       row_number().over(
@@ -180,10 +180,12 @@ object QueriesSketch {
       .groupBy($"event_type", $"run", $"b")
       .agg(count(lit(1)).as("c"))
     val merged = ledger.groupBy($"event_type", $"b").agg(sum($"c").as("c"))
+    // n comes from the grid-sized histogram itself (sum of counts) —
+    // the readout never touches the event-sized window a second time
     val est = merged
       .withColumn("cum",
         sum($"c").over(Window.partitionBy($"event_type").orderBy($"b")))
-      .join(ranked.groupBy($"event_type").agg(max($"n").as("n")), Seq("event_type"))
+      .join(merged.groupBy($"event_type").agg(sum($"c").as("n")), Seq("event_type"))
       .groupBy($"event_type")
       .agg(
         min(when($"cum" >= expr("(n + 1) div 2"), $"b")).as("b50"),

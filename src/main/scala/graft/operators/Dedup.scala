@@ -99,8 +99,20 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double
+  ): DataFrame =
+    ngramJaccardPairsFromSets(
+      materialize(shingleSets(df, idCol, textCol, n)), idCol, threshold)
+
+  /** [[ngramJaccardPairs]] over ALREADY-BUILT (and ideally
+    * materialized) shingle sets — for callers that need the sets for
+    * their own work too (the q183/q195 calibrations build signatures
+    * from them), so the corpus tokenizes and shingles exactly once.
+    */
+  def ngramJaccardPairsFromSets(
+      sets: DataFrame,
+      idCol: String,
+      threshold: Double
   ): DataFrame = {
-    val sets = materialize(shingleSets(df, idCol, textCol, n))
     val ex = sets.select(col(idCol).as("id"), explode(col("shingle_set")).as("s"))
     val sizes = sets.select(col(idCol).as("id"), size(col("shingle_set")).as("sz"))
     val shared = ex

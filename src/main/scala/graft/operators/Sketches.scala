@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Bucket width of the mergeable quantile histogram (q205 and its
+    * streaming twin) — ONE constant so the batch readout and the
+    * streaming ledger can never fold different grids.
+    */
+  val QuantileBucketWidth = 5.0
+
   /** One run's contribution to the ledger: a DataSketches HLL sketch of
     * `keyCol` per group, stamped with the run id. Append the result to
     * a warehouse table — the run only ever scans its own slice.

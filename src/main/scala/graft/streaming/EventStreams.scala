@@ -394,14 +394,14 @@ object EventStreams {
   private def comboUsers(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
         date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-        floor(col("value") / 50.0).cast("long").as("vb"),
+        graft.operators.PrivacyGrid.valueBucket(col("value")).as("vb"),
         col("user_id"))
       .distinct()
 
   private def comboRows(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
         date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-        floor(col("value") / 50.0).cast("long").as("vb"))
+        graft.operators.PrivacyGrid.valueBucket(col("value")).as("vb"))
       .groupBy("event_type", "day", "vb")
       .agg(count(lit(1)).as("n_rows"))
 
@@ -537,18 +537,24 @@ object EventStreams {
           .filter(col("rn") === 1)
           .select(col("user_id"), col("n_gaps").as("p_n"), col("sx").as("p_sx"),
             col("sxx").as("p_sxx"), col("last_us").as("p_last"))
-        val bGap = (col("first_us") - col("p_last")).cast(D19)
+        // the boundary gap stitches ONLY when the batch actually follows
+        // the stored watermark — an out-of-order or replayed-stale batch
+        // must never fold a negative gap into the moments (the state
+        // would corrupt silently); its internal gaps still count, and
+        // the watermark never regresses
+        val stitch = col("p_last").isNotNull && col("first_us") >= col("p_last")
+        val bGap   = (col("first_us") - col("p_last")).cast(D19)
         val state = digest
           .join(prior, Seq("user_id"), "left")
           .select(
             col("user_id"),
             (coalesce(col("p_n"), lit(0L)) + col("gn") +
-              when(col("p_last").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+              when(stitch, 1L).otherwise(0L)).as("n_gaps"),
             (coalesce(col("p_sx"), lit(0L).cast(D38)) + col("gsx") +
-              coalesce(bGap, lit(0L).cast(D19))).cast(D38).as("sx"),
+              when(stitch, bGap).otherwise(lit(0L).cast(D19))).cast(D38).as("sx"),
             (coalesce(col("p_sxx"), lit(0L).cast(D38)) + col("gsxx") +
-              coalesce(bGap * bGap, lit(0L).cast(D38))).cast(D38).as("sxx"),
-            col("last_us"))
+              when(stitch, bGap * bGap).otherwise(lit(0L).cast(D38))).cast(D38).as("sxx"),
+            greatest(col("last_us"), coalesce(col("p_last"), col("last_us"))).as("last_us"))
         val stateM = graft.operators.Materialize(state)
         stateM
           .filter(col("n_gaps") >= 5)
@@ -565,7 +571,7 @@ object EventStreams {
       }
       .start()
 
-  private val QWidth = 5.0
+  private val QWidth = graft.operators.Sketches.QuantileBucketWidth
 
   private def quantileHist(ev: DataFrame): DataFrame =
     ev.select(col("event_type"), floor(col("value") / QWidth).cast("long").as("b"))
