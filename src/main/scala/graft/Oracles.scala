@@ -2746,26 +2746,33 @@ object Oracles {
           |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
           |GROUP BY event_type ORDER BY event_type""".stripMargin) +
       // q208: PSI first-week vs last-week — Laplace-smoothed exact
-      // fractions through ln, DECIMAL terms, verdict off the rounded sum
+      // fractions through ln, DECIMAL terms, verdict off the rounded
+      // sum; window length clamps to half the day span so the two
+      // windows are always disjoint, and span/window days are reported
       ("q208_psi_drift" ->
-        """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1,
+          |                  CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days,
+          |                  least(CAST(7 AS BIGINT), CAST(floor((date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1) / 2.0) AS BIGINT)) AS window_days
+          |           FROM events),
           |bk AS (
-          |  SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS vb,
-          |         CAST(sum(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) < 7 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-          |         CAST(sum(CASE WHEN date_diff('day', CAST(ts AS DATE), d1) < 7 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-          |  FROM events CROSS JOIN b GROUP BY 1, 2),
+          |  SELECT event_type, span_days, window_days,
+          |         CAST(floor(value / 50.0) AS BIGINT) AS vb,
+          |         CAST(sum(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) < window_days THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |         CAST(sum(CASE WHEN date_diff('day', CAST(ts AS DATE), d1) < window_days THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          |  FROM events CROSS JOIN b GROUP BY 1, 2, 3, 4),
           |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
           |             CAST(sum(cb) AS BIGINT) AS nb, CAST(count(*) AS BIGINT) AS k
           |      FROM bk GROUP BY 1),
           |terms AS (
-          |  SELECT bk.event_type,
+          |  SELECT bk.event_type, span_days, window_days,
           |         CAST(((ca + 1) / CAST(na + k AS DOUBLE) - (cb + 1) / CAST(nb + k AS DOUBLE))
           |              * ln(((ca + 1) / CAST(na + k AS DOUBLE)) / ((cb + 1) / CAST(nb + k AS DOUBLE)))
           |           AS DECIMAL(18,12)) AS term
           |  FROM bk JOIN t USING (event_type)),
-          |agg AS (SELECT event_type, round(CAST(sum(term) AS DOUBLE), 6) AS psi
-          |        FROM terms GROUP BY 1)
-          |SELECT event_type, psi,
+          |agg AS (SELECT event_type, span_days, window_days,
+          |               round(CAST(sum(term) AS DOUBLE), 6) AS psi
+          |        FROM terms GROUP BY 1, 2, 3)
+          |SELECT event_type, span_days, window_days, psi,
           |       CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'watch'
           |            ELSE 'shifted' END AS verdict
           |FROM agg ORDER BY event_type""".stripMargin) +
@@ -3051,7 +3058,8 @@ object Oracles {
           |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
           |  GROUP BY 1, 2)
           |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_ab,
-          |       round(CAST(n_ab * n_users AS DOUBLE) / (sa.n * sb.n), 6) AS lift,
+          |       round((CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))
+          |             / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift,
           |       round(CAST(n_ab AS DOUBLE) / sa.n, 6) AS confidence
           |FROM ab JOIN sup sa ON sa.event_type = type_a
           |        JOIN sup sb ON sb.event_type = type_b

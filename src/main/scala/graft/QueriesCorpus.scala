@@ -2380,35 +2380,46 @@ object QueriesCorpus {
     * > 0.25 shifted). Buckets are the q181 value grid; both window
     * distributions come from ONE pass (conditional counts), the PSI
     * terms are Laplace-smoothed exact fractions through ln with the
-    * DECIMAL-term discipline, and the report is types-sized.
+    * DECIMAL-term discipline, and the report is types-sized. The two
+    * windows are DISJOINT by construction: on histories shorter than
+    * 14 days the window length clamps to half the day span (so a
+    * shared event can never be counted in both distributions and bias
+    * PSI toward "stable"), and the report carries `span_days` /
+    * `window_days` so a consumer can see when the comparison ran on a
+    * clamped, low-power window.
     */
   def q208_psi_drift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val ev = Tables.events(spark, dir).select($"event_type", $"ts", $"value")
-    val bounds = broadcast(ev.agg(
-      min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1")))
+    val bounds = broadcast(
+      ev.agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1"))
+        .select($"d0", $"d1",
+          (datediff($"d1", $"d0") + 1).cast("long").as("span_days"),
+          least(lit(7L), floor((datediff($"d1", $"d0") + 1) / 2).cast("long"))
+            .as("window_days")))
     val bucketed = ev
       .crossJoin(bounds)
-      .select($"event_type", graft.operators.PrivacyGrid.valueBucket($"value").as("vb"),
-        when(datediff(to_date($"ts"), $"d0") < 7, 1L).otherwise(0L).as("in_a"),
-        when(datediff($"d1", to_date($"ts")) < 7, 1L).otherwise(0L).as("in_b"))
-      .groupBy($"event_type", $"vb")
+      .select($"event_type", $"span_days", $"window_days",
+        graft.operators.PrivacyGrid.valueBucket($"value").as("vb"),
+        when(datediff(to_date($"ts"), $"d0") < $"window_days", 1L).otherwise(0L).as("in_a"),
+        when(datediff($"d1", to_date($"ts")) < $"window_days", 1L).otherwise(0L).as("in_b"))
+      .groupBy($"event_type", $"span_days", $"window_days", $"vb")
       .agg(sum($"in_a").as("ca"), sum($"in_b").as("cb"))
     val totals = bucketed
       .groupBy($"event_type")
       .agg(sum($"ca").as("na"), sum($"cb").as("nb"), count(lit(1)).as("k"))
     bucketed
       .join(totals, Seq("event_type"))
-      .select($"event_type",
+      .select($"event_type", $"span_days", $"window_days",
         ((($"ca" + 1L) / ($"na" + $"k").cast("double") -
           ($"cb" + 1L) / ($"nb" + $"k").cast("double")) *
           log((($"ca" + 1L) / ($"na" + $"k").cast("double")) /
             (($"cb" + 1L) / ($"nb" + $"k").cast("double"))))
           .cast(DecimalType(18, 12)).as("term"))
-      .groupBy($"event_type")
+      .groupBy($"event_type", $"span_days", $"window_days")
       .agg(round(sum($"term").cast("double"), 6).as("psi"))
-      .select($"event_type", $"psi",
+      .select($"event_type", $"span_days", $"window_days", $"psi",
         when($"psi" < 0.1, "stable").when($"psi" < 0.25, "watch")
           .otherwise("shifted").as("verdict"))
       .orderBy($"event_type")
@@ -2472,13 +2483,22 @@ object QueriesCorpus {
     * the aggregate is order-independent and bit-equal across engines.
     * Char explode fans out by document LENGTH, but both shuffles key
     * on doc_id — even spread at any corpus size.
+    *
+    * "Char" means Unicode CODE POINT on both engines: the Spark side
+    * extracts `(?s).` matches (Java regex advances by code point, so a
+    * non-BMP character is ONE char, not two UTF-16 surrogates — which
+    * is what `split(text, "")` would have produced), matching DuckDB's
+    * code-point `string_split(text, '')`. Residual caveat: combining
+    * sequences (e + U+0301) count as two code points on both sides —
+    * consistent, but not grapheme clustering.
     */
   def q182_char_entropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val ch = Tables
       .documents(spark, dir)
-      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .select($"doc_id",
+        explode(regexp_extract_all($"text", lit("(?s)."), lit(0))).as("ch"))
       .filter($"ch" =!= "")
     val cf = ch.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
     val n  = ch.groupBy($"doc_id").agg(count(lit(1)).as("n_chars_tok"))
@@ -2828,8 +2848,12 @@ object QueriesCorpus {
       .join(support.select($"event_type".as("type_a"), $"n".as("n_a")), Seq("type_a"))
       .join(support.select($"event_type".as("type_b"), $"n".as("n_b")), Seq("type_b"))
       .crossJoin(nUsers)
+      // each factor is cast to double BEFORE multiplying: n_ab·n_users
+      // and n_a·n_b can exceed Long.MaxValue on billion-user logs, and
+      // non-ANSI integer multiply wraps silently
       .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_ab",
-        round(($"n_ab" * $"n_users").cast("double") / ($"n_a" * $"n_b"), 6).as("lift"),
+        round(($"n_ab".cast("double") * $"n_users".cast("double")) /
+          ($"n_a".cast("double") * $"n_b".cast("double")), 6).as("lift"),
         round($"n_ab".cast("double") / $"n_a", 6).as("confidence"))
       .orderBy($"type_a", $"type_b")
   }

@@ -200,7 +200,10 @@ object Stages {
   /** NYT silver (silver_nyt_archive.py:60-120): typed projection,
     * sha2 key, NOT-IN append guard planned as a left-anti join
     * (SURVEY §2.3 J2 — sha2 is non-null so plain anti-join ≡ the
-    * null-aware NOT IN).
+    * null-aware NOT IN). Row preservation is asserted around the
+    * projection+key step, faithful to the reference's pre/post count
+    * check (silver_nyt_archive.py:47,129,134 — the same invariant
+    * scholar and arxiv silver already carry here).
     */
   def silverNyt(spark: SparkSession, wh: Warehouse): Either[String, Long] = {
     if (!wh.tableExists("bronze", "nytarchive")) return Left("bronze.nytarchive missing")
@@ -216,10 +219,12 @@ object Stages {
         runDateAsDate,
         col("load_ts").cast("timestamp")
       )
+    val preCount = typed.count()
     val keyed = typed
       .withColumn("nyt_sk", sha2(concat_ws("||", col("id"), col("publish_dt")), 256))
       .select("nyt_sk", "id", "abstract", "lead_paragraph", "snippet", "publish_dt",
         "source_file_name", "run_date", "load_ts")
+    require(keyed.count() == preCount, "row preservation violated in nyt silver")
 
     val written =
       if (!wh.tableExists("silver", "nytarchive"))

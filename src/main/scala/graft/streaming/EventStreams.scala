@@ -503,7 +503,7 @@ object EventStreams {
   def seedBurstLedger(events: DataFrame, ledgerDir: String): Unit =
     burstDigest(events)
       .select(col("user_id"), col("gn").as("n_gaps"), col("gsx").as("sx"),
-        col("gsxx").as("sxx"), col("last_us"))
+        col("gsxx").as("sxx"), col("last_us"), lit(false).as("stale"))
       .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=-1")
 
   /** Streaming twin of q184's inter-arrival burstiness: per
@@ -517,6 +517,15 @@ object EventStreams {
     * sums — associativity is the whole design), pinned in
     * StreamingSpec. Replay reads state excluding the batch's own
     * partition, then overwrites it (the house exactly-once recipe).
+    *
+    * When a batch violates the monotonicity precondition for a user
+    * (its first event predates the stored watermark), the boundary gap
+    * is dropped — but the batch's INTERNAL gaps still fold in, so the
+    * state no longer equals the batch q184 recompute. That condition
+    * is now surfaced instead of silent: the user's state and telemetry
+    * rows carry a sticky `stale` flag, so consumers can tell exactly
+    * which users' CV is approximate and recompute them from the batch
+    * path if they need exactness.
     */
   def incrementalBurstiness(
       events: DataFrame,
@@ -536,7 +545,8 @@ object EventStreams {
           .withColumn("rn", row_number().over(wLatest))
           .filter(col("rn") === 1)
           .select(col("user_id"), col("n_gaps").as("p_n"), col("sx").as("p_sx"),
-            col("sxx").as("p_sxx"), col("last_us").as("p_last"))
+            col("sxx").as("p_sxx"), col("last_us").as("p_last"),
+            col("stale").as("p_stale"))
         // the boundary gap stitches ONLY when the batch actually follows
         // the stored watermark — an out-of-order or replayed-stale batch
         // must never fold a negative gap into the moments (the state
@@ -544,6 +554,12 @@ object EventStreams {
         // the watermark never regresses
         val stitch = col("p_last").isNotNull && col("first_us") >= col("p_last")
         val bGap   = (col("first_us") - col("p_last")).cast(D19)
+        // a batch arriving BEHIND the stored watermark for this user:
+        // its boundary gap is dropped (never fold a negative gap), its
+        // internal gaps still count, and the user is marked stale —
+        // sticky, because once the moments diverge from the batch
+        // recompute they never re-converge
+        val wentStale = col("p_last").isNotNull && col("first_us") < col("p_last")
         val state = digest
           .join(prior, Seq("user_id"), "left")
           .select(
@@ -554,17 +570,19 @@ object EventStreams {
               when(stitch, bGap).otherwise(lit(0L).cast(D19))).cast(D38).as("sx"),
             (coalesce(col("p_sxx"), lit(0L).cast(D38)) + col("gsxx") +
               when(stitch, bGap * bGap).otherwise(lit(0L).cast(D38))).cast(D38).as("sxx"),
-            greatest(col("last_us"), coalesce(col("p_last"), col("last_us"))).as("last_us"))
+            greatest(col("last_us"), coalesce(col("p_last"), col("last_us"))).as("last_us"),
+            (coalesce(col("p_stale"), lit(false)) || wentStale).as("stale"))
         val stateM = graft.operators.Materialize(state)
         stateM
           .filter(col("n_gaps") >= 5)
-          .select(col("user_id"), col("n_gaps"),
+          .select(col("user_id"), col("n_gaps"), col("stale"),
             (col("sx").cast("double") / col("n_gaps")).as("mean_us"),
             (col("sxx").cast("double") / col("n_gaps")).as("m2_us"))
           .select(col("user_id"), col("n_gaps"),
             round(col("mean_us") / 1e6, 6).as("mean_gap_s"),
             round(sqrt(greatest(lit(0.0), col("m2_us") - col("mean_us") * col("mean_us"))) /
-              col("mean_us"), 6).as("cv"))
+              col("mean_us"), 6).as("cv"),
+            col("stale"))
           .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
         stateM.write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
         ()

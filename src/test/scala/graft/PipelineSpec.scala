@@ -156,6 +156,28 @@ class PipelineSpec extends SparkSpec {
     assert(est == exact, s"ledger estimate $est != exact $exact")
   }
 
+  test("nyt silver preserves row counts through a column-drift batch") {
+    import org.apache.spark.sql.functions.col
+    val (pipe, wh, (_, _, nytDir), _) = freshPipeline()
+    pipe.run("20221220")
+    // next day: the batch drops the optional `abstract` field entirely —
+    // the projection must null-fill it and the pre/post row-preservation
+    // require (silver_nyt_archive.py:47,129,134) must still hold
+    Files.writeString(java.nio.file.Paths.get(nytDir,
+      "2022_12_21_1671600000.456_nyt.jsonl"),
+      Seq(
+        """{"_airbyte_data": {"_id": "n3", "lead_paragraph": "Wind farm expansion", "snippet": "turbine efficiency", "pub_date": "2022-12-17T09:00:00+0000"}}""",
+        """{"_airbyte_data": {"_id": "n4", "lead_paragraph": "Hydro storage", "snippet": "pumped hydro", "pub_date": "2022-12-18T09:00:00+0000"}}"""
+      ).mkString("\n"))
+    Stages.bronzeNyt(spark, wh, nytDir, "20221221")
+    val res = Stages.silverNyt(spark, wh)
+    assert(res == Right(2L), s"drifted batch must append both rows: $res")
+    val silver = wh.table("silver", "nytarchive")
+    assert(silver.count() == 4)
+    assert(silver.filter(col("id") === "n3").select("abstract").head().isNullAt(0),
+      "drifted column must be null-filled, not dropped")
+  }
+
   test("upsert updates on higher arxiv version via MERGE semantics") {
     val (pipe, wh, (_, arxivDir, _), _) = freshPipeline()
     pipe.run("20221220")

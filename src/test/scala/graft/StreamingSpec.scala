@@ -1097,6 +1097,62 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(got == want, s"stream burstiness != batch q184 (got ${got.size}, want ${want.size})")
+
+    // monotone arrival must never trip the stale flag
+    val anyStale = spark.read.parquet(s"$dir/tel").filter($"stale").count()
+    assert(anyStale == 0L, s"monotone stream flagged $anyStale stale telemetry rows")
+  }
+
+  test("streaming burstiness: out-of-order batch marks the user stale, sticky") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_burst_stale").toString
+    // user 1 arrives time-monotone; user 2's second batch REWINDS
+    // behind its stored watermark (first event predates batch-1 max)
+    def ev(id: Long, ts: String, user: Long) = (id, ts, user, "view", 1.0)
+    val b1 = Seq(
+      ev(1, "2024-01-01 00:00:01", 1), ev(2, "2024-01-01 00:00:03", 1),
+      ev(3, "2024-01-01 00:00:06", 1), ev(4, "2024-01-01 00:00:10", 1),
+      ev(11, "2024-01-01 00:01:00", 2), ev(12, "2024-01-01 00:01:05", 2),
+      ev(13, "2024-01-01 00:01:11", 2), ev(14, "2024-01-01 00:01:18", 2))
+    val b2 = Seq(
+      ev(5, "2024-01-01 00:00:15", 1), ev(6, "2024-01-01 00:00:21", 1),
+      ev(7, "2024-01-01 00:00:28", 1),
+      ev(15, "2024-01-01 00:00:30", 2), // < user 2's stored 00:01:18
+      ev(16, "2024-01-01 00:01:40", 2), ev(17, "2024-01-01 00:01:50", 2))
+    // batch 3 is monotone again for both users — stale must STICK for 2
+    val b3 = Seq(
+      ev(8, "2024-01-01 00:00:36", 1), ev(9, "2024-01-01 00:00:45", 1),
+      ev(10, "2024-01-01 00:00:55", 1),
+      ev(18, "2024-01-01 00:02:01", 2), ev(19, "2024-01-01 00:02:13", 2),
+      ev(20, "2024-01-01 00:02:26", 2))
+    val empty = Tables.events(spark, "/root/testdata/sf0.001").filter(lit(false))
+    EventStreams.seedBurstLedger(empty, s"$dir/ledger")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String, Double)]
+    val q = EventStreams.incrementalBurstiness(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", $"ts".cast("timestamp")),
+      s"$dir/tel", s"$dir/ledger")
+    try {
+      Seq(b1, b2, b3).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"batch_id".desc)
+    val latest = spark.read.parquet(s"$dir/tel")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"n_gaps", $"stale")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // user 1: 10 monotone events = 9 gaps, never stale
+    assert(latest(1L) == ((9L, false)), s"user 1 state: ${latest(1L)}")
+    // user 2: stale stuck through the monotone batch 3; the rewound
+    // boundary gap was dropped (2 internal gaps in batch 2, not 3
+    // stitched) so n_gaps = 3 + 2 + 1(batch-2 internal pair) + 3... =
+    // seed 0 + b1 3 + b2 2 + stitch(b3) 1 + b3 2 = 8, one short of the
+    // 9 a monotone replay would count
+    assert(latest(2L)._2, s"user 2 not flagged stale: ${latest(2L)}")
+    assert(latest(2L)._1 == 8L, s"user 2 n_gaps: ${latest(2L)}")
   }
 
   test("streaming quantiles: ledger buckets bracket the exact batch quantiles") {
