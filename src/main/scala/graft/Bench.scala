@@ -87,14 +87,19 @@ object Bench {
     // was exactly that).
     val priorFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_queries.json"))
+    // the record file's own sf: a record from a different scale factor
+    // is not a baseline — AND must not be overwritten by this run (a
+    // dev smoke at sf0.001 once clobbered the committed sf0.1 record)
+    val priorSf: Option[String] =
+      if (!priorFile.exists) None
+      else """"sf"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(scala.io.Source.fromFile(priorFile, "UTF-8").mkString)
+        .map(_.group(1))
     val prior: Map[String, Double] =
-      if (!priorFile.exists) Map.empty
+      if (!priorFile.exists || !priorSf.contains(sfDir)) Map.empty
       else {
         val txt = scala.io.Source.fromFile(priorFile, "UTF-8").mkString
-        // a record from a different scale factor is not a baseline
-        val sfMatches = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
-        if (!sfMatches) Map.empty[String, Double]
-        else """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+        """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
           _.group(1).split(",").toSeq.flatMap { kv =>
             kv.split(":") match {
               case Array(k, v) => scala.util.Try(
@@ -141,7 +146,18 @@ object Bench {
     // this sf (this run's actuals are the stdout line above). A run in
     // a host-slow window must not replace the steady-state baseline the
     // >2x re-run hygiene compares against.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    // never clobber a record kept at ANOTHER sf: divert this run's
+    // record to a per-sf side file instead (the committed sf0.1 record
+    // is the driver's baseline; a local smoke at sf0.001 must not
+    // replace it — that happened once and cost a restore)
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    val outFile =
+      if (priorSf.forall(_ == sfDir)) outBase
+      else {
+        val side = outBase + "." + sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
+        System.err.println(s"[bench] record at $outBase is for ${priorSf.get}; writing this run to $side")
+        side
+      }
     // a FILTERED dev run must not shrink the record to its subset —
     // untouched queries keep their prior entries
     val recordQ = (prior ++ results.map { case (k, v, _) =>

@@ -497,7 +497,35 @@ object Oracles {
         |         CAST(len(list_filter(range(64), j ->
         |           a.bits[CAST(j+1 AS INT)] <> b.bits[CAST(j+1 AS INT)])) AS INT) AS hamming
         |  FROM p a JOIN p b ON a.media_id < b.media_id)
-        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // q209: frame-sampled video dedup — the whole pipeline brute-forced:
+    // per-frame stub features from sha256(payload || '|' || frame_ms),
+    // the q51 bit rule, ALL aligned frame pairs at hamming <= 3, then
+    // the matched-share rollup. frame_share is one IEEE division (no
+    // rounding) so the >= 0.8 gate agrees bit-for-bit across engines.
+    "q209_frame_dedup" ->
+      """WITH m AS (SELECT d.doc_id AS media_id, r.text AS txt, r.n_chars
+        |           FROM documents d JOIN documents r ON r.doc_id = d.doc_id - d.doc_id % 5),
+        |fr AS (SELECT media_id, txt,
+        |              CAST(unnest(range(0, CAST(n_chars AS BIGINT) * 7 + 1, 500)) AS BIGINT) AS frame_ms
+        |       FROM m),
+        |h AS (SELECT media_id, frame_ms, sha256(txt || '|' || CAST(frame_ms AS VARCHAR)) AS hx FROM fr),
+        |f AS (SELECT media_id, frame_ms, list_transform(range(64), j ->
+        |        CAST(instr('0123456789abcdef', substring(hx, CAST(j+1 AS INT), 1)) - 1 AS DOUBLE)) AS fv FROM h),
+        |p AS (SELECT media_id, frame_ms, list_transform(range(64), j ->
+        |        CASE WHEN fv[CAST(j+1 AS INT)] >= list_sum(fv)/64 THEN 1 ELSE 0 END) AS bits FROM f),
+        |mp AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS matched_frames
+        |  FROM p a JOIN p b ON a.frame_ms = b.frame_ms AND a.media_id < b.media_id
+        |  WHERE len(list_filter(range(64), j -> a.bits[CAST(j+1 AS INT)] <> b.bits[CAST(j+1 AS INT)])) <= 3
+        |  GROUP BY 1, 2),
+        |nf AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames FROM fr GROUP BY 1)
+        |SELECT id_a, id_b, na.n_frames AS n_frames_a, nb.n_frames AS n_frames_b,
+        |       CAST(matched_frames AS BIGINT) AS matched_frames,
+        |       CAST(matched_frames AS DOUBLE) / greatest(na.n_frames, nb.n_frames) AS frame_share
+        |FROM mp JOIN nf na ON na.media_id = id_a JOIN nf nb ON nb.media_id = id_b
+        |WHERE CAST(matched_frames AS DOUBLE) / greatest(na.n_frames, nb.n_frames) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Full oracle map. Queries whose CONTRACT is exact equality with an

@@ -150,4 +150,68 @@ object QueriesMedia {
       .select($"x.media_id".as("id_a"), $"y.media_id".as("id_b"), lit(0).as("hamming"))
     cross.unionByName(within).orderBy($"id_a", $"id_b")
   }
+
+  /** Frame-sampled VIDEO dedup — the composition a real video pipeline
+    * runs: sample frames on a fixed grid ([[Multimodal
+    * .sampleFrameIndexes]]'s 500 ms rule), per-frame perceptual hash,
+    * banded frame-pair matching ([[Dedup.bitSigPairs]] over composite
+    * frame keys — candidates ∝ duplicate mass, never frames²), then
+    * roll matched ALIGNED frames up per media pair and keep pairs
+    * whose matched-frame share clears 0.8 of the longer side. Two
+    * videos that are re-encodes of each other match on (nearly) every
+    * sampled frame; a shared intro matches only its slice and falls
+    * out at the threshold.
+    *
+    * Corpus plants duplicates by the q52 rule (payload AND duration
+    * from the 5-group representative, so dup groups share the full
+    * frame grid). Per-frame features are the SQL-reproducible stub
+    * (sha256 of payload + frame offset) so the DuckDB oracle can
+    * brute-force ALL aligned frame pairs at hamming ≤ 3 and replay the
+    * share rule exactly — any index recall loss fails the hash
+    * compare. The REAL frame decode exists too: [[Multimodal
+    * .decodeGifFrames]] reads animated-GIF frames through the same
+    * DCT front end, spec-pinned in MultimodalSpec with re-encoded
+    * copies (a codec cannot be replayed in SQL; the planted-frame
+    * oracle gates the relational pipeline, the spec gates the codec).
+    * frame_share is a single IEEE division on both engines — no
+    * rounding, per the oracle float discipline.
+    */
+  def q209_frame_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Dedup, Materialize}
+    val docs = Tables.documents(spark, dir)
+    val reps = docs.select($"doc_id".as("rep_id"), $"text", $"n_chars")
+    val media = docs
+      .select($"doc_id".as("media_id"), ($"doc_id" - $"doc_id" % 5).as("rep_id"))
+      .join(reps, Seq("rep_id"))
+      .select($"media_id", $"text".as("txt"), ($"n_chars" * 7).cast("long").as("duration_ms"))
+    val frames = media
+      .select($"media_id", $"txt",
+        explode(sequence(lit(0L), $"duration_ms", lit(500L))).as("frame_ms"))
+    val sigs = frames
+      .select($"media_id", ($"frame_ms" / 500L).cast("long").as("ord"),
+        Multimodal.stubFeatures(
+          concat($"txt", lit("|"), $"frame_ms".cast("string"))).as("f"))
+      .select($"media_id", $"ord", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select(($"media_id" * 1000000L + $"ord").as("fid"),
+        Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    val framePairs = Dedup
+      .bitSigPairs(Materialize(sigs), "fid", "phash", maxHamming = 3, chunks = 4)
+      // aligned frames only: same grid offset on both sides (the
+      // composite key carries the offset, so this is a residue check)
+      .filter(pmod($"id_a", lit(1000000L)) === pmod($"id_b", lit(1000000L)))
+      .select(expr("id_a div 1000000").as("ma"), expr("id_b div 1000000").as("mb"))
+      .groupBy($"ma", $"mb")
+      .agg(count(lit(1)).as("matched_frames"))
+    val nf = frames.groupBy($"media_id").agg(count(lit(1)).as("n_frames"))
+    framePairs
+      .join(nf.select($"media_id".as("ma"), $"n_frames".as("n_frames_a")), Seq("ma"))
+      .join(nf.select($"media_id".as("mb"), $"n_frames".as("n_frames_b")), Seq("mb"))
+      .select($"ma".as("id_a"), $"mb".as("id_b"),
+        $"n_frames_a", $"n_frames_b", $"matched_frames",
+        ($"matched_frames".cast("double") /
+          greatest($"n_frames_a", $"n_frames_b")).as("frame_share"))
+      .filter($"frame_share" >= 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
 }

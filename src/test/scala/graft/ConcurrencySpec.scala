@@ -163,6 +163,65 @@ class ConcurrencySpec extends SparkSpec {
     assert(versions == (0L to 8L), s"cross-instance ledger corrupted: $versions")
   }
 
+  test("cross-JVM writers: a real second driver JVM contending on upsert loses no update") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ccxjvm").toString
+    val wh = new Warehouse(spark, root,
+      keepGenerations = 2, lockWaitMs = 120_000L, lockStaleMs = 600_000L)
+    wh.createOrReplace("silver", "xjvm",
+      Seq((0L, 0L, "base")).toDF("k", "version", "writer"))
+
+    // spawn the second driver as a REAL process: separate heap, separate
+    // ThreadLocals, separate lock cache — only the filesystem marker
+    // serializes it against this JVM (the in-process two-instance test
+    // above cannot prove that; this one does)
+    val nOps  = 4
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp    = System.getProperty("java.class.path")
+    val log   = Files.createTempFile("graft_xjvm", ".log").toFile
+    val pb    = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx3g",
+      "graft.CrossJvmWriter", root, "9", nOps.toString)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log) // drain to a file: Spark's stderr would fill the pipe
+    val proc = pb.start()
+    try {
+      // barrier: wait for the child's session, then release both writers
+      val ready    = Paths.get(root, "_xjvm_ready_9")
+      val deadline = System.currentTimeMillis() + 120_000L
+      while (!Files.exists(ready) && proc.isAlive && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(Files.exists(ready),
+        s"child JVM never became ready (alive=${proc.isAlive}):\n" +
+          new String(java.nio.file.Files.readAllBytes(log.toPath)))
+      Files.write(Paths.get(root, "_xjvm_go"), Array.emptyByteArray)
+      for (i <- 1 to nOps) {
+        val src = Seq.tabulate(5)(j => (8L * 1000L + j, i.toLong, "parent"))
+          .toDF("k", "version", "writer")
+        wh.upsert("silver", "xjvm", src, keys = Seq("k"), versionCol = "version")
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS),
+        "child JVM did not finish within 180s")
+      assert(proc.exitValue() == 0,
+        s"child JVM failed:\n${new String(java.nio.file.Files.readAllBytes(log.toPath))}")
+    } finally if (proc.isAlive) proc.destroyForcibly()
+
+    // no lost update: both writers' keys sit at their FINAL version
+    val rows = wh.table("silver", "xjvm")
+      .select($"k", $"version", $"writer").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rows.size == 1 + 10, s"row count: ${rows.size}")
+    for (j <- 0 until 5) {
+      assert(rows(8000L + j) == ((nOps.toLong, "parent")), s"parent key $j: ${rows(8000L + j)}")
+      assert(rows(9000L + j) == ((nOps.toLong, "jvm9")), s"child key $j: ${rows(9000L + j)}")
+    }
+    // serialization proof: ledger versions strictly ordered and dense
+    // (two writers both claiming N+1 is exactly what the lock prevents)
+    val versions = wh.history("silver.xjvm")
+      .orderBy("version").collect().map(_.getAs[Long]("version")).toSeq
+    assert(versions == (0L to (2L * nOps)),
+      s"cross-JVM ledger corrupted: $versions")
+  }
+
   test("withWriterLocks: overlapping multi-table writers acquire in sorted order and never deadlock") {
     import spark.implicits._
     val (wh, _) = freshWh()

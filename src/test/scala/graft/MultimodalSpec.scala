@@ -179,4 +179,92 @@ class MultimodalSpec extends SparkSpec {
     // non-audio payloads yield the zero vector (metadata-filter first)
     assert(dec.decode("not audio".getBytes, meta).forall(_ == 0f))
   }
+
+  // --- animated GIF: the real multi-frame container path -------------
+
+  private def mosaic(seed: Int): java.awt.image.BufferedImage = {
+    val rnd  = new scala.util.Random(1000 + seed)
+    val grid = Array.fill(8, 8)(32 + rnd.nextInt(192))
+    val img  = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val c = grid(y / 8)(x / 8)
+      img.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    img
+  }
+
+  /** Pure-JDK animated-GIF encode: the gif ImageWriter's sequence API. */
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos    = new java.io.ByteArrayOutputStream()
+    val ios    = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Pure-JDK multi-frame decode back to images (for the re-encode arm). */
+  private def gifImages(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val iis    = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    try (0 until reader.getNumImages(true)).map(reader.read)
+    finally { reader.dispose(); iis.close() }
+  }
+
+  test("REAL animated-GIF decode: frame enumeration, sampling, single-frame ≡ whole-image hash") {
+    val frames = (0 until 5).map(mosaic)
+    val gif    = animatedGif(frames)
+    val all    = Multimodal.decodeGifFrames(gif)
+    assert(all.map(_._1) == (0 until 5), s"frame indexes: ${all.map(_._1)}")
+    // every-2nd sampling keeps exactly the even frames
+    assert(Multimodal.decodeGifFrames(gif, everyNth = 2).map(_._1) == Seq(0, 2, 4))
+    // a single-frame GIF hashes identically to the same image decoded
+    // whole (both run the shared dctFeatures front end)
+    val one     = animatedGif(Seq(frames.head))
+    val whole   = new Multimodal.ImageDecoder()
+      .decode(one, Multimodal.MediaMeta("image/gif", 64, 64, 0L))
+    val sampled = Multimodal.decodeGifFrames(one)
+    assert(sampled.size == 1 && sampled.head._2.toSeq == whole.toSeq)
+    // non-GIF / undecodable payloads yield no rows, not a throw
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes).isEmpty)
+    val png = { // real image, wrong container: filtered, not mis-hashed
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(frames.head, "png", bos); bos.toByteArray
+    }
+    assert(Multimodal.decodeGifFrames(png).isEmpty)
+  }
+
+  test("REAL animated-GIF frame dedup: re-encoded copy matches on every aligned frame") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // three distinct 4-frame "videos"; 100 is a decode→re-encode copy
+    // of 0 (fresh palette quantization pass — the GIF analogue of the
+    // JPEG re-encode arm in the image test)
+    val vids: Seq[(Long, Array[Byte])] = (0 until 3).map { v =>
+      v.toLong -> animatedGif((0 until 4).map(f => mosaic(v * 10 + f)))
+    }
+    val reenc   = 100L -> animatedGif(gifImages(vids.head._2))
+    val mediaDf = (vids :+ reenc).toDF("media_id", "payload")
+    val sigs = Multimodal
+      .gifFrameFeatures(mediaDf)
+      .select($"media_id", $"frame_idx", $"features".as("f"))
+      .select($"media_id", $"frame_idx", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select(($"media_id" * 1000L + $"frame_idx").as("fid"),
+        Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    val aligned = Dedup
+      .bitSigPairs(sigs, "fid", "phash", maxHamming = 6, chunks = 8)
+      .filter(pmod($"id_a", lit(1000L)) === pmod($"id_b", lit(1000L)))
+      .select(expr("id_a div 1000").as("ma"), expr("id_b div 1000").as("mb"))
+      .groupBy($"ma", $"mb").agg(count(lit(1)).as("matched"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the copy matches its source on ALL 4 aligned frames; distinct
+    // videos share none
+    assert(aligned == Map((0L, 100L) -> 4L), s"aligned matches: $aligned")
+  }
 }
