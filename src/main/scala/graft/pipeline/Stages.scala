@@ -197,6 +197,32 @@ object Stages {
     Right(metrics.outputRows)
   }
 
+  /** NYT typed projection (silver_nyt_archive.py:60-96) — shared by
+    * the batch silver stage below and its streaming twin
+    * ([[StreamingIngest.nytIngest]]), so the two paths agree by
+    * construction, not by parallel maintenance.
+    */
+  private[graft] def nytTyped(bronze: DataFrame): DataFrame =
+    bronze.select(
+      col("_id").cast("string").as("id"),
+      colOrNull(bronze, "abstract", "string").as("abstract"),
+      colOrNull(bronze, "lead_paragraph", "string").as("lead_paragraph"),
+      colOrNull(bronze, "snippet", "string").as("snippet"),
+      to_date(substring(colOrNull(bronze, "pub_date", "string"), 1, 10)).as("publish_dt"),
+      col("source_file_name").cast("string"),
+      runDateAsDate,
+      col("load_ts").cast("timestamp")
+    )
+
+  /** NYT surrogate key + final silver column order (the other shared
+    * half of the batch/stream twin).
+    */
+  private[graft] def nytKeyed(typed: DataFrame): DataFrame =
+    typed
+      .withColumn("nyt_sk", sha2(concat_ws("||", col("id"), col("publish_dt")), 256))
+      .select("nyt_sk", "id", "abstract", "lead_paragraph", "snippet", "publish_dt",
+        "source_file_name", "run_date", "load_ts")
+
   /** NYT silver (silver_nyt_archive.py:60-120): typed projection,
     * sha2 key, NOT-IN append guard planned as a left-anti join
     * (SURVEY §2.3 J2 — sha2 is non-null so plain anti-join ≡ the
@@ -207,23 +233,10 @@ object Stages {
     */
   def silverNyt(spark: SparkSession, wh: Warehouse): Either[String, Long] = {
     if (!wh.tableExists("bronze", "nytarchive")) return Left("bronze.nytarchive missing")
-    val bronze = wh.table("bronze", "nytarchive")
-    val typed = bronze
-      .select(
-        col("_id").cast("string").as("id"),
-        colOrNull(bronze, "abstract", "string").as("abstract"),
-        colOrNull(bronze, "lead_paragraph", "string").as("lead_paragraph"),
-        colOrNull(bronze, "snippet", "string").as("snippet"),
-        to_date(substring(colOrNull(bronze, "pub_date", "string"), 1, 10)).as("publish_dt"),
-        col("source_file_name").cast("string"),
-        runDateAsDate,
-        col("load_ts").cast("timestamp")
-      )
+    val bronze   = wh.table("bronze", "nytarchive")
+    val typed    = nytTyped(bronze)
     val preCount = typed.count()
-    val keyed = typed
-      .withColumn("nyt_sk", sha2(concat_ws("||", col("id"), col("publish_dt")), 256))
-      .select("nyt_sk", "id", "abstract", "lead_paragraph", "snippet", "publish_dt",
-        "source_file_name", "run_date", "load_ts")
+    val keyed    = nytKeyed(typed)
     require(keyed.count() == preCount, "row preservation violated in nyt silver")
 
     val written =

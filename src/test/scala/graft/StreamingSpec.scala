@@ -1103,6 +1103,61 @@ class StreamingSpec extends SparkSpec {
     assert(anyStale == 0L, s"monotone stream flagged $anyStale stale telemetry rows")
   }
 
+  test("streaming bronze->silver NYT ingest twin equals the batch pipeline, and redelivery adds nothing") {
+    import graft.pipeline.{Stages, StreamingIngest}
+    import graft.sources.Warehouse
+    import spark.implicits._
+    val root    = Files.createTempDirectory("graft_stream_ingest")
+    val landing = Files.createDirectories(root.resolve("nyt"))
+    def day(d: String, tok: String, rows: Seq[(String, String, String)]): String =
+      rows.map { case (id, abs, pub) =>
+        s"""{"_airbyte_data": {"_id": "$id", "abstract": "$abs", "lead_paragraph": "lp $id", "snippet": "sn $id", "pub_date": "${pub}T09:00:00+0000", "multimedia": [{"url": "u", "Url": "U"}]}}"""
+      }.mkString("\n")
+    Files.writeString(landing.resolve("2022_12_20_1671510000.123_nyt.jsonl"),
+      day("20221220", "123", Seq(("n1", "Climate policy", "2022-12-15"), ("n2", "Fuel report", "2022-12-16"))))
+    Files.writeString(landing.resolve("2022_12_21_1671600000.456_nyt.jsonl"),
+      day("20221221", "456", Seq(("n3", "Wind farms", "2022-12-17"), ("n1", "Climate policy", "2022-12-15"))))
+    // n1 re-appears on day 2 with the same key — the anti-join must drop it in BOTH arms
+    // pin file mod times: the file stream orders by timestamp, and the
+    // twin compare needs day 1 processed first (same-ms writes tie)
+    import java.nio.file.attribute.FileTime
+    Files.setLastModifiedTime(
+      landing.resolve("2022_12_20_1671510000.123_nyt.jsonl"), FileTime.fromMillis(1_700_000_000_000L))
+    Files.setLastModifiedTime(
+      landing.resolve("2022_12_21_1671600000.456_nyt.jsonl"), FileTime.fromMillis(1_700_000_100_000L))
+
+    // batch arm: one notebook run per day, exactly the reference shape
+    val whBatch = new Warehouse(spark, root.resolve("wh_batch").toString)
+    for (rd <- Seq("20221220", "20221221")) {
+      assert(Stages.bronzeNyt(spark, whBatch, landing.toString, rd).isRight)
+      assert(Stages.silverNyt(spark, whBatch).isRight)
+    }
+
+    // stream arm: one micro-batch per file over the same landing dir
+    val whStream = new Warehouse(spark, root.resolve("wh_stream").toString)
+    val schema   = StreamingIngest.inferLandingSchema(spark, landing.toString)
+    val q = StreamingIngest.nytIngest(spark, whStream, landing.toString, schema)
+    try q.processAllAvailable() finally q.stop()
+
+    def silverKey(wh: Warehouse) = wh.table("silver", "nytarchive")
+      .select($"nyt_sk", $"id", $"abstract", $"lead_paragraph", $"snippet",
+        date_format($"publish_dt", "yyyy-MM-dd").as("pd"),
+        $"source_file_name", $"run_date".cast("string").as("rd"))
+      .collect().map(_.toSeq).toSet
+    assert(silverKey(whStream) == silverKey(whBatch),
+      "stream-ingested silver must equal the batch pipeline's silver")
+    assert(whStream.table("silver", "nytarchive").count() == 3) // n1 deduped
+
+    // redelivery: the same day-1 payload lands again under a new file
+    // name — bronze grows, silver must NOT
+    Files.writeString(landing.resolve("2022_12_22_1671700000.789_nyt.jsonl"),
+      day("20221222", "789", Seq(("n1", "Climate policy", "2022-12-15"))))
+    val q2 = StreamingIngest.nytIngest(spark, whStream, landing.toString, schema)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(whStream.table("silver", "nytarchive").count() == 3,
+      "redelivered file must add zero silver rows")
+  }
+
   test("streaming burstiness: out-of-order batch marks the user stale, sticky") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
