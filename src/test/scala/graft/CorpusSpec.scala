@@ -1008,9 +1008,31 @@ class CorpusSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     val rows = QueriesCorpus.q208_psi_drift(spark, dir).collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
-    assert(rows("a") == ((0.0, "stable")))
-    assert(rows("b")._2 == "shifted" && rows("b")._1 > 0.25)
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    // Jan 1 → Jan 20 spans 20 days: the 7-day windows fit disjointly
+    assert(rows("a") == ((20L, 7L, 0.0, "stable")))
+    assert(rows("b")._4 == "shifted" && rows("b")._3 > 0.25)
+  }
+
+  test("psi drift: a sub-14-day history clamps the windows disjoint instead of double-counting") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_psi_short").toString
+    // 8-day span: unclamped 7-day windows would OVERLAP on days 2-7 and
+    // every shared event would count in both distributions, biasing PSI
+    // toward 0. Clamped to (8+1)/2 = 4 days each, the windows are
+    // disjoint: bucket 0 in the head, bucket 9 in the tail → shifted.
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 10.0),
+      (2L, "2024-01-02 10:00:00", 1L, "a", 12.0),
+      (3L, "2024-01-07 10:00:00", 1L, "a", 470.0),
+      (4L, "2024-01-08 10:00:00", 1L, "a", 472.0))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = QueriesCorpus.q208_psi_drift(spark, dir).collect().head
+    assert(r.getLong(1) == 8L && r.getLong(2) == 4L,
+      s"span/window: ${r.getLong(1)}/${r.getLong(2)}")
+    assert(r.getString(4) == "shifted", s"clamped verdict: $r")
   }
 
   test("l-diversity: one-type combos are weak, three-type combos clear the bar") {
