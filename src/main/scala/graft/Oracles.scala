@@ -542,6 +542,10 @@ object Oracles {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, 1 AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_phash_pairs_collapsed" -> base("q52_phash_pairs"),
+    // q210: collapse-first frame dedup — EXACT-equality contract with
+    // q209 (identical payload ⇒ identical per-frame signatures, so the
+    // member expansion reproduces the direct form's rows bit-for-bit)
+    "q210_frame_dedup_collapsed" -> base("q209_frame_dedup"),
     "q57_ann_ivf_topk" -> base("q30_ann_topk"),
     // filtered ANN: IVF at nprobe=nlist and the persisted
     // partitionBy(label, cell) probe are EXACTLY the filtered brute

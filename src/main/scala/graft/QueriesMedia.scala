@@ -214,4 +214,81 @@ object QueriesMedia {
       .filter($"frame_share" >= 0.8)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Collapse-first frame-sampled dedup — [[q209_frame_dedup]]'s
+    * output through the composition that survives duplicate-heavy
+    * corpora (the frame-level instance of the q47/q56 lesson,
+    * measured in SCALE.md): identical payloads produce identical
+    * per-frame signatures, so group by content key FIRST (one
+    * shuffle over (payload, duration) — both determine the frame
+    * grid), run the whole frame pipeline over UNIQUE payloads only
+    * (5× fewer signatures here, and — the real win — hamming-0
+    * collision mass in every chunk bucket drops quadratically), then
+    * expand group members back: cross-group pairs inherit their
+    * representatives' counts exactly, within-group pairs match on
+    * every frame by construction. Exact, not approximate — same
+    * brute-force oracle as q209, same rows.
+    */
+  def q210_frame_dedup_collapsed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Materialize}
+    val docs = Tables.documents(spark, dir)
+    val repsIn = docs.select($"doc_id".as("rep_id"), $"text", $"n_chars")
+    val media = docs
+      .select($"doc_id".as("media_id"), ($"doc_id" - $"doc_id" % 5).as("rep_id"))
+      .join(repsIn, Seq("rep_id"))
+      .select($"media_id", $"text".as("txt"), ($"n_chars" * 7).cast("long").as("duration_ms"))
+    val withGrp = Materialize(
+      media
+        .withColumn("ck", sha2(concat($"txt", lit("|"), $"duration_ms".cast("string")), 256))
+        .withColumn("grp_id", min($"media_id").over(Window.partitionBy($"ck"))))
+    val reps = withGrp.filter($"media_id" === $"grp_id")
+      .select($"media_id", $"txt", $"duration_ms")
+    val frames = reps
+      .select($"media_id", $"txt",
+        explode(sequence(lit(0L), $"duration_ms", lit(500L))).as("frame_ms"))
+    val sigs = frames
+      .select($"media_id", ($"frame_ms" / 500L).cast("long").as("ord"),
+        Multimodal.stubFeatures(
+          concat($"txt", lit("|"), $"frame_ms".cast("string"))).as("f"))
+      .select($"media_id", $"ord", $"f", Multimodal.featureMean($"f").as("mu"))
+      .select(($"media_id" * 1000000L + $"ord").as("fid"),
+        Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    val nf = frames.groupBy($"media_id").agg(count(lit(1)).as("n_frames"))
+    val repScored = Dedup
+      .bitSigPairs(Materialize(sigs), "fid", "phash", maxHamming = 3, chunks = 4)
+      .filter(pmod($"id_a", lit(1000000L)) === pmod($"id_b", lit(1000000L)))
+      .select(expr("id_a div 1000000").as("ra"), expr("id_b div 1000000").as("rb"))
+      .groupBy($"ra", $"rb")
+      .agg(count(lit(1)).as("matched_frames"))
+      .join(nf.select($"media_id".as("ra"), $"n_frames".as("nf_ra")), Seq("ra"))
+      .join(nf.select($"media_id".as("rb"), $"n_frames".as("nf_rb")), Seq("rb"))
+      .withColumn("frame_share",
+        $"matched_frames".cast("double") / greatest($"nf_ra", $"nf_rb"))
+      .filter($"frame_share" >= 0.8)
+    val members = withGrp.select($"grp_id", $"media_id")
+    // cross-group expansion: counts inherit the reps' exactly; the
+    // least/greatest id swap must carry each side's frame count along
+    val cross = repScored
+      .join(members.as("ma"), $"ra" === $"ma.grp_id")
+      .join(members.as("mb"), $"rb" === $"mb.grp_id")
+      .select(
+        least($"ma.media_id", $"mb.media_id").as("id_a"),
+        greatest($"ma.media_id", $"mb.media_id").as("id_b"),
+        when($"ma.media_id" <= $"mb.media_id", $"nf_ra").otherwise($"nf_rb").as("n_frames_a"),
+        when($"ma.media_id" <= $"mb.media_id", $"nf_rb").otherwise($"nf_ra").as("n_frames_b"),
+        $"matched_frames", $"frame_share")
+    // within-group pairs: every aligned frame identical → full match
+    // (n/n divides to exactly 1.0, the oracle's own division)
+    val repNf = nf.select($"media_id".as("grp_id"), $"n_frames")
+    val within = members.as("x")
+      .join(members.as("y"), $"x.grp_id" === $"y.grp_id" && $"x.media_id" < $"y.media_id")
+      .join(repNf, $"x.grp_id" === repNf("grp_id"))
+      .select($"x.media_id".as("id_a"), $"y.media_id".as("id_b"),
+        $"n_frames".as("n_frames_a"), $"n_frames".as("n_frames_b"),
+        $"n_frames".as("matched_frames"),
+        ($"n_frames".cast("double") / $"n_frames").as("frame_share"))
+    cross.unionByName(within).orderBy($"id_a", $"id_b")
+  }
 }

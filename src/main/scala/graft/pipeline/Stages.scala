@@ -95,6 +95,35 @@ object Stages {
   private def colOrNull(df: DataFrame, name: String, tpe: String) =
     if (df.columns.contains(name)) col(name).cast(tpe) else lit(null).cast(tpe)
 
+  /** Scholar typed projection (silver_google_scholar.py:77-118) —
+    * shared with the streaming twin ([[StreamingIngest.scholarIngest]]),
+    * like [[nytTyped]].
+    */
+  private[graft] def scholarTyped(bronze: DataFrame): DataFrame =
+    bronze.select(
+      colOrNull(bronze, "link", "string").as("link"),
+      colOrNull(bronze, "result_id", "string").as("result_id"),
+      colOrNull(bronze, "snippet", "string").as("snippet"),
+      colOrNull(bronze, "title", "string").as("title"),
+      col("source_file_name").cast("string"),
+      runDateAsDate,
+      col("load_ts").cast("timestamp")
+    )
+
+  /** Scholar publish_dt derivation + surrogate key (the other shared
+    * half): the days-ago snippet prefix subtracts from run_date, with
+    * run_date itself as the fallback.
+    */
+  private[graft] def scholarKeyed(typed: DataFrame): DataFrame =
+    typed
+      .withColumn(
+        "publish_dt",
+        coalesce(date_sub(col("run_date"), coalesce(TextFunctions.daysAgo(col("snippet")), lit(0))), col("run_date"))
+      )
+      .withColumn("ggl_sk", sha2(concat_ws("||", col("result_id"), col("publish_dt")), 256))
+      .select("ggl_sk", "link", "result_id", "snippet", "title", "publish_dt",
+        "source_file_name", "run_date", "load_ts")
+
   /** Scholar silver (silver_google_scholar.py:77-163): typed projection,
     * publish_dt from the days-ago snippet prefix with run_date fallback,
     * sha2 surrogate key; first load CTAS, then strict-`>` watermark
@@ -106,26 +135,10 @@ object Stages {
     if (!wm.consistentWith("silver", "google_scholar"))
       return Left("watermark/table existence mismatch for google_scholar")
 
-    val bronze = wh.table("bronze", "google_scholar")
-    val typed = bronze
-      .select(
-        colOrNull(bronze, "link", "string").as("link"),
-        colOrNull(bronze, "result_id", "string").as("result_id"),
-        colOrNull(bronze, "snippet", "string").as("snippet"),
-        colOrNull(bronze, "title", "string").as("title"),
-        col("source_file_name").cast("string"),
-        runDateAsDate,
-        col("load_ts").cast("timestamp")
-      )
+    val bronze   = wh.table("bronze", "google_scholar")
+    val typed    = scholarTyped(bronze)
     val preCount = typed.count()
-    val withPublish = typed
-      .withColumn(
-        "publish_dt",
-        coalesce(date_sub(col("run_date"), coalesce(TextFunctions.daysAgo(col("snippet")), lit(0))), col("run_date"))
-      )
-      .withColumn("ggl_sk", sha2(concat_ws("||", col("result_id"), col("publish_dt")), 256))
-      .select("ggl_sk", "link", "result_id", "snippet", "title", "publish_dt",
-        "source_file_name", "run_date", "load_ts")
+    val withPublish = scholarKeyed(typed)
     require(withPublish.count() == preCount, "row preservation violated in scholar silver")
 
     val written =
@@ -148,6 +161,33 @@ object Stages {
     Right(written)
   }
 
+  /** Arxiv typed projection (silver_arxiv.py:82-96) — shared with the
+    * streaming twin ([[StreamingIngest.arxivIngest]]), like
+    * [[nytTyped]]. id/version parse from the abs URL; version stays a
+    * STRING, faithfully to the reference.
+    */
+  private[graft] def arxivTyped(bronze: DataFrame): DataFrame = {
+    val abs = split(col("id"), "/").getItem(4)
+    bronze.select(
+      split(abs, "v").getItem(0).cast("string").as("id"),
+      split(abs, "v").getItem(1).cast("string").as("version"),
+      col("id").cast("string").as("link"),
+      colOrNull(bronze, "summary", "string").as("summary"),
+      colOrNull(bronze, "title", "string").as("title"),
+      to_date(substring(colOrNull(bronze, "updated", "string"), 1, 10)).as("updated_dt"),
+      col("source_file_name").cast("string"),
+      runDateAsDate,
+      col("load_ts").cast("timestamp")
+    )
+  }
+
+  /** Arxiv surrogate key + final silver column order (shared half). */
+  private[graft] def arxivKeyed(typed: DataFrame): DataFrame =
+    typed
+      .withColumn("arx_sk", sha2(concat_ws("||", col("id"), col("version"), col("updated_dt")), 256))
+      .select("arx_sk", "id", "version", "link", "summary", "title", "updated_dt",
+        "source_file_name", "run_date", "load_ts")
+
   /** Arxiv silver (silver_arxiv.py:82-152): id/version parsed from the
     * abs URL, `updated_dt >= watermark` filter (note `>=`, unlike
     * scholar's `>` — MERGE makes re-processing idempotent), then the
@@ -161,25 +201,10 @@ object Stages {
     if (!wm.consistentWith("silver", "arxiv"))
       return Left("watermark/table existence mismatch for arxiv")
 
-    val bronze = wh.table("bronze", "arxiv")
-    val abs = split(col("id"), "/").getItem(4)
-    val typed = bronze
-      .select(
-        split(abs, "v").getItem(0).cast("string").as("id"),
-        split(abs, "v").getItem(1).cast("string").as("version"),
-        col("id").cast("string").as("link"),
-        colOrNull(bronze, "summary", "string").as("summary"),
-        colOrNull(bronze, "title", "string").as("title"),
-        to_date(substring(colOrNull(bronze, "updated", "string"), 1, 10)).as("updated_dt"),
-        col("source_file_name").cast("string"),
-        runDateAsDate,
-        col("load_ts").cast("timestamp")
-      )
+    val bronze   = wh.table("bronze", "arxiv")
+    val typed    = arxivTyped(bronze)
     val preCount = typed.count()
-    val keyed = typed
-      .withColumn("arx_sk", sha2(concat_ws("||", col("id"), col("version"), col("updated_dt")), 256))
-      .select("arx_sk", "id", "version", "link", "summary", "title", "updated_dt",
-        "source_file_name", "run_date", "load_ts")
+    val keyed    = arxivKeyed(typed)
     require(keyed.count() == preCount, "row preservation violated in arxiv silver")
 
     val src = wm.get match {

@@ -54,6 +54,126 @@ object StreamingIngest {
     })
   }
 
+  /** Landing schema for the arxiv stream (single-line feed JSON). */
+  def inferArxivSchema(spark: SparkSession, landing: String): StructType =
+    spark.read.option("pathGlobFilter", "*.json").json(landing).schema
+
+  /** Landing schema for the scholar stream (multiline airbyte JSON). */
+  def inferScholarSchema(spark: SparkSession, landing: String): StructType =
+    spark.read.option("multiLine", value = true)
+      .option("pathGlobFilter", "*.jsonl").json(landing).schema
+
+  /** Column-form lineage stamps shared by the three ingest streams:
+    * stem = file name up to ".json" ([[Stages.fileStem]]'s rule),
+    * run_date = the leading date token with separators stripped
+    * (handles both the underscore and dash prefix conventions).
+    */
+  private def withStreamLineage(df: org.apache.spark.sql.DataFrame) = {
+    val fname = element_at(split(col("__path"), "/"), -1)
+    df.withColumn("source_file_name", element_at(split(fname, "\\.json"), 1))
+      .withColumn("run_date",
+        regexp_replace(substring(fname, 1, 10), "[_-]", "").cast("int"))
+      .withColumn("load_ts", current_timestamp())
+      .drop("__path")
+  }
+
+  /** Streaming twin of the arxiv bronze→silver path: one micro-batch
+    * per landed feed file; entries explode to bronze rows, silver goes
+    * through the SAME projection/key as the batch stage and lands via
+    * the versioned MERGE (`src.version > tgt.version` on id) — so
+    * redelivery and out-of-order arrival are idempotent by the merge's
+    * own contract, no watermark gate needed per batch (the batch
+    * stage's `>=` filter is a work-skip, not a correctness gate —
+    * silver_arxiv.py:43-50). The watermark table is still maintained
+    * after each batch so a batch run can take over from the stream.
+    */
+  def arxivIngest(
+      spark: SparkSession,
+      wh: Warehouse,
+      landing: String,
+      schema: StructType
+  ): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.json")
+      .json(landing)
+      .select(col("*"), col("_metadata.file_path").as("__path"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val shaped = withStreamLineage(
+            batch
+              .select(explode(col("feed.entry")).as("results"), col("__path"))
+              .select(col("results.*"), col("__path")))
+          if (!wh.tableExists("bronze", "arxiv"))
+            wh.createOrReplace("bronze", "arxiv", shaped)
+          else wh.append("bronze", "arxiv", shaped)
+          val keyed = Stages.arxivKeyed(Stages.arxivTyped(shaped))
+          wh.upsert("silver", "arxiv", keyed, keys = Seq("id"), versionCol = "version")
+          val wm = new graft.operators.Watermark(spark, wh, "silver", "arxiv")
+          wm.set(wh.table("silver", "arxiv")
+            .agg(max(date_format(col("updated_dt"), "yyyy-MM-dd"))).head().getString(0))
+          ()
+        }
+      }
+      .start()
+
+  /** Streaming twin of the scholar bronze→silver path: one micro-batch
+    * per landed multiline file; organic_results explode to bronze,
+    * silver goes through the shared projection/key and the SAME
+    * strict-`>` watermark gate as the batch stage, applied per
+    * micro-batch — a redelivered file's rows sit at or below the mark
+    * and append nothing, which is this source's idempotency story
+    * (scholar has no MERGE key; the watermark IS the guard,
+    * silver_google_scholar.py:120-141).
+    */
+  def scholarIngest(
+      spark: SparkSession,
+      wh: Warehouse,
+      landing: String,
+      schema: StructType
+  ): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("multiLine", value = true)
+      .option("pathGlobFilter", "*.jsonl")
+      .json(landing)
+      .select(col("*"), col("_metadata.file_path").as("__path"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val shaped = withStreamLineage(
+            batch
+              .select(col("_airbyte_data.*"), col("__path"))
+              .select(explode(col("organic_results")).as("results"), col("__path"))
+              .select(col("results.*"), col("__path")))
+          if (!wh.tableExists("bronze", "google_scholar"))
+            wh.createOrReplace("bronze", "google_scholar", shaped)
+          else wh.append("bronze", "google_scholar", shaped)
+          val withPublish = Stages.scholarKeyed(Stages.scholarTyped(shaped))
+          val wm = new graft.operators.Watermark(spark, wh, "silver", "google_scholar")
+          if (!wh.tableExists("silver", "google_scholar"))
+            wh.createOrReplace("silver", "google_scholar", withPublish)
+          else {
+            val fresh = wm.get match {
+              case Some(w) => withPublish.filter(col("publish_dt") > lit(w)) // strict > (P7)
+              case None    => withPublish
+            }
+            wh.append("silver", "google_scholar", fresh)
+          }
+          val newWm = wh.table("silver", "google_scholar")
+            .agg(max(date_format(col("publish_dt"), "yyyy-MM-dd"))).head().getString(0)
+          wm.set(newWm)
+          wm.validate(newWm)
+          ()
+        }
+      }
+      .start()
+
   /** Start the NYT landing→bronze→silver stream. Files are processed
     * one per micro-batch in arrival order (the streaming analogue of
     * one notebook run per file); lineage (`source_file_name`,

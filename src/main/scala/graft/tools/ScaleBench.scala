@@ -57,6 +57,8 @@ object ScaleBench {
     "q47_dedup_pipeline",
     "q52_phash_pairs",
     "q56_phash_pairs_collapsed",
+    "q209_frame_dedup",
+    "q210_frame_dedup_collapsed",
     "q63_curation_pipeline",
     "q127_dedup_report",
     "q143_dedup_keep_best",

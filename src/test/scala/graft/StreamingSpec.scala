@@ -1158,6 +1158,92 @@ class StreamingSpec extends SparkSpec {
       "redelivered file must add zero silver rows")
   }
 
+  test("full medallion streaming twin: scholar/arxiv/nyt streamed silvers equal the batch pipeline") {
+    import graft.pipeline.{Pipeline, StreamingIngest}
+    import graft.sources.Warehouse
+    import spark.implicits._
+    import java.nio.file.attribute.FileTime
+    val root    = Files.createTempDirectory("graft_stream_medallion")
+    val scholar = Files.createDirectories(root.resolve("scholar"))
+    val arxiv   = Files.createDirectories(root.resolve("arxiv"))
+    val nyt     = Files.createDirectories(root.resolve("nyt"))
+
+    // day 1 (the PipelineSpec fixture shapes)
+    Files.writeString(scholar.resolve("2022_12_20_1671510000.123_scholar.jsonl"),
+      """{"_airbyte_data": {"organic_results": [
+        |  {"position": 1, "result_id": "r1", "title": "Solar", "link": "http://a", "snippet": "3 days ago — biofuel study", "type": "html"},
+        |  {"position": 2, "result_id": "r2", "title": "Battery", "link": "http://b", "snippet": "lithium research", "type": "html"}],
+        |  "search_metadata": {"id": "m1", "status": "Success"}}}""".stripMargin)
+    Files.writeString(arxiv.resolve("2022-12-20_1671510000.123_arxiv.json"),
+      """{"feed": {"entry": [{"id": "http://arxiv.org/abs/2212.01234v1", "updated": "2022-12-18T10:00:00Z", "title": "Green energy", "summary": "solar"}]}}""")
+    Files.writeString(nyt.resolve("2022_12_20_1671510000.123_nyt.jsonl"),
+      """{"_airbyte_data": {"_id": "n1", "abstract": "Climate", "lead_paragraph": "Renewables", "snippet": "green", "pub_date": "2022-12-15T09:00:00+0000", "multimedia": [{"url": "u", "Url": "U"}]}}""")
+    // day 2: scholar has one row ABOVE the day-1 watermark (fallback
+    // run_date 2022-12-21) and one below it ("7 days ago" → dropped in
+    // both arms); arxiv updates 01234 to v3 and inserts a new id; nyt
+    // adds n2 plus an n1 redelivery
+    Files.writeString(scholar.resolve("2022_12_21_1671600000.456_scholar.jsonl"),
+      """{"_airbyte_data": {"organic_results": [
+        |  {"position": 1, "result_id": "r3", "title": "Hydro", "link": "http://c", "snippet": "pumped storage", "type": "html"},
+        |  {"position": 2, "result_id": "r4", "title": "Stale", "link": "http://d", "snippet": "7 days ago — old note", "type": "html"}],
+        |  "search_metadata": {"id": "m2", "status": "Success"}}}""".stripMargin)
+    Files.writeString(arxiv.resolve("2022-12-21_1671600000.456_arxiv.json"),
+      """{"feed": {"entry": [{"id": "http://arxiv.org/abs/2212.01234v3", "updated": "2022-12-21T10:00:00Z", "title": "Green energy v3", "summary": "updated"}, {"id": "http://arxiv.org/abs/2212.09999v1", "updated": "2022-12-21T11:00:00Z", "title": "Biogas", "summary": "biogas"}]}}""")
+    Files.writeString(nyt.resolve("2022_12_21_1671600000.456_nyt.jsonl"),
+      Seq(
+        """{"_airbyte_data": {"_id": "n2", "abstract": "Fuel", "lead_paragraph": "Air quality", "snippet": "solar", "pub_date": "2022-12-16T09:00:00+0000", "multimedia": [{"url": "v", "Url": "V"}]}}""",
+        """{"_airbyte_data": {"_id": "n1", "abstract": "Climate", "lead_paragraph": "Renewables", "snippet": "green", "pub_date": "2022-12-15T09:00:00+0000", "multimedia": [{"url": "u", "Url": "U"}]}}"""
+      ).mkString("\n"))
+    // deterministic stream order: day 1 strictly older everywhere
+    for ((dir, d1, d2) <- Seq(
+        (scholar, "2022_12_20_1671510000.123_scholar.jsonl", "2022_12_21_1671600000.456_scholar.jsonl"),
+        (arxiv, "2022-12-20_1671510000.123_arxiv.json", "2022-12-21_1671600000.456_arxiv.json"),
+        (nyt, "2022_12_20_1671510000.123_nyt.jsonl", "2022_12_21_1671600000.456_nyt.jsonl"))) {
+      Files.setLastModifiedTime(dir.resolve(d1), FileTime.fromMillis(1_700_000_000_000L))
+      Files.setLastModifiedTime(dir.resolve(d2), FileTime.fromMillis(1_700_000_100_000L))
+    }
+
+    // batch arm: one pipeline run per day
+    val whB  = new Warehouse(spark, root.resolve("wh_b").toString)
+    val pipe = new Pipeline(spark, whB, scholar.toString, arxiv.toString, nyt.toString)
+    assert(pipe.run("20221220").skipped.isEmpty)
+    assert(pipe.run("20221221").skipped.isEmpty)
+
+    // stream arm: the three source streams over the same landing dirs
+    val whS = new Warehouse(spark, root.resolve("wh_s").toString)
+    val qs = Seq(
+      StreamingIngest.scholarIngest(spark, whS, scholar.toString,
+        StreamingIngest.inferScholarSchema(spark, scholar.toString)),
+      StreamingIngest.arxivIngest(spark, whS, arxiv.toString,
+        StreamingIngest.inferArxivSchema(spark, arxiv.toString)),
+      StreamingIngest.nytIngest(spark, whS, nyt.toString,
+        StreamingIngest.inferLandingSchema(spark, nyt.toString)))
+    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+
+    def rows(wh: Warehouse, table: String, cols: Seq[String], dateCols: Seq[String]) =
+      wh.table("silver", table)
+        .select(cols.map(col) ++
+          dateCols.map(c => date_format(col(c), "yyyy-MM-dd").as(c)): _*)
+        .collect().map(_.toSeq).toSet
+    for ((table, cols, dateCols) <- Seq(
+        ("google_scholar",
+          Seq("ggl_sk", "link", "result_id", "snippet", "title", "source_file_name"),
+          Seq("publish_dt", "run_date")),
+        ("arxiv",
+          Seq("arx_sk", "id", "version", "link", "summary", "title", "source_file_name"),
+          Seq("updated_dt", "run_date")),
+        ("nytarchive",
+          Seq("nyt_sk", "id", "abstract", "lead_paragraph", "snippet", "source_file_name"),
+          Seq("publish_dt", "run_date"))))
+      assert(rows(whS, table, cols, dateCols) == rows(whB, table, cols, dateCols),
+        s"stream silver.$table diverged from the batch pipeline")
+    // the interesting rows made it: scholar's stale r4 dropped, arxiv at v3
+    assert(whS.table("silver", "google_scholar").count() == 3)
+    val v = whS.table("silver", "arxiv").filter($"id" === "2212.01234")
+      .select("version").head().getString(0)
+    assert(v == "3")
+  }
+
   test("streaming burstiness: out-of-order batch marks the user stale, sticky") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
