@@ -151,6 +151,31 @@ object QueriesMedia {
     cross.unionByName(within).orderBy($"id_a", $"id_b")
   }
 
+  /** Per-frame signature rows for a (media_id, txt, duration_ms)
+    * corpus: the 500 ms frame grid, the SQL-reproducible stub features
+    * over (payload, frame offset), and the pHash bit rule — keyed by
+    * the composite frame id `media_id·10⁶ + ord` so the banded index
+    * machinery and its ALIGNED-pair residue check work over plain
+    * longs. Shared by [[q209_frame_dedup]], [[q210_frame_dedup_collapsed]]
+    * and the streaming twin ([[graft.streaming.MediaStreams]]).
+    */
+  private[graft] def frameSigs(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), col("txt"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(500L))).as("frame_ms"))
+      .select(col("media_id"), (col("frame_ms") / 500L).cast("long").as("ord"),
+        Multimodal.stubFeatures(
+          concat(col("txt"), lit("|"), col("frame_ms").cast("string"))).as("f"))
+      .select(col("media_id"), col("ord"), col("f"),
+        Multimodal.featureMean(col("f")).as("mu"))
+      .select((col("media_id") * 1000000L + col("ord")).as("fid"),
+        Multimodal.thresholdBits(col("f"), col("mu")).as("phash"))
+
+  /** Frame count per media over the same 500 ms grid. */
+  private[graft] def frameCounts(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      (floor(col("duration_ms") / 500L) + 1L).cast("long").as("n_frames"))
+
   /** Frame-sampled VIDEO dedup — the composition a real video pipeline
     * runs: sample frames on a fixed grid ([[Multimodal
     * .sampleFrameIndexes]]'s 500 ms rule), per-frame perceptual hash,
@@ -185,16 +210,7 @@ object QueriesMedia {
       .select($"doc_id".as("media_id"), ($"doc_id" - $"doc_id" % 5).as("rep_id"))
       .join(reps, Seq("rep_id"))
       .select($"media_id", $"text".as("txt"), ($"n_chars" * 7).cast("long").as("duration_ms"))
-    val frames = media
-      .select($"media_id", $"txt",
-        explode(sequence(lit(0L), $"duration_ms", lit(500L))).as("frame_ms"))
-    val sigs = frames
-      .select($"media_id", ($"frame_ms" / 500L).cast("long").as("ord"),
-        Multimodal.stubFeatures(
-          concat($"txt", lit("|"), $"frame_ms".cast("string"))).as("f"))
-      .select($"media_id", $"ord", $"f", Multimodal.featureMean($"f").as("mu"))
-      .select(($"media_id" * 1000000L + $"ord").as("fid"),
-        Multimodal.thresholdBits($"f", $"mu").as("phash"))
+    val sigs = frameSigs(media)
     val framePairs = Dedup
       .bitSigPairs(Materialize(sigs), "fid", "phash", maxHamming = 3, chunks = 4)
       // aligned frames only: same grid offset on both sides (the
@@ -203,7 +219,7 @@ object QueriesMedia {
       .select(expr("id_a div 1000000").as("ma"), expr("id_b div 1000000").as("mb"))
       .groupBy($"ma", $"mb")
       .agg(count(lit(1)).as("matched_frames"))
-    val nf = frames.groupBy($"media_id").agg(count(lit(1)).as("n_frames"))
+    val nf = frameCounts(media)
     framePairs
       .join(nf.select($"media_id".as("ma"), $"n_frames".as("n_frames_a")), Seq("ma"))
       .join(nf.select($"media_id".as("mb"), $"n_frames".as("n_frames_b")), Seq("mb"))
@@ -245,17 +261,8 @@ object QueriesMedia {
         .withColumn("grp_id", min($"media_id").over(Window.partitionBy($"ck"))))
     val reps = withGrp.filter($"media_id" === $"grp_id")
       .select($"media_id", $"txt", $"duration_ms")
-    val frames = reps
-      .select($"media_id", $"txt",
-        explode(sequence(lit(0L), $"duration_ms", lit(500L))).as("frame_ms"))
-    val sigs = frames
-      .select($"media_id", ($"frame_ms" / 500L).cast("long").as("ord"),
-        Multimodal.stubFeatures(
-          concat($"txt", lit("|"), $"frame_ms".cast("string"))).as("f"))
-      .select($"media_id", $"ord", $"f", Multimodal.featureMean($"f").as("mu"))
-      .select(($"media_id" * 1000000L + $"ord").as("fid"),
-        Multimodal.thresholdBits($"f", $"mu").as("phash"))
-    val nf = frames.groupBy($"media_id").agg(count(lit(1)).as("n_frames"))
+    val sigs = frameSigs(reps)
+    val nf   = frameCounts(reps)
     val repScored = Dedup
       .bitSigPairs(Materialize(sigs), "fid", "phash", maxHamming = 3, chunks = 4)
       .filter(pmod($"id_a", lit(1000000L)) === pmod($"id_b", lit(1000000L)))

@@ -1062,6 +1062,47 @@ class StreamingSpec extends SparkSpec {
     assert(foldedUsers == exactUsers)
   }
 
+  test("streaming frame dedup: per-batch probes union to the full pair set exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.MediaStreams
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_framededup").toString
+    // four groups of three identical "videos" (same payload text, same
+    // 2000 ms duration = 5 frames); the seed holds one member per group
+    // (no seed-internal pairs), the two batches land the copies
+    def m(g: Int, k: Int): (Long, String, Long) =
+      (g * 10L + k, s"group $g payload with stable words", 2000L)
+    val seed = (0 until 4).map(m(_, 0))
+    MediaStreams.seedFrameIndex(
+      seed.toDF("media_id", "txt", "duration_ms"), s"$dir/idx")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = MediaStreams.incrementalFrameDedup(
+      ms.toDF().toDF("media_id", "txt", "duration_ms"), s"$dir/pairs", s"$dir/idx")
+    try {
+      Seq((0 until 4).map(m(_, 1)), (0 until 4).map(m(_, 2))).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select($"id_a", $"id_b", $"n_frames_a", $"n_frames_b",
+        $"matched_frames", $"frame_share", $"batch_id".cast("long").as("batch_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    // all 12 within-group pairs, each exactly once, full 5-frame match
+    val want = (for (g <- 0 until 4; a <- 0 until 3; b <- (a + 1) until 3)
+      yield (g * 10L + a, g * 10L + b)).toSet
+    assert(got.keySet == want, s"pairs: ${got.keySet.toSeq.sorted}")
+    assert(got.values.forall { case (na, nb, mf, sh, _) =>
+      na == 5L && nb == 5L && mf == 5L && sh == 1.0 })
+    // the new-member pair lands in the batch that completes it: copies
+    // of member 1 pair in batch 0, member 2's two pairs in batch 1
+    assert(got((0L, 1L))._5 == 0L && got((0L, 2L))._5 == 1L && got((1L, 2L))._5 == 1L)
+  }
+
   test("streaming burstiness: time-monotone batches converge to the batch q184 rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
