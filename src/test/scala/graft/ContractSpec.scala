@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract invariants that used to be enforced only by the
+  * round's correctness run failing AFTER the fact: every query is
+  * oracle-gated, no oracle is orphaned, and names stay in the `qN_...`
+  * convention with unique numbers. Pure map checks — no Spark session,
+  * so this suite costs milliseconds and fails at `sbt test` time, not
+  * at judging time.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query names follow qN_snake_case with unique numbers") {
+    val pat = """^q(\d+)_[a-z0-9_]+$""".r
+    val nums = SparkEntry.queries.keySet.toSeq.map {
+      case pat(n) => n.toInt
+      case bad    => fail(s"query name breaks the convention: $bad")
+    }
+    val dups = nums.groupBy(identity).collect { case (n, v) if v.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query numbers: $dups")
+  }
+
+  test("oracle SQL is non-empty and single-statement") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name has an empty oracle")
+      assert(!sql.trim.stripSuffix(";").contains(";"),
+        s"$name's oracle carries multiple statements — the driver runs exactly one")
+    }
+  }
+}
