@@ -1089,6 +1089,25 @@ class CorpusSpec extends SparkSpec {
     assert(rows(3L) == ((3L, 3L, 1.584963))) // round(log2 3, 6)
   }
 
+  test("char entropy counts CODE POINTS, not UTF-16 units (the DuckDB contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_cp").toString
+    Seq(
+      // 😀 is non-BMP (2 UTF-16 units, 1 code point): a naive
+      // split(text, "") would count 4 "chars" of 4 distinct symbols;
+      // DuckDB's string_split counts 3 — verified: ['a','😀','b']
+      (1L, "a😀b", "en", "s", 3L),
+      // combining sequence e + U+0301: TWO code points on both engines
+      // (consistent, not grapheme clustering — documented in q182)
+      (2L, "xe\u0301y", "en", "s", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = QueriesCorpus.q182_char_entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((3L, 3L)), s"non-BMP char miscounted: ${rows(1L)}")
+    assert(rows(2L) == ((4L, 4L)), s"combining sequence miscounted: ${rows(2L)}")
+  }
+
   test("burstiness: metronomic gaps give cv 0, one long gap raises it exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_burst").toString
