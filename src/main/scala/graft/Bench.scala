@@ -85,21 +85,16 @@ object Bench {
     // itself inside the run instead of reading as a plan regression a
     // judge has to re-time by hand (round 12's q123 0.49->1.94 s spike
     // was exactly that).
-    val priorFile = new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_queries.json"))
-    // the record file's own sf: a record from a different scale factor
-    // is not a baseline — AND must not be overwritten by this run (a
-    // dev smoke at sf0.001 once clobbered the committed sf0.1 record)
-    val priorSf: Option[String] =
-      if (!priorFile.exists) None
-      else """"sf"\s*:\s*"([^"]*)"""".r
-        .findFirstMatchIn(scala.io.Source.fromFile(priorFile, "UTF-8").mkString)
-        .map(_.group(1))
-    val prior: Map[String, Double] =
-      if (!priorFile.exists || !priorSf.contains(sfDir)) Map.empty
+    // a record file parses to (its own sf, its per-query minima): a
+    // record from a different scale factor is not a baseline — AND must
+    // not be overwritten by this run (a dev smoke at sf0.001 once
+    // clobbered the committed sf0.1 record)
+    def readRecord(f: java.io.File): (Option[String], Map[String, Double]) =
+      if (!f.exists) (None, Map.empty)
       else {
-        val txt = scala.io.Source.fromFile(priorFile, "UTF-8").mkString
-        """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+        val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+        val sf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        val qs = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
           _.group(1).split(",").toSeq.flatMap { kv =>
             kv.split(":") match {
               case Array(k, v) => scala.util.Try(
@@ -108,6 +103,24 @@ object Bench {
             }
           }.toMap
         }.getOrElse(Map.empty[String, Double])
+        (sf, qs)
+      }
+    val priorFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_queries.json"))
+    val (priorSf, mainRecord) = readRecord(priorFile)
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    val sidePath = outBase + "." + sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
+    // when this run is DIVERTED to the per-sf side file (the main record
+    // belongs to another sf), the side file IS the record for this sf:
+    // prior minima must come from there, or each diverted run would
+    // overwrite it wholesale and a filtered run would shrink it — the
+    // exact failure modes the main-file logic guards against
+    val diverted = !priorSf.forall(_ == sfDir)
+    val prior: Map[String, Double] =
+      if (!diverted) mainRecord
+      else readRecord(new java.io.File(sidePath)) match {
+        case (sf, m) if sf.contains(sfDir) => m
+        case _                             => Map.empty
       }
     val results = (firstHalf ++ secondHalf).map { case (name, t, n) =>
       prior.get(name) match {
@@ -150,13 +163,11 @@ object Bench {
     // record to a per-sf side file instead (the committed sf0.1 record
     // is the driver's baseline; a local smoke at sf0.001 must not
     // replace it — that happened once and cost a restore)
-    val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     val outFile =
-      if (priorSf.forall(_ == sfDir)) outBase
+      if (!diverted) outBase
       else {
-        val side = outBase + "." + sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
-        System.err.println(s"[bench] record at $outBase is for ${priorSf.get}; writing this run to $side")
-        side
+        System.err.println(s"[bench] record at $outBase is for ${priorSf.get}; writing this run to $sidePath")
+        sidePath
       }
     // a FILTERED dev run must not shrink the record to its subset —
     // untouched queries keep their prior entries

@@ -158,6 +158,14 @@ object QueriesMedia {
     * machinery and its ALIGNED-pair residue check work over plain
     * longs. Shared by [[q209_frame_dedup]], [[q210_frame_dedup_collapsed]]
     * and the streaming twin ([[graft.streaming.MediaStreams]]).
+    *
+    * PRECONDITION (guarded, not assumed): the composite key has a 10⁶
+    * frame radix, so any media with ≥ 1e6 sampled frames (duration_ms
+    * ≥ 5·10⁸, i.e. ~139 hours at the 500 ms grid) would silently
+    * collide into a neighboring media's key space and corrupt the
+    * residue alignment check and the per-media rollup. The key
+    * expression raises per-row instead — the plan stays codegen'd and
+    * the guard costs one comparison per frame.
     */
   private[graft] def frameSigs(media: DataFrame): DataFrame =
     media
@@ -168,7 +176,13 @@ object QueriesMedia {
           concat(col("txt"), lit("|"), col("frame_ms").cast("string"))).as("f"))
       .select(col("media_id"), col("ord"), col("f"),
         Multimodal.featureMean(col("f")).as("mu"))
-      .select((col("media_id") * 1000000L + col("ord")).as("fid"),
+      .select(
+        when(col("ord") >= 1000000L,
+          raise_error(concat(
+            lit("frameSigs: frame ord "), col("ord").cast("string"),
+            lit(" for media_id "), col("media_id").cast("string"),
+            lit(" overflows the 1e6 composite-key radix (media longer than ~139h at the 500ms grid)"))))
+          .otherwise(col("media_id") * 1000000L + col("ord")).as("fid"),
         Multimodal.thresholdBits(col("f"), col("mu")).as("phash"))
 
   /** Frame count per media over the same 500 ms grid. */

@@ -196,10 +196,16 @@ object StreamingIngest {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          val prior = spark.conf.get("spark.sql.caseSensitive")
           // scoped exactly like the batch bronze stage: the duplicate-
-          // case keys must survive the unwrap (SURVEY §7.4.3)
-          spark.conf.set("spark.sql.caseSensitive", "true")
+          // case keys must survive the unwrap (SURVEY §7.4.3). Set on
+          // the BATCH's session — the stream's cloned session that the
+          // micro-batch Dataset actually resolves against — never the
+          // shared outer session, where it would be ineffective for
+          // this batch while racing with concurrently running sibling
+          // streams (the medallion ingest starts all three at once).
+          val bs    = batch.sparkSession
+          val prior = bs.conf.get("spark.sql.caseSensitive")
+          bs.conf.set("spark.sql.caseSensitive", "true")
           try {
             // lineage from the file path: stem = name up to ".json",
             // run_date = the yyyy_MM_dd prefix (Stages.fileStem /
@@ -228,7 +234,7 @@ object StreamingIngest {
                 keyed.join(existing, Seq("nyt_sk"), "left_anti"))
             }
             ()
-          } finally spark.conf.set("spark.sql.caseSensitive", prior)
+          } finally bs.conf.set("spark.sql.caseSensitive", prior)
         }
       }
       .start()

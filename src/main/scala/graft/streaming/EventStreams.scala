@@ -539,14 +539,21 @@ object EventStreams {
         import org.apache.spark.sql.expressions.Window
         val digest = graft.operators.Materialize(burstDigest(batch))
         val wLatest = Window.partitionBy(col("user_id")).orderBy(col("batch_id").desc)
-        val prior = spark.read
+        val ledger = spark.read
           .parquet(ledgerDir)
           .filter(col("batch_id") =!= batchId)
+        // migration shim: a ledger seeded before the `stale` column
+        // existed (a persisted-state format change) reads as not-stale
+        // rather than failing resolution — the flag only ever turns on
+        // going forward, which matches its sticky semantics
+        val priorStale =
+          if (ledger.columns.contains("stale")) col("stale") else lit(false)
+        val prior = ledger
           .withColumn("rn", row_number().over(wLatest))
           .filter(col("rn") === 1)
           .select(col("user_id"), col("n_gaps").as("p_n"), col("sx").as("p_sx"),
             col("sxx").as("p_sxx"), col("last_us").as("p_last"),
-            col("stale").as("p_stale"))
+            priorStale.as("p_stale"))
         // the boundary gap stitches ONLY when the batch actually follows
         // the stored watermark — an out-of-order or replayed-stale batch
         // must never fold a negative gap into the moments (the state

@@ -75,10 +75,17 @@ object MediaStreams {
           .filter(col("batch_id") =!= batchId).select("fid", "phash")
         val idxBands = spark.read.parquet(bandsDir(indexDir))
           .filter(col("batch_id") =!= batchId).select("fid", "s", "piece")
+        // one row per media_id: a media_id redelivered in a later batch
+        // would otherwise appear twice here and MULTIPLY every matched
+        // pair row through the two inner joins below (duplicate pairs,
+        // inflated shares); max is exact because the frame grid — and
+        // so n_frames — is a pure function of duration_ms
         val nf = spark.read.parquet(countsDir(indexDir))
           .filter(col("batch_id") =!= batchId)
           .select("media_id", "n_frames")
           .unionByName(bCountsM)
+          .groupBy(col("media_id"))
+          .agg(max(col("n_frames")).as("n_frames"))
         val matched = Dedup
           .incrementalBitSigPairs(idxSigs, idxBands, bSigs, bBands,
             "fid", "phash", MaxHamming)
