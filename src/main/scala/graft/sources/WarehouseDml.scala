@@ -179,8 +179,22 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     // ONE semi-join pass yields both the matched partitions (the
     // matched rows' current homes) and the matched FILES (the COW
     // rewrite set) — `input_file_name()` rides along the same scan, so
-    // file-granular COW costs no extra pass over the pre-COW plan
-    val tgtF = tgt0.withColumn("__graft_file", input_file_name())
+    // file-granular COW costs no extra pass over the pre-COW plan.
+    // Partition-pruned probe (the Delta idiom "put the partition column
+    // in the ON clause"): when the merge keys CONTAIN every partition
+    // column, a matched row agrees with its source row on those columns
+    // and so must already live in one of the source's partitions — the
+    // probe scans only that slice (PartitionFilters, zero I/O outside
+    // the touched directories) and the whole merge is O(touched
+    // partitions) even on a table 1000× the batch. A key-only merge
+    // keeps the full-table probe: a matched key may live in — and move
+    // from — any partition (the q96 cross-partition-move semantics),
+    // and only the probe can find its current home.
+    val probeTgt =
+      if (pcols.forall(keys.contains) && srcParts.nonEmpty)
+        tgt0.filter(partitionPredicate(srcParts, pcols))
+      else tgt0
+    val tgtF = probeTgt.withColumn("__graft_file", input_file_name())
     val matchedRows = tgtF
       .join(srcKeys, keys.map(k => tgtF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
       .select((pcols.map(c => col(c).cast("string")) :+ col("__graft_file")): _*)
@@ -307,19 +321,39 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     validateClauseAssignments(layer, table, unioned.fieldNames.toSeq,
       matched, notMatched, bySource)
     val srcAligned = alignTo(src, unioned)
-    val tgtF = tgt0.withColumn("__graft_file", input_file_name())
-    val srcKeys = srcAligned.select(keys.map(col): _*).distinct()
-    val matchedRows = tgtF
-      .join(srcKeys, keys.map(k => tgtF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
-      .select((pcols.map(c => col(c).cast("string")) :+ col("__graft_file")): _*)
-      .distinct().collect()
+    val srcParts   = touchedPartitions(srcAligned, pcols)
+    // The matched-homes/matched-files probe, with two scan-avoidance
+    // rules the flat layout can't have:
+    //   - BY SOURCE present: the slice is every partition and every
+    //     slice file rewrites regardless, so the probe's outputs are
+    //     never consulted — skip the scan entirely.
+    //   - merge keys ⊇ partition columns (the Delta "partition column
+    //     in the ON clause" idiom): a matched row must already live in
+    //     a source partition, so the probe scans only that slice
+    //     (PartitionFilters — zero I/O outside the touched dirs).
+    // Otherwise the probe must scan the whole table: a matched key may
+    // live in, and move from, any partition.
+    val matchedRows =
+      if (bySource.nonEmpty) Array.empty[org.apache.spark.sql.Row]
+      else {
+        val probeTgt =
+          if (pcols.forall(keys.contains) && srcParts.nonEmpty)
+            tgt0.filter(partitionPredicate(srcParts, pcols))
+          else tgt0
+        val tgtF = probeTgt.withColumn("__graft_file", input_file_name())
+        val srcKeys = srcAligned.select(keys.map(col): _*).distinct()
+        tgtF
+          .join(srcKeys, keys.map(k => tgtF(k) <=> srcKeys(k)).reduce(_ && _), "left_semi")
+          .select((pcols.map(c => col(c).cast("string")) :+ col("__graft_file")): _*)
+          .distinct().collect()
+      }
     val matchedParts: Seq[Seq[String]] =
       matchedRows.map(r => pcols.indices.map(r.getString).toSeq).toSeq.distinct
     val matchedKeyFiles: Set[String] =
       matchedRows.map(r => normDataFile(r.getString(pcols.length))).toSet
     val touched: Seq[Seq[String]] =
       if (bySource.nonEmpty) touchedPartitions(tgt0, pcols)
-      else (touchedPartitions(srcAligned, pcols) ++ matchedParts).distinct
+      else (srcParts ++ matchedParts).distinct
     if (touched.isEmpty) {
       logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
       return Upsert.MergeClauseMetrics(0, 0, 0, 0)
