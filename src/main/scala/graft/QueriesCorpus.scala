@@ -2516,6 +2516,45 @@ object QueriesCorpus {
       .orderBy($"doc_id")
   }
 
+  /** [[q182_char_entropy]]'s GRAPHEME-CLUSTER twin — the unit the
+    * code-point contract documents as its residual caveat: a combining
+    * sequence (e + U+0301) is two code points but ONE user-perceived
+    * character, so code-point analytics see precomposed "café" and its
+    * decomposed twin as different lengths; this variant counts both
+    * identically. Char extraction is the native
+    * [[graft.plans.GraphemeClusters]] expression (BreakIterator,
+    * codegen'd); everything downstream — per-doc frequencies, DECIMAL
+    * −p·log₂p terms, the two doc_id-keyed shuffles — is q182's plan
+    * verbatim, so the scale story is identical.
+    *
+    * NOT in the oracle slate: DuckDB has no grapheme splitter, so no
+    * cross-engine SQL oracle is expressible. The contract is pinned in
+    * CorpusSpec instead: precomposed ≡ decomposed counts/entropy, and
+    * exact agreement with q182 on text free of combining marks.
+    */
+  private[graft] def charEntropyGraphemes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val ch = docs
+      .select($"doc_id",
+        explode(graft.plans.GraphemeClusters.graphemes($"text")).as("ch"))
+      .filter($"ch" =!= "")
+    val cf = ch.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    val n  = ch.groupBy($"doc_id").agg(count(lit(1)).as("n_chars_tok"))
+    cf.join(n, Seq("doc_id"))
+      .select(
+        $"doc_id",
+        $"n_chars_tok",
+        (-($"c" / $"n_chars_tok".cast("double")) *
+          log($"c" / $"n_chars_tok".cast("double")) / lit(math.log(2.0)))
+          .cast(DecimalType(18, 12)).as("term"))
+      .groupBy($"doc_id", $"n_chars_tok")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        round(sum($"term").cast("double"), 6).as("entropy_bits"))
+      .select($"doc_id", $"n_chars_tok", $"n_distinct_chars", $"entropy_bits")
+      .orderBy($"doc_id")
+  }
+
   /** Inter-arrival burstiness per user: mean gap and coefficient of
     * variation (σ/μ) over successive event gaps — CV ≈ 1 is Poisson
     * traffic, ≫ 1 is bursty (bot bursts, retry storms), ≪ 1 is

@@ -126,19 +126,27 @@ object Multimodal {
 
   /** REAL multi-frame container decode — animated GIF via the JDK's
     * `javax.imageio` GIF reader (zero external dependencies): every
-    * `everyNth`-th frame is decoded and run through [[dctFeatures]],
-    * yielding (frame_idx, 64 DCT features) rows — the frame-sampling
-    * path [[sampleFrameIndexes]] only STUBS for codec-less containers,
-    * made real for the one animated container the JDK ships a decoder
-    * for. Undecodable or non-GIF payloads yield no rows (filter on
-    * mime before paying decode cost, as everywhere in this module).
+    * frame is decoded and COMPOSITED onto the logical screen per the
+    * GIF89a disposal model, and every `everyNth`-th composite runs
+    * through [[dctFeatures]], yielding (frame_idx, 64 DCT features)
+    * rows — the frame-sampling path [[sampleFrameIndexes]] only STUBS
+    * for codec-less containers, made real for the one animated
+    * container the JDK ships a decoder for. Undecodable or non-GIF
+    * payloads yield no rows (filter on mime before paying decode
+    * cost, as everywhere in this module).
     *
-    * Scope note: frames are decoded as stored. Size-optimized GIFs
-    * whose frames carry partial rasters composited over the previous
-    * frame are NOT composited here — full-frame GIFs (the common
-    * screen-capture/synthetic case, and everything the spec encodes)
-    * hash exactly; a compositing decoder slots in behind the same
-    * signature without touching the plumbing.
+    * Compositing, concretely: each frame's raster draws at its
+    * (imageLeftPosition, imageTopPosition) offset over the current
+    * canvas; after the frame is emitted, its disposal method applies
+    * — `restoreToBackgroundColor` clears the frame's rectangle,
+    * `restoreToPrevious` restores the pre-draw canvas, `none`/
+    * `doNotDispose` leave the canvas. A size-optimized re-encode
+    * (frames stored as partial-raster deltas over the previous frame)
+    * therefore hashes identically to its full-frame original —
+    * spec-pinned in MultimodalSpec on a hand-built delta GIF. A frame
+    * that fails mid-sequence ends the decode at the frames composited
+    * so far: a later delta without its base must not emit a corrupt
+    * composite.
     */
   def decodeGifFrames(payload: Array[Byte], everyNth: Int = 1): Seq[(Int, Array[Float])] = {
     require(everyNth >= 1, "everyNth must be >= 1")
@@ -153,13 +161,77 @@ object Multimodal {
       reader.setInput(iis)
       if (!reader.getFormatName.equalsIgnoreCase("gif")) return Seq.empty
       val n = reader.getNumImages(true)
-      (0 until n by everyNth).flatMap { i =>
+
+      def attr(root: org.w3c.dom.Element, tag: String, a: String): Option[String] = {
+        val nl = root.getElementsByTagName(tag)
+        if (nl.getLength == 0) None
+        else Option(nl.item(0).asInstanceOf[org.w3c.dom.Element].getAttribute(a))
+          .filter(_.nonEmpty)
+      }
+      // logical screen from the stream metadata; first frame's extent
+      // as the fallback for encoders that omit the descriptor
+      val screen: Option[(Int, Int)] =
+        try for {
+          sm   <- Option(reader.getStreamMetadata)
+          tree  = sm.getAsTree("javax_imageio_gif_stream_1.0")
+                    .asInstanceOf[org.w3c.dom.Element]
+          w    <- attr(tree, "LogicalScreenDescriptor", "logicalScreenWidth").map(_.toInt)
+          h    <- attr(tree, "LogicalScreenDescriptor", "logicalScreenHeight").map(_.toInt)
+          if w > 0 && h > 0
+        } yield (w, h)
+        catch { case _: java.io.IOException => None }
+
+      def argbCopy(src: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+        val c = new java.awt.image.BufferedImage(
+          src.getWidth, src.getHeight, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val g = c.createGraphics()
+        g.drawImage(src, 0, 0, null)
+        g.dispose()
+        c
+      }
+
+      var canvas: java.awt.image.BufferedImage = null
+      var saved: java.awt.image.BufferedImage  = null
+      val out = Seq.newBuilder[(Int, Array[Float])]
+      var i = 0
+      var failed = false
+      while (i < n && !failed) {
         try {
           val img = reader.read(i)
-          if (img == null || img.getWidth == 0 || img.getHeight == 0) None
-          else Some((i, dctFeatures(img)))
-        } catch { case _: java.io.IOException => None }
+          if (img == null || img.getWidth == 0 || img.getHeight == 0) failed = true
+          else {
+            val md = reader.getImageMetadata(i)
+              .getAsTree("javax_imageio_gif_image_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val left     = attr(md, "ImageDescriptor", "imageLeftPosition").map(_.toInt).getOrElse(0)
+            val top      = attr(md, "ImageDescriptor", "imageTopPosition").map(_.toInt).getOrElse(0)
+            val disposal = attr(md, "GraphicControlExtension", "disposalMethod").getOrElse("none")
+            if (canvas == null) {
+              val (w, h) = screen.getOrElse((left + img.getWidth, top + img.getHeight))
+              canvas = new java.awt.image.BufferedImage(
+                math.max(w, left + img.getWidth), math.max(h, top + img.getHeight),
+                java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            }
+            if (disposal == "restoreToPrevious") saved = argbCopy(canvas)
+            val g = canvas.createGraphics()
+            g.drawImage(img, left, top, null)
+            g.dispose()
+            if (i % everyNth == 0) out += ((i, dctFeatures(canvas)))
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = canvas.createGraphics()
+                g2.setComposite(java.awt.AlphaComposite.Clear)
+                g2.fillRect(left, top, img.getWidth, img.getHeight)
+                g2.dispose()
+              case "restoreToPrevious" if saved != null =>
+                canvas = saved
+              case _ => ()
+            }
+          }
+        } catch { case _: java.io.IOException => failed = true }
+        i += 1
       }
+      out.result()
     } catch {
       case _: java.io.IOException => Seq.empty
     } finally {

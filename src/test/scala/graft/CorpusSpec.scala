@@ -1108,6 +1108,45 @@ class CorpusSpec extends SparkSpec {
     assert(rows(2L) == ((4L, 4L)), s"combining sequence miscounted: ${rows(2L)}")
   }
 
+  test("grapheme-cluster entropy: precomposed ≡ decomposed; agrees with q182 off combining marks") {
+    import spark.implicits._
+    // no SQL oracle for this unit (DuckDB ships no grapheme splitter),
+    // so the contract is pinned here: the grapheme variant must count
+    // precomposed "café" (é = U+00E9) and decomposed "café"
+    // (e + combining acute) IDENTICALLY — the exact case the q182
+    // code-point contract documents as its residual caveat
+    val docs = Seq(
+      (1L, "café"),   // 4 code points, 4 graphemes
+      (2L, "café"),  // 5 code points, 4 graphemes
+      (3L, "aaaa"),        // combining-free → must agree with q182
+      (4L, "a😀b") // non-BMP emoji: 1 code point AND 1 grapheme
+    ).toDF("doc_id", "text")
+    val g = QueriesCorpus.charEntropyGraphemes(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // both spellings: 4 clusters, 4 distinct, entropy exactly 2 bits
+    assert(g(1L) == ((4L, 4L, 2.0)), s"precomposed: ${g(1L)}")
+    assert(g(2L) == ((4L, 4L, 2.0)), s"decomposed: ${g(2L)}")
+    assert(g(3L) == ((4L, 1L, 0.0)))
+    assert(g(4L) == ((3L, 3L, 1.584963)))
+
+    // on the same docs the CODE-POINT query diverges between the two
+    // spellings — the documented caveat the grapheme variant closes
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_graph").toString
+    docs.select($"doc_id", $"text", lit("en").as("lang"), lit("s").as("source"),
+      length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cp = QueriesCorpus.q182_char_entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cp(1L) == 4L && cp(2L) == 5L, s"code-point counts: $cp")
+    // and EXACT agreement with q182 on text free of combining marks
+    val gOn = QueriesCorpus
+      .charEntropyGraphemes(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val cpFull = QueriesCorpus.q182_char_entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(3L, 4L).foreach(id => assert(gOn(id) == cpFull(id), s"doc $id diverges off combining marks"))
+  }
+
   test("burstiness: metronomic gaps give cv 0, one long gap raises it exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus_spec_burst").toString

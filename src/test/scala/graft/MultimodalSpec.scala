@@ -267,4 +267,90 @@ class MultimodalSpec extends SparkSpec {
     // videos share none
     assert(aligned == Map((0L, 100L) -> 4L), s"aligned matches: $aligned")
   }
+
+  /** Animated-GIF encode where every frame after the first is stored as
+    * a PARTIAL raster (the changed region only) at an (x, y) offset
+    * with doNotDispose disposal — the size-optimized delta encoding
+    * real GIF optimizers emit.
+    */
+  private def deltaGif(
+      first: java.awt.image.BufferedImage,
+      deltas: Seq[(java.awt.image.BufferedImage, Int, Int)]
+  ): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos    = new java.io.ByteArrayOutputStream()
+    val ios    = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def write(img: java.awt.image.BufferedImage, left: Int, top: Int): Unit = {
+      val itype = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val meta  = writer.getDefaultImageMetadata(itype, writer.getDefaultWriteParam)
+      val fmt   = "javax_imageio_gif_image_1.0"
+      val root  = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      def node(tag: String): IIOMetadataNode = {
+        val nl = root.getElementsByTagName(tag)
+        if (nl.getLength > 0) nl.item(0).asInstanceOf[IIOMetadataNode]
+        else { val n = new IIOMetadataNode(tag); root.appendChild(n); n }
+      }
+      val desc = node("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", left.toString)
+      desc.setAttribute("imageTopPosition", top.toString)
+      val gce = node("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "doNotDispose")
+      if (gce.getAttribute("userInputFlag").isEmpty) gce.setAttribute("userInputFlag", "FALSE")
+      if (gce.getAttribute("transparentColorFlag").isEmpty)
+        gce.setAttribute("transparentColorFlag", "FALSE")
+      if (gce.getAttribute("delayTime").isEmpty) gce.setAttribute("delayTime", "10")
+      if (gce.getAttribute("transparentColorIndex").isEmpty)
+        gce.setAttribute("transparentColorIndex", "0")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    write(first, 0, 0)
+    deltas.foreach { case (img, l, t) => write(img, l, t) }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("GIF partial-frame compositing: size-optimized delta re-encode hashes equal to full-frame") {
+    // frame 0 = a mosaic; frames 1/2 change ONE 8x8 tile each. The
+    // full-frame arm stores each frame whole; the optimized arm stores
+    // frames 1/2 as the changed 8x8 raster at its offset with
+    // doNotDispose — the size-optimized encoding. Grayscale tiles
+    // palette losslessly, so the composites must be pixel-identical
+    // and the per-frame DCT features EXACTLY equal.
+    def withTile(src: java.awt.image.BufferedImage, tx: Int, ty: Int, gray: Int) = {
+      val c = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = c.createGraphics(); g.drawImage(src, 0, 0, null); g.dispose()
+      for (y <- ty * 8 until ty * 8 + 8; x <- tx * 8 until tx * 8 + 8)
+        c.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      c
+    }
+    def tileOnly(gray: Int) = {
+      val c = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        c.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      c
+    }
+    val f0 = mosaic(7)
+    val f1 = withTile(f0, 3, 2, 250)
+    val f2 = withTile(f1, 1, 5, 17)
+    val full  = animatedGif(Seq(f0, f1, f2))
+    val delta = deltaGif(f0, Seq((tileOnly(250), 24, 16), (tileOnly(17), 8, 40)))
+    val a = Multimodal.decodeGifFrames(full)
+    val b = Multimodal.decodeGifFrames(delta)
+    assert(a.map(_._1) == Seq(0, 1, 2) && b.map(_._1) == Seq(0, 1, 2))
+    a.zip(b).foreach { case ((i, fa), (_, fb)) =>
+      assert(fa.toSeq == fb.toSeq, s"frame $i features diverge")
+    }
+    // and the compositing is real, not a no-op: the delta arm's stored
+    // frame 1 is an 8x8 raster, yet its composite hashes as the full
+    // 64x64 frame — equal to the full-frame arm's, different from frame 0
+    assert(a(1)._2.toSeq != a(0)._2.toSeq)
+  }
 }
