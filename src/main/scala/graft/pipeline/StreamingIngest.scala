@@ -77,6 +77,81 @@ object StreamingIngest {
       .drop("__path")
   }
 
+  // ---- per-batch plan builders, shared verbatim by the stream bodies
+  // and the PlanAudit tool (a regression to a per-batch bronze re-read
+  // or full-corpus scan surfaces as a plan diff) -----------------------
+
+  /** Arxiv micro-batch: explode the feed entries, stamp lineage. */
+  private[graft] def arxivShaped(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withStreamLineage(
+      batch
+        .select(explode(col("feed.entry")).as("results"), col("__path"))
+        .select(col("results.*"), col("__path")))
+
+  /** Arxiv per-batch silver rows: the SHARED batch-stage projection +
+    * key; the versioned MERGE they feed is the warehouse machinery
+    * audited in its own right.
+    */
+  private[graft] def arxivSilverBatch(shaped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Stages.arxivKeyed(Stages.arxivTyped(shaped))
+
+  /** Scholar micro-batch: unwrap airbyte, explode results, stamp lineage. */
+  private[graft] def scholarShaped(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withStreamLineage(
+      batch
+        .select(col("_airbyte_data.*"), col("__path"))
+        .select(explode(col("organic_results")).as("results"), col("__path"))
+        .select(col("results.*"), col("__path")))
+
+  /** Scholar per-batch silver rows: shared projection/key + the SAME
+    * strict-> watermark gate as the batch stage, applied to the
+    * batch's rows only.
+    */
+  private[graft] def scholarSilverBatch(
+      wh: Warehouse, shaped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withPublish = Stages.scholarKeyed(Stages.scholarTyped(shaped))
+    if (!wh.tableExists("silver", "google_scholar")) withPublish
+    else {
+      val wm = new graft.operators.Watermark(
+        shaped.sparkSession, wh, "silver", "google_scholar")
+      wm.get match {
+        case Some(w) => withPublish.filter(col("publish_dt") > lit(w)) // strict > (P7)
+        case None    => withPublish
+      }
+    }
+  }
+
+  /** NYT micro-batch: unwrap airbyte (schema already pruned of the
+    * duplicate-case multimedia payload by [[inferLandingSchema]]) and
+    * stamp lineage from the file path (stem = name up to ".json",
+    * run_date = the yyyy_MM_dd prefix — Stages.fileStem /
+    * underscorePrefix, in Column form).
+    */
+  private[graft] def nytShaped(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fname = element_at(split(col("__path"), "/"), -1)
+    val stem  = element_at(split(fname, "\\.json"), 1)
+    val runDt = regexp_replace(substring(fname, 1, 10), "_", "").cast("int")
+    batch
+      .select(col("_airbyte_data.*"), col("__path"))
+      .withColumn("source_file_name", stem)
+      .withColumn("run_date", runDt)
+      .withColumn("load_ts", current_timestamp())
+      .drop("__path")
+  }
+
+  /** NYT per-batch silver rows: the shared projection + sha2 key over
+    * THIS batch's rows only, anti-join-guarded against silver's key
+    * column — per-batch cost is batch + one keyed probe; bronze is
+    * never re-read.
+    */
+  private[graft] def nytSilverBatch(
+      wh: Warehouse, shaped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keyed = Stages.nytKeyed(Stages.nytTyped(shaped))
+    if (!wh.tableExists("silver", "nytarchive")) keyed
+    else keyed.join(
+      wh.table("silver", "nytarchive").select("nyt_sk"), Seq("nyt_sk"), "left_anti")
+  }
+
   /** Streaming twin of the arxiv bronze→silver path: one micro-batch
     * per landed feed file; entries explode to bronze rows, silver goes
     * through the SAME projection/key as the batch stage and lands via
@@ -103,15 +178,12 @@ object StreamingIngest {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          val shaped = withStreamLineage(
-            batch
-              .select(explode(col("feed.entry")).as("results"), col("__path"))
-              .select(col("results.*"), col("__path")))
+          val shaped = arxivShaped(batch.toDF())
           if (!wh.tableExists("bronze", "arxiv"))
             wh.createOrReplace("bronze", "arxiv", shaped)
           else wh.append("bronze", "arxiv", shaped)
-          val keyed = Stages.arxivKeyed(Stages.arxivTyped(shaped))
-          wh.upsert("silver", "arxiv", keyed, keys = Seq("id"), versionCol = "version")
+          wh.upsert("silver", "arxiv", arxivSilverBatch(shaped),
+            keys = Seq("id"), versionCol = "version")
           val wm = new graft.operators.Watermark(spark, wh, "silver", "arxiv")
           wm.set(wh.table("silver", "arxiv")
             .agg(max(date_format(col("updated_dt"), "yyyy-MM-dd"))).head().getString(0))
@@ -146,25 +218,15 @@ object StreamingIngest {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          val shaped = withStreamLineage(
-            batch
-              .select(col("_airbyte_data.*"), col("__path"))
-              .select(explode(col("organic_results")).as("results"), col("__path"))
-              .select(col("results.*"), col("__path")))
+          val shaped = scholarShaped(batch.toDF())
           if (!wh.tableExists("bronze", "google_scholar"))
             wh.createOrReplace("bronze", "google_scholar", shaped)
           else wh.append("bronze", "google_scholar", shaped)
-          val withPublish = Stages.scholarKeyed(Stages.scholarTyped(shaped))
+          val fresh = scholarSilverBatch(wh, shaped)
           val wm = new graft.operators.Watermark(spark, wh, "silver", "google_scholar")
           if (!wh.tableExists("silver", "google_scholar"))
-            wh.createOrReplace("silver", "google_scholar", withPublish)
-          else {
-            val fresh = wm.get match {
-              case Some(w) => withPublish.filter(col("publish_dt") > lit(w)) // strict > (P7)
-              case None    => withPublish
-            }
-            wh.append("silver", "google_scholar", fresh)
-          }
+            wh.createOrReplace("silver", "google_scholar", fresh)
+          else wh.append("silver", "google_scholar", fresh)
           val newWm = wh.table("silver", "google_scholar")
             .agg(max(date_format(col("publish_dt"), "yyyy-MM-dd"))).head().getString(0)
           wm.set(newWm)
@@ -207,32 +269,17 @@ object StreamingIngest {
           val prior = bs.conf.get("spark.sql.caseSensitive")
           bs.conf.set("spark.sql.caseSensitive", "true")
           try {
-            // lineage from the file path: stem = name up to ".json",
-            // run_date = the yyyy_MM_dd prefix (Stages.fileStem /
-            // underscorePrefix, in Column form)
-            val fname = element_at(split(col("__path"), "/"), -1)
-            val stem  = element_at(split(fname, "\\.json"), 1)
-            val runDt = regexp_replace(substring(fname, 1, 10), "_", "").cast("int")
-            val shaped = batch
-              .select(col("_airbyte_data.*"), col("__path"))
-              .withColumn("source_file_name", stem)
-              .withColumn("run_date", runDt)
-              .withColumn("load_ts", current_timestamp())
-              .drop("__path")
+            val shaped = nytShaped(batch.toDF())
             if (!wh.tableExists("bronze", "nytarchive"))
               wh.createOrReplace("bronze", "nytarchive", shaped)
             else wh.append("bronze", "nytarchive", shaped)
             // silver from THIS batch's rows only (bronze is never
             // re-read); the shared projection + key, then the same
             // anti-join guard as the batch stage
-            val keyed = Stages.nytKeyed(Stages.nytTyped(shaped))
+            val fresh = nytSilverBatch(wh, shaped)
             if (!wh.tableExists("silver", "nytarchive"))
-              wh.createOrReplace("silver", "nytarchive", keyed)
-            else {
-              val existing = wh.table("silver", "nytarchive").select("nyt_sk")
-              wh.append("silver", "nytarchive",
-                keyed.join(existing, Seq("nyt_sk"), "left_anti"))
-            }
+              wh.createOrReplace("silver", "nytarchive", fresh)
+            else wh.append("silver", "nytarchive", fresh)
             ()
           } finally bs.conf.set("spark.sql.caseSensitive", prior)
         }

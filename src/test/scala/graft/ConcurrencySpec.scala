@@ -222,6 +222,116 @@ class ConcurrencySpec extends SparkSpec {
       s"cross-JVM ledger corrupted: $versions")
   }
 
+  /** Spawn the second driver JVM in `mode` against `root`; returns the
+    * process and its log file. Caller must wait for `_xjvm_ready_<tid>`
+    * then write `_xjvm_go` (the barrier), and destroy on failure.
+    */
+  private def spawnChild(root: String, tid: Int, nOps: Int, mode: String) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp  = System.getProperty("java.class.path")
+    val log = Files.createTempFile("graft_xjvm", ".log").toFile
+    val pb  = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx3g",
+      "graft.CrossJvmWriter", root, tid.toString, nOps.toString, mode)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    (pb.start(), log)
+  }
+
+  private def awaitReadyThenGo(root: String, tid: Int, proc: Process, log: java.io.File): Unit = {
+    val ready    = Paths.get(root, s"_xjvm_ready_$tid")
+    val deadline = System.currentTimeMillis() + 120_000L
+    while (!Files.exists(ready) && proc.isAlive && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(Files.exists(ready),
+      s"child JVM never became ready (alive=${proc.isAlive}):\n" +
+        new String(java.nio.file.Files.readAllBytes(log.toPath)))
+    Files.write(Paths.get(root, "_xjvm_go"), Array.emptyByteArray)
+  }
+
+  test("cross-JVM compaction vs writer: snapshot reads stay consistent, no row lost or duplicated") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ccxjvmc").toString
+    val wh = new Warehouse(spark, root,
+      keepGenerations = 2, lockWaitMs = 120_000L, lockStaleMs = 600_000L)
+    // many small files so every compaction pass genuinely rewrites:
+    // 200 rows in ~40 files of 5
+    wh.createOrReplace("silver", "xjvm",
+      (1L to 200L).map(k => (k, 0L, "base")).toDF("k", "version", "writer")
+        .repartition(40))
+    val (proc, log) = spawnChild(root, 9, nOps = 4, mode = "compact")
+    try {
+      awaitReadyThenGo(root, 9, proc, log)
+      // interleave appends (fresh fragmentation for the compactor) with
+      // snapshot reads. The ONLY concurrent writer is count-preserving
+      // compaction, so every read between our own writes must see
+      // exactly the rows we have committed — a deviation is a torn
+      // read against a half-swapped generation or a lost update.
+      var expected = 200L
+      for (i <- 1 to 4) {
+        wh.append("silver", "xjvm",
+          (1L to 20L).map(j => (1000L * i + j, 0L, s"round$i"))
+            .toDF("k", "version", "writer").repartition(10))
+        expected += 20
+        for (_ <- 1 to 5)
+          assert(wh.table("silver", "xjvm").count() == expected,
+            s"torn snapshot read mid-compaction (expected $expected)")
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS), "child JVM did not finish within 180s")
+      assert(proc.exitValue() == 0,
+        s"child JVM failed:\n${new String(java.nio.file.Files.readAllBytes(log.toPath))}")
+      // no lost or duplicated row across 4 full rewrites racing 4 appends
+      val t = wh.table("silver", "xjvm")
+      assert(t.count() == expected)
+      assert(t.select("k").distinct().count() == expected, "compaction duplicated rows")
+      // serialization proof: CTAS + 4 APPENDs + 4 COMPACTs, dense versions
+      val versions = wh.history("silver.xjvm")
+        .orderBy("version").collect().map(_.getAs[Long]("version")).toSeq
+      assert(versions == (0L to 8L), s"ledger versions corrupted: $versions")
+    } finally if (proc.isAlive) proc.destroyForcibly()
+  }
+
+  test("cross-JVM clone vs writer: every clone is a consistent committed snapshot, no lost update") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ccxjvmk").toString
+    val wh = new Warehouse(spark, root,
+      keepGenerations = 2, lockWaitMs = 120_000L, lockStaleMs = 600_000L)
+    wh.createOrReplace("silver", "xjvm",
+      Seq((0L, 0L, "base")).toDF("k", "version", "writer"))
+    val nClones = 4
+    val (proc, log) = spawnChild(root, 9, nOps = nClones, mode = "clone")
+    try {
+      awaitReadyThenGo(root, 9, proc, log)
+      // every parent upsert commits ALL 5 keys at version i in ONE
+      // commit — so any consistent snapshot has the 5 keys at ONE
+      // uniform version; a clone torn across generations would mix them
+      val nOps = 6
+      for (i <- 1 to nOps) {
+        val src = Seq.tabulate(5)(j => (8000L + j, i.toLong, "parent"))
+          .toDF("k", "version", "writer")
+        wh.upsert("silver", "xjvm", src, keys = Seq("k"), versionCol = "version")
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS), "child JVM did not finish within 180s")
+      assert(proc.exitValue() == 0,
+        s"child JVM failed:\n${new String(java.nio.file.Files.readAllBytes(log.toPath))}")
+      // the writer lost nothing to the 4 concurrent clones
+      val fin = wh.table("silver", "xjvm").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fin.size == 6 && (0 until 5).forall(j => fin(8000L + j) == nOps.toLong),
+        s"lost update under clone race: $fin")
+      for (i <- 1 to nClones) {
+        val c = wh.table("silver", s"xjvm_clone_$i").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(c.map(_._1).distinct.length == c.length,
+          s"clone $i carries duplicated keys (torn across generations): $c")
+        val parentVs = c.filter(_._1 >= 8000L).map(_._2).distinct
+        assert(parentVs.length <= 1,
+          s"clone $i mixes generations: parent keys at versions $parentVs")
+        assert(c.length == 1 || c.length == 6,
+          s"clone $i is not a committed snapshot: ${c.length} rows")
+      }
+    } finally if (proc.isAlive) proc.destroyForcibly()
+  }
+
   test("withWriterLocks: overlapping multi-table writers acquire in sorted order and never deadlock") {
     import spark.implicits._
     val (wh, _) = freshWh()
