@@ -123,13 +123,21 @@ object QueriesCorpus {
     * Jaccard → MinHash/SimHash → pHash (media) → semantic. At 100 TB
     * swap the exact pair stage for [[graft.operators.Similarity
     * .cosinePairsBucketed]] (same downstream closure).
+    *
+    * Closure via [[graft.operators.Graph.componentsAuto]], not bare
+    * propagation: a cosine-threshold graph's diameter is a property of
+    * the DATA (semantic chains a→b→c→… are common in real corpora —
+    * and the full-slate 10× rung actually produced one, aborting the
+    * hard 25-round propagation cap), so the closure must escalate to
+    * the log-round star contraction when propagation stalls instead of
+    * failing the job. Output contract identical either way.
     */
   def q62_semantic_dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{Graph, Similarity}
     val emb   = Tables.embeddings(spark, dir)
     val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
-    val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val comps = Graph.componentsAuto(pairs, "id_a", "id_b")
     Graph
       .keepOnePerComponent(comps, emb, "vec_id", "label")
       .select($"component".as("cluster_id"), $"kept_id".as("kept_vec_id"))

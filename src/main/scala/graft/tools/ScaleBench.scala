@@ -101,12 +101,18 @@ object ScaleBench {
   /** Content-decorrelated copies: bijective per-copy letter
     * substitution for text (rotation k of the 10 most frequent English
     * letters — injective, so within-copy equality/overlap structure is
-    * EXACTLY sf0.1's, while cross-copy shingles diverge), cyclic
-    * component shift for embeddings (the same permutation applied to
-    * two vectors preserves their cosine, so each copy reproduces
-    * sf0.1's neighbor structure; different shifts decorrelate).
-    * Copy 0 is the identity — the derived corpus contains sf0.1
-    * verbatim. Requires factor ≤ 10 (10 distinct rotations).
+    * EXACTLY sf0.1's, while cross-copy shingles diverge), and per-copy
+    * Rademacher sign flips for embeddings: copy k multiplies component
+    * i by (−1)^{xxhash64(i,k) mod 2}. The same sign vector applied to
+    * two vectors preserves their dot product and norms EXACTLY, so
+    * every copy reproduces sf0.1's neighbor structure bit-for-bit;
+    * across copies the product becomes a Rademacher-weighted sum that
+    * concentrates near zero — genuinely decorrelated, like fresh iid
+    * vectors. (An earlier cyclic-component-shift derivation left
+    * cross-copy AUTOcorrelation: true cosine-pair mass grew ~117× at
+    * 10× data, breaking the linear-output premise the iid criterion
+    * rests on.) Copy 0 is the identity — the derived corpus contains
+    * sf0.1 verbatim. Requires factor ≤ 10 (10 distinct rotations).
     */
   def deriveIid(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     require(factor <= 10, s"iid derivation has 10 distinct letter rotations, got $factor")
@@ -124,9 +130,10 @@ object ScaleBench {
     Tables.embeddings(spark, src)
       .select(col("*"), copies)
       .select((col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
-        transform(col("embedding"), (_, i) =>
-          element_at(col("embedding"),
-            pmod(i + col("copy"), size(col("embedding"))) + 1)).as("embedding"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(i, col("copy")), lit(2)) === 0, x).otherwise(-x)))
+          .as("embedding"),
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
