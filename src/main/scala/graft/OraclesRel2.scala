@@ -394,7 +394,45 @@ private[graft] object OraclesRel2 {
           |UNION ALL
           |SELECT o_orderkey + 500000000, o_custkey, o_totalprice
           |FROM orders WHERE o_orderkey % 1000 = 0
-          |ORDER BY o_orderkey""".stripMargin
+          |ORDER BY o_orderkey""".stripMargin,
+// q211: each key column's mass profile recomputed from a GROUP BY;
+// top_key by (cnt DESC, k) order, ratio in the same fixed IEEE op
+// order as the Spark side (max·n_keys/n_rows on exact longs)
+"q211_skew_report" ->
+        """WITH c1 AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+          |     c2 AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+          |     c3 AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+          |     c4 AS (SELECT user_id  AS k, count(*) AS cnt FROM events GROUP BY 1)
+          |SELECT * FROM (
+          |  SELECT 'orders.o_custkey' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |         count(*) AS n_keys, max(cnt) AS max_key_rows,
+          |         (SELECT k FROM c1 ORDER BY cnt DESC, k LIMIT 1) AS top_key,
+          |         CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS skew_ratio
+          |  FROM c1
+          |  UNION ALL
+          |  SELECT 'lineitem.l_partkey', CAST(sum(cnt) AS BIGINT), count(*), max(cnt),
+          |         (SELECT k FROM c2 ORDER BY cnt DESC, k LIMIT 1),
+          |         CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+          |  FROM c2
+          |  UNION ALL
+          |  SELECT 'lineitem.l_suppkey', CAST(sum(cnt) AS BIGINT), count(*), max(cnt),
+          |         (SELECT k FROM c3 ORDER BY cnt DESC, k LIMIT 1),
+          |         CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+          |  FROM c3
+          |  UNION ALL
+          |  SELECT 'events.user_id', CAST(sum(cnt) AS BIGINT), count(*), max(cnt),
+          |         (SELECT k FROM c4 ORDER BY cnt DESC, k LIMIT 1),
+          |         CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+          |  FROM c4
+          |) ORDER BY key_col""".stripMargin,
+// q212: the salted join is result-invisible by construction — the
+// oracle is the PLAIN join + aggregate it must equal row for row
+"q212_salted_join" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin
   )
 
   /** Queries whose CONTRACT is exact equality with an already-

@@ -275,6 +275,15 @@ object QueriesDedup {
     * exact DuckDB oracle. (No organic pair reaches cosine 0.7 on this
     * corpus — measured; the planted pairs sit at ~1.0, far from the
     * τ=0.8 boundary.)
+    *
+    * Runs the SCALED form ([[Similarity.cosinePairsBucketedScaled]]):
+    * bucket count grows with the corpus (constant expected occupancy)
+    * so random-collision candidates stay ~linear instead of n²/2^b —
+    * the full-slate 10× rung measured the fixed plan at 16.8× wall for
+    * 10× data, all of it candidate verification. A direction-preserved
+    * duplicate lands in its original's bucket in EVERY table at ANY
+    * plane count, so the recall-1 argument — and the oracle — are
+    * plan-independent.
     */
   def q79_semantic_dedup_approx(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -286,7 +295,7 @@ object QueriesDedup {
         transform($"embedding", x => x * lit(0.5f)).as("embedding"))
     val corpus = emb.select($"vec_id", $"embedding").unionByName(dups)
     Similarity
-      .cosinePairsBucketed(corpus, "vec_id", "embedding", threshold = 0.8)
+      .cosinePairsBucketedScaled(corpus, "vec_id", "embedding", threshold = 0.8)
       .orderBy($"id_a", $"id_b")
   }
 

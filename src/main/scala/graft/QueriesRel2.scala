@@ -1238,4 +1238,57 @@ object QueriesRel2 {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       .orderBy($"o_orderkey")
   }
+
+  /** Shuffle-key skew audit ([[graft.operators.Skew.keySkewReport]]):
+    * the per-key mass profile of every prospective join/agg key in the
+    * star schema plus the event stream's user key — the measurement
+    * that decides whether a 100 TB shuffle needs salting and with what
+    * factor BEFORE the job runs (skew_ratio = heaviest key's rows over
+    * the mean; the heaviest reducer does that multiple of the average
+    * work). One partial-agg pass per key column — the shuffle carries
+    * O(distinct keys), never O(rows) — and the summary row is one
+    * scalar aggregate with a deterministic (cnt, −key)-struct max for
+    * the top key. Oracle recomputes each profile from a GROUP BY in
+    * SQL; the ratio is two fixed-order IEEE ops on exact longs, so it
+    * hash-matches.
+    */
+  def q211_skew_report(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val orders   = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val events   = Tables.events(spark, dir)
+    Skew.keySkewReport(orders, "o_custkey", "orders.o_custkey")
+      .unionByName(Skew.keySkewReport(lineitem, "l_partkey", "lineitem.l_partkey"))
+      .unionByName(Skew.keySkewReport(lineitem, "l_suppkey", "lineitem.l_suppkey"))
+      .unionByName(Skew.keySkewReport(events, "user_id", "events.user_id"))
+      .orderBy(col("key_col"))
+  }
+
+  /** Salted big-⋈-big equi-join under the oracle gate
+    * ([[graft.operators.Skew.saltedEquiJoin]]): revenue per market
+    * segment through an orders ⋈ customer join whose shuffle key is
+    * (custkey, salt) with an 8-way deterministic salt — the portable
+    * skew mitigation for the case AQE can't split (skew known up
+    * front, or the downstream op isn't a join) and broadcast can't
+    * swallow (both sides big; here the small side is broadcastable
+    * and the query exists to pin the TRANSFORM, not to need it). The
+    * oracle is the PLAIN join + aggregate — salting is invisible in
+    * the result by construction, and the hash gate proves it row for
+    * row. Revenue sums exact DECIMAL(18,2) then casts to double (the
+    * portability rule for accumulation-order-free aggregates).
+    */
+  def q212_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val joined = graft.operators.Skew.saltedEquiJoin(
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      bigKey = "o_custkey", smallKey = "c_custkey",
+      saltSrc = col("o_orderkey"), salts = 8)
+    joined
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
 }

@@ -130,6 +130,58 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** LSH parameter plan for a corpus of `n` vectors: planes per table
+    * sized for CONSTANT expected bucket occupancy (b = ⌈log₂(n /
+    * occupancy)⌉, so bucket count grows WITH the corpus and the
+    * random-collision candidate mass stays ~linear in n instead of
+    * n²/2^b with a fixed b), tables sized to hold the recall target at
+    * the resulting per-table collision probability p₁ = (1 − θ/π)^b
+    * (T = ⌈ln(1−recall)/ln(1−p₁)⌉ — OR-amplification). The residual
+    * growth is T ∝ p₁^−1 ≈ (n/occupancy)^ρ — the classic sub-quadratic
+    * LSH exponent, the best plain hyperplane-LSH can do at a fixed
+    * threshold. Defaults reproduce the historical fixed plan (b=8,
+    * T≈10) at the sf0.1 corpus size, so small-corpus behavior is
+    * unchanged and the scaling is pure headroom.
+    */
+  def lshPlan(
+      n: Long,
+      threshold: Double,
+      targetOccupancy: Int = 8,
+      targetRecall: Double = 0.84
+  ): (Int, Int) = {
+    require(n >= 1 && threshold > 0.0 && threshold < 1.0)
+    val b = math.max(4,
+      math.ceil(math.log(math.max(2.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
+    val p1 = math.pow(1.0 - math.acos(threshold) / math.Pi, b.toDouble)
+    val t  = math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-p1)).toInt)
+    (b, t)
+  }
+
+  /** [[cosinePairsBucketed]] with the parameters chosen by [[lshPlan]]
+    * from the corpus's own size — the 100 TB form: a fixed (b, T)
+    * keeps bucket COUNT constant while the corpus grows, so random
+    * collisions (and with them candidate verification cost) grow n²;
+    * the planned form grows the bucket count with n and pays only the
+    * LSH exponent. Output is identical to the fixed form for any
+    * (b, T) — candidates are exact-verified against `threshold` —
+    * which is what lets the q79 oracle stay byte-stable across plans;
+    * only the candidate mass (cost) changes. One count() pass to size
+    * the plan.
+    */
+  def cosinePairsBucketedScaled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      targetOccupancy: Int = 8,
+      targetRecall: Double = 0.84,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val (b, t) = lshPlan(df.count(), threshold, targetOccupancy, targetRecall)
+    cosinePairsBucketed(df, idCol, vecCol, threshold, b, t, dim, seed)
+  }
+
   /** Candidate pairs of [[cosinePairsBucketed]] before exact
     * verification — exposed so callers (and the spec) can measure the
     * pruning ratio |candidates| / (n·(n−1)/2).

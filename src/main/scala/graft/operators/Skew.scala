@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-skew diagnostics and the salted-join mitigation — the two
+  * halves of the "heavy key" problem a 100 TB shuffle join has.
+  *
+  * At cluster scale a shuffle join or aggregation is only as fast as
+  * its heaviest key: one customer with 10⁹ order rows serializes one
+  * reducer while the rest idle. The remedies are (a) AQE's runtime
+  * skew-join split (on, see [[graft.Engine]]) — which only helps the
+  * JOIN operator and only after a stage materializes — and (b)
+  * explicit salting, which spreads ONE logical key over `salts`
+  * physical shuffle keys and works for any downstream shape. Choosing
+  * between them — and choosing the salt factor — needs a measurement,
+  * which is what [[keySkewReport]] is: the per-key mass profile of a
+  * prospective shuffle key, at one aggregation pass per key column
+  * (map-side partial aggregation makes the shuffle O(distinct keys),
+  * never O(rows)).
+  */
+object Skew {
+
+  /** One-row skew profile of `df` grouped by `keyCol`:
+    * (key_col = `label`, n_rows, n_keys, max_key_rows, top_key,
+    * skew_ratio = max_key_rows / mean rows per key). `top_key` is the
+    * heaviest key, ties broken to the SMALLEST key so the row is
+    * deterministic (max over (cnt, −key) structs — one scalar
+    * aggregate, no window, no second pass). skew_ratio ≈ 1 is
+    * uniform; a ratio of r means the heaviest reducer does r× the
+    * average work, and r is the first salt factor to try.
+    *
+    * The ratio is computed max·n_keys/n_rows in that exact IEEE
+    * order — two double ops on exactly-represented longs, so the
+    * value is bit-identical across engines (the q89 portability rule).
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, label: String): DataFrame =
+    df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_rows"),
+        max(struct(col("cnt"), (-col("k")).as("negk"))).as("m"))
+      .select(
+        lit(label).as("key_col"),
+        col("n_rows"),
+        col("n_keys"),
+        col("max_key_rows"),
+        (-col("m.negk")).as("top_key"),
+        (col("max_key_rows").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
+
+  /** Inner equi-join of `big` and `small` on `bigKey` = `smallKey`,
+    * executed over `salts`-way salted shuffle keys: each big-side row
+    * gets a deterministic salt (hash of `saltSrc`, so re-runs salt
+    * identically), the small side replicates once per salt value, and
+    * the join runs on (key, salt) — the heaviest key's rows now land
+    * on `salts` different reducers instead of one. Result rows are
+    * EXACTLY the plain join's (each big row meets the one small
+    * replica carrying its salt; SkewSpec pins set equality), at the
+    * cost of a `salts`× bigger small side — which is why this is for
+    * the big-⋈-big case AQE can't split and broadcast can't swallow;
+    * a broadcastable small side never needs salting.
+    *
+    * Null keys never match, as in a plain inner equi-join: a null
+    * `bigKey` hashes to a salt but finds no null small key to meet
+    * (null ≠ null under `===`), and null small keys match nothing.
+    */
+  def saltedEquiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      saltSrc: Column,
+      salts: Int
+  ): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val b = big.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(lit((0L until salts.toLong).toArray)))
+    b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))
+      .drop("__salt")
+  }
+}

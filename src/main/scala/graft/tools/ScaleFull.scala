@@ -166,7 +166,7 @@ object ScaleFull {
       .sortBy(-_._2).take(5)
     val json =
       s"""{"metric":"scale_ratio_10x_full_slate","factor":$factor,"sf_src":"$src",""" +
-        s""""criteria":"every query's iid wall ratio at 10x data <= ~15x; this slate exists to catch quadratic sleepers outside ScaleBench's heavy families",""" +
+        s""""criteria":"every query's iid wall ratio at 10x data <= ~15x UNLESS rows_iid10 itself grew superlinearly (threshold-pair and range-join families: a fixed cosine/Jaccard/range gate has a constant per-pair tail probability, so TRUE output mass on iid data grows ~n^2 - judge those walls against the rows ratio, like the dup arm); this slate exists to catch quadratic sleepers outside ScaleBench's heavy families",""" +
         s""""n_queries":${names.size},"n_err":${errs.size},""" +
         s""""worst":[${worst.map { case (n, x) => s"""{"q":"$n","ratio":${r(x)}}""" }.mkString(",")}],""" +
         s""""sentinel":{"start":${r(sentStart)},"end":${r(sentEnd)}},""" +

@@ -312,6 +312,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshPlan grows bucket bits with corpus size and holds the recall target") {
+    // sf0.1-sized corpus reproduces the historical fixed plan's bits
+    val (b1, t1) = Similarity.lshPlan(2040L, threshold = 0.8)
+    assert(b1 == 8, s"sf0.1-scale plan must keep b=8, got $b1")
+    assert(t1 >= 10 && t1 <= 12, s"sf0.1-scale tables ~10, got $t1")
+    // 10x corpus: bucket count grows ~10x (constant occupancy)...
+    val (b2, t2) = Similarity.lshPlan(20400L, threshold = 0.8)
+    assert(b2 >= b1 + 3 && b2 <= b1 + 4, s"10x corpus must add ~log2(10) bits, got $b2")
+    // ...and tables grow to compensate the lower per-table collision rate
+    assert(t2 > t1, s"tables must grow with bits for the same recall, got $t2")
+    // planned recall meets the target at both scales
+    def recall(b: Int, t: Int): Double = {
+      val p1 = math.pow(1.0 - math.acos(0.8) / math.Pi, b.toDouble)
+      1.0 - math.pow(1.0 - p1, t.toDouble)
+    }
+    assert(recall(b1, t1) >= 0.84 && recall(b2, t2) >= 0.84)
+  }
+
+  test("scaled bucketed pairs equal the fixed-plan output (exact verification makes cost the only difference)") {
+    import spark.implicits._
+    // the q79 corpus shape: organic vectors + direction-preserved copies
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dups = emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val df = emb.select($"vec_id", $"embedding").unionByName(dups)
+    val fixedPlan = Similarity.cosinePairsBucketed(df, "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = Similarity.cosinePairsBucketedScaled(df, "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixedPlan.nonEmpty, "planted copies must yield pairs")
+    assert(scaled == fixedPlan, "plan choice must never change verified output")
+  }
+
   test("native lsh buckets are value-identical to the relational form on real embeddings") {
     import graft.plans.LshExpression
     import spark.implicits._

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keySkewReport computes mass profile with deterministic top key") {
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val r  = Skew.keySkewReport(df, "k", "t.k").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("key_col") == "t.k")
+    assert(row.getAs[Long]("n_rows") == 6L)
+    assert(row.getAs[Long]("n_keys") == 3L)
+    assert(row.getAs[Long]("max_key_rows") == 3L)
+    assert(row.getAs[Long]("top_key") == 1L)
+    assert(row.getAs[Double]("skew_ratio") == 1.5)
+  }
+
+  test("keySkewReport breaks max-count ties to the smallest key") {
+    val df = Seq(5L, 5L, 2L, 2L, 9L).toDF("k")
+    val row = Skew.keySkewReport(df, "k", "t.k").collect().head
+    assert(row.getAs[Long]("max_key_rows") == 2L)
+    assert(row.getAs[Long]("top_key") == 2L, "tie must go to the smallest key")
+  }
+
+  test("saltedEquiJoin equals the plain inner join, including null and unmatched keys") {
+    // skewed big side (key 1 dominates), an unmatched big key (7), a
+    // null big key, an unmatched small key (99), a null small key
+    val big = (Seq.fill(40)(1L) ++ Seq(2L, 2L, 3L, 7L)).map(k => (k, s"b$k"))
+      .toDF("bk", "bval")
+      .unionByName(Seq((Option.empty[Long], "bnull")).toDF("bk", "bval"))
+    val small = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"), (99L, "s99")).toDF("sk", "sval")
+      .unionByName(Seq((Option.empty[Long], "snull")).toDF("sk", "sval"))
+
+    def key(r: org.apache.spark.sql.Row) = r.mkString("|")
+    val salted = Skew.saltedEquiJoin(big, small, "bk", "sk", col("bval"), salts = 4)
+      .select("bk", "bval", "sk", "sval").collect().map(key).sorted.toSeq
+    val plain = big.join(small, big("bk") === small("sk"))
+      .select("bk", "bval", "sk", "sval").collect().map(key).sorted.toSeq
+    assert(salted == plain)
+    assert(plain.size == 43, "40 + 2 + 1 matched rows; 7/null/99/null drop")
+  }
+
+  test("saltedEquiJoin is deterministic across runs and keeps no salt column") {
+    val big   = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("bk", "bval")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("sk", "sval")
+    val j = Skew.saltedEquiJoin(big, small, "bk", "sk", col("bval"), salts = 8)
+    assert(!j.columns.contains("__salt"))
+    val a = j.collect().map(_.mkString("|")).sorted.toSeq
+    val b = Skew.saltedEquiJoin(big, small, "bk", "sk", col("bval"), salts = 8)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(a == b)
+    // the salted shuffle key is live inside the plan even though the
+    // output drops it — a regression to an unsalted join would lose it
+    assert(j.queryExecution.optimizedPlan.toString.contains("__salt"))
+  }
+}
