@@ -450,7 +450,39 @@ private[graft] object OraclesDedup {
            |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
            |       round(CAST(sum(j) AS DOUBLE) / count(*), 6) AS mean_exact,
            |       round(CAST(sum(h) AS DOUBLE) / count(*), 6) AS mean_hamming
-           |FROM terms GROUP BY decile ORDER BY decile""".stripMargin
+           |FROM terms GROUP BY decile ORDER BY decile""".stripMargin,
+// q213: 3 integer-grid PageRank rounds over the q25 pair graph —
+// floor division on non-negative longs at every step, so the
+// replay is integer-exact (no float accumulation anywhere)
+"q213_dup_graph_centrality" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM shared
+        |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        |n AS (SELECT count(*) AS c FROM deg),
+        |s0 AS (SELECT u, CAST(1000000 // c AS BIGINT) AS s FROM deg, n),
+        |s1 AS (SELECT e.v AS u,
+        |         CAST((SELECT (1000000 * 15) // (100 * c) FROM n)
+        |              + sum((s0.s * 85) // (100 * deg.d)) AS BIGINT) AS s
+        |       FROM edges e JOIN s0 ON s0.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+        |s2 AS (SELECT e.v AS u,
+        |         CAST((SELECT (1000000 * 15) // (100 * c) FROM n)
+        |              + sum((s1.s * 85) // (100 * deg.d)) AS BIGINT) AS s
+        |       FROM edges e JOIN s1 ON s1.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+        |s3 AS (SELECT e.v AS u,
+        |         CAST((SELECT (1000000 * 15) // (100 * c) FROM n)
+        |              + sum((s2.s * 85) // (100 * deg.d)) AS BIGINT) AS s
+        |       FROM edges e JOIN s2 ON s2.u = e.u JOIN deg ON deg.u = e.u GROUP BY e.v)
+        |SELECT u AS doc_id, s AS score FROM s3 ORDER BY doc_id""".stripMargin
   )
 
   /** Queries whose CONTRACT is exact equality with an already-

@@ -735,4 +735,24 @@ object QueriesDedup {
         round($"hits".cast("double") / $"k", 6).as("recall"))
       .orderBy($"query_id")
   }
+
+  /** Near-dup graph centrality ([[Graph.pagerankInt]]): 3 PageRank
+    * rounds over the q25/q38 shared-shingle pair graph on the exact
+    * 10⁶ integer grid — which member of each duplicate neighborhood is
+    * the most-connected (the centrality-based alternative to q39's
+    * keep-longest rule, and on real link graphs the classic
+    * page-quality prior). Every arithmetic step is floor division on
+    * non-negative longs, so DuckDB replays the identical integers —
+    * an ITERATIVE graph algorithm under a hash-exact oracle (the
+    * k-means integer-grid discipline, q138).
+    */
+  def q213_dup_graph_centrality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup
+      .ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    Graph
+      .pagerankInt(pairs, "id_a", "id_b", iters = 3)
+      .select($"id".as("doc_id"), $"score")
+      .orderBy($"doc_id")
+  }
 }

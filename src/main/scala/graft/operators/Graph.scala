@@ -269,4 +269,56 @@ object Graph {
       .groupBy(col("component"))
       .agg(max_by(col("id"), struct(col("rank"), -col("id"))).as("kept_id"))
   }
+
+  /** PageRank over an undirected (aCol, bCol) pair graph, on an exact
+    * INTEGER grid — the iterative vertex program that complements the
+    * component algorithms: components say which docs are duplicates of
+    * each other, centrality says which member of a neighborhood is the
+    * most-connected representative (and, on real link graphs, is the
+    * classic page-quality prior pretraining curation draws on).
+    *
+    * Arithmetic contract (what makes it cross-engine hash-exact, the
+    * k-means oracle's integer-grid discipline): scores live on a
+    * `scale` integer grid; per round each vertex emits
+    * ⌊s·85 / (100·deg)⌋ to every neighbor and collects
+    * ⌊scale·15 / (100·N)⌋ + Σ contributions — floor division on
+    * non-negative longs, so every engine computes the identical
+    * integers and the usual float-accumulation-order caveat does not
+    * exist. The ~N·ε floor loss per round is deliberate (mass is not
+    * renormalized); the ORDER of scores — what centrality is for — is
+    * unaffected.
+    *
+    * Scale shape: edges materialize once; each round is one join on
+    * the vertex key + one vertex-keyed aggregation — the same shuffle
+    * profile as a label-propagation round, fixed iteration count (no
+    * convergence scan).
+    */
+  def pagerankInt(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      iters: Int = 3,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(iters >= 1 && scale >= 1)
+    val edges = Materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v"))))
+    val deg = Materialize(edges.groupBy(col("u")).agg(count(lit(1)).as("d")))
+    val n   = deg.count()
+    require(n > 0, "pagerankInt: empty graph")
+    val base = scale * 15L / (100L * n)
+    var scores = Materialize(deg.select(col("u").as("id"), lit(scale / n).as("s")))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(scores, edges("u") === scores("id"))
+        .join(deg, Seq("u"))
+        .select(col("v"), expr("(s * 85L) div (100L * d)").as("c"))
+      scores = Materialize(
+        contribs.groupBy(col("v"))
+          .agg((lit(base) + sum(col("c"))).as("s"))
+          .select(col("v").as("id"), col("s")))
+    }
+    scores.select(col("id"), col("s").as("score"))
+  }
 }

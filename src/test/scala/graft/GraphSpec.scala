@@ -159,4 +159,37 @@ class GraphSpec extends SparkSpec {
     val memberSet = clusters.map(_.getLong(0)).toSet
     assert(kept.map(_.getLong(1)).forall(memberSet.contains), "kept docs come from their clusters")
   }
+
+  test("pagerankInt matches a hand-rolled integer reference on a path graph") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 1–2–3 plus an isolated pair 4–5
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Graph.pagerankInt(pairs, "id_a", "id_b", iters = 3, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: same floor arithmetic in plain Scala
+    val edges = Seq(1L -> 2L, 2L -> 3L, 4L -> 5L).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg   = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val n     = deg.size.toLong
+    val base  = 1000000L * 15L / (100L * n)
+    var s     = deg.keys.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val contribs = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => s(u) * 85L / (100L * deg(u)) }.sum
+      }
+      s = contribs.map { case (v, c) => v -> (base + c) }
+    }
+    assert(got == s, s"engine $got vs reference $s")
+    // the path's middle vertex is the most central; the isolated pair ties
+    assert(got(2L) > got(1L) && got(1L) == got(3L) && got(4L) == got(5L))
+  }
+
+  test("q213 centrality is conserved-mass and peaks inside clusters at sf0.001") {
+    val rows = QueriesDedup.q213_dup_graph_centrality(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the planted near-dups must produce a graph")
+    val total = rows.map(_.getLong(1)).sum
+    // floor losses only: total within 1% of the 10^6 grid
+    assert(total <= 1000000L && total > 990000L, s"mass $total")
+  }
 }
