@@ -170,26 +170,31 @@ object QueriesRel2 {
     * inside codegen, where the built-in is an ObjectHashAggregate
     * that buffers every raw group value on the JVM heap — 2× faster
     * at sf0.1 (2.2 s → 1.2 s) and, at 100 TB, spill-safe where the
-    * buffering aggregate OOMs on a large group. Both forms sort each
-    * group within one task — the intrinsic shape of exact per-group
-    * percentiles with few groups.
+    * buffering aggregate OOMs on a large group.
+    *
+    * Since round 15 the rank selection runs through
+    * [[graft.operators.Quantiles.exactQuantiles]], which picks its
+    * path from the measured group sizes: below ~10⁶ rows per group the
+    * one-window sort (this query's historical plan) is kept; above it,
+    * two aggregate passes plus a rank window over ONLY the selected
+    * histogram buckets' rows (~n/1024 of a group) replace the window
+    * that sorts every group's rows on one reducer per group (3 groups
+    * = 3 tasks sorting the whole table at 100 TB — the worst-scaling
+    * plan shape the engine had left; the full-slate rung measured it
+    * at 9.5× wall for 10× data, all of it the 3-partition sort).
+    * Identical output on both paths: the value at rank ⌈n·q⌉ is what
+    * every form selects, ties and all — the oracle is unchanged.
     */
   def q43_quantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w  = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-    val wc = Window.partitionBy($"l_returnflag")
-    Tables
-      .lineitem(spark, dir)
-      .select($"l_returnflag", $"l_extendedprice")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wc))
-      .filter($"rn" === ceil($"n" * 0.5) || $"rn" === ceil($"n" * 0.9))
-      .groupBy($"l_returnflag")
+    graft.operators.Quantiles
+      .exactQuantiles(
+        Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice"),
+        "l_returnflag", "l_extendedprice", qs = Seq(0.5, 0.9))
+      .groupBy($"group".as("l_returnflag"))
       .agg(
-        max(when($"rn" === ceil($"n" * 0.5), $"l_extendedprice")).cast("double").as("p50"),
-        max(when($"rn" === ceil($"n" * 0.9), $"l_extendedprice")).cast("double").as("p90")
-      )
+        max(when($"q" === 0.5, $"value")).as("p50"),
+        max(when($"q" === 0.9, $"value")).as("p90"))
       .orderBy($"l_returnflag")
   }
 
