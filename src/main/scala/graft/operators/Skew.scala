@@ -35,8 +35,16 @@ object Skew {
     * value is bit-identical across engines (the q89 portability rule).
     */
   def keySkewReport(df: DataFrame, keyCol: String, label: String): DataFrame =
-    df.groupBy(col(keyCol).as("k"))
-      .agg(count(lit(1)).as("cnt"))
+    profileFromCounts(
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt")), label)
+
+  /** The same one-row profile from PRE-AGGREGATED (k, cnt) counts —
+    * the entry point for incremental callers that maintain per-key
+    * counts themselves (the streaming skew ledger folds batch deltas
+    * into exactly this shape).
+    */
+  def profileFromCounts(counts: DataFrame, label: String): DataFrame =
+    counts
       .agg(
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),

@@ -659,6 +659,86 @@ object EventStreams {
       }
       .start()
 
+  // ---- streaming skew ledger (q211's twin) ---------------------------
+
+  private def keyCounts(ev: DataFrame, keyCol: String): DataFrame =
+    ev.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+
+  /** Seed the per-key count ledger for [[incrementalSkew]]: one
+    * (k, cnt) partition, additive under union like the histogram and
+    * daily ledgers.
+    */
+  def seedSkewLedger(events: DataFrame, keyCol: String, ledgerDir: String): Unit =
+    keyCounts(events, keyCol).write.mode("overwrite").parquet(s"$ledgerDir/batch_id=-1")
+
+  /** Compact the skew ledger's delta partitions into one seed
+    * partition (call between streams — never under a running writer):
+    * folding is pure integer addition, so the compacted ledger is
+    * value-identical and per-batch fold cost resets to O(distinct
+    * keys) regardless of how many batches have accumulated.
+    */
+  def compactSkewLedger(spark: org.apache.spark.sql.SparkSession, ledgerDir: String): Unit = {
+    val folded = graft.operators.Materialize(
+      spark.read.parquet(ledgerDir)
+        .groupBy("k").agg(sum("cnt").as("cnt")))
+    // Materialize pins the fold before the overwrite clears its input
+    val tmp = ledgerDir + "__compact"
+    folded.write.mode("overwrite").parquet(s"$tmp/batch_id=-1")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val dst = java.nio.file.Paths.get(ledgerDir)
+    rmTree(dst)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
+  }
+
+  /** Streaming twin of q211's shuffle-key skew audit: each micro-batch
+    * appends its per-key count delta to the ledger and re-emits the
+    * ONE-ROW profile (n_rows, n_keys, max_key_rows, deterministic
+    * top_key, max/mean skew_ratio) of the FOLDED counts — live skew
+    * telemetry that tells an ingest-time consumer when a key is
+    * heating up, before the nightly shuffle that would discover it the
+    * hard way. The profile math is the batch operator's own
+    * ([[graft.operators.Skew.profileFromCounts]]), so the emitted row
+    * is pinned ≡ the batch q211-style report over all events seen.
+    *
+    * Replay-idempotent by the ledger discipline (exclude the batch's
+    * own partition, then overwrite it). The ledger is keyed state —
+    * per-batch fold cost is O(Σ per-batch distinct keys) across
+    * retained partitions; [[compactSkewLedger]] folds them back to one
+    * between streams.
+    */
+  def incrementalSkew(
+      events: DataFrame,
+      keyCol: String,
+      label: String,
+      telemetryDir: String,
+      ledgerDir: String
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Materialize(keyCounts(batch, keyCol))
+        val folded = spark.read
+          .parquet(ledgerDir)
+          .filter(col("batch_id") =!= batchId)
+          .select("k", "cnt")
+          .unionByName(delta)
+          .groupBy("k")
+          .agg(sum("cnt").as("cnt"))
+        graft.operators.Skew.profileFromCounts(folded, label)
+          .withColumn("as_of_batch", lit(batchId))
+          .write.mode("overwrite").parquet(s"$telemetryDir/batch_id=$batchId")
+        delta.write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Run a bounded stream to completion into a memory sink and return
     * the result — the batch-equivalence harness used by tests.
     */
