@@ -1270,25 +1270,27 @@ object QueriesRel2 {
   }
 
   /** Salted big-⋈-big equi-join under the oracle gate
-    * ([[graft.operators.Skew.saltedEquiJoin]]): revenue per market
-    * segment through an orders ⋈ customer join whose shuffle key is
-    * (custkey, salt) with an 8-way deterministic salt — the portable
-    * skew mitigation for the case AQE can't split (skew known up
-    * front, or the downstream op isn't a join) and broadcast can't
-    * swallow (both sides big; here the small side is broadcastable
-    * and the query exists to pin the TRANSFORM, not to need it). The
-    * oracle is the PLAIN join + aggregate — salting is invisible in
-    * the result by construction, and the hash gate proves it row for
-    * row. Revenue sums exact DECIMAL(18,2) then casts to double (the
-    * portability rule for accumulation-order-free aggregates).
+    * ([[graft.operators.Salt.saltedJoin]], the FK different-key-name
+    * overload; q72 gates the aggregate half of the same module):
+    * revenue per market segment through an orders ⋈ customer join
+    * whose shuffle key is (custkey, salt) with an 8-way deterministic
+    * salt — the portable skew mitigation for the case AQE can't split
+    * (skew known up front, or the downstream op isn't a join) and
+    * broadcast can't swallow (both sides big; here the small side is
+    * broadcastable and the query exists to pin the TRANSFORM, not to
+    * need it). The oracle is the PLAIN join + aggregate — salting is
+    * invisible in the result by construction, and the hash gate proves
+    * it row for row. Revenue sums exact DECIMAL(18,2) then casts to
+    * double (the portability rule for accumulation-order-free
+    * aggregates).
     */
   def q212_salted_join(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val joined = graft.operators.Skew.saltedEquiJoin(
+    val joined = graft.operators.Salt.saltedJoin(
       Tables.orders(spark, dir), Tables.customer(spark, dir),
       bigKey = "o_custkey", smallKey = "c_custkey",
-      saltSrc = col("o_orderkey"), salts = 8)
+      entropy = col("o_orderkey"), factor = 8)
     joined
       .groupBy($"c_mktsegment")
       .agg(

@@ -35,6 +35,30 @@ object Salt {
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** [[saltedJoin]] for sides whose key COLUMNS are named differently
+    * (the FK-join common case, e.g. orders.o_custkey = customer
+    * .c_custkey): same salting scheme, explicit equi-condition, both
+    * key columns kept in the output. Result rows are exactly the plain
+    * inner join's — each big row meets the one small replica carrying
+    * its salt; null keys never match, as in any inner equi-join
+    * (SkewSpec pins set equality including null/unmatched keys).
+    * Pick the factor from [[Skew.keySkewReport]]'s measured ratio.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      entropy: Column,
+      factor: Int
+  ): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val b = big.withColumn("__salt", saltCol(factor, entropy))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))
+      .drop("__salt")
+  }
+
   /** Two-phase skew-safe aggregation: partial aggregate on (key, salt),
     * then final aggregate on key. For algebraic aggregates only (sum,
     * count, min, max — anything with a merge function).

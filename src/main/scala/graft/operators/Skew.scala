@@ -3,21 +3,23 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Key-skew diagnostics and the salted-join mitigation — the two
-  * halves of the "heavy key" problem a 100 TB shuffle join has.
+/** Key-skew DIAGNOSTICS — the measurement half of the "heavy key"
+  * problem a 100 TB shuffle has; the mitigation half lives in
+  * [[Salt]] (salted joins and two-phase aggregates, present since the
+  * early rounds and oracle-gated by q72/q212).
   *
   * At cluster scale a shuffle join or aggregation is only as fast as
   * its heaviest key: one customer with 10⁹ order rows serializes one
   * reducer while the rest idle. The remedies are (a) AQE's runtime
   * skew-join split (on, see [[graft.Engine]]) — which only helps the
   * JOIN operator and only after a stage materializes — and (b)
-  * explicit salting, which spreads ONE logical key over `salts`
-  * physical shuffle keys and works for any downstream shape. Choosing
-  * between them — and choosing the salt factor — needs a measurement,
-  * which is what [[keySkewReport]] is: the per-key mass profile of a
-  * prospective shuffle key, at one aggregation pass per key column
-  * (map-side partial aggregation makes the shuffle O(distinct keys),
-  * never O(rows)).
+  * [[Salt]]'s explicit salting, which spreads ONE logical key over
+  * `factor` physical shuffle keys and works for any downstream shape.
+  * Choosing between them — and choosing the salt factor — needs a
+  * measurement, which is what [[keySkewReport]] is: the per-key mass
+  * profile of a prospective shuffle key, at one aggregation pass per
+  * key column (map-side partial aggregation makes the shuffle
+  * O(distinct keys), never O(rows)).
   */
 object Skew {
 
@@ -59,35 +61,4 @@ object Skew {
         (col("max_key_rows").cast("double") * col("n_keys").cast("double") /
           col("n_rows").cast("double")).as("skew_ratio"))
 
-  /** Inner equi-join of `big` and `small` on `bigKey` = `smallKey`,
-    * executed over `salts`-way salted shuffle keys: each big-side row
-    * gets a deterministic salt (hash of `saltSrc`, so re-runs salt
-    * identically), the small side replicates once per salt value, and
-    * the join runs on (key, salt) — the heaviest key's rows now land
-    * on `salts` different reducers instead of one. Result rows are
-    * EXACTLY the plain join's (each big row meets the one small
-    * replica carrying its salt; SkewSpec pins set equality), at the
-    * cost of a `salts`× bigger small side — which is why this is for
-    * the big-⋈-big case AQE can't split and broadcast can't swallow;
-    * a broadcastable small side never needs salting.
-    *
-    * Null keys never match, as in a plain inner equi-join: a null
-    * `bigKey` hashes to a salt but finds no null small key to meet
-    * (null ≠ null under `===`), and null small keys match nothing.
-    */
-  def saltedEquiJoin(
-      big: DataFrame,
-      small: DataFrame,
-      bigKey: String,
-      smallKey: String,
-      saltSrc: Column,
-      salts: Int
-  ): DataFrame = {
-    require(salts >= 1, s"salts must be >= 1, got $salts")
-    val b = big.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts.toLong)))
-    val s = small.withColumn("__salt",
-      explode(lit((0L until salts.toLong).toArray)))
-    b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))
-      .drop("__salt")
-  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Skew
+import graft.operators.{Salt, Skew}
 import org.apache.spark.sql.functions._
 
 class SkewSpec extends SparkSpec {
@@ -26,7 +26,7 @@ class SkewSpec extends SparkSpec {
     assert(row.getAs[Long]("top_key") == 2L, "tie must go to the smallest key")
   }
 
-  test("saltedEquiJoin equals the plain inner join, including null and unmatched keys") {
+  test("different-key saltedJoin equals the plain inner join, including null and unmatched keys") {
     // skewed big side (key 1 dominates), an unmatched big key (7), a
     // null big key, an unmatched small key (99), a null small key
     val big = (Seq.fill(40)(1L) ++ Seq(2L, 2L, 3L, 7L)).map(k => (k, s"b$k"))
@@ -36,7 +36,7 @@ class SkewSpec extends SparkSpec {
       .unionByName(Seq((Option.empty[Long], "snull")).toDF("sk", "sval"))
 
     def key(r: org.apache.spark.sql.Row) = r.mkString("|")
-    val salted = Skew.saltedEquiJoin(big, small, "bk", "sk", col("bval"), salts = 4)
+    val salted = Salt.saltedJoin(big, small, "bk", "sk", col("bval"), factor = 4)
       .select("bk", "bval", "sk", "sval").collect().map(key).sorted.toSeq
     val plain = big.join(small, big("bk") === small("sk"))
       .select("bk", "bval", "sk", "sval").collect().map(key).sorted.toSeq
@@ -44,13 +44,13 @@ class SkewSpec extends SparkSpec {
     assert(plain.size == 43, "40 + 2 + 1 matched rows; 7/null/99/null drop")
   }
 
-  test("saltedEquiJoin is deterministic across runs and keeps no salt column") {
+  test("different-key saltedJoin is deterministic across runs and keeps no salt column") {
     val big   = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("bk", "bval")
     val small = Seq((1L, "a"), (2L, "b")).toDF("sk", "sval")
-    val j = Skew.saltedEquiJoin(big, small, "bk", "sk", col("bval"), salts = 8)
+    val j = Salt.saltedJoin(big, small, "bk", "sk", col("bval"), factor = 8)
     assert(!j.columns.contains("__salt"))
     val a = j.collect().map(_.mkString("|")).sorted.toSeq
-    val b = Skew.saltedEquiJoin(big, small, "bk", "sk", col("bval"), salts = 8)
+    val b = Salt.saltedJoin(big, small, "bk", "sk", col("bval"), factor = 8)
       .collect().map(_.mkString("|")).sorted.toSeq
     assert(a == b)
     // the salted shuffle key is live inside the plan even though the
