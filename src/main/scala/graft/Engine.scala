@@ -20,10 +20,28 @@ import org.apache.spark.sql.SparkSession
   * (not mutated inside table accessors): the events table is
   * TIMESTAMP(NANOS) parquet, which the vectorized reader otherwise
   * rejects; [[Tables.events]] truncates the long nanos to micros.
+  *
+  * Streaming state store: the default HDFS-backed provider keeps EVERY
+  * key's state on the executor HEAP — at 100 TB-stream state
+  * (sessionization over billions of users, the stream-stream interval
+  * join's buffered rows) that is an OOM by design. `rocksDbStateStore`
+  * switches the engine to Spark's built-in RocksDB provider (state
+  * lives off-heap/on-disk per executor, memory bounded by block cache;
+  * `rocksdbjni` ships with Spark) — results are provider-invariant,
+  * pinned by StreamingSpec's twin run. Also reachable per-run via
+  * `SPARK_GRAFT_ROCKSDB=1` or, per-query, by setting
+  * `spark.sql.streaming.stateStore.providerClass` before `start()`
+  * (the conf is captured at query start).
   */
 object Engine {
-  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = SparkSession
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def session(
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      rocksDbStateStore: Boolean = sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")
+  ): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
@@ -36,7 +54,11 @@ object Engine {
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      (if (rocksDbStateStore)
+         builder.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+       else builder)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -489,6 +489,34 @@ private[graft] object OraclesDedup {
     * oracled query reuse that query's SQL verbatim. */
   val sql: Map[String, String] = primary ++ Map(
     "q53_star_clusters" -> primary("q38_dedup_clusters"),
+    // q214: cap + closure replayed verbatim — n_shared is an exact
+    // integer, so the per-node top-k rank is cross-engine deterministic
+    "q214_capped_clusters" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+        |       FROM tok WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b, n_shared
+        |          FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.5),
+        |sym AS (SELECT id_a AS u, id_b AS v, n_shared FROM pairs
+        |        UNION ALL SELECT id_b, id_a, n_shared FROM pairs),
+        |kept AS (SELECT least(u, v) AS id_a, greatest(u, v) AS id_b FROM (
+        |           SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY n_shared DESC, v) AS r
+        |           FROM sym)
+        |         WHERE r <= 2 GROUP BY 1, 2),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM kept UNION SELECT id_b, id_a FROM kept),
+        |reach(src, dst) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q54_indexed_dedup" -> primary("q48_incremental_dedup"),
     "q57_ann_ivf_topk" -> primary("q30_ann_topk"),
     // filtered ANN: IVF at nprobe=nlist and the persisted

@@ -131,12 +131,32 @@ object QueriesCorpus {
     * hard 25-round propagation cap), so the closure must escalate to
     * the log-round star contraction when propagation stalls instead of
     * failing the job. Output contract identical either way.
+    *
+    * `degreeCap` (default OFF — the oracle-gated exact path) bounds
+    * each node to its top-k strongest edges via
+    * [[graft.operators.Graph.capDegree]] before closure — the
+    * SemDeDup-style guard for the two edge-mass blowups a fixed
+    * threshold has at scale: the iid ∝ n² tail (measured 121× edges at
+    * 10× data on the full-slate rung) and the boilerplate-vector hub
+    * whose degree is ∝ n. Capped, closure cost is ≤ n·k edges —
+    * linear — while tight clusters keep their mutual strongest links
+    * (GraphSpec pins planted clusters intact under the cap).
     */
-  def q62_semantic_dedup(spark: SparkSession, dir: String): DataFrame = {
+  def q62_semantic_dedup(
+      spark: SparkSession,
+      dir: String,
+      degreeCap: Option[Int] = None
+  ): DataFrame = {
     import spark.implicits._
     import graft.operators.{Graph, Similarity}
-    val emb   = Tables.embeddings(spark, dir)
-    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = degreeCap match {
+      case Some(k) =>
+        Graph.capDegree(
+          Similarity.cosinePairsBlockedScored(emb, "vec_id", "embedding", threshold = 0.45),
+          "id_a", "id_b", "cos", k).drop("cos")
+      case None => Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
+    }
     val comps = Graph.componentsAuto(pairs, "id_a", "id_b")
     Graph
       .keepOnePerComponent(comps, emb, "vec_id", "label")

@@ -262,6 +262,32 @@ object QueriesDedup {
       .orderBy($"doc_id")
   }
 
+  /** Degree-capped closure under the oracle gate
+    * ([[Graph.capDegree]], round 16): the q38 near-dup pipeline with
+    * each node bounded to its top-2 edges by SHARED-SHINGLE COUNT
+    * before closure — the SemDeDup-style guard that keeps closure
+    * edge mass ≤ n·k when a fixed threshold's tail (∝ n² on iid data)
+    * or a boilerplate hub (degree ∝ n) would blow it up. Ranking by
+    * `n_shared` (an exact integer) with the neighbor-id tie-break
+    * makes the cap cross-engine deterministic — no float-rank
+    * boundary — so the oracle replays cap + closure verbatim:
+    * symmetrize, row_number per node over (n_shared DESC, v), keep
+    * r ≤ k on EITHER side, recursive min-label closure. k=2 keeps any
+    * clique connected (every node keeps its two smallest-id peers at
+    * tied weight, and all reach the minimum), so on the fixture the
+    * clusters equal q38's — which is exactly the operator's contract:
+    * capping bounds COST, not the clusters a tight family forms.
+    */
+  def q214_capped_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup
+      .ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    Graph
+      .componentsAuto(Graph.capDegree(pairs, "id_a", "id_b", "n_shared", k = 2), "id_a", "id_b")
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   /** The APPROXIMATE semantic near-dup path under the oracle gate:
     * [[Similarity.cosinePairsBucketed]] (OR-amplified hyperplane LSH,
     * candidates exact-verified) over a corpus with planted

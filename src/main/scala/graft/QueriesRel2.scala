@@ -1090,10 +1090,13 @@ object QueriesRel2 {
     * rows, zero files rewritten. At 100 TB: a forget request costs a
     * ~1%-of-files pruned scan plus kilobytes of sidecar, instead of a
     * full scan plus a rewrite wave; the change feed carries the
-    * deletions so downstream consumers forget too. The found-keys set
-    * is driver-held — bounded by the request size, the same
-    * cardinality every GDPR workflow holds. Re-runs find nothing
-    * (the lookup is DV-subtracted) and no-op.
+    * deletions so downstream consumers forget too. The request list,
+    * the lookup result, and the delete keys all stay DATAFRAMES end to
+    * end (the `keys: DataFrame` overloads) — nothing is collected,
+    * nothing becomes an `isin` literal, so a request list that grows
+    * with the corpus (this fixture's does, 1/97th of customers) cannot
+    * become a driver bound. Re-runs find nothing (the lookup is
+    * DV-subtracted) and no-op.
     */
   def q107_gdpr_forget(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1104,13 +1107,13 @@ object QueriesRel2 {
         Tables.customer(spark, dir).select($"c_custkey", $"c_name", $"c_acctbal"))
       wh.collectBloom("silver", "cust", "c_custkey")
     }
-    // the deterministic stand-in for a forget-request key list
+    // the deterministic stand-in for a forget-request key list —
+    // a DataFrame throughout, like a real request feed table
     val requested = Tables.customer(spark, dir)
-      .filter($"c_custkey" % 97 === 0).select($"c_custkey").as[Long].collect().toSeq
+      .filter($"c_custkey" % 97 === 0).select($"c_custkey")
     val found = wh.scanPrunedEq("silver", "cust", "c_custkey", requested)
-      .select($"c_custkey").distinct().as[Long].collect().toSeq
-    wh.deleteMor("silver", "cust",
-      if (found.isEmpty) lit(false) else $"c_custkey".isin(found: _*))
+      .select($"c_custkey")
+    wh.deleteMorKeys("silver", "cust", "c_custkey", found)
     wh.table("silver", "cust")
       .select($"c_custkey", $"c_name", $"c_acctbal")
       .orderBy($"c_custkey")

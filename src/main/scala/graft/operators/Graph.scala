@@ -253,6 +253,53 @@ object Graph {
       .select(col("id"), col("component").as("cluster_id"))
   }
 
+  /** Per-node degree cap for SIMILARITY graphs — the SemDeDup-style
+    * bound on edge mass before closure: keep an edge iff it ranks in
+    * the top-`k` by (similarity desc, neighbor asc) for AT LEAST ONE
+    * endpoint (the standard kNN-graph sparsification — an either-side
+    * keep preserves the mutual strongest edges a tight dup cluster is
+    * made of, so planted clusters survive intact, pinned in GraphSpec).
+    *
+    * Why it exists: at a fixed cosine threshold, TRUE edge mass on iid
+    * data grows ∝ n² (constant per-pair tail probability), and ONE hub
+    * node — a boilerplate vector every shard contains — has degree
+    * ∝ n. Both blow up the closure's edge set while adding no cluster
+    * information beyond the strongest few links per node. Capping
+    * degree bounds edges ≤ n·k, making closure cost linear in corpus
+    * size no matter what the threshold tail does.
+    *
+    * Output is the SUBSET of the input pair rows that survive (all
+    * input columns preserved, orientation untouched) — drop-in before
+    * [[componentsAuto]]. The per-node ranking is one window over the
+    * symmetrized edges; a pathological hub pays one O(d log d) sort
+    * task ONCE, and is precisely what leaves capped. Cap OFF (the
+    * caller not invoking this) keeps exact-closure semantics — q62's
+    * default path and oracle are unchanged.
+    */
+  def capDegree(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      simCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"degree cap must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"), col(simCol).as("s"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v"), col(simCol).as("s")))
+    val w = Window.partitionBy(col("u")).orderBy(col("s").desc, col("v"))
+    val surviving = sym
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(least(col("u"), col("v")).as("__ka"), greatest(col("u"), col("v")).as("__kb"))
+      .distinct()
+    pairs.join(surviving,
+      least(col(aCol), col(bCol)) === col("__ka") &&
+        greatest(col(aCol), col(bCol)) === col("__kb"),
+      "left_semi")
+  }
+
   /** One row per component: the member maximizing (rankCol, then min
     * idCol) — the "keep this document, drop the rest" step of dedup.
     * `ranked` must contain idCol; rankCol comes from `attrs` (joined on

@@ -68,6 +68,20 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       blocks: Int = 64
+  ): DataFrame =
+    cosinePairsBlockedScored(df, idCol, vecCol, threshold, blocks).drop("cos")
+
+  /** [[cosinePairsBlocked]] keeping the cosine as a `cos` column —
+    * the input shape [[graft.operators.Graph.capDegree]] (top-k edges
+    * BY SIMILARITY per node) needs; same plan, one extra projected
+    * double per pair.
+    */
+  def cosinePairsBlockedScored(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blocks: Int = 64
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -89,7 +103,8 @@ object Similarity {
       .filter(dot(col("va"), col("vb")) >= threshold)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b")
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        dot(col("va"), col("vb")).as("cos")
       )
   }
 
@@ -150,6 +165,9 @@ object Similarity {
       targetRecall: Double = 0.84
   ): (Int, Int) = {
     require(n >= 1 && threshold > 0.0 && threshold < 1.0)
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall in (0,1): $targetRecall — 1.0 would demand infinitely many tables")
+    require(targetOccupancy >= 1, s"targetOccupancy >= 1: $targetOccupancy")
     val b = math.max(4,
       math.ceil(math.log(math.max(2.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
     val p1 = math.pow(1.0 - math.acos(threshold) / math.Pi, b.toDouble)

@@ -27,9 +27,14 @@ object Skew {
     * (key_col = `label`, n_rows, n_keys, max_key_rows, top_key,
     * skew_ratio = max_key_rows / mean rows per key). `top_key` is the
     * heaviest key, ties broken to the SMALLEST key so the row is
-    * deterministic (max over (cnt, −key) structs — one scalar
-    * aggregate, no window, no second pass). skew_ratio ≈ 1 is
-    * uniform; a ratio of r means the heaviest reducer does r× the
+    * deterministic (min over (−cnt, key) structs — the COUNT is
+    * negated, never the key, so any orderable key type works: string,
+    * date, decimal, not just signed numerics, and a Long.MinValue key
+    * cannot overflow; one scalar aggregate, no window, no second
+    * pass). A NULL key counts in n_rows/n_keys/max_key_rows but is
+    * excluded from top_key contention — a null label identifies
+    * nothing, and engines disagree on where nulls sort. skew_ratio ≈ 1
+    * is uniform; a ratio of r means the heaviest reducer does r× the
     * average work, and r is the first salt factor to try.
     *
     * The ratio is computed max·n_keys/n_rows in that exact IEEE
@@ -51,13 +56,14 @@ object Skew {
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("cnt")).as("max_key_rows"),
-        max(struct(col("cnt"), (-col("k")).as("negk"))).as("m"))
+        min(when(col("k").isNotNull,
+          struct((-col("cnt")).as("negcnt"), col("k")))).as("m"))
       .select(
         lit(label).as("key_col"),
         col("n_rows"),
         col("n_keys"),
         col("max_key_rows"),
-        (-col("m.negk")).as("top_key"),
+        col("m.k").as("top_key"),
         (col("max_key_rows").cast("double") * col("n_keys").cast("double") /
           col("n_rows").cast("double")).as("skew_ratio"))
 

@@ -1157,4 +1157,80 @@ private[sources] trait WarehouseMaintenance { self: Warehouse =>
         layer, table, Long.MaxValue, partitionColumns(layer, table).length)
         .filter(pred)
   }
+
+  /** [[scanPrunedEq]] with a DataFrame-valued key list — the form an
+    * EXTERNALLY-SIZED request (a GDPR forget feed, a CDC key audit, a
+    * revocation table) needs: the literal overload inlines every key
+    * into an `isin` predicate, which is driver memory and a
+    * codegen-visible expression ∝ |keys| — fine for a hand-held list,
+    * wrong for one that arrives as data. Here the keys NEVER visit the
+    * driver:
+    *
+    *   - the bloom probe goes relational — the KB-per-file sidecar
+    *     cross-joins the (distinct, cast, null-dropped) key column and
+    *     ONE O(k) admit expression evaluates per (file, key) pair,
+    *     folding to a per-file admit map. |files|·|keys| bloom hashes
+    *     of pure CPU, zero data I/O; the collected map is |files|
+    *     booleans — the same driver bound `df.inputFiles` already
+    *     costs (concrete file paths must reach `spark.read` anyway);
+    *   - the surviving files re-filter with a LEFT SEMI join against
+    *     the key frame (broadcast when small — AQE's call), so the
+    *     result is ALWAYS exactly `table ⋉ keys` on `colName`, bloom
+    *     false positives costing I/O, never correctness. NULL keys
+    *     match nothing, exactly like SQL `IN`.
+    *
+    * At a crossover (millions of keys × very many files) the probe's
+    * |files|·|keys| CPU exceeds just reading everything — past it,
+    * skip the bloom and semi-join the full scan; the method stays
+    * correct either way, the sidecar only changes the I/O bill.
+    */
+  def scanPrunedEq(layer: String, table: String, colName: String, keys: DataFrame): DataFrame = {
+    require(keys.columns.length == 1,
+      s"keys frame must have exactly the key column, got ${keys.columns.mkString(", ")}")
+    val df      = rawTable(layer, table)
+    val vtype   = df.schema(colName).dataType
+    val p       = bloomPath(layer, table, colName)
+    val current = df.inputFiles.map(normFile).toSet
+    val probes  = keys.na.drop()
+      .select(col(keys.columns.head).cast(vtype).as("__probe")).distinct()
+    if (probes.isEmpty) return df.filter(lit(false))
+    def tryPrune(): Option[IndexedSeq[String]] = {
+      if (!fs.exists(p)) return None
+      val s = spark.read.parquet(p.toString)
+      val kMax = s.select(max(col("k"))).head() match {
+        case r if r.isNullAt(0) => return None // empty sidecar
+        case r                  => r.getInt(0)
+      }
+      val probe = col("__probe")
+      val admitCol = (0 until kMax)
+        .map { i =>
+          val pos = pmod(xxhash64(lit(i), probe), col("m"))
+          coalesce(try_element_at(col("bitmap"), shiftright(pos, 6).cast("int")), lit(0L))
+            .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
+        }
+        .reduce(_ && _)
+      val rows = s.crossJoin(probes)
+        .select(col("file"), admitCol.as("a"))
+        .groupBy(col("file"))
+        .agg(max(when(col("a"), 1).otherwise(0)).as("ai"))
+        .select(col("file"), (col("ai") === 1).as("s"))
+        .collect()
+      if (rows.map(r => normFile(r.getString(0))).toSet != current) None
+      else Some(rows.filter(_.getBoolean(1)).map(_.getString(0)).toIndexedSeq)
+    }
+    val surviving = tryPrune().getOrElse {
+      refreshBloom(layer, table, colName) // incremental; full build inside when needed
+      tryPrune().getOrElse(
+        throw new IllegalStateException(s"bloom sidecar $p stale immediately after rebuild"))
+    }
+    if (surviving.isEmpty) df.filter(lit(false))
+    else
+      applyDv(
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", tablePath(layer, table))
+          .parquet(surviving: _*),
+        layer, table, Long.MaxValue, partitionColumns(layer, table).length)
+        .join(probes, col(colName) === col("__probe"), "left_semi")
+  }
 }

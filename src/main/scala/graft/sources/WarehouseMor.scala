@@ -338,17 +338,43 @@ private[sources] trait WarehouseMor { self: Warehouse =>
   def deleteMor(layer: String, table: String, predicate: Column): Long =
     withWriterLock(layer, table)(deleteMorImpl(layer, table, predicate))
 
-  private[sources] def deleteMorImpl(layer: String, table: String, predicate: Column): Long = {
+  private[sources] def deleteMorImpl(layer: String, table: String, predicate: Column): Long =
+    deleteMorMatched(layer, table, _.filter(coalesce(predicate, lit(false))))
+
+  /** DELETE of a DataFrame-valued key list (the [[deleteMor]] twin of
+    * `scanPrunedEq(…, keys: DataFrame)`): matched rows are the LEFT
+    * SEMI join of the visible table against the key frame on
+    * `colName` — the keys never visit the driver, never become an
+    * `isin` literal list, and a GDPR request that arrives as a TABLE
+    * deletes at O(matched) tombstone cost no matter how long it is.
+    * NULL keys match nothing (SQL `IN` semantics); same change feed,
+    * no-op convention, and locking as the predicate form.
+    */
+  def deleteMorKeys(layer: String, table: String, colName: String, keys: DataFrame): Long = {
+    require(keys.columns.length == 1,
+      s"keys frame must have exactly the key column, got ${keys.columns.mkString(", ")}")
+    withWriterLock(layer, table)(deleteMorMatched(layer, table, { visible =>
+      val probes = keys.na.drop()
+        .select(col(keys.columns.head).cast(visible.schema(colName).dataType).as("__del_k"))
+        .distinct()
+      visible.join(probes, visible(colName) === col("__del_k"), "left_semi")
+    }))
+  }
+
+  private def deleteMorMatched(
+      layer: String,
+      table: String,
+      matchRows: DataFrame => DataFrame
+  ): Long = {
     repairCrashedSwap(layer, table)
     val target = tablePath(layer, table)
     val raw    = spark.read.option("mergeSchema", "true").parquet(target)
-    val hit    = coalesce(predicate, lit(false))
     val depth  = partitionColumns(layer, table).length
     val visible = dvRowsFor(layer, table, Long.MaxValue) match {
       case Some(dv) => dvAntiJoin(withDvMeta(raw, depth), dv)
       case None     => withDvMeta(raw, depth)
     }
-    val matched = visible.filter(hit)
+    val matched = matchRows(visible)
     if (matched.isEmpty) {
       logOp(layer, table, "DELETE_MOR", inserted = 0, updated = 0, outputRows = 0)
       return 0L

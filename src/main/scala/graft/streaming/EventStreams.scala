@@ -687,13 +687,22 @@ object EventStreams {
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+          s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        }
       }
     }
+    // promote crash-safely: step the live ledger ASIDE (rename, not
+    // delete), move the compacted copy in, delete the superseded copy
+    // LAST — a crash at any point leaves a complete ledger at either
+    // ledgerDir or ledgerDir__old (recovery = one rename), never a
+    // window with no ledger at all.
     val dst = java.nio.file.Paths.get(ledgerDir)
-    rmTree(dst)
+    val old = java.nio.file.Paths.get(ledgerDir + "__old")
+    rmTree(old) // leftover from a prior crashed compaction
+    if (java.nio.file.Files.exists(dst)) java.nio.file.Files.move(dst, old)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
+    rmTree(old)
   }
 
   /** Streaming twin of q211's shuffle-key skew audit: each micro-batch

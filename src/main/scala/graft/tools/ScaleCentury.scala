@@ -1,0 +1,241 @@
+package graft.tools
+
+import graft.{Engine, SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 100× rung: [[ScaleBench]] proved the heavy families at 10×,
+  * [[ScaleFull]] swept the whole slate there — this tool takes the
+  * TOP-HEAVY families one decade further (sf0.1 × 100 ≈ 6 M documents
+  * / 2 M vectors / tens of M events, and a 60 M-row DML corpus), the
+  * same way q62's propagation cap was caught: sleepers show up one
+  * decade before they'd show up in production. Committed as
+  * `BENCH_sf2.json`; SCALE.md explains every ratio beyond
+  * ~linear-in-output.
+  *
+  * Derivations (content-decorrelated, the iid criterion — ratios are
+  * judged against OUTPUT mass, wall ∝ output is the algorithm
+  * working):
+  *
+  *   - **documents**: [[ScaleBench.deriveIid]]'s bijective letter
+  *     substitution generalized to 100 distinct maps by composing TWO
+  *     independent rotations over DISJOINT letter sets
+  *     (`etaoinshrd` rotated copy%10, `lucmfwygpb` rotated copy/10):
+  *     each copy's within-copy shingle/equality structure is EXACTLY
+  *     sf0.1's, cross-copy shingles diverge in at least one alphabet.
+  *   - **embeddings**: per-copy Rademacher sign flips
+  *     (component i × (−1)^{xxhash64(i,copy) mod 2}) — already
+  *     copy-count-agnostic; within-copy dot products are preserved
+  *     bit-for-bit, cross-copy products concentrate near zero.
+  *   - **events**: fresh users with intact timelines.
+  *   - **DML tables**: [[ScaleDml.deriveDml]]'s scheme with the key
+  *     shift raised to copy·10⁹ — at factor 100 the old copy·10⁷
+  *     shift would collide copy 90's real keys with q114/q116's
+  *     +9·10⁸ synthetic insert keys (the ScaleFull lesson: the shift
+  *     must clear every query's synthetic-key offset).
+  *
+  * Measurement discipline (the ScaleFull lessons, kept): noop-sink
+  * materialization with an Observation row count; best-of-2 only
+  * under a threshold that EXCEEDS the big arm's one-time setup cost
+  * (Scratch.once index builds / CTAS+first-merge read as scaling
+  * regressions otherwise) — the DML slate separates `first` and
+  * `steady` explicitly instead.
+  *
+  * `sbt "runMain graft.tools.ScaleCentury [factor]"` → BENCH_sf2.json
+  */
+object ScaleCentury {
+
+  /** Heaviest operator families over documents/embeddings/events:
+    * the dedup ladder (shingle, MinHash LSH, SimHash, substring),
+    * closure + report + keep-best composition, curation funnel,
+    * frame dedup, the indexed ANN probes (IVF, filtered, PQ), and
+    * cluster-scoped semantic dedup.
+    */
+  val OpSlate: Seq[String] = Seq(
+    "q25_ngram_jaccard_pairs",
+    "q26_minhash_lsh_pairs",
+    "q28_simhash_pairs",
+    "q38_dedup_clusters",
+    "q115_substring_pairs",
+    "q63_curation_pipeline",
+    "q127_dedup_report",
+    "q209_frame_dedup",
+    "q61_ann_ivf_indexed",
+    "q124_ann_filtered_indexed",
+    "q87_ann_ivfpq_topk",
+    "q139_semdedup"
+  )
+
+  /** Warehouse/DML families: incremental MV (flat + partitioned),
+    * full-clause merges (flat + partitioned), GDPR forget (now the
+    * DataFrame-keyed bloom probe + semi-join delete).
+    */
+  val DmlSlate: Seq[String] = Seq(
+    "q83_incremental_mv",
+    "q101_incremental_mv_partitioned",
+    "q114_merge_full_clauses",
+    "q119_merge_clauses_partitioned",
+    "q107_gdpr_forget"
+  )
+
+  /** 100 distinct text bijections + Rademacher embeddings + fresh-user
+    * events. Copy 0 is the identity (the corpus contains sf0.1
+    * verbatim).
+    */
+  def deriveIid(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor <= 100, s"iid derivation has 100 distinct letter maps, got $factor")
+    val copies = explode(lit((0 until factor).toArray)).as("copy")
+    val base1  = "etaoinshrd"
+    val base2  = "lucmfwygpb"
+    val rots1  = (0 until 10).map(k => base1.drop(k) + base1.take(k))
+    val rots2  = (0 until 10).map(k => base2.drop(k) + base2.take(k))
+    Tables.documents(spark, src)
+      .select(col("*"), copies)
+      .withColumn("r1", element_at(array(rots1.map(lit): _*), pmod(col("copy"), lit(10)) + 1))
+      .withColumn("r2", element_at(array(rots2.map(lit): _*), (col("copy") / 10).cast("int") + 1))
+      .select((col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
+        expr(s"translate(translate(text, '$base1', r1), '$base2', r2)").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Tables.embeddings(spark, src)
+      .select(col("*"), copies)
+      .select((col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(i, col("copy")), lit(2)) === 0, x).otherwise(-x)))
+          .as("embedding"),
+        col("label"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Tables.events(spark, src)
+      .select(col("*"), copies)
+      .select((col("event_id") + col("copy") * lit(100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  /** [[ScaleDml.deriveDml]] with the copy shift raised to 10⁹ (clears
+    * q114/q116's +9·10⁸ synthetic insert keys at any factor ≤ ~9·10⁹).
+    */
+  def deriveDml(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val shift  = 1000000000L
+    val copies = explode(lit((0 until factor).toArray)).as("copy")
+    Tables.orders(spark, src)
+      .select(col("*"), copies)
+      .select(
+        (col("o_orderkey") + col("copy") * lit(shift)).as("o_orderkey"),
+        (col("o_custkey") + col("copy") * lit(shift)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        when(col("copy") === 0, col("o_orderpriority"))
+          .otherwise(concat(col("o_orderpriority"), lit("#"), col("copy")))
+          .as("o_orderpriority"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    Tables.customer(spark, src)
+      .select(col("*"), copies)
+      .select(
+        (col("c_custkey") + col("copy") * lit(shift)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def timeOnce(fn: (SparkSession, String) => DataFrame,
+      spark: SparkSession, dir: String): (Double, Long) = {
+    val t0  = System.nanoTime()
+    val obs = org.apache.spark.sql.Observation()
+    noop(fn(spark, dir).observe(obs, count(lit(1)).as("n")))
+    ((System.nanoTime() - t0) / 1e9, obs.get("n").asInstanceOf[Long])
+  }
+
+  private def measure(fn: (SparkSession, String) => DataFrame,
+      spark: SparkSession, dir: String, rerunUnder: Double): (Double, Long) = {
+    val (t1, n) = timeOnce(fn, spark, dir)
+    if (t1 < rerunUnder) {
+      val (t2, _) = timeOnce(fn, spark, dir)
+      (math.min(t1, t2), n)
+    } else (t1, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val src    = "/root/testdata/sf0.1"
+    val tmp    = System.getProperty("java.io.tmpdir")
+    val iidDir = s"$tmp/graft_sfcentury_iid$factor"
+    val dmlDir = s"$tmp/graft_sfcentury_dml$factor"
+    val spark  = Engine.session(32)
+
+    deriveIid(spark, src, iidDir, factor)
+    deriveDml(spark, src, dmlDir, factor)
+    val nd = spark.read.parquet(s"$iidDir/documents.parquet").count()
+    val nv = spark.read.parquet(s"$iidDir/embeddings.parquet").count()
+    val ne = spark.read.parquet(s"$iidDir/events.parquet").count()
+    val no = spark.read.parquet(s"$dmlDir/orders.parquet").count()
+    println(s"SCALECENTURY corpus x$factor: $nd docs, $nv vectors, $ne events, $no orders")
+
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      noop(spark.read.parquet(s"$src/region.parquet"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel()
+    val sentStart = sentinel()
+
+    // ---- heavy operator families ------------------------------------
+    case class OpRow(name: String, t01: Double, n01: Long, t100: Double, n100: Long)
+    val opRows = OpSlate.map { name =>
+      val fn = SparkEntry.queries(name)
+      val (t01, n01) = measure(fn, spark, src, rerunUnder = 30.0)
+      // the 100× arm's threshold exceeds its one-time setup (index
+      // builds) so a setup-heavy first run is re-paid, not recorded
+      val (t100, n100) = measure(fn, spark, iidDir, rerunUnder = 150.0)
+      println(f"SCALECENTURY $name%-28s sf0.1 $t01%7.2f s/$n01%9d rows   " +
+        f"iid100 $t100%8.2f s/$n100%10d (${t100 / t01}%6.1fx wall, ${n100.toDouble / math.max(1L, n01)}%6.1fx rows)")
+      OpRow(name, t01, n01, t100, n100)
+    }
+
+    // ---- warehouse/DML families (first = setup+apply, steady = nightly)
+    case class DmlRow(name: String, f01: Double, s01: Double, n01: Long,
+        f100: Double, s100: Double, n100: Long)
+    val dmlRows = DmlSlate.map { name =>
+      val fn = SparkEntry.queries(name)
+      val (f01, n01)  = timeOnce(fn, spark, src)
+      val (s01, _)    = timeOnce(fn, spark, src)
+      val (f100, n100) = timeOnce(fn, spark, dmlDir)
+      val (s100, _)    = timeOnce(fn, spark, dmlDir)
+      println(f"SCALECENTURY $name%-28s sf0.1 first $f01%7.2f/steady $s01%7.2f s   " +
+        f"dml100 first $f100%8.2f/steady $s100%8.2f s (${s100 / s01}%6.1fx steady)")
+      DmlRow(name, f01, s01, n01, f100, s100, n100)
+    }
+    val sentEnd = sentinel()
+
+    def r(d: Double) = f"$d%.3f"
+    val opJson = opRows.map { x =>
+      s""""${x.name}":{"t_sf01":${r(x.t01)},"rows_sf01":${x.n01},""" +
+        s""""t_iid100":${r(x.t100)},"rows_iid100":${x.n100},""" +
+        s""""ratio_wall":${r(x.t100 / x.t01)},"ratio_rows":${r(x.n100.toDouble / math.max(1L, x.n01))}}"""
+    }.mkString("{", ",", "}")
+    val dmlJson = dmlRows.map { x =>
+      s""""${x.name}":{"t_first_sf01":${r(x.f01)},"t_steady_sf01":${r(x.s01)},"rows_sf01":${x.n01},""" +
+        s""""t_first_100x":${r(x.f100)},"t_steady_100x":${r(x.s100)},"rows_100x":${x.n100},""" +
+        s""""ratio_first":${r(x.f100 / x.f01)},"ratio_steady":${r(x.s100 / x.s01)}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_ratio_100x","factor":$factor,"sf_src":"$src",""" +
+        s""""corpus":{"docs":$nd,"vectors":$nv,"events":$ne,"orders":$no},""" +
+        s""""criteria":{"ops":"wall judged against OUTPUT rows ratio - iid decorrelation keeps true per-copy structure, cross-copy mass is the data's own tail","dml":"steady is the recurring nightly path; first carries one-time CTAS/index setup"},""" +
+        s""""sentinel":{"start":${r(sentStart)},"end":${r(sentEnd)}},""" +
+        s""""op_queries":$opJson,"dml_queries":$dmlJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf2.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(s"SCALECENTURY wrote BENCH_sf2.json (${opRows.size} op + ${dmlRows.size} dml queries)")
+    spark.stop()
+  }
+}

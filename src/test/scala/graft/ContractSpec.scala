@@ -28,6 +28,28 @@ class ContractSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate query numbers: $dups")
   }
 
+  test("shared-oracle groups: every duplicate SQL is declared, every declaration still shared") {
+    def norm(sql: String) = sql.split("\\s+").mkString(" ").trim
+    val actualGroups = SparkEntry.oracleSql.toSeq
+      .groupBy { case (_, sql) => norm(sql) }
+      .values.map(_.map(_._1).toSet)
+      .filter(_.size > 1)
+      .toSet
+    val declared = Oracles.sharedOracleGroups.toSet
+    // declarations must be real query names, and no query in two groups
+    val known = SparkEntry.queries.keySet
+    declared.flatten.foreach(n => assert(known.contains(n), s"declared unknown query: $n"))
+    val multi = declared.toSeq.flatten.groupBy(identity).collect { case (n, v) if v.size > 1 => n }
+    assert(multi.isEmpty, s"query declared in more than one shared group: $multi")
+    // both directions: undeclared duplicates (copy-paste drift) and
+    // stale declarations (a pair whose sharing was silently edited away)
+    assert(actualGroups == declared,
+      s"""shared-oracle drift —
+         | undeclared duplicate groups: ${(actualGroups -- declared).map(_.toSeq.sorted)}
+         | declared but no longer shared: ${(declared -- actualGroups).map(_.toSeq.sorted)}
+         |update Oracles.sharedOracleGroups ONLY for intentional exact-equality contracts.""".stripMargin)
+  }
+
   test("oracle SQL is non-empty and single-statement") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name has an empty oracle")

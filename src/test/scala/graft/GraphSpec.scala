@@ -88,6 +88,59 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("capDegree bounds edges to n·k, keeps planted clusters intact, and severs the hub") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // two planted 4-cliques with strong internal edges (sim 0.9) + one
+    // HUB vertex (100) weakly connected (sim 0.5) to every other vertex
+    // — the boilerplate-vector shape that merges everything into one
+    // blob when closure runs uncapped
+    val cliqueA = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b, 0.9)
+    val cliqueB = for { a <- 11L to 14L; b <- (a + 1) to 14L } yield (a, b, 0.9)
+    val hub     = (1L to 4L).map(v => (v, 100L, 0.5)) ++ (11L to 14L).map(v => (v, 100L, 0.5))
+    val pairs   = (cliqueA ++ cliqueB ++ hub).toDF("id_a", "id_b", "cos")
+
+    // uncapped: the hub glues both cliques into ONE component
+    val uncapped = Graph.componentsAuto(pairs, "id_a", "id_b")
+    assert(uncapped.select("component").distinct().count() == 1)
+
+    // capped at k=3 (clique degree): every clique edge survives (each
+    // clique node's top-3 are its 0.9 links, so spokes drop from the
+    // clique side) and the HUB keeps only its own 3 strongest spokes
+    // (either-side keep, here v=1,2,3) — degree is bounded at k, so
+    // the hub can no longer glue the two cliques together
+    val capped = Graph.capDegree(pairs, "id_a", "id_b", "cos", k = 3)
+    assert(capped.count() == (cliqueA ++ cliqueB).size.toLong + 3,
+      "the 12 clique edges + the hub's own top-3 spokes must survive a k=3 cap")
+    val comps = Graph.componentsAuto(capped, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(comps).toSet.size == 1)
+    assert((11L to 14L).map(comps).toSet.size == 1)
+    assert(comps(1L) != comps(11L), "capped closure must separate the planted clusters")
+
+    // either-side keep: an edge in ONE endpoint's top-k survives even
+    // if the other endpoint is saturated — k=1 on a star keeps every
+    // spoke (each leaf's only edge), bounding edges at n·k
+    val star = (2L to 6L).map(v => (1L, v, 1.0 / v)).toDF("id_a", "id_b", "cos")
+    assert(Graph.capDegree(star, "id_a", "id_b", "cos", k = 1).count() == 5)
+
+    // all input columns and orientation pass through untouched
+    val withExtra = pairs.withColumn("tag", concat(lit("e"), $"id_a"))
+    val kept = Graph.capDegree(withExtra, "id_a", "id_b", "cos", k = 3)
+    assert(kept.columns.toSeq == Seq("id_a", "id_b", "cos", "tag"))
+  }
+
+  test("q62 with a degree cap returns the same clusters when no hub exists (sf0.001)") {
+    // on the real embeddings fixture a generous cap must be a no-op:
+    // the exact path and the capped path agree wherever degree ≤ k
+    val exact = QueriesCorpus.q62_semantic_dedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = QueriesCorpus.q62_semantic_dedup(spark, sfDir, degreeCap = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(capped == exact, "a cap above max degree must not change q62")
+  }
+
   test("keepOnePerComponent picks greatest rank, breaking ties on smallest id") {
     import spark.implicits._
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")

@@ -360,4 +360,47 @@ from source
     // inverted ranges are a caller bug, not an empty window
     intercept[IllegalArgumentException](pipe.backfill("20221222", "20221220"))
   }
+
+  test("chaos: backfill killed mid-write at every failpoint converges exactly on re-backfill") {
+    // the operational story a daily pipeline needs: a day dies mid-swap
+    // (executor loss, OOM, preemption), the scheduler re-runs the
+    // WINDOW — the result must be byte-identical to a never-failed run
+    // ingest-time current_timestamp columns legitimately differ per
+    // run — convergence is about the DATA columns
+    def snap(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val keep = df.schema.fields
+        .filterNot(_.dataType.typeName == "timestamp")
+        .map(f => org.apache.spark.sql.functions.col(f.name))
+      df.select(keep: _*).collect().map(_.toSeq).toSet
+    }
+    val reference = {
+      val (pipe, wh, _, _) = freshPipeline()
+      pipe.backfill("20221219", "20221221")
+      Map(
+        "scored" -> snap(wh.table("gold", "scored_articles")),
+        "words"  -> snap(wh.table("gold", "combined_pre_nlp")),
+        "arxiv"  -> snap(wh.table("silver", "arxiv")))
+    }
+    for (point <- Seq("after-stage-write", "after-retire", "after-swap")) {
+      val (pipe, wh, _, _) = freshPipeline()
+      wh.failpoint = point
+      // the crash surfaces as the day's failure (swap threw mid-write);
+      // after-swap commits before throwing, so either outcome is legal —
+      // what matters is what RE-BACKFILL converges to
+      try { pipe.backfill("20221219", "20221221") }
+      catch { case e: RuntimeException => assert(e.getMessage.contains("chaos")) }
+      wh.failpoint = null
+      val again = pipe.backfill("20221219", "20221221")
+      assert(again.map(_._1) == Seq("20221219", "20221220", "20221221"))
+      assert(snap(wh.table("gold", "scored_articles"))
+        == reference("scored"), s"scored diverged after crash at $point")
+      assert(snap(wh.table("gold", "combined_pre_nlp"))
+        == reference("words"), s"gold words diverged after crash at $point")
+      assert(snap(wh.table("silver", "arxiv"))
+        == reference("arxiv"), s"silver diverged after crash at $point")
+      // and convergence is stable: one more window is a pure no-op
+      pipe.backfill("20221219", "20221221")
+      assert(snap(wh.table("gold", "scored_articles")) == reference("scored"))
+    }
+  }
 }

@@ -26,6 +26,29 @@ class SkewSpec extends SparkSpec {
     assert(row.getAs[Long]("top_key") == 2L, "tie must go to the smallest key")
   }
 
+  test("keySkewReport handles string keys, null keys, and Long.MinValue without overflow") {
+    // string key: no negation of the key is possible; tie goes to the
+    // lexicographically smallest
+    val sRow = Skew.keySkewReport(
+      Seq("b", "b", "a", "a", "z").toDF("k"), "k", "s.k").collect().head
+    assert(sRow.getAs[Long]("max_key_rows") == 2L)
+    assert(sRow.getAs[String]("top_key") == "a")
+
+    // null keys count in the profile but never become top_key
+    val nRow = Skew.keySkewReport(
+      Seq(Some(4L), None, None, None, Some(4L)).toDF("k"), "k", "n.k").collect().head
+    assert(nRow.getAs[Long]("n_rows") == 5L)
+    assert(nRow.getAs[Long]("n_keys") == 2L)
+    assert(nRow.getAs[Long]("max_key_rows") == 3L)
+    assert(nRow.getAs[Long]("top_key") == 4L, "null key must not win the label")
+
+    // Long.MinValue key: the old (cnt, −key) struct negated the KEY and
+    // overflowed here; the (−cnt, key) form negates only the count
+    val mRow = Skew.keySkewReport(
+      Seq(Long.MinValue, Long.MinValue, 7L).toDF("k"), "k", "m.k").collect().head
+    assert(mRow.getAs[Long]("top_key") == Long.MinValue)
+  }
+
   test("different-key saltedJoin equals the plain inner join, including null and unmatched keys") {
     // skewed big side (key 1 dominates), an unmatched big key (7), a
     // null big key, an unmatched small key (99), a null small key

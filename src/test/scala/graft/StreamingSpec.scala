@@ -87,6 +87,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum == 1000L)
   }
 
+  test("RocksDB state store: stateful twins emit identical results to the default HDFS provider") {
+    // the 100 TB-state config (Engine.session(rocksDbStateStore = true)
+    // bakes it in at build; here the runtime conf proves provider
+    // INVARIANCE on the same session): flatMapGroupsWithState with
+    // event-time timeout — the most state-API-hungry op the engine has —
+    // must emit byte-identical sessions under both providers.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rocksdb").toString
+    val evs = eventsAsMicros.filter(col("user_id") < 40)
+    evs.write.parquet(s"$dir/in")
+    val maxTs = evs.agg(max($"ts")).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+    Seq((-1L, sentinelTs, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+
+    def run(name: String): Set[(Long, Long, Long, Long)] = EventStreams
+      .runBounded(
+        EventStreams.gapSessions(
+          EventStreams.readEventStream(spark, s"$dir/in").as[EventStreams.Event],
+          gapMicros = 1800000000L).toDF(),
+        name, OutputMode.Append())
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val confKey   = "spark.sql.streaming.stateStore.providerClass"
+    val defaulted = run("rocks_twin_default")
+    spark.conf.set(confKey, Engine.RocksDbProvider)
+    try {
+      val rocks = run("rocks_twin_rocksdb")
+      assert(defaulted.nonEmpty)
+      assert(rocks == defaulted, "state-store provider must be invisible in the results")
+    } finally spark.conf.unset(confKey)
+  }
+
   test("streaming gap sessions equal batch sessionize once the watermark closes them") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream5").toString

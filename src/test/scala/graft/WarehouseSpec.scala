@@ -711,6 +711,48 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.scanPrunedEq("gold", "bl", "key", Seq(-1L)).count() == 0)
   }
 
+  test("DataFrame-keyed scanPrunedEq + deleteMorKeys: a request list too big for isin, never collected") {
+    import spark.implicits._
+    val wh = freshWh()
+    val n  = 100000L
+    val df = spark.range(n).select(
+      xxhash64($"id").as("key"),
+      ($"id" % 97).as("payload"))
+    wh.createOrReplace("gold", "blk", df.repartition(20))
+    wh.collectBloom("gold", "blk", "key")
+    val allFiles = wh.table("gold", "blk").inputFiles.length
+
+    // 5000 keys — far past any sane isin literal list — as a DataFrame
+    val keys = spark.range(0, n, 20).select(xxhash64($"id").as("key"))
+    val pruned = wh.scanPrunedEq("gold", "blk", "key", keys)
+    val expect = wh.table("gold", "blk")
+      .join(keys, Seq("key"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(expect.length == 5000)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == expect)
+
+    // a FEW DataFrame keys must still prune hard, like the literal form
+    val few = spark.range(5, 6).select(xxhash64($"id").as("key"))
+    val fewScan = wh.scanPrunedEq("gold", "blk", "key", few)
+    assert(fewScan.inputFiles.length < allFiles / 2,
+      s"bloom must skip most files (${fewScan.inputFiles.length} of $allFiles read)")
+    assert(fewScan.count() == 1)
+
+    // null keys match nothing; an all-null key frame scans nothing
+    val withNull = few.unionByName(Seq(Option.empty[Long]).toDF("key"))
+    assert(wh.scanPrunedEq("gold", "blk", "key", withNull).count() == 1)
+    assert(wh.scanPrunedEq("gold", "blk", "key",
+      Seq(Option.empty[Long]).toDF("key")).count() == 0)
+
+    // the semi-join delete forgets exactly the request, O(matched) tombstones
+    val deleted = wh.deleteMorKeys("gold", "blk", "key", keys)
+    assert(deleted == 5000L)
+    assert(wh.table("gold", "blk").count() == n - 5000)
+    assert(wh.table("gold", "blk").join(keys, Seq("key"), "left_semi").count() == 0)
+    // re-run: nothing left to forget, unified no-op convention
+    assert(wh.deleteMorKeys("gold", "blk", "key", keys) == 0L)
+  }
+
   test("sidecar refresh after COW DML is incremental: carried files keep their rows verbatim") {
     import spark.implicits._
     val wh = freshWh(keep = 3)
