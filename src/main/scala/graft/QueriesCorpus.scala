@@ -953,13 +953,29 @@ object QueriesCorpus {
     * larger vec_id (exists-style keep rule); output = survivors with
     * their cluster. Cosine runs on the ORIGINAL float embeddings via
     * the codegen dot (same parity as q29/q62).
+    *
+    * The cluster COUNT scales with the corpus — k = max(8, ⌈n/250⌉),
+    * constant target occupancy, the [[graft.operators.Similarity
+    * .lshPlan]] discipline applied to clusters: a FIXED k leaves
+    * within-cluster pair mass ∝ n²/k, which the 100× rung caught red-
+    * handed (469× wall for 19× output at 100× data, BENCH_sf2.json —
+    * the decade-out sleeper this engine's rungs exist to catch);
+    * occupancy-constant k makes pair mass ∝ n·occ and the same run
+    * ~linear. 250 is sf0.1's historical occupancy (2000 vectors / 8
+    * clusters), so every oracle-gated scale (sf0.001/0.01/0.1) keeps
+    * the exact historical k=8 and the DuckDB replay is unchanged;
+    * SemDeDup's own recipe (cluster count grows with the corpus, not
+    * cluster size) is what the rule implements. Assignment cost is
+    * n·k centroid dots — at 100× (k=800) that is the price of keeping
+    * the pair stage linear, and it is itself one codegen projection.
     */
   def q139_semdedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{Clustering, Similarity}
     val emb = Tables.embeddings(spark, dir)
+    val k   = math.max(8, math.ceil(emb.count() / 250.0).toInt)
     val assigned = Clustering
-      .kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .kmeans(emb, "vec_id", "embedding", k = k, iters = 2)
       .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
     val a = assigned.select($"cluster", $"vec_id".as("id_a"), $"embedding".as("va"))
     val b = assigned.select($"cluster", $"vec_id".as("id_b"), $"embedding".as("vb"))
