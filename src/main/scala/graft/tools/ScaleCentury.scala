@@ -41,7 +41,10 @@ import org.apache.spark.sql.functions._
   * regressions otherwise) — the DML slate separates `first` and
   * `steady` explicitly instead.
   *
-  * `sbt "runMain graft.tools.ScaleCentury [factor]"` → BENCH_sf2.json
+  * `sbt "runMain graft.tools.ScaleCentury [factor] [ops|dml|all]"` →
+  * BENCH_sf2.json. A partial run (`ops`/`dml`) merges into the
+  * existing file, preserving the other section — the same convention
+  * as ScaleDml merging into BENCH_sf1.json.
   */
 object ScaleCentury {
 
@@ -166,19 +169,29 @@ object ScaleCentury {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val which  = args.lift(1).getOrElse("all")
+    require(Set("ops", "dml", "all")(which), s"second arg must be ops|dml|all, got $which")
+    val runOps = which != "dml"
+    val runDml = which != "ops"
     val src    = "/root/testdata/sf0.1"
     val tmp    = System.getProperty("java.io.tmpdir")
     val iidDir = s"$tmp/graft_sfcentury_iid$factor"
     val dmlDir = s"$tmp/graft_sfcentury_dml$factor"
     val spark  = Engine.session(32)
 
-    deriveIid(spark, src, iidDir, factor)
-    deriveDml(spark, src, dmlDir, factor)
-    val nd = spark.read.parquet(s"$iidDir/documents.parquet").count()
-    val nv = spark.read.parquet(s"$iidDir/embeddings.parquet").count()
-    val ne = spark.read.parquet(s"$iidDir/events.parquet").count()
-    val no = spark.read.parquet(s"$dmlDir/orders.parquet").count()
-    println(s"SCALECENTURY corpus x$factor: $nd docs, $nv vectors, $ne events, $no orders")
+    if (runOps) deriveIid(spark, src, iidDir, factor)
+    if (runDml) deriveDml(spark, src, dmlDir, factor)
+    // on a partial run the other corpus' files usually still exist from
+    // the full run — count them when present, -1 only when truly absent
+    def countIf(run: Boolean, path: String) =
+      if (run || java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        spark.read.parquet(path).count()
+      else -1L
+    val nd = countIf(runOps, s"$iidDir/documents.parquet")
+    val nv = countIf(runOps, s"$iidDir/embeddings.parquet")
+    val ne = countIf(runOps, s"$iidDir/events.parquet")
+    val no = countIf(runDml, s"$dmlDir/orders.parquet")
+    println(s"SCALECENTURY corpus x$factor ($which): $nd docs, $nv vectors, $ne events, $no orders")
 
     def sentinel(): Double = {
       val t0 = System.nanoTime()
@@ -190,7 +203,7 @@ object ScaleCentury {
 
     // ---- heavy operator families ------------------------------------
     case class OpRow(name: String, t01: Double, n01: Long, t100: Double, n100: Long)
-    val opRows = OpSlate.map { name =>
+    val opRows = (if (runOps) OpSlate else Seq.empty[String]).map { name =>
       val fn = SparkEntry.queries(name)
       val (t01, n01) = measure(fn, spark, src, rerunUnder = 30.0)
       // the 100× arm's threshold exceeds its one-time setup (index
@@ -204,7 +217,7 @@ object ScaleCentury {
     // ---- warehouse/DML families (first = setup+apply, steady = nightly)
     case class DmlRow(name: String, f01: Double, s01: Double, n01: Long,
         f100: Double, s100: Double, n100: Long)
-    val dmlRows = DmlSlate.map { name =>
+    val dmlRows = (if (runDml) DmlSlate else Seq.empty[String]).map { name =>
       val fn = SparkEntry.queries(name)
       val (f01, n01)  = timeOnce(fn, spark, src)
       val (s01, _)    = timeOnce(fn, spark, src)
@@ -217,24 +230,48 @@ object ScaleCentury {
     val sentEnd = sentinel()
 
     def r(d: Double) = f"$d%.3f"
-    val opJson = opRows.map { x =>
-      s""""${x.name}":{"t_sf01":${r(x.t01)},"rows_sf01":${x.n01},""" +
-        s""""t_iid100":${r(x.t100)},"rows_iid100":${x.n100},""" +
-        s""""ratio_wall":${r(x.t100 / x.t01)},"ratio_rows":${r(x.n100.toDouble / math.max(1L, x.n01))}}"""
-    }.mkString("{", ",", "}")
-    val dmlJson = dmlRows.map { x =>
-      s""""${x.name}":{"t_first_sf01":${r(x.f01)},"t_steady_sf01":${r(x.s01)},"rows_sf01":${x.n01},""" +
-        s""""t_first_100x":${r(x.f100)},"t_steady_100x":${r(x.s100)},"rows_100x":${x.n100},""" +
-        s""""ratio_first":${r(x.f100 / x.f01)},"ratio_steady":${r(x.s100 / x.s01)}}"""
-    }.mkString("{", ",", "}")
+    // partial runs keep the other section from the existing file
+    // (sections are extracted by their top-level key markers — the
+    // file is written by this tool, single-line, so the markers are
+    // stable)
+    val outPath = java.nio.file.Paths.get("BENCH_sf2.json")
+    def priorSection(key: String): String = {
+      if (!java.nio.file.Files.exists(outPath)) return "{}"
+      val s     = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+      val mark  = s""""$key":"""
+      val start = s.indexOf(mark)
+      if (start < 0) return "{}"
+      var i     = start + mark.length
+      var depth = 0
+      val from  = i
+      while (i < s.length && (depth > 0 || i == from)) {
+        if (s.charAt(i) == '{') depth += 1
+        else if (s.charAt(i) == '}') depth -= 1
+        i += 1
+      }
+      s.substring(from, i)
+    }
+    val opJson =
+      if (!runOps) priorSection("op_queries")
+      else opRows.map { x =>
+        s""""${x.name}":{"t_sf01":${r(x.t01)},"rows_sf01":${x.n01},""" +
+          s""""t_iid100":${r(x.t100)},"rows_iid100":${x.n100},""" +
+          s""""ratio_wall":${r(x.t100 / x.t01)},"ratio_rows":${r(x.n100.toDouble / math.max(1L, x.n01))}}"""
+      }.mkString("{", ",", "}")
+    val dmlJson =
+      if (!runDml) priorSection("dml_queries")
+      else dmlRows.map { x =>
+        s""""${x.name}":{"t_first_sf01":${r(x.f01)},"t_steady_sf01":${r(x.s01)},"rows_sf01":${x.n01},""" +
+          s""""t_first_100x":${r(x.f100)},"t_steady_100x":${r(x.s100)},"rows_100x":${x.n100},""" +
+          s""""ratio_first":${r(x.f100 / x.f01)},"ratio_steady":${r(x.s100 / x.s01)}}"""
+      }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_ratio_100x","factor":$factor,"sf_src":"$src",""" +
         s""""corpus":{"docs":$nd,"vectors":$nv,"events":$ne,"orders":$no},""" +
         s""""criteria":{"ops":"wall judged against OUTPUT rows ratio - iid decorrelation keeps true per-copy structure, cross-copy mass is the data's own tail","dml":"steady is the recurring nightly path; first carries one-time CTAS/index setup"},""" +
         s""""sentinel":{"start":${r(sentStart)},"end":${r(sentEnd)}},""" +
         s""""op_queries":$opJson,"dml_queries":$dmlJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf2.json"),
-      (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     println(s"SCALECENTURY wrote BENCH_sf2.json (${opRows.size} op + ${dmlRows.size} dml queries)")
     spark.stop()
   }
