@@ -41,6 +41,15 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Centroid count past which [[kmeansModel]]'s assignment switches
+    * from the one-projection literal form to the broadcast-join argmin
+    * (see the comment at the switch). Test seam (ClusteringSpec forces
+    * both paths on the same data and pins bit-equality), defaulted to
+    * the measured codegen comfort bound — same convention as
+    * `Warehouse.failpoint`.
+    */
+  @volatile private[graft] var joinAssignThreshold: Int = 64
+
   /** Quantize a float/double vector to the 1/1024 integer grid. */
   def quantized(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * lit(1024.0), 0).cast("long"))
@@ -141,6 +150,7 @@ object Clustering {
       k: Int,
       iters: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
     require(k >= 1 && iters >= 1, s"kmeans needs k>=1, iters>=1, got k=$k iters=$iters")
+    val spark = df.sparkSession
     val base = Materialize(
       df.select(col(idCol).as("id"), quantized(col(vecCol)).as("vq"))
         .withColumn("dv", transform(col("vq"), _.cast("double"))))
@@ -154,8 +164,57 @@ object Clustering {
 
     // argmin over literal centroids: array_min of (dist, cluster)
     // structs — lexicographic struct ordering IS the dist-then-id
-    // tie-break, and the whole thing is one codegen projection.
-    def assign(): DataFrame = assignQ(base, col("dv"), cents, "cluster")
+    // tie-break, and the whole thing is one codegen projection. Past
+    // `joinAssignThreshold` centroids the single projection stops
+    // compiling as one whole-stage method (the generated array of k
+    // inlined dot loops overflows codegen and falls back to
+    // interpreted eval — measured 32 s for k=80 over 20k vectors where
+    // the compiled form is sub-second), so large k switches to the
+    // broadcast-join argmin: one SMALL codegen dot per (row, centroid)
+    // pair and a map-side-combined min(struct(d, c)) per row. The
+    // distance expression is the SAME ops in the SAME order, so the
+    // two paths pick bit-identical clusters (pinned in
+    // ClusteringSpec); every oracle-gated scale runs k=8 — the literal
+    // path — so cross-engine replay is untouched.
+    def assign(): DataFrame =
+      if (cents.lengthCompare(Clustering.joinAssignThreshold) <= 0)
+        assignQ(base, col("dv"), cents, "cluster")
+      else {
+        // Two HashAggregate passes, never a struct-min: min over a
+        // STRUCT falls back to SortAggregate, which sorts the n·k
+        // joined stream and OOMs long before the arithmetic matters
+        // (measured at n=200k, k=800 on a default heap). Pass 1 takes
+        // the primitive min distance per row; pass 2 recomputes the
+        // same bit-identical distance expression, keeps the exact
+        // minima, and breaks ties to the smallest centroid id — the
+        // literal path's (dist, id) lexicographic order, reproduced
+        // with primitive-only aggregates. The minima frame joins back
+        // under an EXPLICIT broadcast hint — not AQE's: the planner
+        // cannot know the aggregate is small until its stage finishes,
+        // so a planned sort-merge join starts shuffle-WRITING the n·k
+        // pair stream concurrently (measured: the 1.6e8-pair stream
+        // spilled >50 GB of shuffle before AQE could intervene). The
+        // broadcast is n rows × 16 bytes — bounded by the corpus's ROW
+        // COUNT, fine wherever a driver-side k·d centroid model is
+        // fine, which is this operator's existing contract.
+        val centDf = broadcast(
+          spark.createDataFrame(cents.map { case (c, cent) =>
+            var c2 = 0.0
+            var i  = 0
+            while (i < cent.length) { c2 += cent(i) * cent(i); i += 1 }
+            (c, cent.toSeq, c2)
+          }).toDF("__kc", "__kcent", "__kc2"))
+        val d = vecDot(col("dv"), col("dv")) -
+          lit(2.0) * vecDot(col("dv"), col("__kcent")) + col("__kc2")
+        val pairs = base.select(col("id"), col("dv")).crossJoin(centDf)
+        val dmin  = pairs.groupBy(col("id")).agg(min(d).as("__kdmin"))
+        val arg = pairs
+          .join(broadcast(dmin), Seq("id"))
+          .filter(d === col("__kdmin"))
+          .groupBy(col("id"))
+          .agg(min(col("__kc")).as("cluster"))
+        base.join(arg, Seq("id"))
+      }
 
     var current = assign()
     for (_ <- 2 to iters) {

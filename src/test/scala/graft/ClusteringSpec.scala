@@ -163,4 +163,24 @@ class ClusteringSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       "assignment must not shuffle the corpus")
   }
+
+  test("large-k join assignment is bit-identical to the literal projection (both paths forced)") {
+    // the scale path: past joinAssignThreshold centroids the one-
+    // projection form overflows codegen and switches to the broadcast-
+    // join argmin — same distance ops in the same order, so clusters
+    // must agree EXACTLY, including dist-then-id tie-breaks
+    val emb   = Tables.embeddings(spark, sfDir)
+    val saved = Clustering.joinAssignThreshold
+    def run(): Map[Long, Int] =
+      Clustering.kmeans(emb, "vec_id", "embedding", k = 12, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    try {
+      Clustering.joinAssignThreshold = Int.MaxValue // literal path
+      val literal = run()
+      Clustering.joinAssignThreshold = 0 // join path
+      val joined = run()
+      assert(literal.nonEmpty)
+      assert(joined == literal, "assignment paths must pick identical clusters")
+    } finally Clustering.joinAssignThreshold = saved
+  }
 }
