@@ -535,6 +535,13 @@ private[graft] object OraclesCorpus {
         s"""$kmeansCte
            |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
            |FROM a2 ORDER BY vec_id""".stripMargin,
+// q215: the same replay at k = 80 — gates the engine's LARGE-k
+// dispatch (distributed broadcast-model assignment via the native
+// NearestCentroid loop) with its own cross-engine row
+"q215_kmeans_large_k" ->
+        s"""${kmeansCteK(80)}
+           |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+           |FROM a2 ORDER BY vec_id""".stripMargin,
 // q139: SemDeDup — within-cluster cosine ≥ 0.45 pairs drop the
 // larger id; survivors keep their cluster
 "q139_semdedup" ->

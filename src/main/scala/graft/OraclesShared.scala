@@ -118,15 +118,22 @@ private[graft] object OraclesShared {
     * assignment. Mirrors [[graft.operators.Clustering.kmeans]]
     * step-for-step; see the q138 comment for the exactness argument.
     */
-  def kmeansCte: String =
-    """WITH v AS (
+  def kmeansCte: String = kmeansCteK(8)
+
+  /** [[kmeansCte]] at an arbitrary k — q215 replays the LARGE-k
+    * (distributed broadcast-model) engine path, which dispatches past
+    * `Clustering.joinAssignThreshold`, against the identical
+    * relational recipe; only the seed LIMIT differs from the k=8 CTE.
+    */
+  def kmeansCteK(k: Int): String =
+    s"""WITH v AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS vq
       |  FROM embeddings),
       |vd AS (SELECT vec_id, vq, list_transform(vq, x -> CAST(x AS DOUBLE)) AS dv FROM v),
       |init AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, dv AS cent
-      |  FROM vd ORDER BY vec_id LIMIT 8),
+      |  FROM vd ORDER BY vec_id LIMIT $k),
       |a1 AS (
       |  SELECT vec_id, cluster FROM (
       |    SELECT vd.vec_id, i.cluster,

@@ -945,6 +945,22 @@ object QueriesCorpus {
       .orderBy($"vec_id")
   }
 
+  /** q138 at k = 80 — past `Clustering.joinAssignThreshold`, so this
+    * is the LARGE-k dispatch: the centroid model stays a DataFrame end
+    * to end, assignment is the broadcast-model native-loop expression
+    * ([[graft.plans.NearestCentroid]]), and Lloyd updates never cross
+    * the driver. Exists so the scale path carries its own green
+    * cross-engine row (the k=8 oracles never exercise it); DuckDB
+    * replays the identical recipe with only the seed LIMIT changed.
+    */
+  def q215_kmeans_large_k(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Clustering
+    Clustering
+      .kmeans(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 80, iters = 2)
+      .orderBy($"vec_id")
+  }
+
   /** SemDeDup (Abbas et al. 2023): cluster FIRST, then semantic-dedup
     * WITHIN each cluster — pair generation becomes a cluster-keyed
     * equi-join, so candidates scale with Σ n_c² instead of n² (k× fewer

@@ -24,16 +24,22 @@ import org.apache.spark.sql.functions._
   *   - argmin tie-breaks on cluster id (struct ordering = ORDER BY
   *     dist, cluster).
   *
-  * Scale shape (the same topology Spark MLlib's KMeans uses): centroids
-  * ride into the assignment projection as LITERALS — k·d doubles baked
-  * into the plan, so assignment is a pure map (no join, no shuffle, no
+  * Scale shape (the same topology Spark MLlib's KMeans uses): for
+  * CONSTANT k (≤ [[joinAssignThreshold]]) centroids ride into the
+  * assignment projection as LITERALS — k·d doubles baked into the
+  * plan, so assignment is a pure map (no join, no shuffle, no
   * broadcast table); the update is one posexplode + (cluster, pos)
-  * aggregation with map-side partial sums whose OUTPUT is k·d rows; the
-  * only driver materializations are the k seed rows and the k·d sum
-  * table per iteration (~512 values at k=8, d=64 — bounded metadata,
-  * never corpus-sized). The quantized projection materializes once
-  * ([[Materialize]]) so the iteration loop re-reads a KB-per-row
-  * intermediate instead of re-scanning the corpus per pass.
+  * aggregation with map-side partial sums whose OUTPUT is k·d rows;
+  * the only driver materializations are the k seed rows and the k·d
+  * sum table per iteration (~512 values at k=8, d=64 — bounded
+  * metadata, never corpus-sized). For CORPUS-GROWING k (SemDeDup's
+  * k ∝ n rule) the model is a broadcast DataFrame end to end and
+  * assignment is one native loop expression — see
+  * [[kmeansDistributed]]; nothing k·d-sized crosses the driver per
+  * iteration and both paths are bit-identical (ClusteringSpec). The
+  * quantized projection materializes once ([[Materialize]]) so the
+  * iteration loop re-reads a KB-per-row intermediate instead of
+  * re-scanning the corpus per pass.
   *
   * Empty clusters drop (their ids vanish from later iterations), the
   * standard Lloyd convention and the one a relational replay follows
@@ -41,14 +47,34 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Centroid count past which [[kmeansModel]]'s assignment switches
-    * from the one-projection literal form to the broadcast-join argmin
-    * (see the comment at the switch). Test seam (ClusteringSpec forces
-    * both paths on the same data and pins bit-equality), defaulted to
-    * the measured codegen comfort bound — same convention as
-    * `Warehouse.failpoint`.
+  /** Centroid count past which [[kmeansModel]] switches from the
+    * driver-model literal-projection form to the fully distributed
+    * broadcast-model form (see [[kmeansDistributed]]). Test seam
+    * (ClusteringSpec forces both paths on the same data and pins
+    * bit-equality), defaulted to the measured codegen comfort bound —
+    * same convention as `Warehouse.failpoint`.
     */
   @volatile private[graft] var joinAssignThreshold: Int = 64
+
+  /** The measured codegen cliff: past this many LITERAL centroids the
+    * one-projection assignment stops JIT/codegen-compiling and runs
+    * interpreted (measured 32 s for k=80 over 20k vectors where the
+    * compiled form is sub-second). The default [[joinAssignThreshold]]
+    * sits exactly here; the guard exists for callers who pin the
+    * threshold higher and silently walk off the cliff.
+    */
+  private[graft] val literalCodegenCliff: Int = 64
+
+  /** Some(warning) when a literal-projection assignment over `k`
+    * centroids would run past the codegen cliff (pure so the spec can
+    * pin it; [[kmeansModel]] logs it). */
+  private[graft] def literalCliffWarning(k: Int): Option[String] =
+    if (k <= literalCodegenCliff) None
+    else Some(
+      s"literal-centroid assignment over $k centroids exceeds the codegen cliff " +
+        s"($literalCodegenCliff): the generated projection will fall back to interpreted " +
+        "eval (~30x slower). Lower Clustering.joinAssignThreshold so the distributed " +
+        "broadcast-model path handles this k.")
 
   /** Quantize a float/double vector to the 1/1024 integer grid. */
   def quantized(vec: Column): Column =
@@ -150,10 +176,25 @@ object Clustering {
       k: Int,
       iters: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
     require(k >= 1 && iters >= 1, s"kmeans needs k>=1, iters>=1, got k=$k iters=$iters")
-    val spark = df.sparkSession
     val base = Materialize(
       df.select(col(idCol).as("id"), quantized(col(vecCol)).as("vq"))
         .withColumn("dv", transform(col("vq"), _.cast("double"))))
+    if (k <= Clustering.joinAssignThreshold) kmeansLiteral(base, idCol, k, iters)
+    else kmeansDistributed(base, idCol, k, iters)
+  }
+
+  /** Small-k loop: centroids are a DRIVER-side k·d model baked into the
+    * assignment projection as literals (pure codegen map, no join, no
+    * broadcast table, no shuffle), and each Lloyd update collects k·d
+    * sum rows — bounded metadata wherever k is a constant. `base` is
+    * the materialized (id, vq, dv) projection.
+    */
+  private def kmeansLiteral(
+      base: DataFrame,
+      idCol: String,
+      k: Int,
+      iters: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
+    literalCliffWarning(k).foreach(w => System.err.println(s"[graft.Clustering] WARN: $w"))
 
     // Seed centroids: the k smallest ids' quantized vectors (k rows to
     // the driver — bounded by k, never by the corpus).
@@ -164,57 +205,8 @@ object Clustering {
 
     // argmin over literal centroids: array_min of (dist, cluster)
     // structs — lexicographic struct ordering IS the dist-then-id
-    // tie-break, and the whole thing is one codegen projection. Past
-    // `joinAssignThreshold` centroids the single projection stops
-    // compiling as one whole-stage method (the generated array of k
-    // inlined dot loops overflows codegen and falls back to
-    // interpreted eval — measured 32 s for k=80 over 20k vectors where
-    // the compiled form is sub-second), so large k switches to the
-    // broadcast-join argmin: one SMALL codegen dot per (row, centroid)
-    // pair and a map-side-combined min(struct(d, c)) per row. The
-    // distance expression is the SAME ops in the SAME order, so the
-    // two paths pick bit-identical clusters (pinned in
-    // ClusteringSpec); every oracle-gated scale runs k=8 — the literal
-    // path — so cross-engine replay is untouched.
-    def assign(): DataFrame =
-      if (cents.lengthCompare(Clustering.joinAssignThreshold) <= 0)
-        assignQ(base, col("dv"), cents, "cluster")
-      else {
-        // Two HashAggregate passes, never a struct-min: min over a
-        // STRUCT falls back to SortAggregate, which sorts the n·k
-        // joined stream and OOMs long before the arithmetic matters
-        // (measured at n=200k, k=800 on a default heap). Pass 1 takes
-        // the primitive min distance per row; pass 2 recomputes the
-        // same bit-identical distance expression, keeps the exact
-        // minima, and breaks ties to the smallest centroid id — the
-        // literal path's (dist, id) lexicographic order, reproduced
-        // with primitive-only aggregates. The minima frame joins back
-        // under an EXPLICIT broadcast hint — not AQE's: the planner
-        // cannot know the aggregate is small until its stage finishes,
-        // so a planned sort-merge join starts shuffle-WRITING the n·k
-        // pair stream concurrently (measured: the 1.6e8-pair stream
-        // spilled >50 GB of shuffle before AQE could intervene). The
-        // broadcast is n rows × 16 bytes — bounded by the corpus's ROW
-        // COUNT, fine wherever a driver-side k·d centroid model is
-        // fine, which is this operator's existing contract.
-        val centDf = broadcast(
-          spark.createDataFrame(cents.map { case (c, cent) =>
-            var c2 = 0.0
-            var i  = 0
-            while (i < cent.length) { c2 += cent(i) * cent(i); i += 1 }
-            (c, cent.toSeq, c2)
-          }).toDF("__kc", "__kcent", "__kc2"))
-        val d = vecDot(col("dv"), col("dv")) -
-          lit(2.0) * vecDot(col("dv"), col("__kcent")) + col("__kc2")
-        val pairs = base.select(col("id"), col("dv")).crossJoin(centDf)
-        val dmin  = pairs.groupBy(col("id")).agg(min(d).as("__kdmin"))
-        val arg = pairs
-          .join(broadcast(dmin), Seq("id"))
-          .filter(d === col("__kdmin"))
-          .groupBy(col("id"))
-          .agg(min(col("__kc")).as("cluster"))
-        base.join(arg, Seq("id"))
-      }
+    // tie-break, and the whole thing is one codegen projection.
+    def assign(): DataFrame = assignQ(base, col("dv"), cents, "cluster")
 
     var current = assign()
     for (_ <- 2 to iters) {
@@ -238,5 +230,95 @@ object Clustering {
       current = assign()
     }
     (current.select(col("id").as(idCol), col("cluster")), cents)
+  }
+
+  /** Large-k loop: the scale shape. The centroid model lives as a
+    * DATAFRAME end to end — nothing k·d-sized crosses the driver until
+    * the one converged-model collect at the end, and nothing
+    * corpus-sized is ever broadcast or joined:
+    *
+    *   - assignment collapses the model to ONE row (an array of k
+    *     (c, cent, c2) structs, k·d doubles — the same bytes MLlib
+    *     broadcasts), crossJoins it in as a broadcast, and picks the
+    *     argmin with the native [[graft.plans.NearestCentroid]]
+    *     expression — a single codegen LOOP per row, so it neither
+    *     overflows codegen the way k inlined literal dot expressions
+    *     do past [[literalCodegenCliff]] (measured: 32 s interpreted
+    *     at k=80/20k rows) nor materializes the n·k pair stream the
+    *     earlier join-argmin shape shuffled (and whose minima
+    *     join-back broadcast an n-ROW frame — corpus-sized, the thing
+    *     an 8 GB broadcast cap hard-fails at 10⁹ vectors);
+    *   - each Lloyd update is the same exact BIGINT component-sum
+    *     aggregation, but its k·d result stays distributed: component
+    *     means are finished in-plan (`cast(s as double)/n` — the one
+    *     IEEE division, bit-identical to the driver form) and
+    *     re-assembled into per-cluster arrays by a deterministic
+    *     array_sort-by-pos, then [[Materialize]]d so iteration i+1's
+    *     broadcast subplan doesn't re-execute iteration i;
+    *   - `c2` = Σ cent_i² is computed once per centroid IN-PLAN with
+    *     [[graft.plans.VectorExpressions.vecDot]](cent, cent) — the
+    *     identical left-to-right loop the literal path runs on the
+    *     driver, so distances are bit-identical across paths (pinned
+    *     in ClusteringSpec).
+    *
+    * Seeds are the same rule as the literal path — the k smallest ids'
+    * quantized vectors, numbered 0..k−1 in id order — expressed
+    * in-plan (row_number over the k-row TakeOrdered result; one k-row
+    * task, model-sized). Empty clusters produce no sum rows and drop,
+    * the shared Lloyd convention.
+    */
+  private def kmeansDistributed(
+      base: DataFrame,
+      idCol: String,
+      k: Int,
+      iters: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
+    import graft.plans.CentroidExpressions.nearestCentroid
+    import org.apache.spark.sql.expressions.Window
+
+    var centDf: DataFrame = Materialize(
+      base
+        .orderBy("id")
+        .limit(k)
+        .select(
+          (row_number().over(Window.orderBy("id")) - 1).as("__kc"),
+          col("dv").as("__kcent")))
+
+    def assign(): DataFrame = {
+      val model = centDf.agg(
+        array_sort(collect_list(struct(
+          col("__kc").as("c"),
+          col("__kcent").as("cent"),
+          vecDot(col("__kcent"), col("__kcent")).as("c2")))).as("__cents"))
+      base
+        .crossJoin(broadcast(model))
+        .withColumn("cluster", nearestCentroid(col("dv"), col("__cents")))
+        .drop("__cents")
+    }
+
+    var current = assign()
+    for (_ <- 2 to iters) {
+      // Exact integer component sums as in the literal path, finished
+      // and re-arrayed without leaving the cluster. collect_list is
+      // order-nondeterministic; array_sort on (pos, mean) structs
+      // (pos unique per cluster) pins component order.
+      centDf = Materialize(
+        current
+          .select(col("cluster").as("__kc"), posexplode(col("vq")).as(Seq("pos", "v")))
+          .groupBy("__kc", "pos")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .groupBy("__kc")
+          .agg(transform(
+            array_sort(collect_list(struct(
+              col("pos"),
+              (col("s").cast("double") / col("n")).as("m")))),
+            x => x.getField("m")).as("__kcent")))
+      current = assign()
+    }
+    val model = centDf
+      .orderBy("__kc")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toSeq
+    (current.select(col("id").as(idCol), col("cluster")), model)
   }
 }

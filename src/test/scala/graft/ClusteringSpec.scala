@@ -164,23 +164,87 @@ class ClusteringSpec extends SparkSpec {
       "assignment must not shuffle the corpus")
   }
 
-  test("large-k join assignment is bit-identical to the literal projection (both paths forced)") {
-    // the scale path: past joinAssignThreshold centroids the one-
-    // projection form overflows codegen and switches to the broadcast-
-    // join argmin — same distance ops in the same order, so clusters
-    // must agree EXACTLY, including dist-then-id tie-breaks
+  test("large-k distributed path is bit-identical to the literal projection (both paths forced)") {
+    // the scale path: past joinAssignThreshold the centroid model stays
+    // a DataFrame (broadcast array + native NearestCentroid loop; no
+    // k·d driver round-trip per iteration) — same distance ops in the
+    // same order, so clusters AND the returned model must agree
+    // EXACTLY, including dist-then-id tie-breaks
     val emb   = Tables.embeddings(spark, sfDir)
     val saved = Clustering.joinAssignThreshold
-    def run(): Map[Long, Int] =
-      Clustering.kmeans(emb, "vec_id", "embedding", k = 12, iters = 2)
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def run(): (Map[Long, Int], Seq[(Int, Seq[Double])]) = {
+      val (df, model) = Clustering.kmeansModel(emb, "vec_id", "embedding", k = 12, iters = 2)
+      (df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap,
+        model.map { case (c, cent) => c -> cent.toSeq })
+    }
     try {
       Clustering.joinAssignThreshold = Int.MaxValue // literal path
-      val literal = run()
-      Clustering.joinAssignThreshold = 0 // join path
-      val joined = run()
+      val (literal, literalModel) = run()
+      Clustering.joinAssignThreshold = 0 // distributed broadcast-model path
+      val (dist, distModel) = run()
       assert(literal.nonEmpty)
-      assert(joined == literal, "assignment paths must pick identical clusters")
+      assert(dist == literal, "assignment paths must pick identical clusters")
+      assert(distModel == literalModel, "converged models must be bit-identical")
     } finally Clustering.joinAssignThreshold = saved
+  }
+
+  test("distributed assignment plan: broadcast model only — no corpus shuffle, no corpus broadcast") {
+    // the 100 TB contract: assignment = scan + one 1-row broadcast
+    // crossJoin + a native loop projection; the n·k pair stream and the
+    // n-row minima broadcast of the retired join-argmin shape must not
+    // reappear
+    val emb   = Tables.embeddings(spark, sfDir)
+    val saved = Clustering.joinAssignThreshold
+    try {
+      Clustering.joinAssignThreshold = 0
+      val df   = Clustering.kmeans(emb, "vec_id", "embedding", k = 12, iters = 1)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("NearestCentroid") || plan.contains("nearest_centroid") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"expected the broadcast-model crossJoin shape, got:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), "no planned shuffle join on the corpus")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "assignment must not hash-shuffle the corpus")
+    } finally Clustering.joinAssignThreshold = saved
+  }
+
+  test("NearestCentroid: interpreted eval agrees with the codegen'd plan result") {
+    import graft.plans.CentroidExpressions.nearestCentroid
+    import org.apache.spark.sql.functions.{array_sort, broadcast, collect_list, struct}
+    import graft.plans.VectorExpressions.vecDot
+    import spark.implicits._
+    val base = planted()
+      .select($"vec_id", Clustering.quantized($"embedding").as("vq"))
+      .withColumn("dv", transform($"vq", _.cast("double")))
+    val cents = base.orderBy("vec_id").limit(3)
+      .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+        .as("__kc"), $"dv".as("__kcent"))
+    val model = cents.agg(array_sort(collect_list(struct(
+      $"__kc".as("c"), $"__kcent".as("cent"), vecDot($"__kcent", $"__kcent").as("c2")))).as("__cents"))
+    val planned = base.crossJoin(broadcast(model))
+      .select($"vec_id", nearestCentroid($"dv", $"__cents").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // interpreted route: same expression evaluated row-by-row via eval()
+    val centRows = cents.orderBy("__kc").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val manual = base.collect().map { r =>
+      val dv    = r.getSeq[Double](r.fieldIndex("dv")).toArray
+      val vnorm = dv.map(x => x * x).sum
+      val best = centRows.map { case (c, cent) =>
+        var dot = 0.0; var c2 = 0.0; var i = 0
+        while (i < cent.length) { c2 += cent(i) * cent(i); dot += dv(i) * cent(i); i += 1 }
+        (vnorm - 2.0 * dot + c2, c)
+      }.min
+      r.getLong(0) -> best._2
+    }.toMap
+    assert(planned == manual)
+  }
+
+  test("literal codegen cliff guard: warning fires past the cliff, silent at or below it") {
+    assert(Clustering.literalCliffWarning(Clustering.literalCodegenCliff).isEmpty)
+    assert(Clustering.literalCliffWarning(12).isEmpty)
+    assert(Clustering.literalCliffWarning(Clustering.literalCodegenCliff + 1).isDefined)
+    assert(Clustering.literalCliffWarning(800).exists(_.contains("interpreted")))
   }
 }
