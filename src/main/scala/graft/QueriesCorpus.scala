@@ -2116,10 +2116,21 @@ object QueriesCorpus {
     * mass, never docs². Per-doc sums run in DECIMAL(18,12) so the
     * double accumulation is order-independent (the q133 convention);
     * the selection rank orders by the ROUNDED weight + doc_id so the
-    * cutoff is reproducible cross-engine. The global selection rank is
-    * a docs-sized window — at extreme doc counts swap in an
-    * approximate-quantile weight cutoff instead of row_number.
+    * cutoff is reproducible cross-engine.
+    *
+    * The global selection rank is scale-adaptive (the Quantiles
+    * switch, off Catalyst's own size estimate for the documents scan):
+    * at oracle/gate scale it is the exact docs-sized window (top
+    * ⌊n/4⌋ by (weight desc, doc_id) — reproducible cross-engine);
+    * past [[dsirRankThresholdBytes]] that window is one reducer
+    * sorting the whole corpus's weight column, so the cutoff comes
+    * from `percentile_approx(weight, 0.75)` instead — one aggregate
+    * pass, no global window, `selected` = weight strictly above the
+    * cutoff (~n/4 by contract, approximate at the boundary — the DSIR
+    * resampling step tolerates an approximate quantile by design).
     */
+  @volatile private[graft] var dsirRankThresholdBytes: Long = 8L << 20
+
   def q173_dsir_weights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
@@ -2150,15 +2161,29 @@ object QueriesCorpus {
       .agg(sum($"tf").as("n_tokens"), sum($"term").as("s"))
       .select($"doc_id", $"n_tokens",
         round($"s".cast("double") / $"n_tokens", 6).as("avg_logratio"))
-    val wSel = Window.orderBy($"avg_logratio".desc, $"doc_id")
-    val wAll = Window.partitionBy()
-    perDoc
-      .select($"doc_id", $"n_tokens", $"avg_logratio",
-        row_number().over(wSel).cast("long").as("rn"),
-        count(lit(1)).over(wAll).as("cnt"))
-      .select($"doc_id", $"n_tokens", $"avg_logratio",
-        ($"rn" <= expr("cnt div 4")).as("selected"))
-      .orderBy($"doc_id")
+    val docsEst =
+      Tables.documents(spark, dir).queryExecution.optimizedPlan.stats.sizeInBytes
+    if (docsEst <= BigInt(dsirRankThresholdBytes)) {
+      val wSel = Window.orderBy($"avg_logratio".desc, $"doc_id")
+      val wAll = Window.partitionBy()
+      perDoc
+        .select($"doc_id", $"n_tokens", $"avg_logratio",
+          row_number().over(wSel).cast("long").as("rn"),
+          count(lit(1)).over(wAll).as("cnt"))
+        .select($"doc_id", $"n_tokens", $"avg_logratio",
+          ($"rn" <= expr("cnt div 4")).as("selected"))
+        .orderBy($"doc_id")
+    } else {
+      // approximate cutoff — no docs-sized single-partition window:
+      // one 1-row aggregate broadcasts back in
+      val cut = perDoc.agg(
+        percentile_approx($"avg_logratio", lit(0.75), lit(10000)).as("w75"))
+      perDoc
+        .crossJoin(broadcast(cut))
+        .select($"doc_id", $"n_tokens", $"avg_logratio",
+          ($"avg_logratio" > $"w75").as("selected"))
+        .orderBy($"doc_id")
+    }
   }
 
   /** DAU / WAU stickiness: per calendar day, the distinct active users

@@ -852,6 +852,20 @@ class CorpusSpec extends SparkSpec {
       rows(3L)._2 > rows(4L)._2)
     assert(rows(1L)._3 && !rows(2L)._3 && !rows(3L)._3 && !rows(4L)._3)
     assert(rows(1L)._1 == 2L && rows(2L)._1 == 2L)
+
+    // scale path (forced): the selection cutoff comes from
+    // percentile_approx — NO docs-sized single-partition window in the
+    // plan — and on this 4-doc fixture the approximate cutoff picks the
+    // same single top doc
+    val saved = QueriesCorpus.dsirRankThresholdBytes
+    try {
+      QueriesCorpus.dsirRankThresholdBytes = 0L
+      val approx = QueriesCorpus.q173_dsir_weights(spark, dir)
+      val plan   = approx.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"approx path must not use a window:\n$plan")
+      val sel = approx.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(sel(1L) && !sel(2L) && !sel(3L) && !sel(4L))
+    } finally QueriesCorpus.dsirRankThresholdBytes = saved
   }
 
   test("stickiness: trailing 7-day WAU counts users active on ANY window day") {
