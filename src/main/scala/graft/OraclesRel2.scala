@@ -396,32 +396,42 @@ private[graft] object OraclesRel2 {
           |FROM orders WHERE o_orderkey % 1000 = 0
           |ORDER BY o_orderkey""".stripMargin,
 // q211: each key column's mass profile recomputed from a GROUP BY;
-// top_key by (cnt DESC, k) order, ratio in the same fixed IEEE op
-// order as the Spark side (max·n_keys/n_rows on exact longs)
+// top_key by (cnt DESC, k) order over NON-NULL keys (the operator
+// excludes a null key from top_key contention — mirror it here so a
+// null-heavy key column cannot diverge cross-engine), ratio and the
+// salt recommendation in the same fixed IEEE op order as the Spark
+// side (max·n_keys/n_rows on exact longs; hot bytes = max·64·1.0;
+// recommend when ratio ≥ 5 AND hot bytes < 256 MiB — AQE's own
+// gates, see Skew.profileFromCounts)
 "q211_skew_report" ->
         """WITH c1 AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
           |     c2 AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
           |     c3 AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
           |     c4 AS (SELECT user_id  AS k, count(*) AS cnt FROM events GROUP BY 1)
-          |SELECT * FROM (
+          |SELECT key_col, n_rows, n_keys, max_key_rows, top_key, skew_ratio,
+          |       CAST(max_key_rows AS DOUBLE) * 64.0 * 1.0 AS hot_bytes_est,
+          |       CAST(CASE WHEN skew_ratio >= 5.0
+          |                  AND CAST(max_key_rows AS DOUBLE) * 64.0 * 1.0 < 268435456.0
+          |                 THEN 1 ELSE 0 END AS BIGINT) AS recommend_salt
+          |FROM (
           |  SELECT 'orders.o_custkey' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
           |         count(*) AS n_keys, max(cnt) AS max_key_rows,
-          |         (SELECT k FROM c1 ORDER BY cnt DESC, k LIMIT 1) AS top_key,
+          |         (SELECT k FROM c1 WHERE k IS NOT NULL ORDER BY cnt DESC, k LIMIT 1) AS top_key,
           |         CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS skew_ratio
           |  FROM c1
           |  UNION ALL
           |  SELECT 'lineitem.l_partkey', CAST(sum(cnt) AS BIGINT), count(*), max(cnt),
-          |         (SELECT k FROM c2 ORDER BY cnt DESC, k LIMIT 1),
+          |         (SELECT k FROM c2 WHERE k IS NOT NULL ORDER BY cnt DESC, k LIMIT 1),
           |         CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
           |  FROM c2
           |  UNION ALL
           |  SELECT 'lineitem.l_suppkey', CAST(sum(cnt) AS BIGINT), count(*), max(cnt),
-          |         (SELECT k FROM c3 ORDER BY cnt DESC, k LIMIT 1),
+          |         (SELECT k FROM c3 WHERE k IS NOT NULL ORDER BY cnt DESC, k LIMIT 1),
           |         CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
           |  FROM c3
           |  UNION ALL
           |  SELECT 'events.user_id', CAST(sum(cnt) AS BIGINT), count(*), max(cnt),
-          |         (SELECT k FROM c4 ORDER BY cnt DESC, k LIMIT 1),
+          |         (SELECT k FROM c4 WHERE k IS NOT NULL ORDER BY cnt DESC, k LIMIT 1),
           |         CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
           |  FROM c4
           |) ORDER BY key_col""".stripMargin,

@@ -1256,9 +1256,15 @@ object QueriesRel2 {
     * work). One partial-agg pass per key column — the shuffle carries
     * O(distinct keys), never O(rows) — and the summary row is one
     * scalar aggregate with a deterministic (cnt, −key)-struct max for
-    * the top key. Oracle recomputes each profile from a GROUP BY in
-    * SQL; the ratio is two fixed-order IEEE ops on exact longs, so it
-    * hash-matches.
+    * the top key. `recommend_salt` closes the loop from measurement to
+    * operator choice: true when the key is skewed by AQE's own factor
+    * AND the audit-observed suppression preconditions mean AQE's
+    * runtime split would not fire (hot partition under the COMPRESSED
+    * byte threshold, or a downstream op pinning the partitioning) —
+    * see [[graft.operators.Skew.profileFromCounts]]. Oracle recomputes
+    * each profile from a GROUP BY in SQL; the ratio and the
+    * recommendation are fixed-order IEEE ops on exact longs, so they
+    * hash-match.
     */
   def q211_skew_report(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Skew
@@ -1269,6 +1275,8 @@ object QueriesRel2 {
       .unionByName(Skew.keySkewReport(lineitem, "l_partkey", "lineitem.l_partkey"))
       .unionByName(Skew.keySkewReport(lineitem, "l_suppkey", "lineitem.l_suppkey"))
       .unionByName(Skew.keySkewReport(events, "user_id", "events.user_id"))
+      .withColumn("recommend_salt",
+        when(col("recommend_salt"), 1L).otherwise(0L))
       .orderBy(col("key_col"))
   }
 

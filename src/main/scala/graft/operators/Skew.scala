@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** AQE's own skew-join gates (`spark.sql.adaptive.skewJoin.*`
+    * defaults): a partition is "skewed" only when it is BOTH ≥ factor×
+    * the median AND ≥ the absolute byte threshold — and the bytes AQE
+    * reads are COMPRESSED map-output sizes. The executed audit
+    * (PLANS.md, round 16) found the two ways a real hot key slips
+    * under these gates, wired into [[profileFromCounts]]'s
+    * `recommend_salt` below. */
+  val aqeSkewedPartitionFactor: Double       = 5.0
+  val aqeSkewedPartitionThresholdBytes: Long = 256L * 1024 * 1024
+
   /** One-row skew profile of `df` grouped by `keyCol`:
     * (key_col = `label`, n_rows, n_keys, max_key_rows, top_key,
     * skew_ratio = max_key_rows / mean rows per key). `top_key` is the
@@ -41,16 +51,52 @@ object Skew {
     * order — two double ops on exactly-represented longs, so the
     * value is bit-identical across engines (the q89 portability rule).
     */
-  def keySkewReport(df: DataFrame, keyCol: String, label: String): DataFrame =
+  def keySkewReport(
+      df: DataFrame,
+      keyCol: String,
+      label: String,
+      bytesPerRowEst: Long = 64L,
+      compressRatioEst: Double = 1.0,
+      downstreamPinsPartitioning: Boolean = false): DataFrame =
     profileFromCounts(
-      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt")), label)
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt")), label,
+      bytesPerRowEst, compressRatioEst, downstreamPinsPartitioning)
 
   /** The same one-row profile from PRE-AGGREGATED (k, cnt) counts —
     * the entry point for incremental callers that maintain per-key
     * counts themselves (the streaming skew ledger folds batch deltas
     * into exactly this shape).
+    *
+    * `recommend_salt` makes the AQE-vs-[[Salt]] choice MECHANICAL: it
+    * is true exactly when the key is skewed by AQE's own factor
+    * (skew_ratio ≥ [[aqeSkewedPartitionFactor]]) AND the runtime skew
+    * split would NOT fire — the two suppression preconditions the
+    * round-16 audit observed in a live plan:
+    *
+    *   1. the hot partition's MAP-OUTPUT bytes sit under
+    *      [[aqeSkewedPartitionThresholdBytes]] — AQE thresholds on
+    *      COMPRESSED sizes, and a narrow or constant-payload hot key
+    *      lz4-compresses below any threshold while still serializing
+    *      one reducer's CPU. Estimated here as
+    *      max_key_rows × `bytesPerRowEst` × `compressRatioEst` —
+    *      declare the measured/expected on-wire row cost (the audit's
+    *      constant payload compressed ~50×; an incompressible sha2
+    *      payload ~1×);
+    *   2. `downstreamPinsPartitioning` — a groupBy/window on the SAME
+    *      key downstream of the join imposes a required child
+    *      distribution, and AQE declines to split a partitioning a
+    *      parent operator requires. Declared by the caller (a query-
+    *      shape fact no data profile can see).
+    *
+    * Both estimates are plan-free arithmetic on the profile's exact
+    * longs, so the column replays cross-engine (q211's oracle).
     */
-  def profileFromCounts(counts: DataFrame, label: String): DataFrame =
+  def profileFromCounts(
+      counts: DataFrame,
+      label: String,
+      bytesPerRowEst: Long = 64L,
+      compressRatioEst: Double = 1.0,
+      downstreamPinsPartitioning: Boolean = false): DataFrame =
     counts
       .agg(
         sum(col("cnt")).as("n_rows"),
@@ -66,5 +112,12 @@ object Skew {
         col("m.k").as("top_key"),
         (col("max_key_rows").cast("double") * col("n_keys").cast("double") /
           col("n_rows").cast("double")).as("skew_ratio"))
+      .withColumn("hot_bytes_est",
+        col("max_key_rows").cast("double") * lit(bytesPerRowEst.toDouble) *
+          lit(compressRatioEst))
+      .withColumn("recommend_salt",
+        col("skew_ratio") >= lit(aqeSkewedPartitionFactor) &&
+          (lit(downstreamPinsPartitioning) ||
+            col("hot_bytes_est") < lit(aqeSkewedPartitionThresholdBytes.toDouble)))
 
 }

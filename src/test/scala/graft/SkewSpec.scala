@@ -49,6 +49,42 @@ class SkewSpec extends SparkSpec {
     assert(mRow.getAs[Long]("top_key") == Long.MinValue)
   }
 
+  test("recommend_salt flips on both audit-observed AQE suppression preconditions") {
+    // skewed key by AQE's factor: 100 rows of key 1 + 9 singletons →
+    // ratio = 100·10/109 ≈ 9.2 ≥ 5
+    val df = (Seq.fill(100)(1L) ++ (2L to 10L)).toDF("k")
+
+    // precondition 1 (bytes under AQE's COMPRESSED threshold): a
+    // narrow hot payload — 100 rows × 64 B ≪ 256 MiB, AQE sees no
+    // skew, salt is the answer
+    val narrow = Skew.keySkewReport(df, "k", "t.k").collect().head
+    assert(narrow.getAs[Boolean]("recommend_salt"))
+
+    // same row mass but wide AND incompressible on the wire
+    // (100 × 8 MiB ≥ 256 MiB): AQE's split fires — no salt needed
+    val wide = Skew.keySkewReport(df, "k", "t.k",
+      bytesPerRowEst = 8L * 1024 * 1024).collect().head
+    assert(!wide.getAs[Boolean]("recommend_salt"))
+
+    // the audit's first suppression: the same wide payload but
+    // CONSTANT, lz4-compressing ~50× — map-output bytes drop under the
+    // threshold and the recommendation comes back
+    val compressed = Skew.keySkewReport(df, "k", "t.k",
+      bytesPerRowEst = 8L * 1024 * 1024, compressRatioEst = 0.02).collect().head
+    assert(compressed.getAs[Boolean]("recommend_salt"))
+
+    // the audit's second suppression: a downstream groupBy on the join
+    // key imposes a required child distribution — AQE declines the
+    // split even above threshold
+    val pinned = Skew.keySkewReport(df, "k", "t.k",
+      bytesPerRowEst = 8L * 1024 * 1024, downstreamPinsPartitioning = true).collect().head
+    assert(pinned.getAs[Boolean]("recommend_salt"))
+
+    // an unskewed key never recommends salt, whatever the payload
+    val uniform = Skew.keySkewReport((1L to 10L).toDF("k"), "k", "u.k").collect().head
+    assert(!uniform.getAs[Boolean]("recommend_salt"))
+  }
+
   test("different-key saltedJoin equals the plain inner join, including null and unmatched keys") {
     // skewed big side (key 1 dominates), an unmatched big key (7), a
     // null big key, an unmatched small key (99), a null small key

@@ -1451,7 +1451,8 @@ class StreamingSpec extends SparkSpec {
         .partitionBy($"key_col").orderBy($"batch_id".desc)
       spark.read.parquet(s"$dir/tel")
         .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"key_col", $"n_rows", $"n_keys", $"max_key_rows", $"top_key", $"skew_ratio")
+        .select($"key_col", $"n_rows", $"n_keys", $"max_key_rows", $"top_key", $"skew_ratio",
+          $"hot_bytes_est", $"recommend_salt")
         .collect().head
     }
     val live = latestProfile()
