@@ -62,4 +62,42 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  private val DefaultStateStoreProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  /** Fail fast when a streaming `checkpoint` is resumed under a
+    * DIFFERENT state-store provider than it was created with.
+    * `SPARK_GRAFT_ROCKSDB` (and the providerClass conf) flip the
+    * provider per PROCESS, but a checkpoint's state files are
+    * provider-specific — resuming HDFS-provider state under RocksDB
+    * (or vice versa) fails deep inside state load with an opaque
+    * error. This records the session's provider in a
+    * `_graft_state_provider` marker on first use of the checkpoint and
+    * requires it to match ever after, so the mismatch surfaces at
+    * `start()` with an actionable message instead. Wired into every
+    * checkpointed graft sink (WarehouseStreams); call it before
+    * `start()` for ad-hoc checkpointed queries too. Local-FS paths
+    * (the engine's ledger convention); swap for Hadoop FS calls when
+    * checkpoints move to HDFS/S3.
+    */
+  def guardStateStoreProvider(spark: SparkSession, checkpoint: String): Unit = {
+    val provider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .map(_.trim).filter(_.nonEmpty).getOrElse(DefaultStateStoreProvider)
+    val dir    = java.nio.file.Paths.get(checkpoint)
+    val marker = dir.resolve("_graft_state_provider")
+    if (java.nio.file.Files.exists(marker)) {
+      val recorded = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+      require(recorded == provider,
+        s"streaming checkpoint $checkpoint was created under state-store provider " +
+          s"$recorded but this session runs $provider (SPARK_GRAFT_ROCKSDB and " +
+          "spark.sql.streaming.stateStore.providerClass flip it per process). A " +
+          "checkpoint's provider must stay stable for its lifetime: resume with the " +
+          "original provider, or start a fresh checkpoint for the new one.")
+    } else {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(marker, provider.getBytes("UTF-8"))
+      ()
+    }
+  }
 }

@@ -677,7 +677,25 @@ object EventStreams {
     * value-identical and per-batch fold cost resets to O(distinct
     * keys) regardless of how many batches have accumulated.
     */
+  /** Recover a compaction crashed between its two renames: the only
+    * window with nothing at `ledgerDir` is after the live ledger
+    * stepped aside to `__old` and before the compacted copy moved in —
+    * the complete ledger is at `__old`, and recovery is the one rename
+    * this performs. Idempotent no-op in every other state. Runs at the
+    * top of [[compactSkewLedger]] AND of each [[incrementalSkew]]
+    * batch read, so neither a re-compaction nor a restarted stream
+    * needs a manual rename after a crash.
+    */
+  private def healSkewLedger(ledgerDir: String): Unit = {
+    val dst = java.nio.file.Paths.get(ledgerDir)
+    val old = java.nio.file.Paths.get(ledgerDir + "__old")
+    if (!java.nio.file.Files.exists(dst) && java.nio.file.Files.exists(old))
+      java.nio.file.Files.move(old, dst)
+    ()
+  }
+
   def compactSkewLedger(spark: org.apache.spark.sql.SparkSession, ledgerDir: String): Unit = {
+    healSkewLedger(ledgerDir)
     val folded = graft.operators.Materialize(
       spark.read.parquet(ledgerDir)
         .groupBy("k").agg(sum("cnt").as("cnt")))
@@ -732,6 +750,7 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        healSkewLedger(ledgerDir)
         val delta = graft.operators.Materialize(keyCounts(batch, keyCol))
         val folded = spark.read
           .parquet(ledgerDir)

@@ -32,13 +32,15 @@ object WarehouseStreams {
       keys: Seq[String],
       versionCol: String,
       checkpoint: String
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    graft.Engine.guardStateStoreProvider(stream.sparkSession, checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) { wh.upsert(layer, table, batch, keys, versionCol); () }
       }
       .start()
+  }
 
   /** Streaming frequency tracking: each micro-batch appends ONE
     * count-min sketch row ([[graft.operators.Sketches.runFrequencySketch]])
@@ -61,7 +63,8 @@ object WarehouseStreams {
       confidence: Double,
       seed: Int,
       checkpoint: String
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    graft.Engine.guardStateStoreProvider(stream.sparkSession, checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -73,6 +76,7 @@ object WarehouseStreams {
         }
       }
       .start()
+  }
 
   /** Continuously-maintained aggregate: every change-feed micro-batch
     * triggers an incremental [[graft.operators.MaterializedAgg.refresh]]
@@ -104,7 +108,8 @@ object WarehouseStreams {
       valueCol: String,
       checkpoint: String,
       commitWaitMs: Long = 30000
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    graft.Engine.guardStateStoreProvider(spark, checkpoint)
     changeFeedStream(spark, wh, srcLayer, srcTable).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -118,6 +123,7 @@ object WarehouseStreams {
         ()
       }
       .start()
+  }
 
   /** Stream the table's change feed (CDC downstream): a file-source
     * readStream over the `.__changes` sidecar, so every merge's delta

@@ -1483,5 +1483,47 @@ class StreamingSpec extends SparkSpec {
       .profileFromCounts(foldedCounts, "events.user_id").collect().head
     assert(compactProfile.toSeq == batchReport.toSeq, "compaction changed the fold")
     assert(spark.read.parquet(s"$dir/ledger").select($"batch_id").distinct().count() == 1)
+
+    // crash chaos at the promote's only no-ledger window: between
+    // move(dst, old) and move(tmp, dst) the complete ledger sits at
+    // __old and nothing at the live path — the next compaction must
+    // self-heal (one rename) instead of failing the read
+    val dst = java.nio.file.Paths.get(s"$dir/ledger")
+    val old = java.nio.file.Paths.get(s"$dir/ledger__old")
+    java.nio.file.Files.move(dst, old)
+    EventStreams.compactSkewLedger(spark, s"$dir/ledger")
+    val healedProfile = graft.operators.Skew
+      .profileFromCounts(
+        spark.read.parquet(s"$dir/ledger").groupBy($"k").agg(sum($"cnt").as("cnt")),
+        "events.user_id")
+      .collect().head
+    assert(healedProfile.toSeq == batchReport.toSeq, "self-heal lost ledger content")
+    assert(!java.nio.file.Files.exists(old), "superseded copy must be gone after promote")
+  }
+
+  test("state-store provider guard: a checkpoint refuses to resume under a flipped provider") {
+    val cp  = Files.createTempDirectory("graft_cp_guard").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val hdfs =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val other =
+      if (before.contains(graft.Engine.RocksDbProvider)) hdfs
+      else graft.Engine.RocksDbProvider
+    try {
+      graft.Engine.guardStateStoreProvider(spark, cp) // first use records
+      graft.Engine.guardStateStoreProvider(spark, cp) // same provider: fine
+      spark.conf.set(key, other)
+      val e = intercept[IllegalArgumentException] {
+        graft.Engine.guardStateStoreProvider(spark, cp)
+      }
+      assert(e.getMessage.contains("provider"), s"unexpected message: ${e.getMessage}")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    graft.Engine.guardStateStoreProvider(spark, cp) // original provider resumes fine
   }
 }
