@@ -331,6 +331,53 @@ final class Warehouse(
     * a single `isin` (InSet at scale): a merge touching 10k run_dates is
     * one set-membership expression, not a 10k-term OR-of-ANDs tree.
     */
+  /** Touched-tuple count past which [[pruneToTouched]] stops inlining
+    * the set as plan literals. Test seam (WarehouseSpec forces the
+    * join path); the default keeps every gate-scale op on the
+    * planning-time InSet path. */
+  @volatile private[graft] var inlineTouchedThreshold: Int = 10000
+
+  /** Prune `df`'s scan to the touched partition tuples — scale-adaptive
+    * in HOW the set reaches the plan:
+    *
+    *   - ≤ [[inlineTouchedThreshold]] tuples (every gate-scale op):
+    *     [[partitionPredicate]]'s InSet literal — Catalyst evaluates it
+    *     against discovered partition values at PLANNING
+    *     (PartitionFilters, zero I/O outside the touched dirs).
+    *   - past it (10⁵+-partition DML): the tuple list would bloat every
+    *     task's serialized plan as literals, so the set rides as a
+    *     broadcast DataFrame instead — a left-semi join on the
+    *     string-cast partition columns, which dynamic partition
+    *     pruning turns into a RUNTIME partition filter built from the
+    *     broadcast (the same values, never a literal expression tree).
+    *     A null-bearing tuple falls back to the inline form: null
+    *     partitions are rare, and `===`-joins (the DPP-eligible shape)
+    *     don't match them.
+    *
+    * The driver-side `touched` list itself stays — it is bounded by the
+    * touched-DIRECTORY count, the same cardinality the commit swap
+    * renames one-by-one and every partition-pruning planner (Delta's
+    * driver included) holds in memory; what this removes at high
+    * cardinality is the list's second life as plan literals.
+    */
+  private[sources] def pruneToTouched(
+      df: DataFrame,
+      touched: Seq[Seq[String]],
+      pcols: Seq[String]): DataFrame =
+    if (touched.lengthCompare(inlineTouchedThreshold) <= 0 ||
+      touched.exists(_.contains(null)))
+      df.filter(partitionPredicate(touched, pcols))
+    else {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(pcols.map(c =>
+        org.apache.spark.sql.types.StructField(
+          s"__tp_$c", org.apache.spark.sql.types.StringType, nullable = false)))
+      val tdf = df.sparkSession.createDataFrame(
+        touched.map(t => org.apache.spark.sql.Row.fromSeq(t)).asJava, schema)
+      val cond = pcols.map(c => df(c).cast("string") === tdf(s"__tp_$c")).reduce(_ && _)
+      df.join(broadcast(tdf), cond, "left_semi")
+    }
+
   private[sources] def partitionPredicate(touched: Seq[Seq[String]], pcols: Seq[String]): Column = {
     val nullMark = "\u0000"
     if (pcols.lengthCompare(1) == 0) {

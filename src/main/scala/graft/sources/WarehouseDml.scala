@@ -58,7 +58,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       return 0L
     }
     val ver     = nextVersion(s"$layer.$table")
-    val slice   = df.filter(partitionPredicate(touched, pcols))
+    val slice   = pruneToTouched(df, touched, pcols)
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
     // file-granular COW *within* the touched partitions, compounding
@@ -125,7 +125,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       return 0L
     }
     val ver     = nextVersion(s"$layer.$table")
-    val slice   = df.filter(partitionPredicate(touched, pcols))
+    val slice   = pruneToTouched(df, touched, pcols)
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
     // file-granular COW within the touched partitions (see
@@ -213,7 +213,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     // and only the probe can find its current home.
     val probeTgt =
       if (pcols.forall(keys.contains) && srcParts.nonEmpty)
-        tgt0.filter(partitionPredicate(srcParts, pcols))
+        pruneToTouched(tgt0, srcParts, pcols)
       else tgt0
     val tgtF = probeTgt.withColumn("__graft_file", input_file_name())
     val matchedRows = tgtF
@@ -235,8 +235,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       logOp(layer, table, "MERGE", inserted = 0, updated = 0, outputRows = 0)
       return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = 0)
     }
-    val slicePred = partitionPredicate(touched, pcols)
-    val sliceTgt  = tgt0.filter(slicePred)
+    val sliceTgt = pruneToTouched(tgt0, touched, pcols)
     // File-granular COW within the touched slice (see the unpartitioned
     // path): only slice files holding a source key enter the merge —
     // a matched row that MOVES partition is in such a file, so both its
@@ -360,7 +359,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       else {
         val probeTgt =
           if (pcols.forall(keys.contains) && srcParts.nonEmpty)
-            tgt0.filter(partitionPredicate(srcParts, pcols))
+            pruneToTouched(tgt0, srcParts, pcols)
           else tgt0
         val tgtF = probeTgt.withColumn("__graft_file", input_file_name())
         val srcKeys = srcAligned.select(keys.map(col): _*).distinct()
@@ -387,7 +386,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       if (newCols.nonEmpty || bySource.nonEmpty) sliceFilePairs.map(_._1).toSet
       else matchedKeyFiles
     val carryPairs = sliceFilePairs.filterNot(p => matchedFiles.contains(p._1))
-    val sliceTgt   = tgt0.filter(partitionPredicate(touched, pcols))
+    val sliceTgt   = pruneToTouched(tgt0, touched, pcols)
     val touchedTgt =
       if (matchedFiles.isEmpty) sliceTgt.limit(0)
       else readFilesAligned(matchedFiles.toSeq, tgt0.schema,

@@ -402,6 +402,39 @@ class WarehouseSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("high-cardinality touched set: semi-join prune path ≡ inline predicate on every partitioned DML") {
+    import spark.implicits._
+    // 40 partitions, every one touched — force the threshold to 0 so
+    // the touched set rides as a broadcast DataFrame (the 10⁵-dir
+    // shape where a literal InSet would bloat every task's plan), then
+    // re-run the same ops under the default inline path and pin
+    // equality
+    def mk(wh: graft.sources.Warehouse): Unit =
+      wh.createOrReplacePartitioned("silver", "hc",
+        (1L to 120L).map(k => (k, k % 3, s"p${k % 40}")).toDF("k", "v", "seg"), Seq("seg"))
+    def runOps(wh: graft.sources.Warehouse): Seq[(Long, Long, String)] = {
+      assert(wh.delete("silver", "hc", $"k" % 5L === 0L) == 24L)
+      wh.update("silver", "hc", $"k" % 7L === 0L, Map("v" -> lit(99L)))
+      wh.upsert("silver", "hc",
+        Seq((1L, 50L, "p1"), (200L, 7L, "pNew")).toDF("k", "v", "seg"),
+        Seq("k", "seg"), "v")
+      wh.table("silver", "hc")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"), r.getAs[String]("seg")))
+        .sortBy(t => (t._1, t._3)).toSeq
+    }
+    val whA = freshWh()
+    mk(whA)
+    val saved = whA.inlineTouchedThreshold
+    val joined =
+      try { whA.inlineTouchedThreshold = 0; runOps(whA) }
+      finally whA.inlineTouchedThreshold = saved
+    val whB = freshWh()
+    mk(whB)
+    val inline = runOps(whB)
+    assert(joined == inline, "prune representations must be result-identical")
+    assert(joined.exists(_._3 == "pNew") && joined.count(_._2 == 99L) > 0)
+  }
+
   test("partitioned delete that empties a partition retires its directory") {
     import spark.implicits._
     val wh = freshWh()
