@@ -66,7 +66,10 @@ object ScaleCentury {
     "q61_ann_ivf_indexed",
     "q124_ann_filtered_indexed",
     "q87_ann_ivfpq_topk",
-    "q139_semdedup"
+    "q139_semdedup",
+    "q213_dup_graph_centrality",
+    "q214_capped_clusters",
+    "q173_dsir_weights"
   )
 
   /** Warehouse/DML families: incremental MV (flat + partitioned),
@@ -150,6 +153,56 @@ object ScaleCentury {
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Events-only iid derivation (fresh users, intact timelines) — the
+    * state-store rung derives its own 10× arm without paying for the
+    * doc/vector tables. */
+  def deriveEvents(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val copies = explode(lit((0 until factor).toArray)).as("copy")
+    Tables.events(spark, src)
+      .select(col("*"), copies)
+      .select((col("event_id") + col("copy") * lit(100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * lit(10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  /** One AvailableNow pass of the watermarked streaming-dedup twin
+    * (the state-heaviest stateful operator: state ≈ distinct event ids
+    * inside the watermark window) over `eventsDir`, under the given
+    * state-store provider. Returns (wall s, state rows, state bytes)
+    * from the query's own stateOperators progress — the load
+    * measurement the provider-invariance pin (StreamingSpec) doesn't
+    * give. RocksDB reports its block-cache/working-set usage through
+    * the same memoryUsedBytes field (plus custom metrics not recorded
+    * here); HDFS reports the on-heap map — the two numbers are each
+    * provider's own accounting of the same state.
+    */
+  private def timeStateful(
+      spark: SparkSession,
+      eventsDir: String,
+      provider: Option[String],
+      checkpoint: String): (Double, Long, Long) = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    provider.foreach(spark.conf.set(key, _))
+    try {
+      val t0 = System.nanoTime()
+      val q = graft.streaming.EventStreams
+        .dedupedEvents(graft.streaming.EventStreams.readEventStream(spark, eventsDir))
+        .writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val so   = Option(q.lastProgress).map(_.stateOperators).getOrElse(Array.empty)
+      val rows = if (so.nonEmpty) so(0).numRowsTotal else -1L
+      val mem  = if (so.nonEmpty) so(0).memoryUsedBytes else -1L
+      (wall, rows, mem)
+    } finally provider.foreach(_ => spark.conf.unset(key))
+  }
+
   private def timeOnce(fn: (SparkSession, String) => DataFrame,
       spark: SparkSession, dir: String): (Double, Long) = {
     val t0  = System.nanoTime()
@@ -170,9 +223,11 @@ object ScaleCentury {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val which  = args.lift(1).getOrElse("all")
-    require(Set("ops", "dml", "all")(which), s"second arg must be ops|dml|all, got $which")
-    val runOps = which != "dml"
-    val runDml = which != "ops"
+    require(Set("ops", "dml", "state", "all")(which),
+      s"second arg must be ops|dml|state|all, got $which")
+    val runOps   = which == "ops" || which == "all"
+    val runDml   = which == "dml" || which == "all"
+    val runState = which == "state" || which == "all"
     val src    = "/root/testdata/sf0.1"
     val tmp    = System.getProperty("java.io.tmpdir")
     val iidDir = s"$tmp/graft_sfcentury_iid$factor"
@@ -227,6 +282,30 @@ object ScaleCentury {
         f"dml100 first $f100%8.2f/steady $s100%8.2f s (${s100 / s01}%6.1fx steady)")
       DmlRow(name, f01, s01, n01, f100, s100, n100)
     }
+
+    // ---- state-store load rung (HDFS vs RocksDB on a stateful twin) --
+    case class StateRow(name: String, t10: Double, rows10: Long, mem10: Long,
+        t100: Double, rows100: Long, mem100: Long)
+    val stateRows = if (!runState) Seq.empty[StateRow]
+    else {
+      val ev10Dir = s"$tmp/graft_sfcentury_ev10"
+      deriveEvents(spark, src, ev10Dir, math.min(10, factor))
+      if (!runOps && !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$iidDir/events.parquet")))
+        deriveEvents(spark, src, iidDir, factor)
+      val providers = Seq(
+        "dedup_hdfs"    -> None,
+        "dedup_rocksdb" -> Some(Engine.RocksDbProvider))
+      providers.map { case (name, prov) =>
+        def cp() = java.nio.file.Files
+          .createTempDirectory(s"graft_sfc_state_$name").toString
+        val (t10, r10, m10)    = timeStateful(spark, s"$ev10Dir/events.parquet", prov, cp())
+        val (t100, r100, m100) = timeStateful(spark, s"$iidDir/events.parquet", prov, cp())
+        println(f"SCALECENTURY $name%-28s ev10 $t10%7.2f s/$r10%9d state rows/${m10 / 1048576.0}%8.1f MiB   " +
+          f"ev100 $t100%8.2f s/$r100%10d/${m100 / 1048576.0}%8.1f MiB (${t100 / t10}%5.1fx wall)")
+        StateRow(name, t10, r10, m10, t100, r100, m100)
+      }
+    }
     val sentEnd = sentinel()
 
     def r(d: Double) = f"$d%.3f"
@@ -265,14 +344,21 @@ object ScaleCentury {
           s""""t_first_100x":${r(x.f100)},"t_steady_100x":${r(x.s100)},"rows_100x":${x.n100},""" +
           s""""ratio_first":${r(x.f100 / x.f01)},"ratio_steady":${r(x.s100 / x.s01)}}"""
       }.mkString("{", ",", "}")
+    val stateJson =
+      if (!runState) priorSection("state_queries")
+      else stateRows.map { x =>
+        s""""${x.name}":{"t_ev10":${r(x.t10)},"state_rows_ev10":${x.rows10},"state_bytes_ev10":${x.mem10},""" +
+          s""""t_ev100":${r(x.t100)},"state_rows_ev100":${x.rows100},"state_bytes_ev100":${x.mem100},""" +
+          s""""ratio_wall":${r(x.t100 / x.t10)}}"""
+      }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_ratio_100x","factor":$factor,"sf_src":"$src",""" +
         s""""corpus":{"docs":$nd,"vectors":$nv,"events":$ne,"orders":$no},""" +
-        s""""criteria":{"ops":"wall judged against OUTPUT rows ratio - iid decorrelation keeps true per-copy structure, cross-copy mass is the data's own tail","dml":"steady is the recurring nightly path; first carries one-time CTAS/index setup"},""" +
+        s""""criteria":{"ops":"wall judged against OUTPUT rows ratio - iid decorrelation keeps true per-copy structure, cross-copy mass is the data's own tail","dml":"steady is the recurring nightly path; first carries one-time CTAS/index setup","state":"one AvailableNow pass of the watermarked streaming dedup twin; rows/bytes from the query's own stateOperators accounting (HDFS = on-heap map, RocksDB = off-heap working set)"},""" +
         s""""sentinel":{"start":${r(sentStart)},"end":${r(sentEnd)}},""" +
-        s""""op_queries":$opJson,"dml_queries":$dmlJson}"""
+        s""""op_queries":$opJson,"dml_queries":$dmlJson,"state_queries":$stateJson}"""
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
-    println(s"SCALECENTURY wrote BENCH_sf2.json (${opRows.size} op + ${dmlRows.size} dml queries)")
+    println(s"SCALECENTURY wrote BENCH_sf2.json (${opRows.size} op + ${dmlRows.size} dml + ${stateRows.size} state rows)")
     spark.stop()
   }
 }
