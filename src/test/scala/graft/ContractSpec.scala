@@ -28,6 +28,20 @@ class ContractSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate query numbers: $dups")
   }
 
+  test("scale-tool slates reference registered queries only") {
+    // a typo'd slate entry would otherwise fail 30 minutes into a
+    // detached rung run — same drift class as the oracle lint
+    val known = SparkEntry.queries.keySet
+    val slates = Seq(
+      "ScaleBench.Slate"       -> graft.tools.ScaleBench.Slate,
+      "ScaleCentury.OpSlate"   -> graft.tools.ScaleCentury.OpSlate,
+      "ScaleCentury.DmlSlate"  -> graft.tools.ScaleCentury.DmlSlate)
+    slates.foreach { case (label, slate) =>
+      val unknown = slate.filterNot(known.contains)
+      assert(unknown.isEmpty, s"$label names unregistered queries: $unknown")
+    }
+  }
+
   test("shared-oracle groups: every duplicate SQL is declared, every declaration still shared") {
     def norm(sql: String) = sql.split("\\s+").mkString(" ").trim
     val actualGroups = SparkEntry.oracleSql.toSeq
