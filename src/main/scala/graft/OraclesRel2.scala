@@ -337,6 +337,14 @@ private[graft] object OraclesRel2 {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 "q94_delete_partitioned" -> q94Sql,
+// q216: the semi-join prune representation deletes every negative
+// balance across ALL segment partitions; coalesce keeps a null
+// balance a survivor on both engines
+"q216_delete_pruned_joinpath" ->
+        """SELECT c_custkey, c_mktsegment, c_acctbal
+          |FROM customer
+          |WHERE NOT coalesce(c_acctbal < 0, FALSE)
+          |ORDER BY c_custkey""".stripMargin,
 "q95_update_partitioned" -> q95Sql,
 "q96_merge_partitioned" -> q96Sql,
 "q97_feed_partitioned" -> q97Sql,

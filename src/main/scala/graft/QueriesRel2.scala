@@ -705,6 +705,38 @@ object QueriesRel2 {
       .orderBy($"c_custkey")
   }
 
+  /** The high-cardinality prune representation under the oracle gate:
+    * the same partition-scoped DELETE engine path as q94, but touching
+    * EVERY segment directory and with `inlineTouchedThreshold` forced
+    * to 0, so the touched set reaches the scan as a broadcast
+    * left-semi join ([[graft.sources.Warehouse.pruneToTouched]]'s
+    * scale representation — what a 10⁵-partition DML uses instead of
+    * an InSet literal list). WarehouseSpec pins the two
+    * representations result-identical; this row pins the join-path
+    * final state cross-engine. The oracle's NOT uses coalesce so a
+    * null balance survives on both engines (the engine's
+    * hit = coalesce(pred, false) contract).
+    */
+  def q216_delete_pruned_joinpath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whRoot = Scratch.dir(spark, "q216_wh", dir)
+    val wh     = new graft.sources.Warehouse(spark, whRoot)
+    Scratch.once(whRoot) {
+      wh.createOrReplacePartitioned("silver", "cust",
+        Tables.customer(spark, dir).select($"c_custkey", $"c_acctbal", $"c_mktsegment"),
+        Seq("c_mktsegment"))
+    }
+    val saved = wh.inlineTouchedThreshold
+    try {
+      wh.inlineTouchedThreshold = 0
+      // re-runs delete zero rows (no negatives left) — call-invariant
+      wh.delete("silver", "cust", $"c_acctbal" < 0)
+    } finally wh.inlineTouchedThreshold = saved
+    wh.table("silver", "cust")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
   /** Partition-scoped UPDATE under the oracle gate (q84's partitioned
     * twin): orders partitioned by o_orderpriority; the predicate's
     * partition conjunct prunes the touched-partition scan to the
