@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2002,16 +2002,20 @@ object QueriesCorpus {
       .crossJoin(broadcast(anchor))
       .select($"user_id", $"frequency", $"monetary",
         expr("(now_sec - last_sec) div 86400").as("recency_days"))
-    val n  = Window.partitionBy()
-    val wR = Window.orderBy($"recency_days", $"user_id")
-    val wF = Window.orderBy($"frequency".desc, $"user_id")
-    val wM = Window.orderBy($"monetary".desc, $"user_id")
-    perUser
+    // three exact distributed global ranks + a broadcast 1-row count —
+    // the users frame is corpus-sized at 100 TB, so none of the four
+    // former unpartitioned windows remains (graft.operators.Ranks)
+    val ranked = Seq[(String, Seq[Column], Column)](
+      ("rn_r", Seq($"recency_days", $"user_id"), $"recency_days"),
+      ("rn_f", Seq($"frequency".desc, $"user_id"), -$"frequency"),
+      ("rn_m", Seq($"monetary".desc, $"user_id"), -$"monetary")
+    ).foldLeft(perUser) { case (df, (out, sort, key)) =>
+      graft.operators.Ranks.withGlobalRowNumber(df, sort, key, out)
+    }
+    ranked
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("cnt"))))
       .select($"user_id", $"recency_days", $"frequency", $"monetary",
-        row_number().over(wR).cast("long").as("rn_r"),
-        row_number().over(wF).cast("long").as("rn_f"),
-        row_number().over(wM).cast("long").as("rn_m"),
-        count(lit(1)).over(n).as("cnt"))
+        $"rn_r", $"rn_f", $"rn_m", $"cnt")
       .select($"user_id", $"recency_days", $"frequency", $"monetary",
         // tercile in pure integer arithmetic: ((rank-1)*3) div n + 1
         expr("(rn_r - 1) * 3 div cnt + 1").as("r_seg"),

@@ -604,27 +604,39 @@ object QueriesRel2 {
   /** Ranking-distribution windows: customer spend deciles via ntile
     * plus percent_rank and cume_dist — the score-calibration /
     * percentile-bucketing shapes a curation pipeline uses to turn raw
-    * quality scores into balanced keep-rates. One aggregation then ONE
-    * unpartitioned window over the aggregated (customers-sized) set —
-    * the window never sees fact-table volume. Spend aggregates in
-    * DECIMAL so the ordering (and thus every rank) is engine-exact.
+    * quality scores into balanced keep-rates. One aggregation, then an
+    * EXACT distributed global rank over the aggregated set — the
+    * customers frame is itself corpus-sized at 100 TB, so no
+    * single-partition window anywhere (see [[graft.operators.Ranks]]).
+    * Spend aggregates in DECIMAL so the ordering (and thus every rank)
+    * is engine-exact.
     */
   def q75_spend_deciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val spend = Tables
       .orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("spend"))
-    val w = Window.orderBy($"spend".desc, $"o_custkey")
-    spend
+    // exact distributed global rank ([[graft.operators.Ranks]] — bucket
+    // histogram + per-bucket windows, never one reducer sorting every
+    // customer); ntile/percent_rank/cume_dist derive from (rn, n) in
+    // the engines' shared conventions, bit-identical to the window
+    // functions they replace (the ordering is total — custkey breaks
+    // ties — so rank = row number)
+    val ranked = graft.operators.Ranks.withGlobalRowNumber(
+      spend, Seq($"spend".desc, $"o_custkey"), -$"spend", "rn")
+    val nDf = broadcast(spend.agg(count(lit(1)).as("cnt")))
+    ranked
+      .crossJoin(nDf)
       .select(
         $"o_custkey",
         $"spend".cast("double").as("spend"),
-        ntile(10).over(w).as("decile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume")
+        graft.operators.Ranks.ntileFromRank($"rn", $"cnt", 10).as("decile"),
+        round(when($"cnt" === 1L, 0.0)
+          .otherwise(($"rn" - 1).cast("double") / ($"cnt" - 1).cast("double")), 6)
+          .as("pct_rank"),
+        round($"rn".cast("double") / $"cnt".cast("double"), 6).as("cume")
       )
       .orderBy($"o_custkey")
   }
