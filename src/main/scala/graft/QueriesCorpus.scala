@@ -2004,16 +2004,26 @@ object QueriesCorpus {
         expr("(now_sec - last_sec) div 86400").as("recency_days"))
     // three exact distributed global ranks + a broadcast 1-row count —
     // the users frame is corpus-sized at 100 TB, so none of the four
-    // former unpartitioned windows remains (graft.operators.Ranks)
-    val ranked = Seq[(String, Seq[Column], Column)](
-      ("rn_r", Seq($"recency_days", $"user_id"), $"recency_days"),
-      ("rn_f", Seq($"frequency".desc, $"user_id"), -$"frequency"),
-      ("rn_m", Seq($"monetary".desc, $"user_id"), -$"monetary")
-    ).foldLeft(perUser) { case (df, (out, sort, key)) =>
-      graft.operators.Ranks.withGlobalRowNumber(df, sort, key, out)
+    // former unpartitioned windows remains (graft.operators.Ranks).
+    // Each rank runs over a NARROW 2-column projection of the
+    // materialized base and joins back on the user key: chaining the
+    // rank calls instead would nest each one's histogram/stats
+    // subplans inside the next (measured 10x at sf0.1), and three
+    // user-keyed joins of (user_id, rank) frames is the linear shape.
+    val base = graft.operators.Materialize(perUser)
+    val ranked = Seq[(String, Seq[Column], Column, Column)](
+      ("rn_r", Seq($"recency_days", $"user_id"), $"recency_days", $"recency_days"),
+      ("rn_f", Seq($"frequency".desc, $"user_id"), -$"frequency", $"frequency"),
+      ("rn_m", Seq($"monetary".desc, $"user_id"), -$"monetary", $"monetary")
+    ).foldLeft(base) { case (df, (out, sort, key, valCol)) =>
+      df.join(
+        graft.operators.Ranks
+          .withGlobalRowNumber(base.select($"user_id", valCol), sort, key, out)
+          .select($"user_id", col(out)),
+        Seq("user_id"))
     }
     ranked
-      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("cnt"))))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("cnt"))))
       .select($"user_id", $"recency_days", $"frequency", $"monetary",
         $"rn_r", $"rn_f", $"rn_m", $"cnt")
       .select($"user_id", $"recency_days", $"frequency", $"monetary",
