@@ -69,7 +69,8 @@ object ScaleCentury {
     "q139_semdedup",
     "q213_dup_graph_centrality",
     "q214_capped_clusters",
-    "q173_dsir_weights"
+    "q173_dsir_weights",
+    "q163_rfm_segments"
   )
 
   /** Warehouse/DML families: incremental MV (flat + partitioned),
@@ -266,6 +267,12 @@ object ScaleCentury {
       val (t100, n100) = measure(fn, spark, iidDir, rerunUnder = 150.0)
       println(f"SCALECENTURY $name%-28s sf0.1 $t01%7.2f s/$n01%9d rows   " +
         f"iid100 $t100%8.2f s/$n100%10d (${t100 / t01}%6.1fx wall, ${n100.toDouble / math.max(1L, n01)}%6.1fx rows)")
+      // 16 heavy queries share one local-mode JVM: localCheckpoint
+      // blocks free only after a driver GC lets the ContextCleaner see
+      // them unreachable (Spark's own periodicGC defaults to 30 min —
+      // longer than this whole run). One GC per query keeps storage
+      // from accumulating into a late-slate OOM.
+      System.gc()
       OpRow(name, t01, n01, t100, n100)
     }
 
