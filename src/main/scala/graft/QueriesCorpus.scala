@@ -1500,23 +1500,25 @@ object QueriesCorpus {
     * differently, and a source whose tokens fall outside the head
     * fragments into long byte-level encodings (cost) or UNKs (loss).
     * Vocab selection is deterministic (count desc, token asc — the
-    * exact-integer analogue of BPE's merge-pick rule); the rate is
-    * integer counts + one division. One tokenize, one token-keyed join
-    * against the 1000-row vocab (broadcast at scale), sources-sized
-    * output.
+    * exact-integer analogue of BPE's merge-pick rule) and plans as a
+    * distributed top-k (`orderBy().limit()` → TakeOrderedAndProject:
+    * per-partition heaps + a driver merge of 1000 rows), never a
+    * single-partition rank window over the distinct-token table —
+    * which is billions of rows on a web corpus (the typo/noise tail).
+    * The rate is integer counts + one division. One tokenize, one
+    * token-keyed join against the 1000-row vocab (broadcast at scale),
+    * sources-sized output.
     */
   def q150_oov_rate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val tok = Tables
       .documents(spark, dir)
       .select($"source", explode(split($"text", "\\s+")).as("token"))
       .filter($"token" =!= "")
-    val w = Window.orderBy($"c".desc, $"token")
     val vocab = tok
       .groupBy($"token").agg(count(lit(1)).as("c"))
-      .withColumn("r", row_number().over(w))
-      .filter($"r" <= 1000)
+      .orderBy($"c".desc, $"token")
+      .limit(1000)
       .select($"token")
     tok
       .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("token"), "left")
@@ -1533,26 +1535,30 @@ object QueriesCorpus {
     * schedule a curriculum-learning run feeds the trainer (start on
     * predictable text, introduce surprising text late). Mean bits per
     * bin sums the round-6 per-doc scores as DECIMAL(18,6) (exact,
-    * order-independent) before one division; the global rank window
-    * runs over a BINS-sized table (corpus_tokens / 256 rows, metadata
-    * next to the corpus), tie-broken on (source, bin).
+    * order-independent) before one division. The bins table GROWS with
+    * the corpus (corpus_tokens / 256 rows — ~4 B rows at trillion-token
+    * scale), so the curriculum rank is an EXACT distributed global rank
+    * ([[graft.operators.Ranks]] — bucket histogram + per-bucket
+    * windows, never one reducer sorting every bin), tie-broken on
+    * (source, bin); the bins aggregate materializes once so the rank's
+    * bounded passes re-read a checkpoint, not the two upstream corpus
+    * scans.
     */
   def q149_curriculum_order(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val bins = q68_packing(spark, dir).select($"doc_id", $"source", $"bin")
     val bits = q133_unigram_lm_bits(spark, dir).select($"doc_id", $"bits_per_token")
-    val perBin = bins
+    val perBin = graft.operators.Materialize(bins
       .join(bits, Seq("doc_id"))
       .groupBy($"source", $"bin")
       .agg(sum($"bits_per_token".cast(DecimalType(18, 6))).as("sb"),
         count(lit(1)).as("n_docs"))
       .select($"source", $"bin", $"n_docs",
-        round($"sb".cast("double") / $"n_docs", 6).as("mean_bits"))
-    val w = Window.orderBy($"mean_bits", $"source", $"bin")
-    perBin
-      .withColumn("curriculum_rank", row_number().over(w).cast("long"))
+        round($"sb".cast("double") / $"n_docs", 6).as("mean_bits")))
+    graft.operators.Ranks
+      .withGlobalRowNumber(perBin,
+        Seq($"mean_bits", $"source", $"bin"), $"mean_bits", "curriculum_rank")
       .select($"curriculum_rank", $"source", $"bin", $"n_docs", $"mean_bits")
       .orderBy($"curriculum_rank")
   }
@@ -1947,11 +1953,14 @@ object QueriesCorpus {
     * K, the corpus token mass covered by the top-K tokens under the
     * deterministic BPE-pick ordering (count desc, token asc — q150's
     * rule) — the curve that sizes a tokenizer before training one.
-    * One corpus tokenize → a vocab-sized tf table; the rank window and
-    * the K-join both run on vocab-sized data (each token row fans out
-    * to at most |K| constant rows), so the curve is metadata work after
-    * the tf aggregation. K = {4, 8, 16, 32} here because the synthetic
-    * corpus has a 31-token vocabulary; the ladder is a parameter.
+    * One corpus tokenize → a vocab-sized tf table; only the top
+    * max(K) tokens ever need a rank, so the selection plans as a
+    * distributed top-k (`orderBy().limit()` → TakeOrderedAndProject)
+    * and the rank window numbers the ≤ max(K) survivors — never a
+    * single-partition window over the full distinct-token table,
+    * which is billions of rows on a web corpus (the typo/noise tail).
+    * K = {4, 8, 16, 32} here because the synthetic corpus has a
+    * 31-token vocabulary; the ladder is a parameter.
     */
   def q166_vocab_coverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1960,12 +1969,15 @@ object QueriesCorpus {
       .select(explode(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("token"))
       .groupBy($"token")
       .agg(count(lit(1)).as("c"))
-    val ranked = tf.withColumn("rk",
-      row_number().over(Window.orderBy($"c".desc, $"token")).cast("long"))
+    val ks = Seq(4L, 8L, 16L, 32L)
+    val ranked = tf
+      .orderBy($"c".desc, $"token")
+      .limit(ks.max.toInt) // bounds the rank window below structurally
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"c".desc, $"token")).cast("long"))
     val total = tf.agg(sum($"c").as("total_tokens"))
-    val ks    = Seq(4L, 8L, 16L, 32L).toDF("vocab_size")
     ranked
-      .join(broadcast(ks), $"rk" <= $"vocab_size")
+      .join(broadcast(ks.toDF("vocab_size")), $"rk" <= $"vocab_size")
       .groupBy($"vocab_size")
       .agg(sum($"c").as("covered_tokens"))
       .crossJoin(broadcast(total))
@@ -2018,7 +2030,8 @@ object QueriesCorpus {
     ).foldLeft(base) { case (df, (out, sort, key, valCol)) =>
       df.join(
         graft.operators.Ranks
-          .withGlobalRowNumber(base.select($"user_id", valCol), sort, key, out)
+          .withGlobalRowNumber(base.select($"user_id", valCol), sort, key, out,
+            subBucketKey = Some($"user_id"))
           .select($"user_id", col(out)),
         Seq("user_id"))
     }
@@ -2350,10 +2363,13 @@ object QueriesCorpus {
     * arithmetic (the q163 tercile rule), rolled up to per-decile user
     * count, revenue, revenue share and cumulative share — the "top
     * 10% of users drive X% of revenue" readout. The log collapses to
-    * a users-sized table in ONE aggregation; the decile windows rank
-    * that aggregate, not the log; the final table is 10 rows with a
-    * running DECIMAL sum. At extreme user cardinality swap the global
-    * rank for approximate spend-quantile cutoffs.
+    * a users-sized table in ONE aggregation; the users frame is itself
+    * corpus-sized at 100 TB, so the decile rank is an EXACT distributed
+    * global rank ([[graft.operators.Ranks]] — bucket histogram +
+    * per-bucket windows, the q75 template; user_id is the tie-split
+    * key should spend be heavily tied) and the count is a 1-row
+    * broadcast; the final table is 10 rows with a running DECIMAL sum
+    * (its windows run over a structurally ≤10-row frame).
     */
   def q177_revenue_deciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2362,18 +2378,21 @@ object QueriesCorpus {
       .filter($"event_type" === "purchase")
       .groupBy($"user_id")
       .agg(sum($"value".cast("decimal(18,2)")).as("spend"))
-    val wR   = Window.orderBy($"spend".desc, $"user_id")
-    val wAll = Window.partitionBy()
-    val deciled = perUser
-      .select($"user_id", $"spend",
-        row_number().over(wR).cast("long").as("rn"),
-        count(lit(1)).over(wAll).as("cnt"))
+    val ranked = graft.operators.Ranks.withGlobalRowNumber(
+      perUser, Seq($"spend".desc, $"user_id"), -$"spend", "rn",
+      subBucketKey = Some($"user_id"))
+    val deciled = ranked
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("cnt"))))
       .select($"user_id", $"spend", expr("(rn - 1) * 10 div cnt + 1").as("decile"))
     val wCum = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deciled
       .groupBy($"decile")
       .agg(count(lit(1)).as("users"), sum($"spend").as("revenue"))
+      // decile ∈ 1..10 by arithmetic — the limit is an identity that
+      // makes the bound STRUCTURAL: the cumulative windows below
+      // provably run over ≤ 10 rows (window-lint discipline)
+      .limit(10)
       .select($"decile", $"users", $"revenue",
         sum($"revenue").over(wCum).as("cum_revenue"),
         sum($"revenue").over(Window.partitionBy()).as("total"))

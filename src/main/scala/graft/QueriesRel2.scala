@@ -625,7 +625,8 @@ object QueriesRel2 {
     // functions they replace (the ordering is total — custkey breaks
     // ties — so rank = row number)
     val ranked = graft.operators.Ranks.withGlobalRowNumber(
-      spend, Seq($"spend".desc, $"o_custkey"), -$"spend", "rn")
+      spend, Seq($"spend".desc, $"o_custkey"), -$"spend", "rn",
+      subBucketKey = Some($"o_custkey"))
     val nDf = broadcast(spend.agg(count(lit(1)).as("cnt")))
     ranked
       .crossJoin(nDf)

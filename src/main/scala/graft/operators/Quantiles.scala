@@ -62,6 +62,12 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Test seam: Some(t) overrides every call's `sortThresholdBytes`, so
+    * the window-lint spec and forced-path plan audits can exercise the
+    * bucket path slate-wide without touching call sites.
+    */
+  @volatile private[graft] var thresholdOverride: Option[Long] = None
+
   def exactQuantiles(
       df: DataFrame,
       groupCol: String,
@@ -95,7 +101,8 @@ object Quantiles {
     // 8.1 s window vs ~2 s buckets). The 8 MB default sits at the
     // measured crossover; broadcast-threshold-style, it is a tunable,
     // not a truth.
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= sortThresholdBytes) {
+    val pathThreshold: Long = thresholdOverride.getOrElse(sortThresholdBytes)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= pathThreshold) {
       val w  = Window.partitionBy(g).orderBy(v)
       val wc = Window.partitionBy(g)
       // pre-filter to the ≤ groups·|qs| candidate rows BEFORE the

@@ -61,6 +61,58 @@ class RanksSpec extends SparkSpec {
     assert(ranks(small) == ranks(big))
   }
 
+  test("90%-constant key: the tie split keeps the plan distributed and the ranks exact") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 5000).map { i =>
+      (i.toLong, if (i % 10 == 0) rnd.nextDouble() * 100 else 42.0)
+    }.toDF("id", "v")
+    val window = ranks(df.withColumn("rn",
+      row_number().over(Window.orderBy($"v", $"id")).cast("long")))
+    val split = ranks(Ranks.withGlobalRowNumber(
+      df, Seq($"v", $"id"), $"v", "rn", buckets = 16,
+      sortThresholdBytes = 0L, subBucketKey = Some($"id"), subBuckets = 64))
+    assert(split == window)
+    val tr = Ranks.lastTrace.get
+    assert(tr.maxShareBefore > 0.85, s"fixture must be hot before the split: $tr")
+    assert(tr.refined, s"the tie split must engage: $tr")
+    assert(tr.maxShareAfter < 0.1,
+      s"after the split no bucket may dominate (distributed shape): $tr")
+  }
+
+  test("a hot bucket WITHOUT a subBucketKey stays exact (warn-only degradation)") {
+    val df = (1 to 3000).map(i => (i.toLong, if (i % 10 == 0) i.toDouble else 7.0))
+      .toDF("id", "v")
+    val window = ranks(df.withColumn("rn",
+      row_number().over(Window.orderBy($"v", $"id")).cast("long")))
+    val buckets = ranks(Ranks.withGlobalRowNumber(
+      df, Seq($"v", $"id"), $"v", "rn", buckets = 16, sortThresholdBytes = 0L))
+    assert(buckets == window)
+    val tr = Ranks.lastTrace.get
+    assert(tr.maxShareBefore > 0.85 && !tr.refined)
+  }
+
+  test("null and NaN bucket keys fail fast on BOTH paths") {
+    def messages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = t
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0))).toDF("id", "v")
+    val withNan  = Seq((1L, 1.0), (2L, Double.NaN), (3L, 3.0)).toDF("id", "v")
+    for {
+      (df, what) <- Seq((withNull, "null"), (withNan, "NaN"))
+      thr        <- Seq(0L, Long.MaxValue) // bucket path AND small path
+    } {
+      val e = intercept[Throwable] {
+        Ranks.withGlobalRowNumber(df, Seq($"v", $"id"), $"v", "rn",
+          sortThresholdBytes = thr).collect()
+      }
+      assert(messages(e).contains("bucketKey"),
+        s"a $what key at threshold $thr must raise the contract error, got: ${messages(e).take(300)}")
+    }
+  }
+
   test("ntileFromRank equals the ntile window function across remainder shapes") {
     for (n <- Seq(1, 3, 9, 10, 11, 97); k <- Seq(1, 3, 10)) {
       val df = (1 to n).map(_.toLong).toDF("id")
