@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.expressions.{Window => WSpec}
+import org.apache.spark.sql.functions._
+
+/** Slate-wide structural lint: no registered query may plan an
+  * unpartitioned Window over an UNBOUNDED frame — the one window shape
+  * that cannot scale (Spark moves every row to a single reducer).
+  * Three consecutive rounds found stragglers of this class by hand
+  * (q173 → q75/q163 → q177/q149/q150/q166); this gate makes the class
+  * unreintroducible: every `SparkEntry.queries` plan is walked at
+  * sf0.001 with all adaptive operators FORCED onto their scale paths
+  * (the small-input paths legitimately keep the plain window — that is
+  * the adaptive point — so the lint must look at the shape the plan
+  * takes when the size estimate says "big").
+  *
+  * "Bounded" is STRUCTURAL, not statistical: a limit, a global (no-key)
+  * aggregate, a driver-local relation, a literal range — or any
+  * row-preserving/shrinking composition of those. An aggregate over an
+  * unbounded child with grouping keys is NOT bounded (the key space can
+  * grow with the data) — the few windows over domain-bounded keys
+  * (~20 sources) carry an explicit, justified allowlist entry below;
+  * a new query wanting one must either restructure
+  * ([[graft.operators.Ranks]], limit top-k, broadcast scalar attach)
+  * or argue its bound here in review.
+  */
+class WindowLintSpec extends SparkSpec {
+
+  /** Unpartitioned windows whose frame the plan cannot bound — the
+    * offending shape. Subquery plans are walked too.
+    */
+  private def offendersOf(plan: LogicalPlan): Seq[Window] =
+    (plan +: plan.subqueriesAll).flatMap(_.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    })
+
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit          => true // limit top-k
+    case a: Aggregate if a.groupingExpressions.isEmpty => true // 1 row
+    case _: OneRowRelation                       => true
+    case _: LocalRelation                        => true // driver-built rows
+    case _: Range                                => true // literal range
+    case a: Aggregate                            => bounded(a.child)
+    case j: Join                                 => bounded(j.left) && bounded(j.right)
+    case _: Generate                             => false // explode multiplies
+    case other if other.children.nonEmpty        => other.children.forall(bounded)
+    case _                                       => false // file/stream leaves
+  }
+
+  /** Queries whose unpartitioned windows run over frames bounded by the
+    * DOMAIN, not the data — each entry names the bound. Everything else
+    * must be structurally clean.
+    */
+  private val allow: Map[String, String] = Map(
+    "q65_mixture_weights" -> ("scalar window over the per-source aggregate (~20 rows — " +
+      "source is a domain key); a broadcast-scalar rewrite would scan the corpus twice"),
+    "q137_mixture_plan" -> "same sources-sized aggregate frame as q65",
+    "q146_mixture_draw" -> "inlines q137's plan table (the same sources-sized frame)",
+    "q164_mixture_dedup_shift" -> "same sources-sized aggregate frame as q65"
+  )
+
+  test("the lint flags the retired shape and passes bounded ones") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bad = docs.withColumn("rn", row_number().over(WSpec.orderBy(col("doc_id"))))
+    assert(offendersOf(bad.queryExecution.optimizedPlan).nonEmpty,
+      "a global rank over a bare scan must be flagged")
+    val scalarWin = docs.withColumn("n", count(lit(1)).over(WSpec.partitionBy()))
+    assert(offendersOf(scalarWin.queryExecution.optimizedPlan).nonEmpty,
+      "an empty-partition scalar window over a bare scan must be flagged")
+    val topk = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(WSpec.orderBy(col("n_chars").desc, col("doc_id"))))
+    assert(offendersOf(topk.queryExecution.optimizedPlan).isEmpty,
+      "a limit-bounded rank must pass")
+    val oneRow = docs.agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(WSpec.orderBy(col("n"))))
+    assert(offendersOf(oneRow.queryExecution.optimizedPlan).isEmpty,
+      "a global-aggregate (1-row) frame must pass")
+  }
+
+  test("no registered query plans an unpartitioned window over an unbounded frame (scale paths forced)") {
+    graft.operators.Ranks.thresholdOverride = Some(0L)
+    graft.operators.Quantiles.thresholdOverride = Some(0L)
+    val savedDsir = QueriesCorpus.dsirRankThresholdBytes
+    QueriesCorpus.dsirRankThresholdBytes = 0L
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        if (allow.contains(name)) None
+        else {
+          val n = offendersOf(fn(spark, sfDir).queryExecution.optimizedPlan).size
+          if (n == 0) None else Some(s"$name ($n)")
+        }
+      }
+      assert(offenders.isEmpty,
+        s"unpartitioned windows over unbounded frames in: ${offenders.mkString(", ")} — " +
+          "use graft.operators.Ranks.withGlobalRowNumber (exact distributed global ranks), " +
+          "an orderBy().limit(k) top-k (TakeOrderedAndProject), or a broadcast 1-row " +
+          "aggregate attach; a genuinely domain-bounded frame needs a justified allowlist " +
+          "entry in WindowLintSpec")
+      // allowlist hygiene: every entry must still name a live query
+      val stale = allow.keySet -- SparkEntry.queries.keySet
+      assert(stale.isEmpty, s"allowlist names unregistered queries: $stale")
+    } finally {
+      graft.operators.Ranks.thresholdOverride = None
+      graft.operators.Quantiles.thresholdOverride = None
+      QueriesCorpus.dsirRankThresholdBytes = savedDsir
+    }
+  }
+}
