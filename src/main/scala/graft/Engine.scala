@@ -75,25 +75,46 @@ object Engine {
     * error. This records the session's provider in a
     * `_graft_state_provider` marker on first use of the checkpoint and
     * requires it to match ever after, so the mismatch surfaces at
-    * `start()` with an actionable message instead. Wired into every
-    * checkpointed graft sink (WarehouseStreams); call it before
-    * `start()` for ad-hoc checkpointed queries too. Local-FS paths
-    * (the engine's ledger convention); swap for Hadoop FS calls when
-    * checkpoints move to HDFS/S3.
+    * `start()` with an actionable message instead. The pin only BINDS
+    * once the checkpoint holds actual progress (an `offsets` entry):
+    * a marker-only checkpoint — the stream was never started, or
+    * failed before its first batch — carries no provider-specific
+    * state, so a flipped session simply re-pins it instead of refusing
+    * an empty directory. Wired into every checkpointed graft sink
+    * (WarehouseStreams); call it before `start()` for ad-hoc
+    * checkpointed queries too. Local-FS paths (the engine's ledger
+    * convention); swap for Hadoop FS calls when checkpoints move to
+    * HDFS/S3.
     */
   def guardStateStoreProvider(spark: SparkSession, checkpoint: String): Unit = {
     val provider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .map(_.trim).filter(_.nonEmpty).getOrElse(DefaultStateStoreProvider)
     val dir    = java.nio.file.Paths.get(checkpoint)
     val marker = dir.resolve("_graft_state_provider")
+    // provider-specific state exists only once a batch has progressed:
+    // Spark writes offsets/<batchId> before any state files
+    def hasProgress: Boolean = {
+      val off = dir.resolve("offsets")
+      java.nio.file.Files.isDirectory(off) && {
+        val s = java.nio.file.Files.list(off)
+        try s.findFirst.isPresent finally s.close()
+      }
+    }
     if (java.nio.file.Files.exists(marker)) {
       val recorded = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
-      require(recorded == provider,
+      if (recorded != provider && !hasProgress) {
+        // marker-only checkpoint: nothing provider-specific exists yet —
+        // re-pin to the session's provider instead of refusing
+        java.nio.file.Files.write(marker, provider.getBytes("UTF-8"))
+        ()
+      } else require(recorded == provider,
         s"streaming checkpoint $checkpoint was created under state-store provider " +
           s"$recorded but this session runs $provider (SPARK_GRAFT_ROCKSDB and " +
           "spark.sql.streaming.stateStore.providerClass flip it per process). A " +
           "checkpoint's provider must stay stable for its lifetime: resume with the " +
-          "original provider, or start a fresh checkpoint for the new one.")
+          "original provider, or start a fresh checkpoint for the new one (if this " +
+          "checkpoint truly never progressed, deleting its _graft_state_provider " +
+          "marker re-pins it).")
     } else {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(marker, provider.getBytes("UTF-8"))

@@ -2155,6 +2155,14 @@ object QueriesCorpus {
     * pass, no global window, `selected` = weight strictly above the
     * cutoff (~n/4 by contract, approximate at the boundary — the DSIR
     * resampling step tolerates an approximate quantile by design).
+    *
+    * The switch is RESULT-changing at the boundary, not just
+    * plan-changing, and it keys off Catalyst's size estimate — so the
+    * approximate branch announces itself with a WARN log line carrying
+    * both the estimate and the threshold: a stats/file-format change
+    * silently flipping gated data onto the ungated branch is
+    * detectable in the run log instead of surfacing as an unexplained
+    * oracle divergence.
     */
   @volatile private[graft] var dsirRankThresholdBytes: Long = 8L << 20
 
@@ -2202,7 +2210,13 @@ object QueriesCorpus {
         .orderBy($"doc_id")
     } else {
       // approximate cutoff — no docs-sized single-partition window:
-      // one 1-row aggregate broadcasts back in
+      // one 1-row aggregate broadcasts back in. Announce the branch:
+      // it is result-changing at the p75 boundary and the DuckDB
+      // oracle only ever gates the exact branch.
+      org.slf4j.LoggerFactory.getLogger("graft.QueriesCorpus").warn(
+        s"q173_dsir_weights: documents size estimate $docsEst B > threshold " +
+          s"$dsirRankThresholdBytes B — taking the APPROXIMATE percentile_approx " +
+          "selection branch (exact top-n/4 below the threshold; boundary rows may differ)")
       val cut = perDoc.agg(
         percentile_approx($"avg_logratio", lit(0.75), lit(10000)).as("w75"))
       perDoc

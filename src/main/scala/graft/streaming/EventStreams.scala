@@ -738,6 +738,15 @@ object EventStreams {
     * per-batch fold cost is O(Σ per-batch distinct keys) across
     * retained partitions; [[compactSkewLedger]] folds them back to one
     * between streams.
+    *
+    * SCHEMA NOTE: round 17 widened the profile row by two columns
+    * (`hot_bytes_est`, `recommend_salt`). A `telemetryDir` seeded by
+    * the 6-column code now mixes schemas across its `batch_id=N`
+    * partitions — read such a dir with
+    * `spark.read.option("mergeSchema", true)` (old rows surface NULLs
+    * in the new columns) or point new streams at a fresh
+    * `telemetryDir`. The LEDGER dir is unaffected (its (k, cnt, ts)
+    * shape is unchanged).
     */
   def incrementalSkew(
       events: DataFrame,

@@ -1501,7 +1501,7 @@ class StreamingSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(old), "superseded copy must be gone after promote")
   }
 
-  test("state-store provider guard: a checkpoint refuses to resume under a flipped provider") {
+  test("state-store provider guard: a PROGRESSED checkpoint refuses a flipped provider; a marker-only one re-pins") {
     val cp  = Files.createTempDirectory("graft_cp_guard").toString
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
@@ -1510,20 +1510,32 @@ class StreamingSpec extends SparkSpec {
     val other =
       if (before.contains(graft.Engine.RocksDbProvider)) hdfs
       else graft.Engine.RocksDbProvider
+    def restore(): Unit = before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
     try {
       graft.Engine.guardStateStoreProvider(spark, cp) // first use records
       graft.Engine.guardStateStoreProvider(spark, cp) // same provider: fine
+      // marker-only checkpoint (no batch ever progressed): a flipped
+      // session RE-PINS instead of refusing an empty directory — the
+      // failure-before-first-batch / never-started recovery path
       spark.conf.set(key, other)
+      graft.Engine.guardStateStoreProvider(spark, cp)
+      // simulate progress the way Spark records it: offsets/<batchId>
+      // lands before any state files
+      Files.createDirectories(java.nio.file.Paths.get(cp, "offsets"))
+      Files.writeString(java.nio.file.Paths.get(cp, "offsets", "0"), "{}")
+      graft.Engine.guardStateStoreProvider(spark, cp) // pinned provider: fine
+      // flipping back now hits provider-specific state: refuse, with
+      // the marker-deletion recovery hint in the message
+      restore()
       val e = intercept[IllegalArgumentException] {
         graft.Engine.guardStateStoreProvider(spark, cp)
       }
       assert(e.getMessage.contains("provider"), s"unexpected message: ${e.getMessage}")
-    } finally {
-      before match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
-    graft.Engine.guardStateStoreProvider(spark, cp) // original provider resumes fine
+      assert(e.getMessage.contains("_graft_state_provider"),
+        "refusal must name the marker as the never-progressed recovery step")
+    } finally restore()
   }
 }
