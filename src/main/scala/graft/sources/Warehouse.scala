@@ -360,7 +360,7 @@ final class Warehouse(
     * driver included) holds in memory; what this removes at high
     * cardinality is the list's second life as plan literals.
     */
-  private[sources] def pruneToTouched(
+  private[graft] def pruneToTouched(
       df: DataFrame,
       touched: Seq[Seq[String]],
       pcols: Seq[String]): DataFrame =
@@ -368,12 +368,25 @@ final class Warehouse(
       touched.exists(_.contains(null)))
       df.filter(partitionPredicate(touched, pcols))
     else {
-      import scala.jdk.CollectionConverters._
       val schema = org.apache.spark.sql.types.StructType(pcols.map(c =>
         org.apache.spark.sql.types.StructField(
           s"__tp_$c", org.apache.spark.sql.types.StringType, nullable = false)))
+      // Two details make dynamic partition pruning actually FIRE here
+      // (measured in ScalePrune, round 18 — without them the semi-join
+      // path silently read EVERY partition directory and filtered at
+      // the join):
+      //   1. the set rides as an RDD-backed frame, not a LocalRelation:
+      //      ConvertToLocalRelation folds any Filter over a
+      //      LocalRelation into the relation itself, and
+      //   2. the build side carries a selective-SHAPED residual
+      //      predicate (a BinaryComparison that is vacuously true on
+      //      the null-free touched strings): PartitionPruning only
+      //      duplicates a build side that has a selective predicate.
       val tdf = df.sparkSession.createDataFrame(
-        touched.map(t => org.apache.spark.sql.Row.fromSeq(t)).asJava, schema)
+        df.sparkSession.sparkContext.parallelize(
+          touched.map(t => org.apache.spark.sql.Row.fromSeq(t)), numSlices = 1),
+        schema)
+        .filter(pcols.map(c => col(s"__tp_$c") >= lit("")).reduce(_ && _))
       val cond = pcols.map(c => df(c).cast("string") === tdf(s"__tp_$c")).reduce(_ && _)
       df.join(broadcast(tdf), cond, "left_semi")
     }

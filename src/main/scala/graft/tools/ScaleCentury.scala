@@ -73,6 +73,14 @@ object ScaleCentury {
     "q163_rfm_segments"
   )
 
+  /** Queries measured under the MEDIAN-OF-3 protocol on the 100× arm:
+    * the shingle family's wall has moved 17–32× across committed passes
+    * on identical output rows (host stall waves land differently on its
+    * long shuffle stages), so a single number is noise — the committed
+    * row states the median and the min–max spread.
+    */
+  val MedianSlate: Set[String] = Set("q25_ngram_jaccard_pairs")
+
   /** Warehouse/DML families: incremental MV (flat + partitioned),
     * full-clause merges (flat + partitioned), GDPR forget (now the
     * DataFrame-keyed bloom probe + semi-join delete).
@@ -184,7 +192,7 @@ object ScaleCentury {
       spark: SparkSession,
       eventsDir: String,
       provider: Option[String],
-      checkpoint: String): (Double, Long, Long) = {
+      checkpoint: String): (Double, Long, Long, Map[String, Long]) = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     provider.foreach(spark.conf.set(key, _))
     try {
@@ -200,7 +208,15 @@ object ScaleCentury {
       val so   = Option(q.lastProgress).map(_.stateOperators).getOrElse(Array.empty)
       val rows = if (so.nonEmpty) so(0).numRowsTotal else -1L
       val mem  = if (so.nonEmpty) so(0).memoryUsedBytes else -1L
-      (wall, rows, mem)
+      val custom: Map[String, Long] =
+        if (so.isEmpty) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          Option(so(0).customMetrics)
+            .map(_.asScala.map { case (k, v) => k -> v.longValue }.toMap)
+            .getOrElse(Map.empty)
+        }
+      (wall, rows, mem, custom)
     } finally provider.foreach(_ => spark.conf.unset(key))
   }
 
@@ -224,11 +240,15 @@ object ScaleCentury {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val which  = args.lift(1).getOrElse("all")
-    require(Set("ops", "dml", "state", "all")(which),
-      s"second arg must be ops|dml|state|all, got $which")
+    require(Set("ops", "dml", "state", "state1000", "all")(which),
+      s"second arg must be ops|dml|state|state1000|all, got $which")
     val runOps   = which == "ops" || which == "all"
     val runDml   = which == "dml" || which == "all"
     val runState = which == "state" || which == "all"
+    // the 100M-event decade is its OWN mode (a dedicated long run, not
+    // part of "all"): RocksDB only — HDFS's ev100 heap (1.74 GiB)
+    // extrapolates to ~17 GiB at ev1000, past the sandbox driver
+    val runState1000 = which == "state1000"
     val src    = "/root/testdata/sf0.1"
     val tmp    = System.getProperty("java.io.tmpdir")
     val iidDir = s"$tmp/graft_sfcentury_iid$factor"
@@ -258,22 +278,37 @@ object ScaleCentury {
     val sentStart = sentinel()
 
     // ---- heavy operator families ------------------------------------
-    case class OpRow(name: String, t01: Double, n01: Long, t100: Double, n100: Long)
+    case class OpRow(name: String, t01: Double, n01: Long, t100: Double, n100: Long,
+        spread100: Option[(Double, Double)])
     val opRows = (if (runOps) OpSlate else Seq.empty[String]).map { name =>
       val fn = SparkEntry.queries(name)
       val (t01, n01) = measure(fn, spark, src, rerunUnder = 30.0)
       // the 100× arm's threshold exceeds its one-time setup (index
-      // builds) so a setup-heavy first run is re-paid, not recorded
-      val (t100, n100) = measure(fn, spark, iidDir, rerunUnder = 150.0)
+      // builds) so a setup-heavy first run is re-paid, not recorded;
+      // the MedianSlate queries instead run THREE full trials and
+      // commit the median with the min–max spread (host stall waves
+      // have moved the shingle family 17–32× on identical rows)
+      val (t100, n100, spread100) =
+        if (MedianSlate(name)) {
+          val runs = (1 to 3).map { _ =>
+            val r = timeOnce(fn, spark, iidDir); System.gc(); r
+          }
+          val ts = runs.map(_._1).sorted
+          (ts(1), runs.head._2, Some((ts.head, ts.last)))
+        } else {
+          val (t, n) = measure(fn, spark, iidDir, rerunUnder = 150.0)
+          (t, n, None)
+        }
       println(f"SCALECENTURY $name%-28s sf0.1 $t01%7.2f s/$n01%9d rows   " +
-        f"iid100 $t100%8.2f s/$n100%10d (${t100 / t01}%6.1fx wall, ${n100.toDouble / math.max(1L, n01)}%6.1fx rows)")
+        f"iid100 $t100%8.2f s/$n100%10d (${t100 / t01}%6.1fx wall, ${n100.toDouble / math.max(1L, n01)}%6.1fx rows)" +
+        spread100.map { case (lo, hi) => f" [median of 3, spread $lo%.2f-$hi%.2f s]" }.getOrElse(""))
       // 16 heavy queries share one local-mode JVM: localCheckpoint
       // blocks free only after a driver GC lets the ContextCleaner see
       // them unreachable (Spark's own periodicGC defaults to 30 min —
       // longer than this whole run). One GC per query keeps storage
       // from accumulating into a late-slate OOM.
       System.gc()
-      OpRow(name, t01, n01, t100, n100)
+      OpRow(name, t01, n01, t100, n100, spread100)
     }
 
     // ---- warehouse/DML families (first = setup+apply, steady = nightly)
@@ -306,12 +341,51 @@ object ScaleCentury {
       providers.map { case (name, prov) =>
         def cp() = java.nio.file.Files
           .createTempDirectory(s"graft_sfc_state_$name").toString
-        val (t10, r10, m10)    = timeStateful(spark, s"$ev10Dir/events.parquet", prov, cp())
-        val (t100, r100, m100) = timeStateful(spark, s"$iidDir/events.parquet", prov, cp())
+        val (t10, r10, m10, _)    = timeStateful(spark, s"$ev10Dir/events.parquet", prov, cp())
+        val (t100, r100, m100, _) = timeStateful(spark, s"$iidDir/events.parquet", prov, cp())
         println(f"SCALECENTURY $name%-28s ev10 $t10%7.2f s/$r10%9d state rows/${m10 / 1048576.0}%8.1f MiB   " +
           f"ev100 $t100%8.2f s/$r100%10d/${m100 / 1048576.0}%8.1f MiB (${t100 / t10}%5.1fx wall)")
         StateRow(name, t10, r10, m10, t100, r100, m100)
       }
+    }
+
+    // ---- the 100M-event decade (state1000, RocksDB only) -------------
+    val state1000Json: Option[String] = if (!runState1000) None
+    else {
+      val evDir = s"$tmp/graft_sfcentury_ev1000"
+      graft.Scratch.once(evDir)(deriveEvents(spark, src, evDir, 1000))
+      val nEv = spark.read.parquet(s"$evDir/events.parquet").count()
+      val cp = java.nio.file.Files.createTempDirectory("graft_sfc_state1000").toString
+      val (t, rows1k, mem1k, custom) =
+        timeStateful(spark, s"$evDir/events.parquet", Some(Engine.RocksDbProvider), cp)
+      // disk working set: the checkpointed state snapshots (what a
+      // cluster pays in HDFS/S3 bytes) — memoryUsedBytes above is the
+      // provider's own block-cache/off-heap accounting
+      def dirBytes(p: String): Long = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+          finally s.close()
+        }
+      }
+      val cpBytes = dirBytes(cp)
+      val diskish = custom.filter { case (k, _) =>
+        val lk = k.toLowerCase
+        lk.contains("sst") || lk.contains("memory") || lk.contains("bytes")
+      }
+      println(f"SCALECENTURY dedup_rocksdb ev1000: $t%8.2f s / $rows1k%d state rows / " +
+        f"${mem1k / 1048576.0}%8.1f MiB provider-accounted / ${cpBytes / 1048576.0}%8.1f MiB checkpointed")
+      def r3(d: Double) = f"$d%.3f"
+      Some(
+        s"""{"events":$nEv,"provider":"rocksdb","t_s":${r3(t)},"state_rows":$rows1k,""" +
+          s""""state_bytes_provider":$mem1k,"checkpoint_bytes":$cpBytes,""" +
+          s""""rocksdb_metrics":{${diskish.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+          s""""note":"one AvailableNow pass, RocksDB ONLY by design: HDFS's ev100 heap (1.74 GiB) extrapolates to ~17 GiB at ev1000 - past the sandbox driver; this is the documented bound where the on-heap provider stops existing"}""")
     }
     val sentEnd = sentinel()
 
@@ -340,9 +414,11 @@ object ScaleCentury {
     val opJson =
       if (!runOps) priorSection("op_queries")
       else opRows.map { x =>
+        val spread = x.spread100.map { case (lo, hi) =>
+          s""","t_iid100_spread":[${r(lo)},${r(hi)}],"protocol":"median-of-3"""" }.getOrElse("")
         s""""${x.name}":{"t_sf01":${r(x.t01)},"rows_sf01":${x.n01},""" +
           s""""t_iid100":${r(x.t100)},"rows_iid100":${x.n100},""" +
-          s""""ratio_wall":${r(x.t100 / x.t01)},"ratio_rows":${r(x.n100.toDouble / math.max(1L, x.n01))}}"""
+          s""""ratio_wall":${r(x.t100 / x.t01)},"ratio_rows":${r(x.n100.toDouble / math.max(1L, x.n01))}$spread}"""
       }.mkString("{", ",", "}")
     val dmlJson =
       if (!runDml) priorSection("dml_queries")
@@ -358,12 +434,13 @@ object ScaleCentury {
           s""""t_ev100":${r(x.t100)},"state_rows_ev100":${x.rows100},"state_bytes_ev100":${x.mem100},""" +
           s""""ratio_wall":${r(x.t100 / x.t10)}}"""
       }.mkString("{", ",", "}")
+    val s1000Json = state1000Json.getOrElse(priorSection("state1000"))
     val json =
       s"""{"metric":"scale_ratio_100x","factor":$factor,"sf_src":"$src",""" +
         s""""corpus":{"docs":$nd,"vectors":$nv,"events":$ne,"orders":$no},""" +
         s""""criteria":{"ops":"wall judged against OUTPUT rows ratio - iid decorrelation keeps true per-copy structure, cross-copy mass is the data's own tail","dml":"steady is the recurring nightly path; first carries one-time CTAS/index setup","state":"one AvailableNow pass of the watermarked streaming dedup twin; rows/bytes from the query's own stateOperators accounting (HDFS = on-heap map, RocksDB = off-heap working set)"},""" +
         s""""sentinel":{"start":${r(sentStart)},"end":${r(sentEnd)}},""" +
-        s""""op_queries":$opJson,"dml_queries":$dmlJson,"state_queries":$stateJson}"""
+        s""""op_queries":$opJson,"dml_queries":$dmlJson,"state_queries":$stateJson,"state1000":$s1000Json}"""
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     println(s"SCALECENTURY wrote BENCH_sf2.json (${opRows.size} op + ${dmlRows.size} dml + ${stateRows.size} state rows)")
     spark.stop()
