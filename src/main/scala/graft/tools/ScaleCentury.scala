@@ -70,7 +70,9 @@ object ScaleCentury {
     "q213_dup_graph_centrality",
     "q214_capped_clusters",
     "q173_dsir_weights",
-    "q163_rfm_segments"
+    "q163_rfm_segments",
+    "q149_curriculum_order",
+    "q177_revenue_deciles"
   )
 
   /** Queries measured under the MEDIAN-OF-3 protocol on the 100× arm:
