@@ -239,20 +239,27 @@ object QueriesCorpus {
     */
   def q65_mixture_weights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val nTok = size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long")
-    val w    = Window.partitionBy()
-    Tables
-      .documents(spark, dir)
-      .select($"source", nTok.as("doc_tokens"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"doc_tokens").as("n_tokens"))
+    // the sources-sized aggregate materializes once (ONE corpus scan —
+    // relying on ReuseExchange instead breaks under column pruning,
+    // the q60 lesson) and the corpus-wide scalars attach as a 1-row
+    // broadcast: no empty-partition window anywhere (window-lint clean)
+    val perSource = graft.operators.Materialize(
+      Tables
+        .documents(spark, dir)
+        .select($"source", nTok.as("doc_tokens"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_tokens").as("n_tokens")))
+    val scalars = broadcast(perSource.agg(
+      sum($"n_tokens").as("__tot_tokens"), min($"n_tokens").as("__min_tokens")))
+    perSource
+      .crossJoin(scalars)
       .select(
         $"source",
         $"n_docs",
         $"n_tokens",
-        round($"n_tokens" / sum($"n_tokens").over(w).cast("double"), 6).as("token_share"),
-        round(min($"n_tokens").over(w).cast("double") / $"n_tokens", 6).as("sample_weight")
+        round($"n_tokens" / $"__tot_tokens".cast("double"), 6).as("token_share"),
+        round($"__min_tokens".cast("double") / $"n_tokens", 6).as("sample_weight")
       )
       .orderBy($"source")
   }
@@ -852,16 +859,22 @@ object QueriesCorpus {
     */
   def q137_mixture_plan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val nTok = size(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).cast("long")
-    val w    = Window.partitionBy()
-    Tables
-      .documents(spark, dir)
-      .select($"source", nTok.as("doc_tokens"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"doc_tokens").as("n_tokens"))
+    // q65's discipline: materialize the sources-sized aggregate once,
+    // attach the corpus scalars as a 1-row broadcast — no
+    // empty-partition window (window-lint clean), one corpus scan
+    val perSource = graft.operators.Materialize(
+      Tables
+        .documents(spark, dir)
+        .select($"source", nTok.as("doc_tokens"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_tokens").as("n_tokens")))
+    val scalars = broadcast(perSource.agg(
+      sum($"n_tokens").as("__tot_tokens"), count(lit(1)).as("__n_sources")))
+    perSource
+      .crossJoin(scalars)
       .select($"source", $"n_docs", $"n_tokens",
-        floor(sum($"n_tokens").over(w) / count(lit(1)).over(w)).cast("long")
+        floor($"__tot_tokens" / $"__n_sources").cast("long")
           .as("target_tokens"))
       .select(
         $"source",
@@ -2071,8 +2084,10 @@ object QueriesCorpus {
       .keepOnePerComponent(comps, docs, "doc_id", "n_chars")
       .select($"kept_id".as("doc_id"), lit(1L).as("is_keeper"))
     val clustered = comps.select($"id".as("doc_id"), lit(1L).as("in_cluster"))
-    val wAll = Window.partitionBy()
-    docs
+    // q65's discipline: the sources-sized aggregate materializes once
+    // and the corpus totals attach as a 1-row broadcast — no
+    // empty-partition window (window-lint clean)
+    val perSource = graft.operators.Materialize(docs
       .select($"doc_id", $"source", nTok.as("t"))
       .join(clustered, Seq("doc_id"), "left")
       .join(keepers, Seq("doc_id"), "left")
@@ -2083,11 +2098,14 @@ object QueriesCorpus {
         count(lit(1)).as("n_docs"),
         sum($"t").as("n_tokens"),
         sum($"kept").as("n_docs_dedup"),
-        sum($"kept" * $"t").as("n_tokens_dedup"))
+        sum($"kept" * $"t").as("n_tokens_dedup")))
+    val scalars = broadcast(perSource.agg(
+      sum($"n_tokens").as("__tot_tokens"), sum($"n_tokens_dedup").as("__tot_dedup")))
+    perSource
+      .crossJoin(scalars)
       .select($"source", $"n_docs", $"n_tokens", $"n_docs_dedup", $"n_tokens_dedup",
-        ($"n_tokens".cast("double") / sum($"n_tokens").over(wAll)).as("token_share"),
-        ($"n_tokens_dedup".cast("double") / sum($"n_tokens_dedup").over(wAll))
-          .as("token_share_dedup"))
+        ($"n_tokens".cast("double") / $"__tot_tokens").as("token_share"),
+        ($"n_tokens_dedup".cast("double") / $"__tot_dedup").as("token_share_dedup"))
       .orderBy($"source")
   }
 

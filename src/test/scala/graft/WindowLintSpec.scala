@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
   * aggregate, a driver-local relation, a literal range — or any
   * row-preserving/shrinking composition of those. An aggregate over an
   * unbounded child with grouping keys is NOT bounded (the key space can
-  * grow with the data) — the few windows over domain-bounded keys
-  * (~20 sources) carry an explicit, justified allowlist entry below;
-  * a new query wanting one must either restructure
-  * ([[graft.operators.Ranks]], limit top-k, broadcast scalar attach)
-  * or argue its bound here in review.
+  * grow with the data). The allowlist below is EMPTY — every query is
+  * structurally clean; a new query wanting an unpartitioned window must
+  * either restructure ([[graft.operators.Ranks]], limit top-k,
+  * Materialize-once + broadcast scalar attach — the q65 discipline) or
+  * argue a domain bound here in review.
   */
 class WindowLintSpec extends SparkSpec {
 
@@ -49,16 +49,12 @@ class WindowLintSpec extends SparkSpec {
   }
 
   /** Queries whose unpartitioned windows run over frames bounded by the
-    * DOMAIN, not the data — each entry names the bound. Everything else
-    * must be structurally clean.
+    * DOMAIN, not the data — each entry must name the bound. EMPTY since
+    * the q65/q137/q164 scalar windows were converted to
+    * Materialize-once + 1-row broadcast attaches (round 18); a new
+    * query wanting an entry must argue its bound here in review.
     */
-  private val allow: Map[String, String] = Map(
-    "q65_mixture_weights" -> ("scalar window over the per-source aggregate (~20 rows — " +
-      "source is a domain key); a broadcast-scalar rewrite would scan the corpus twice"),
-    "q137_mixture_plan" -> "same sources-sized aggregate frame as q65",
-    "q146_mixture_draw" -> "inlines q137's plan table (the same sources-sized frame)",
-    "q164_mixture_dedup_shift" -> "same sources-sized aggregate frame as q65"
-  )
+  private val allow: Map[String, String] = Map.empty
 
   test("the lint flags the retired shape and passes bounded ones") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
