@@ -1562,7 +1562,10 @@ object QueriesCorpus {
     import org.apache.spark.sql.types.DecimalType
     val bins = q68_packing(spark, dir).select($"doc_id", $"source", $"bin")
     val bits = q133_unigram_lm_bits(spark, dir).select($"doc_id", $"bits_per_token")
-    val perBin = graft.operators.Materialize(bins
+    // materialized when the BUCKET path will run (its eager passes
+    // would re-run the q68+q133 upstream pipelines ~3x otherwise);
+    // below the threshold the lazy frame is evaluated exactly once
+    val perBin = graft.operators.Ranks.materializeForBucketPath(bins
       .join(bits, Seq("doc_id"))
       .groupBy($"source", $"bin")
       .agg(sum($"bits_per_token".cast(DecimalType(18, 6))).as("sb"),
@@ -2405,11 +2408,15 @@ object QueriesCorpus {
     */
   def q177_revenue_deciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val perUser = Tables
+    // materialized when the BUCKET path will run (eager stats +
+    // histogram + final passes, plus the count branch below — without
+    // this the events scan+aggregate would run ~5x at scale); below
+    // the threshold the lazy frame keeps the small path one evaluation
+    val perUser = graft.operators.Ranks.materializeForBucketPath(Tables
       .events(spark, dir)
       .filter($"event_type" === "purchase")
       .groupBy($"user_id")
-      .agg(sum($"value".cast("decimal(18,2)")).as("spend"))
+      .agg(sum($"value".cast("decimal(18,2)")).as("spend")))
     val ranked = graft.operators.Ranks.withGlobalRowNumber(
       perUser, Seq($"spend".desc, $"user_id"), -$"spend", "rn",
       subBucketKey = Some($"user_id"))

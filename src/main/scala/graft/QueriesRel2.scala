@@ -614,10 +614,14 @@ object QueriesRel2 {
   def q75_spend_deciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val spend = Tables
+    // materialized when the BUCKET path will run (eager stats +
+    // histogram + final passes, plus the count branch below — without
+    // this the orders scan+aggregate would run ~5x at scale); below
+    // the threshold the lazy frame keeps the small path one evaluation
+    val spend = graft.operators.Ranks.materializeForBucketPath(Tables
       .orders(spark, dir)
       .groupBy($"o_custkey")
-      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("spend"))
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("spend")))
     // exact distributed global rank ([[graft.operators.Ranks]] — bucket
     // histogram + per-bucket windows, never one reducer sorting every
     // customer); ntile/percent_rank/cume_dist derive from (rn, n) in

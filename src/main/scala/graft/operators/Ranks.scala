@@ -51,15 +51,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * bounded: ≤ buckets + hot·(subBuckets+2) rows). A hot bucket that is
   * NOT one tied value (smooth skew inside 1/`buckets` of the range) is
   * left to the per-bucket sort with a logged warning — as is a hot
-  * bucket with no `subBucketKey` to split by.
+  * bucket with no `subBucketKey` to split by, and a hot double value
+  * that is actually SEVERAL distinct true keys collapsed by the double
+  * cast (keys past 2^53): the split's membership test is double
+  * equality, so splitting those by the tie-break would misrank them —
+  * the guard declines (exactness is never traded for the split).
   *
   * Adaptive like [[Quantiles]]: below `sortThresholdBytes` (Catalyst's
   * own size estimate) the plain window wins — one in-task sort beats
   * the extra bounded passes. Both paths emit IDENTICAL values, so a
   * misestimate can only change the plan shape, never a result. Note
   * the bucket path is EAGER (it runs 2–5 bounded-output jobs at call
-  * time) and evaluates the input two–three times — pass a
-  * [[Materialize]]d frame when the upstream is expensive.
+  * time) and evaluates the input two–three times — materialize an
+  * expensive upstream via [[materializeForBucketPath]] (conditional on
+  * the same size estimate, so the small path keeps real stats and a
+  * single lazy evaluation) or plain [[Materialize]] when other
+  * consumers share the frame anyway.
   */
 object Ranks {
 
@@ -101,6 +108,25 @@ object Ranks {
     least(
       greatest(floor((k - lit(mn)) / lit(mx - mn + Double.MinPositiveValue) * buckets), lit(0)),
       lit(buckets - 1L)).cast("long")
+
+  /** Caller-side companion for EXPENSIVE inputs: materialize `df` only
+    * when the size estimate says the bucket path (eager, multi-pass)
+    * will run. Below the threshold the frame stays lazy, so the small
+    * path remains one in-task sort over a single evaluation — and the
+    * estimate keeps meaning: a materialized (LogicalRDD) frame reports
+    * no stats, so materializing FIRST would force the bucket path at
+    * every scale. Value-identical either way (the path choice never
+    * changes results); pass the same `sortThresholdBytes` as the rank
+    * call when overriding the default. Inputs with OTHER consumers
+    * besides the rank (q163's three-rank base) should stay on plain
+    * [[Materialize]] — they re-evaluate on every consumer regardless
+    * of which rank path runs.
+    */
+  def materializeForBucketPath(df: DataFrame, sortThresholdBytes: Long = 8L << 20): DataFrame = {
+    val thr: Long = thresholdOverride.getOrElse(sortThresholdBytes)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr) df
+    else Materialize(df)
+  }
 
   def withGlobalRowNumber(
       df: DataFrame,
@@ -182,26 +208,45 @@ object Ranks {
             "its window partition sorts in one task")
           (b1, hist1, false)
         } else {
-          // bounded pass 3: the tied group's sub-key range per hot value
+          // bounded pass 3: the tied group's sub-key range per hot
+          // value, plus a PRECISION GUARD — the split's membership test
+          // is double equality, so a "tied value" must be verified to
+          // be ONE distinct true key. Past 2^53 (long/decimal keys)
+          // several distinct keys can collapse onto one double; sub-
+          // bucketing those by k2 would order them by the TIE-BREAK
+          // instead of the true leading key. Such a value is declined
+          // (the per-bucket window still sorts it exactly by the true
+          // sort spec — only the split optimization is lost).
           val vals = splittable.map(_._2)
           val ranges = df.filter(k.isin(vals: _*))
-            .groupBy(k.as("__rk")).agg(min(k2), max(k2))
-            .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-          // composite id: stride per original bucket; inside a hot one,
-          // 0 = below the tied value, 1..subBuckets = its k2 sub-split,
-          // subBuckets+1 = above — lexicographic (b1, sub) still
-          // refines the sort order, so offsets compose exactly
-          val stride = subBuckets + 2L
-          val sub = splittable.foldLeft(lit(0L)) { case (acc, (hb, v, _)) =>
-            val (lo2, hi2) = ranges(v)
-            when(b1 === hb,
-              when(k < v, lit(0L))
-                .when(k > v, lit(subBuckets + 1L))
-                .otherwise(lit(1L) + bucketOf(k2, lo2, hi2, subBuckets)))
-              .otherwise(acc)
+            .groupBy(k.as("__rk")).agg(min(k2), max(k2), count_distinct(bucketKey))
+            .collect()
+            .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+            .toMap
+          val exactTies = splittable.filter { case (_, v, _) => ranges(v)._3 == 1L }
+          if (exactTies.isEmpty) {
+            log.warn(f"hot bucket holds ${share1 * 100}%.1f%% of $total rows but its mode " +
+              "double maps to MULTIPLE distinct true keys (precision collapse past 2^53) — " +
+              "the tie split would misrank them and is declined; its window partition " +
+              "sorts in one task")
+            (b1, hist1, false)
+          } else {
+            // composite id: stride per original bucket; inside a hot one,
+            // 0 = below the tied value, 1..subBuckets = its k2 sub-split,
+            // subBuckets+1 = above — lexicographic (b1, sub) still
+            // refines the sort order, so offsets compose exactly
+            val stride = subBuckets + 2L
+            val sub = exactTies.foldLeft(lit(0L)) { case (acc, (hb, v, _)) =>
+              val (lo2, hi2, _) = ranges(v)
+              when(b1 === hb,
+                when(k < v, lit(0L))
+                  .when(k > v, lit(subBuckets + 1L))
+                  .otherwise(lit(1L) + bucketOf(k2, lo2, hi2, subBuckets)))
+                .otherwise(acc)
+            }
+            val fb = b1 * lit(stride) + sub
+            (fb, collectHist(fb), true)
           }
-          val fb = b1 * lit(stride) + sub
-          (fb, collectHist(fb), true)
         }
       }
     val shareAfter = hist.map(_._2).max.toDouble / total

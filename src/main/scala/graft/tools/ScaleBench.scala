@@ -225,14 +225,25 @@ object ScaleBench {
         s""""t_iid10":${r(x.tIid)},"rows_iid10":${x.nIid},"ratio_iid":${r(x.tIid / x.t01)},""" +
         s""""t_dup10":${r(x.tDup)},"rows_dup10":${x.nDup},"ratio_dup":${r(x.tDup / x.t01)}}"""
     }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"scale_ratio_10x","factor":$factor,"sf_src":"$src",""" +
-        s""""corpus":{"docs":$nd,"vectors":$nv,"events":$ne},""" +
-        s""""criteria":{"iid":"wall-time ratio at 10x iid data should be <= ~15x (linear regime + fixed overhead)","dup":"judge wall ratio against rows ratio - output mass in duplicated families grows ~quadratically by design"},""" +
-        s""""sentinel":{"start":${r(sentStart)},"end":${r(sentEnd)}},""" +
-        s""""queries":$qjson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
-      (json + "\n").getBytes("UTF-8"))
+    val baseSections = Seq(
+      "metric"  -> "\"scale_ratio_10x\"",
+      "factor"  -> factor.toString,
+      "sf_src"  -> s""""$src"""",
+      "corpus"  -> s"""{"docs":$nd,"vectors":$nv,"events":$ne}""",
+      "criteria" -> s"""{"iid":"wall-time ratio at 10x iid data should be <= ~15x (linear regime + fixed overhead)","dup":"judge wall ratio against rows ratio - output mass in duplicated families grows ~quadratically by design"}""",
+      "sentinel" -> s"""{"start":${r(sentStart)},"end":${r(sentEnd)}}""",
+      "queries" -> qjson)
+    // merge-aware even as the BASE writer: a re-run must not delete
+    // the sections ScaleDml/ScalePrune own (dml_queries,
+    // dml_touched_partition, partition_prune)
+    val basePath = java.nio.file.Paths.get("BENCH_sf1.json")
+    val merged =
+      if (java.nio.file.Files.exists(basePath))
+        BenchMerge.replaceSections(
+          new String(java.nio.file.Files.readAllBytes(basePath), "UTF-8"), baseSections)
+      else
+        baseSections.map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}") + "\n"
+    java.nio.file.Files.write(basePath, merged.getBytes("UTF-8"))
     println(s"SCALEBENCH wrote BENCH_sf1.json (${rows.size} queries)")
     spark.stop()
   }

@@ -227,19 +227,18 @@ object ScaleDml {
         s""""merge_fullspan_rows":$nBF,"merge_fullspan_10x":${r(mergeFull10)},""" +
         s""""refresh_sf01":${r(refresh1)},"refresh_10x":${r(refresh10)},"refresh_fullspan_10x":${r(refreshFull10)},""" +
         s""""criteria":{"merge_1part":"key-only merge keeps a full-table matched-homes probe (a key may live in any partition) - its 10x ratio carries that scan's linear term over a column-pruned broadcast semi-join","merge_keyed":"keys include the partition column, so the probe prunes to the touched slice - the same batch must cost ~1x at 10x table size (touched-partition mass, not table size)","merge_fullspan":"the contrast - touched mass returns (all partitions, 10x rows), so cost is allowed to return","refresh":"O(delta + |MV|) by contract - the 10x ratio tracks |MV| (10x customers), never the fact table"}}"""
-    val dmlJson =
-      s""""dml_queries":{"factor":$factor,"corpus":{"orders":$nOrd,"customers":$nCust},""" +
+    val dmlQueries =
+      s"""{"factor":$factor,"corpus":{"orders":$nOrd,"customers":$nCust},""" +
         s""""note":"first = one-time CTAS/MV setup + first incremental apply; steady = converged re-run (the recurring nightly path, matching the committed bench records); feed volume scales with the base by the modulo rules","sentinel":{"start":${r(sentStart)},"end":${r(sentEnd)}},""" +
-        s""""queries":$qjson},"dml_touched_partition":$tp"""
+        s""""queries":$qjson}"""
 
     val benchPath = java.nio.file.Paths.get("BENCH_sf1.json")
-    val existing  = new String(java.nio.file.Files.readAllBytes(benchPath), "UTF-8").trim
-    require(existing.startsWith("{") && existing.endsWith("}"), "BENCH_sf1.json is not a JSON object")
-    val prefix = existing.substring(0, existing.length - 1)
-    // replace a prior dml section if present (idempotent re-run)
-    val cut = prefix.indexOf(""","dml_queries":""")
-    val kept = if (cut >= 0) prefix.substring(0, cut) else prefix
-    java.nio.file.Files.write(benchPath, (kept + "," + dmlJson + "}\n").getBytes("UTF-8"))
+    val existing  = new String(java.nio.file.Files.readAllBytes(benchPath), "UTF-8")
+    // replace ONLY this tool's sections (idempotent re-run) — other
+    // tools' sections (e.g. ScalePrune's partition_prune) survive
+    val merged = BenchMerge.replaceSections(existing,
+      Seq("dml_queries" -> dmlQueries, "dml_touched_partition" -> tp))
+    java.nio.file.Files.write(benchPath, merged.getBytes("UTF-8"))
     println(s"SCALEDML merged dml sections into BENCH_sf1.json (${rows.size} queries)")
     spark.stop()
   }

@@ -114,7 +114,7 @@ object ScalePrune {
     // ---- merge into BENCH_sf1.json ------------------------------------
     def r(d: Double) = f"$d%.3f"
     val section =
-      s""""partition_prune":{"n_dirs":$nParts,"touched_dirs":${touched.length},"rows_per_dir":$rowsPer,""" +
+      s"""{"n_dirs":$nParts,"touched_dirs":${touched.length},"rows_per_dir":$rowsPer,""" +
         s""""create_s":${r(tCreate)},""" +
         s""""read_inline_s":${r(inlineRead.wall)},"read_inline_static_prune":${inlineRead.static},""" +
         s""""read_join_s":${r(joinRead.wall)},"read_join_dpp":${joinRead.dpp},""" +
@@ -122,12 +122,10 @@ object ScalePrune {
         s""""update_ratio":${r(dmlJoin / dmlInline)},""" +
         s""""criteria":"inline read must statically prune the listing; join read must show a dynamicpruning partition filter (DPP rebuilt from the broadcast set); the two UPDATE walls must agree within noise - the representation switch exists to keep 10^4+-tuple sets out of task-serialized plan literals, not to change the touched-mass cost"}"""
     val benchPath = java.nio.file.Paths.get("BENCH_sf1.json")
-    val existing  = new String(java.nio.file.Files.readAllBytes(benchPath), "UTF-8").trim
-    require(existing.startsWith("{") && existing.endsWith("}"), "BENCH_sf1.json is not a JSON object")
-    val prefix = existing.substring(0, existing.length - 1)
-    val cut    = prefix.indexOf(""","partition_prune":""")
-    val kept   = if (cut >= 0) prefix.substring(0, cut) else prefix
-    java.nio.file.Files.write(benchPath, (kept + "," + section + "}\n").getBytes("UTF-8"))
+    val existing  = new String(java.nio.file.Files.readAllBytes(benchPath), "UTF-8")
+    // replace ONLY this tool's section — other tools' sections survive
+    val merged = BenchMerge.replaceSections(existing, Seq("partition_prune" -> section))
+    java.nio.file.Files.write(benchPath, merged.getBytes("UTF-8"))
     println("SCALEPRUNE merged partition_prune section into BENCH_sf1.json")
     spark.stop()
   }

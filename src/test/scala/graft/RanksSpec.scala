@@ -79,6 +79,29 @@ class RanksSpec extends SparkSpec {
       s"after the split no bucket may dominate (distributed shape): $tr")
   }
 
+  test("a hot double value hiding TWO distinct true keys declines the split and stays exact") {
+    // 2^53 and 2^53+1 are DISTINCT longs that cast to the SAME double:
+    // the split's membership test (double equality) would lump them and
+    // order them by the tie-break id, inverting the true key order —
+    // the precision guard must decline and fall back to the per-bucket
+    // sort (which orders by the true long, exactly)
+    val big = 9007199254740992L
+    val df = (1 to 4000).map { i =>
+      val v = if (i % 10 == 0) i.toLong else if (i % 2 == 0) big else big + 1L
+      (i.toLong, v)
+    }.toDF("id", "v")
+    val window = ranks(df.withColumn("rn",
+      row_number().over(Window.orderBy($"v", $"id")).cast("long")))
+    val buckets = ranks(Ranks.withGlobalRowNumber(
+      df, Seq($"v", $"id"), $"v", "rn", buckets = 16,
+      sortThresholdBytes = 0L, subBucketKey = Some($"id"), subBuckets = 64))
+    assert(buckets == window,
+      "keys collapsed by the double cast must not be sub-bucketed by the tie-break")
+    val tr = Ranks.lastTrace.get
+    assert(tr.maxShareBefore > 0.85 && !tr.refined,
+      s"the precision guard must decline the split: $tr")
+  }
+
   test("a hot bucket WITHOUT a subBucketKey stays exact (warn-only degradation)") {
     val df = (1 to 3000).map(i => (i.toLong, if (i % 10 == 0) i.toDouble else 7.0))
       .toDF("id", "v")

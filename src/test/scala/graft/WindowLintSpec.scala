@@ -36,11 +36,18 @@ class WindowLintSpec extends SparkSpec {
     })
 
   private def bounded(p: LogicalPlan): Boolean = p match {
-    case _: GlobalLimit | _: LocalLimit          => true // limit top-k
+    case _: GlobalLimit                          => true // limit top-k
+    // a BARE LocalLimit bounds rows per PARTITION only — limit×parts
+    // rows still reach a single-reducer window; only its GlobalLimit
+    // pair (matched above) bounds the frame
+    case l: LocalLimit                           => bounded(l.child)
     case a: Aggregate if a.groupingExpressions.isEmpty => true // 1 row
     case _: OneRowRelation                       => true
     case _: LocalRelation                        => true // driver-built rows
-    case _: Range                                => true // literal range
+    // a range is only bounded when its LITERAL size is small — a
+    // spark.range(n) with n computed from corpus size at the driver
+    // is exactly the unbounded ladder the lint exists to block
+    case r: Range                                => r.numElements <= BigInt(1L << 20)
     case a: Aggregate                            => bounded(a.child)
     case j: Join                                 => bounded(j.left) && bounded(j.right)
     case _: Generate                             => false // explode multiplies
@@ -72,6 +79,14 @@ class WindowLintSpec extends SparkSpec {
       .withColumn("rn", row_number().over(WSpec.orderBy(col("n"))))
     assert(offendersOf(oneRow.queryExecution.optimizedPlan).isEmpty,
       "a global-aggregate (1-row) frame must pass")
+    val hugeRange = spark.range(100000000L)
+      .withColumn("rn", row_number().over(WSpec.orderBy(col("id"))))
+    assert(offendersOf(hugeRange.queryExecution.optimizedPlan).nonEmpty,
+      "a rank over a corpus-sized generated range must be flagged")
+    val smallRange = spark.range(100L)
+      .withColumn("rn", row_number().over(WSpec.orderBy(col("id"))))
+    assert(offendersOf(smallRange.queryExecution.optimizedPlan).isEmpty,
+      "a rank over a small literal range must pass")
   }
 
   test("no registered query plans an unpartitioned window over an unbounded frame (scale paths forced)") {
