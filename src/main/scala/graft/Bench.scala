@@ -61,11 +61,14 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, rows)
     }
-    // optional name filter (substring match) for focused timing during
-    // development: `runMain graft.Bench q98` times only matching queries
+    // optional name filter (comma-separated substring match) for focused
+    // timing during development: `runMain graft.Bench q98,q127` times
+    // only matching queries; the driver invokes Bench with no args
     val entries = args.headOption match {
-      case Some(f) => SparkEntry.queries.toSeq.filter(_._1.contains(f))
-      case None    => SparkEntry.queries.toSeq
+      case Some(f) =>
+        val fs = f.split(",").map(_.trim).filter(_.nonEmpty)
+        SparkEntry.queries.toSeq.filter { case (n, _) => fs.exists(n.contains) }
+      case None => SparkEntry.queries.toSeq
     }
     val half    = entries.length / 2
     def runHalf(slice: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

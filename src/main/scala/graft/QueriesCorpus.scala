@@ -476,13 +476,21 @@ object QueriesCorpus {
     */
   def q127_dedup_report(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, Materialize}
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"n_chars", $"text")
-    val keeps = docs
-      .groupBy(sha2($"text", 256).as("ck"))
-      .agg(min($"doc_id").as("keep_id"))
-    val tagged = docs.withColumn("ck", sha2($"text", 256)).join(keeps, Seq("ck"))
+    // keeper tag in ONE content-key shuffle (window min over ck) instead
+    // of groupBy + join-back (two exchanges + a second docs scan), and
+    // materialized once: exactLosers, surv1 and — through the anti-join —
+    // surv2 all branch from here, where the old shape replayed the
+    // docs⋈keeps subtree once per consumer (22 parquet scans / 96
+    // exchanges in the before plan; guide §2.4)
+    val tagged = Materialize(
+      docs
+        .withColumn("ck", sha2($"text", 256))
+        .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"ck")))
+        .drop("ck"))
     val exactLosers = tagged.filter($"doc_id" =!= $"keep_id").select($"doc_id")
     val surv1 = tagged.filter($"doc_id" === $"keep_id")
       .select($"doc_id", $"source", $"n_chars", $"text")
@@ -490,9 +498,19 @@ object QueriesCorpus {
       .minhashLshPairs(surv1, "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.5)
       .select($"id_b".as("doc_id")).distinct()
     val surv2 = surv1.join(nearLosers, Seq("doc_id"), "left_anti")
-    val subLosers = Dedup
-      .substringPairs(surv2, "doc_id", "text", k = 8)
-      .select($"doc_b".as("doc_id")).distinct()
+      .select($"doc_id", $"text")
+    // a substring loser is any doc_b sharing ≥ 1 positioned k-gram
+    // anchor, and one matched anchor already implies a shared run ≥ k —
+    // distinct doc_b of the anchor equi-join equals distinct doc_b of
+    // the full substringPairs output, without the gaps-and-islands
+    // window or the run aggregates this report never reads. The anchor
+    // table materializes once so the self-join's two sides share it.
+    val anchors = Materialize(Dedup.substringAnchors(surv2, "doc_id", "text", k = 8))
+    val subLosers = anchors.as("a")
+      .join(anchors.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.g") === col("b.g"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
     val losers = exactLosers.select($"doc_id", lit("exact").as("stage"))
       .unionByName(nearLosers.select($"doc_id", lit("near").as("stage")))
       .unionByName(subLosers.select($"doc_id", lit("substr").as("stage")))
@@ -1852,22 +1870,29 @@ object QueriesCorpus {
       .groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" >= 3)
       .select($"g")
+    // covered positions collapse to ONE row per document (collect_set
+    // of ints), and the clean text rebuilds row-locally from the intact
+    // token array — the old shape exploded EVERY token position of
+    // EVERY doc through a (doc, pos) join and re-assembled documents
+    // via collect_list + array_sort, shuffling corpus-token-count rows
+    // twice (guide §2.3: shuffle keys and metadata, not payloads). A
+    // doc's covered-set is bounded by its own length, so the per-row
+    // array_contains loop is bounded per-doc work, and docs without any
+    // common gram never enter the cov aggregate at all.
     val cov = grams
       .join(common, Seq("g"))
       .select($"doc_id", explode(expr("sequence(gpos, gpos + 4)")).as("pos"))
-      .distinct()
-      .withColumn("covered", lit(1))
-    d.select($"doc_id", posexplode($"toks").as(Seq("p0", "token")))
-      .withColumn("pos", $"p0" + 1)
-      .join(cov, Seq("doc_id", "pos"), "left")
       .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when($"covered".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+      .agg(collect_set($"pos").as("cpos"))
+    d.filter(size($"toks") >= 1)
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("cpos", coalesce($"cpos", array().cast("array<int>")))
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size($"cpos").cast("long").as("n_removed"),
         array_join(
-          transform(
-            array_sort(collect_list(when($"covered".isNull, struct($"pos", $"token")))),
-            x => x.getField("token")),
+          filter($"toks", (t, i) => !array_contains($"cpos", i + lit(1))),
           " ").as("clean_text"))
       .orderBy($"doc_id")
   }

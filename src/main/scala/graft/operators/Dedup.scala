@@ -695,6 +695,15 @@ object Dedup {
   /** Shared tail of the substring family: matched positioned anchors
     * (doc_a, doc_b, pa, pb) → (doc_a, doc_b, n_anchors, max_run) via
     * the diagonal gaps-and-islands window.
+    *
+    * Single pass over `m`: every island of length L contributes
+    * L − (k−1) anchors, so n_anchors = Σ (run_tokens − (k−1)) over the
+    * islands — both outputs aggregate from the island table, which
+    * spares the second evaluation of the (potentially expensive) anchor
+    * join `m` plus the anchors⋈maxRun join the two-aggregate form paid
+    * (guide §2.4: one subtree, one exchange chain). The island groupBy
+    * keys extend the window's partition keys, so it reuses the window's
+    * exchange; only the final (doc_a, doc_b) aggregate shuffles again.
     */
   private def anchorRunsAgg(m: DataFrame, k: Int): DataFrame = {
     val runs = m
@@ -704,9 +713,10 @@ object Dedup {
           .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
     val runlen = runs.groupBy("doc_a", "doc_b", "diag", "grp")
       .agg((count(lit(1)) + lit(k - 1)).as("run_tokens"))
-    val anchors = m.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_anchors"))
-    val maxRun = runlen.groupBy("doc_a", "doc_b").agg(max("run_tokens").as("max_run"))
-    anchors.join(maxRun, Seq("doc_a", "doc_b"))
+    runlen.groupBy("doc_a", "doc_b")
+      .agg(
+        sum(col("run_tokens") - lit(k - 1)).as("n_anchors"),
+        max("run_tokens").as("max_run"))
   }
 
   /** Persist the positioned-anchor index for incremental substring

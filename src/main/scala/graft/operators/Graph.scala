@@ -78,14 +78,19 @@ object Graph {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
+      // One fused round (guide §2.4): neighbor messages UNION the
+      // self-label, then a single min aggregate — the self-message
+      // replaces the old neighborMin groupBy + left-join-back, which
+      // shuffled `labels` a second time every round and recomputed the
+      // no-neighbor coalesce. min(self ∪ neighbors) ≡
+      // least(comp, coalesce(min neighbor comp, comp)) exactly, and
+      // vertices with no incoming message survive via the self-row.
+      val msgs = edges
         .join(labels, edges("v") === labels("id"))
-        .groupBy(edges("u").as("nid"))
-        .agg(min(col("comp")).as("ncomp"))
+        .select(edges("u").as("id"), col("comp"))
       val updated = Materialize(
-        labels
-          .join(neighborMin, labels("id") === neighborMin("nid"), "left")
-          .select(labels("id").as("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
+        msgs.union(labels)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       val nfp = fingerprint(updated, "id", "comp")
       labels = updated
       converged = nfp == fp
