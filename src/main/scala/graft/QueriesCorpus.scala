@@ -701,15 +701,17 @@ object QueriesCorpus {
         .agg(count(lit(1)).as("tf")))
     val vocab = tf.groupBy($"token").agg(sum($"tf").as("c_tok"))
     val tot   = vocab.agg(sum($"c_tok").as("n_total"))
-    val n     = tf.groupBy($"doc_id").agg(sum($"tf").as("n_tokens"))
+    // n_tokens rides the scoring aggregate (r18): the vocab join is
+    // inner but lossless (vocab derives from tf), so sum(tf) over the
+    // joined rows equals the old separate per-doc aggregate exactly —
+    // one shuffle and one join-back fewer (guide §2.4)
     tf.join(vocab, Seq("token"))
       .crossJoin(broadcast(tot))
-      .select($"doc_id",
+      .select($"doc_id", $"tf",
         ($"tf" * -log($"c_tok" / $"n_total".cast("double")))
           .cast(DecimalType(18, 12)).as("term"))
       .groupBy($"doc_id")
-      .agg(sum($"term").as("s"))
-      .join(n, Seq("doc_id"))
+      .agg(sum($"term").as("s"), sum($"tf").as("n_tokens"))
       .select($"doc_id", $"n_tokens",
         round($"s".cast("double") / $"n_tokens" / lit(math.log(2.0)), 6)
           .as("bits_per_token"))
@@ -1162,18 +1164,27 @@ object QueriesCorpus {
     val tok = docs
       .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
       .filter($"token" =!= "")
-    val tf    = Materialize(tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
-    val vocab = tf.groupBy($"token").agg(sum($"tf").as("c_tok"))
+    // tf and vocab checkpoint lazily: the nTot aggregate below is the
+    // one action that persists both (r18, guide §1.2/§2.4) — the final
+    // query then reads the vocab checkpoint instead of re-running the
+    // token-keyed aggregation over tf a second time
+    val tf    = graft.operators.Materialize.lazily(
+      tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
+    val vocab = graft.operators.Materialize.lazily(
+      tf.groupBy($"token").agg(sum($"tf").as("c_tok")))
     val nTot  = vocab.agg(sum($"c_tok")).head().getLong(0)
     val mTf   = tf.join(comps.select($"doc_id"), Seq("doc_id"), "left_semi")
-    val nDoc  = mTf.groupBy($"doc_id").agg(sum($"tf").as("n_tokens"))
+    // n_tokens rides the SAME doc-keyed aggregate as the score sum
+    // (r18): the vocab join is inner but lossless (every mTf token is
+    // in vocab by construction), so sum(tf) over the joined rows equals
+    // the old separate nDoc aggregate exactly — one shuffle and one
+    // join-back fewer (guide §2.4)
     val lm = mTf
       .join(vocab, Seq("token"))
-      .select($"doc_id",
+      .select($"doc_id", $"tf",
         ($"tf" * -log($"c_tok" / lit(nTot.toDouble)))
           .cast(DecimalType(18, 12)).as("term"))
-      .groupBy($"doc_id").agg(sum($"term").as("s"))
-      .join(nDoc, Seq("doc_id"))
+      .groupBy($"doc_id").agg(sum($"term").as("s"), sum($"tf").as("n_tokens"))
       .select($"doc_id",
         round($"s".cast("double") / $"n_tokens" / lit(math.log(2.0)), 6)
           .as("bits_per_token"))
@@ -1221,10 +1232,16 @@ object QueriesCorpus {
       .documents(spark, dir)
       .select($"source", explode(split($"text", "\\s+")).as("token"))
       .filter($"token" =!= "")
-    val tf    = tok.groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
-    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c_tok"))
-    val nSrc  = tok.groupBy($"source").agg(count(lit(1)).as("n_src"))
-    val nTot  = tok.count() // one scalar to the driver
+    // ONE corpus scan (r18): tf materializes lazily and the vocab, the
+    // per-source totals and the corpus total all roll up from it
+    // (counts are additive, so every number is bit-identical to the
+    // old four independent scan+explode passes); the nTot action is
+    // what persists the checkpoint (§1.2, §2.4)
+    val tf = graft.operators.Materialize.lazily(
+      tok.groupBy($"source", $"token").agg(count(lit(1)).as("tf")))
+    val vocab = tf.groupBy($"token").agg(sum($"tf").as("c_tok"))
+    val nSrc  = tf.groupBy($"source").agg(sum($"tf").as("n_src"))
+    val nTot  = tf.agg(sum($"tf")).head().getLong(0) // one scalar to the driver
     tf.join(vocab, Seq("token"))
       .join(nSrc, Seq("source"))
       .select($"source", $"n_src",
@@ -1283,22 +1300,27 @@ object QueriesCorpus {
           "i -> struct(i AS gpos, array_join(slice(toks, i, 8), ' ') AS g))")).as("s"))
       .select($"doc_id", $"s.gpos".as("gpos"), $"s.g".as("g"))
       .join(broadcast(ev), Seq("g"))
+    // covered positions collapse to ONE row per doc and the clean text
+    // rebuilds row-locally from the intact token array — the q172
+    // shape (r18): the old form exploded EVERY corpus token through a
+    // (doc, pos) join and reassembled docs via collect_list +
+    // array_sort, shuffling corpus-token-count rows twice (guide §2.3:
+    // shuffle keys and metadata, not payloads). Docs without any eval
+    // gram never enter the cov aggregate.
     val cov = hits
       .select($"doc_id", explode(expr("sequence(gpos, gpos + 7)")).as("pos"))
-      .distinct()
-      .withColumn("covered", lit(1))
-    corpus
-      .select($"doc_id", posexplode($"toks").as(Seq("p0", "token")))
-      .withColumn("pos", $"p0" + 1)
-      .join(cov, Seq("doc_id", "pos"), "left")
       .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when($"covered".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+      .agg(collect_set($"pos").as("cpos"))
+    corpus
+      .filter(size($"toks") >= 1)
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("cpos", coalesce($"cpos", array().cast("array<int>")))
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size($"cpos").cast("long").as("n_removed"),
         array_join(
-          transform(
-            array_sort(collect_list(when($"covered".isNull, struct($"pos", $"token")))),
-            x => x.getField("token")),
+          filter($"toks", (t, i) => !array_contains($"cpos", i + lit(1))),
           " ").as("clean_text"))
       .orderBy($"doc_id")
   }
@@ -1465,23 +1487,27 @@ object QueriesCorpus {
           "i -> struct(i AS gpos, array_join(slice(toks, i, 8), ' ') AS g))")).as("s"))
       .select($"doc_id", $"s.gpos".as("gpos"), $"s.g".as("g"))
     val w = Window.partitionBy($"doc_id", $"g").orderBy($"gpos")
+    // covered positions collapse to ONE row per doc and the clean text
+    // rebuilds row-locally — the q172 shape (r18): the old form
+    // exploded every token of every doc through a (doc, pos) join and
+    // reassembled via collect_list + array_sort, shuffling
+    // corpus-token-count rows twice (guide §2.3). Only docs with a
+    // repeated 8-gram enter the cov aggregate.
     val cov = grams
       .withColumn("occ", row_number().over(w))
       .filter($"occ" >= 2)
       .select($"doc_id", explode(expr("sequence(gpos, gpos + 7)")).as("pos"))
-      .distinct()
-      .withColumn("covered", lit(1))
-    d.select($"doc_id", posexplode($"toks").as(Seq("p0", "token")))
-      .withColumn("pos", $"p0" + 1)
-      .join(cov, Seq("doc_id", "pos"), "left")
       .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when($"covered".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+      .agg(collect_set($"pos").as("cpos"))
+    d.filter(size($"toks") >= 1)
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("cpos", coalesce($"cpos", array().cast("array<int>")))
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size($"cpos").cast("long").as("n_removed"),
         array_join(
-          transform(
-            array_sort(collect_list(when($"covered".isNull, struct($"pos", $"token")))),
-            x => x.getField("token")),
+          filter($"toks", (t, i) => !array_contains($"cpos", i + lit(1))),
           " ").as("clean_text"))
       .orderBy($"doc_id")
   }
@@ -1512,14 +1538,16 @@ object QueriesCorpus {
       pairs.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf")))
     val model = tf.groupBy($"w1", $"w2").agg(sum($"tf").as("c_pair"))
     val prev  = tf.groupBy($"w1").agg(sum($"tf").as("c_prev"))
-    val n     = tf.groupBy($"doc_id").agg(sum($"tf").as("n_transitions"))
+    // n_transitions rides the scoring aggregate (r18): both model joins
+    // are inner but lossless (model and prev derive from tf), so
+    // sum(tf) over the joined rows equals the old separate per-doc
+    // aggregate exactly — one shuffle and one join-back fewer (§2.4)
     tf.join(model, Seq("w1", "w2"))
       .join(prev, Seq("w1"))
-      .select($"doc_id",
+      .select($"doc_id", $"tf",
         ($"tf" * -log($"c_pair" / $"c_prev".cast("double")))
           .cast(DecimalType(18, 12)).as("term"))
-      .groupBy($"doc_id").agg(sum($"term").as("s"))
-      .join(n, Seq("doc_id"))
+      .groupBy($"doc_id").agg(sum($"term").as("s"), sum($"tf").as("n_transitions"))
       .select($"doc_id", $"n_transitions",
         round($"s".cast("double") / $"n_transitions" / lit(math.log(2.0)), 6)
           .as("bits_per_transition"))
@@ -1623,15 +1651,17 @@ object QueriesCorpus {
         .agg(count(lit(1)).as("tf")))
     val vocab = Materialize(tf.groupBy($"token").agg(sum($"tf").as("c_tok")))
     val nTot  = vocab.agg(sum($"c_tok")).head().getLong(0) // one driver scalar
-    val nDoc  = tf.groupBy($"doc_id", $"source").agg(sum($"tf").as("n_doc"))
-    // per-doc LM bits — q133's discipline verbatim
+    // per-doc LM bits — q133's discipline verbatim; n_doc rides the
+    // scoring aggregate (r18: vocab join lossless, sum(tf) exact, and
+    // source is doc-functional so it joins the grouping key) — one
+    // shuffle and one join-back fewer (§2.4)
     val bits = tf
       .join(vocab, Seq("token"))
-      .select($"doc_id",
+      .select($"doc_id", $"source", $"tf",
         ($"tf" * -log($"c_tok" / lit(nTot.toDouble)))
           .cast(DecimalType(18, 12)).as("term"))
-      .groupBy($"doc_id").agg(sum($"term").as("s"))
-      .join(nDoc, Seq("doc_id"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"term").as("s"), sum($"tf").as("n_doc"))
       .select($"source", $"doc_id",
         round($"s".cast("double") / $"n_doc" / lit(math.log(2.0)), 6).as("bits"))
     val meanBits = bits
@@ -1645,12 +1675,13 @@ object QueriesCorpus {
     val kl = srcTf
       .join(vocab, Seq("token"))
       .join(nSrc, Seq("source"))
-      .select($"source",
+      .select($"source", $"n_tokens",
         (($"stf" / $"n_tokens".cast("double")) *
           log(($"stf" / $"n_tokens".cast("double")) / ($"c_tok" / lit(nTot.toDouble))))
           .cast(DecimalType(18, 12)).as("term"))
-      .groupBy($"source").agg(sum($"term").as("s"))
-      .join(nSrc, Seq("source"))
+      // n_tokens is source-functional: grouping by it re-attaches the
+      // count without the old second nSrc join (r18, §2.4)
+      .groupBy($"source", $"n_tokens").agg(sum($"term").as("s"))
       .select($"source", $"n_tokens",
         round($"s".cast("double") / lit(math.log(2.0)), 6).as("kl_bits"))
     // exact-dup count per source (q17's keep rule: min id per content key)
@@ -2157,12 +2188,18 @@ object QueriesCorpus {
       .select($"doc_id",
         explode(graft.operators.Dedup.shingles(split($"text", "\\s+"), 8)).as("g"))
     val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
-    val per = grams
-      .join(first, Seq("g"))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    // the gram-keyed join-back is gone (r18): per-doc gram counts are a
+    // doc-keyed partial aggregate over the (distinct-within-doc) gram
+    // rows, and ownership counts read off `first` directly — each gram
+    // credits exactly one first_doc, so grouping `first` by its owner
+    // equals the old sum(when(first_doc = doc_id)) over the join
+    // row-for-row; the shuffle of the full gram table back through the
+    // join disappears (guide §2.3/§2.4)
+    val ng = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val nv = first.groupBy($"first_doc".as("doc_id")).agg(count(lit(1)).as("n_novel"))
+    val per = ng
+      .join(nv, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", coalesce($"n_novel", lit(0L)).as("n_novel"))
     docs
       .select($"doc_id")
       .join(per, Seq("doc_id"), "left")
@@ -3021,8 +3058,11 @@ object QueriesCorpus {
   def q191_split_leakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Dedup
-    val sh = Dedup
-      .nearDupSets(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+    // the shingle sets materialize once (r18): both the train-gram and
+    // eval-probe branches explode from the checkpoint instead of each
+    // re-running the full tokenize+shingle pass (§1.2)
+    val sh = graft.operators.Materialize(
+      Dedup.nearDupSets(Tables.documents(spark, dir), "doc_id", "text", n = 8))
       .select($"doc_id", explode($"shingle_set").as("s"), splitOf($"doc_id").as("split"))
     val train  = sh.filter($"split" === "train").select($"s").distinct()
     val leaked = sh

@@ -10,8 +10,36 @@ import org.apache.spark.sql.functions._
   * just chain `.select`/`.filter` and let pushdown do its job.
   */
 object Tables {
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Analyzed-scan cache (r18): every bare `spark.read.parquet` pays a
+    * footer-inference Spark job at plan time — across 216 bench queries
+    * × 3 trials × 1-4 source tables each, those jobs alone are seconds
+    * of pure scheduling. An entry is reused only while (a) the session
+    * matches (a new session — test suites — replaces stale entries
+    * instead of growing the map, so no stopped session is ever pinned)
+    * and (b) the path's last-modified time is unchanged — one driver
+    * stat per read, no Spark job — so a test fixture that OVERWRITES
+    * its parquet dir in place (CorpusSpec's drift fixture) invalidates
+    * instead of serving a stale file list.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Long, DataFrame)]()
+
+  private def mtimeOf(path: String): Long =
+    try java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    catch { case _: java.io.IOException => -1L }
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val mt   = mtimeOf(path)
+    val hit  = cache.get(path)
+    if (hit != null && (hit._1 eq spark) && hit._2 == mt && mt >= 0) hit._3
+    else {
+      val df = spark.read.parquet(path)
+      cache.put(path, (spark, mt, df))
+      df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")

@@ -113,6 +113,15 @@ object Dedup {
       idCol: String,
       threshold: Double
   ): DataFrame = {
+    // The exploded sides stay INLINE over the materialized sets: the
+    // r18 experiment that pre-clustered one s-keyed checkpoint for an
+    // exchange-free self-join measured SLOWER at bench scale (+0.16 s,
+    // GraphProbe stage B), because the planner broadcasts one exploded
+    // side off the checkpoint's accurate stats — the join never
+    // shuffles the shingle mass here, so the clustering shuffle was
+    // pure cost. At sizes past the broadcast threshold the join is a
+    // plain s-keyed SMJ whose skew AQE can still split (which a
+    // pre-partitioned build side would forfeit).
     val ex = sets.select(col(idCol).as("id"), explode(col("shingle_set")).as("s"))
     val sizes = sets.select(col(idCol).as("id"), size(col("shingle_set")).as("sz"))
     val shared = ex
@@ -151,6 +160,7 @@ object Dedup {
       threshold: Double
   ): DataFrame = {
     val sets  = materialize(shingleSets(df, idCol, textCol, n))
+    // inline exploded sides, same reasoning as [[ngramJaccardPairsFromSets]]
     val ex    = sets.select(col(idCol).as("id"), explode(col("shingle_set")).as("s"))
     val sizes = sets.select(col(idCol).as("id"), size(col("shingle_set")).cast("long").as("sz"))
     val shared = ex
@@ -259,11 +269,19 @@ object Dedup {
     // the 32 band lambdas makes Catalyst recompute the k-hash signature
     // per band (measured 60x slowdown, BENCH sf0.1). localCheckpoint-free
     // barrier: project → explode in separate steps keeps it evaluated once.
-    val banded = sets
+    // The banded rows ALSO materialize (r18): both candidate-join sides
+    // read them, and without the checkpoint each side recomputed the
+    // k-hash signature chain from the sets checkpoint — the most
+    // expensive per-row compute in this operator, paid twice (guide
+    // §1.2 step 2: don't compute things twice). No pre-clustering: the
+    // planner broadcasts one side off the checkpoint's accurate stats
+    // at bench scales, and past the broadcast threshold AQE's skew
+    // split wants the exchange present.
+    val banded = materialize(sets
       .select(col(idCol).as("id"), minhashBaseHashes(col("shingle_set")).as("bh0"))
       .select(col("id"), minhashFromHashes(col("bh0"), k).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h")))
     val candidates = banded
       .as("a")
       .join(

@@ -27,4 +27,17 @@ object Materialize {
   def apply(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Lazy variant for loop bodies whose NEXT action is itself an
+    * aggregate over the materialized frame (the per-round fixpoint
+    * fingerprint in [[Graph]]): the plan's RDD is marked for
+    * checkpointing without an eager job, so that one aggregate action
+    * both persists the blocks and computes its result — one job per
+    * round instead of two. Same reliability-mode switch as [[apply]];
+    * downstream consumers read the persisted blocks exactly as with
+    * the eager form (results identical, asserted in GraphSpec).
+    */
+  def lazily(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }

@@ -207,8 +207,53 @@ final class Warehouse(
     * need the bare scan — an anti-join in the plan would pollute
     * `inputFiles` with the sidecar's own files.
     */
+  /** Merged-schema cache per table, keyed by the ledger version it was
+    * inferred at (r18): the bare mergeSchema read pays a distributed
+    * footer-merge job at PLAN time on every call, and a DML op consults
+    * the table several times — the dominant hidden job count in the
+    * q83-family bodies (DmlJobs probe). A version-keyed schema lets
+    * every later read pass an explicit schema (zero plan-time jobs)
+    * while staying exactly as fresh as the ledger: any commit — ours or
+    * another JVM's — bumps the version and forces re-inference, and the
+    * file LISTING is still done per read, so snapshot semantics are
+    * unchanged. This is the Delta/Iceberg argument from guide §6
+    * (schema belongs in table metadata, not re-derived from footers),
+    * expressed as a cache over the inference the first read performs.
+    */
+  private val mergedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
+
+  /** The table's merged schema at its CURRENT ledger version, served
+    * from [[mergedSchemaCache]]; None before the first commit.
+    */
+  private[sources] def mergedSchemaOf(layer: String, table: String): Option[StructType] = {
+    val name = s"$layer.$table"
+    val ver  = latestVersion(name)
+    if (ver < 0) None // no ledger yet (mid-bootstrap): never cache
+    else {
+      val hit = mergedSchemaCache.get(name)
+      if (hit != null && hit._1 == ver) Some(hit._2)
+      else {
+        val s = spark.read.option("mergeSchema", "true").parquet(tablePath(layer, table)).schema
+        mergedSchemaCache.put(name, (ver, s))
+        Some(s)
+      }
+    }
+  }
+
+  /** mergeSchema-equivalent scan of the live table dir through the
+    * version-keyed schema cache — zero plan-time footer jobs after the
+    * first read of a version. Every internal mergeSchema read of a
+    * LIVE table routes here.
+    */
+  private[sources] def mergedRead(layer: String, table: String): DataFrame =
+    mergedSchemaOf(layer, table) match {
+      case Some(s) => spark.read.schema(s).parquet(tablePath(layer, table))
+      case None    => spark.read.option("mergeSchema", "true").parquet(tablePath(layer, table))
+    }
+
   private[sources] def rawTable(layer: String, table: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(tablePath(layer, table))
+    mergedRead(layer, table)
 
   // ---- schema evolution (Delta `mergeSchema` semantics) ----
 
@@ -978,7 +1023,12 @@ final class Warehouse(
       full: StructType,
       basePath: Option[String] = None
   ): DataFrame = {
-    val reader = basePath.foldLeft(spark.read.option("mergeSchema", "true"))(
+    // explicit schema (r18): the caller already supplies the full
+    // merged schema, so footer inference — a plan-time Spark job per
+    // call — has nothing to add: files lacking a column null-backfill
+    // under a provided schema exactly as under mergeSchema, and columns
+    // outside `full` were dropped by the select below either way
+    val reader = basePath.foldLeft(spark.read.schema(full))(
       (r, bp) => r.option("basePath", bp))
     val raw = reader.parquet(files: _*)
     raw.select(full.fields.toSeq.map { f =>

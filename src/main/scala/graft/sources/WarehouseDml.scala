@@ -50,7 +50,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       pcols: Seq[String]
   ): Long = {
     val target = tablePath(layer, table)
-    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    val df     = mergedRead(layer, table)
     val hit    = coalesce(predicate, lit(false))
     val touched = touchedPartitions(df.filter(hit), pcols)
     if (touched.isEmpty) {
@@ -115,7 +115,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       s"partition-scoped UPDATE cannot assign partition columns (${pcols.mkString(",")}): " +
         "rows would move between partitions — use upsert (MERGE) instead")
     val target = tablePath(layer, table)
-    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    val df     = mergedRead(layer, table)
     assignments.keys.foreach(c =>
       require(df.columns.contains(c), s"UPDATE assigns unknown column $c"))
     val hit     = coalesce(predicate, lit(false))
@@ -568,7 +568,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     val pcols = partitionColumns(layer, table)
     if (pcols.nonEmpty) return deletePartitioned(layer, table, predicate, pcols)
     val target  = tablePath(layer, table)
-    val df      = spark.read.option("mergeSchema", "true").parquet(target)
+    val df      = mergedRead(layer, table)
     val staging = new Path(target + ".__staging")
     fs.delete(staging, true)
     val ver = nextVersion(s"$layer.$table")
@@ -669,8 +669,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     if (constraints(layer, table).nonEmpty) {
       // post-images of the matched slice — the only new row images an
       // UPDATE introduces; checked before either rewrite path stages
-      val base = spark.read.option("mergeSchema", "true")
-        .parquet(tablePath(layer, table))
+      val base = mergedRead(layer, table)
       val post = assignments.foldLeft(base.filter(coalesce(predicate, lit(false)))) {
         case (d, (c, v)) => d.withColumn(c, v.cast(base.schema(c).dataType))
       }
@@ -679,7 +678,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     val pcols = partitionColumns(layer, table)
     if (pcols.nonEmpty) return updatePartitioned(layer, table, predicate, assignments, pcols)
     val target = tablePath(layer, table)
-    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    val df     = mergedRead(layer, table)
     assignments.keys.foreach(c =>
       require(df.columns.contains(c), s"UPDATE assigns unknown column $c"))
     val hit = coalesce(predicate, lit(false))
@@ -981,7 +980,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     commitIdentity(layer, table, idHighs)
     enforceConstraints(layer, table, src, "MERGE")
     val target = tablePath(layer, table)
-    val raw    = spark.read.option("mergeSchema", "true").parquet(target)
+    val raw    = mergedRead(layer, table)
     val depth  = partitionColumns(layer, table).length
     val tombstoneRows = dvRowsFor(layer, table, Long.MaxValue)
     val visible = tombstoneRows match {

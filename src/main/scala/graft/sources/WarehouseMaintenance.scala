@@ -35,7 +35,7 @@ private[sources] trait WarehouseMaintenance { self: Warehouse =>
     // mergeSchema: an evolved table's older files lack the newer
     // columns — a plain read takes one footer's schema and the compact
     // rewrite would silently DROP the evolved columns' data
-    val before = spark.read.option("mergeSchema", "true").parquet(target)
+    val before = mergedRead(layer, table)
     val rows   = before.count()
     val filesBefore = before.inputFiles.length.toLong
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
@@ -119,7 +119,7 @@ private[sources] trait WarehouseMaintenance { self: Warehouse =>
     val pcols = partitionColumns(layer, table)
     require(pcols.nonEmpty, "OPTIMIZE ... WHERE needs a hive-partitioned table")
     val target = tablePath(layer, table)
-    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    val df     = mergedRead(layer, table)
     // partition-columns-only enforcement: inspect the ANALYZED filter's
     // references (the analyzer's resolve-missing-references rule would
     // silently satisfy a data-column predicate through the projection —
@@ -239,7 +239,7 @@ private[sources] trait WarehouseMaintenance { self: Warehouse =>
     materializeDv(layer, table) // rewrite never runs against live tombstones
     require(cols.nonEmpty && cols.size <= 4, "zorder supports 1-4 columns")
     val target = tablePath(layer, table)
-    val df     = spark.read.option("mergeSchema", "true").parquet(target)
+    val df     = mergedRead(layer, table)
     val rows   = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val z      = zExpr(df, cols, bits, zStats(df, cols))
@@ -310,7 +310,7 @@ private[sources] trait WarehouseMaintenance { self: Warehouse =>
       cols: Seq[String],
       spanThreshold: Double = 0.5
   ): DataFrame = {
-    val df      = spark.read.option("mergeSchema", "true").parquet(tablePath(layer, table))
+    val df      = mergedRead(layer, table)
     val numCols = cols.filter(zIsNumeric(df, _))
     require(numCols.nonEmpty, "clusterHealth needs numeric/date/timestamp columns")
     val perFileAggs = numCols.flatMap(c => Seq(
@@ -355,7 +355,7 @@ private[sources] trait WarehouseMaintenance { self: Warehouse =>
       return spark.read.parquet(tablePath(layer, table)).inputFiles.length.toLong
     }
     val target  = tablePath(layer, table)
-    val df      = spark.read.option("mergeSchema", "true").parquet(target)
+    val df      = mergedRead(layer, table)
     val numCols = cols.filter(zIsNumeric(df, _))
     require(numCols.nonEmpty,
       "zorderIncremental needs at least one numeric/date/timestamp column to measure spans")

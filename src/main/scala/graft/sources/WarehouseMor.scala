@@ -368,7 +368,7 @@ private[sources] trait WarehouseMor { self: Warehouse =>
   ): Long = {
     repairCrashedSwap(layer, table)
     val target = tablePath(layer, table)
-    val raw    = spark.read.option("mergeSchema", "true").parquet(target)
+    val raw    = mergedRead(layer, table)
     val depth  = partitionColumns(layer, table).length
     val visible = dvRowsFor(layer, table, Long.MaxValue) match {
       case Some(dv) => dvAntiJoin(withDvMeta(raw, depth), dv)
@@ -443,7 +443,7 @@ private[sources] trait WarehouseMor { self: Warehouse =>
       }
     }
     val target = tablePath(layer, table)
-    val raw    = spark.read.option("mergeSchema", "true").parquet(target)
+    val raw    = mergedRead(layer, table)
     assignments.keys.foreach(c =>
       require(raw.columns.contains(c), s"UPDATE assigns unknown column $c"))
     val hit   = coalesce(predicate, lit(false))
@@ -545,7 +545,7 @@ private[sources] trait WarehouseMor { self: Warehouse =>
     commitIdentity(layer, table, idHighs)
     enforceConstraints(layer, table, src, "MERGE")
     val target = tablePath(layer, table)
-    val raw    = spark.read.option("mergeSchema", "true").parquet(target)
+    val raw    = mergedRead(layer, table)
     val depth  = partitionColumns(layer, table).length
     val tombstoneRows = dvRowsFor(layer, table, Long.MaxValue)
     val visible = tombstoneRows match {
@@ -670,7 +670,7 @@ private[sources] trait WarehouseMor { self: Warehouse =>
     if (tombstones.isEmpty) return 0L
     val dv      = tombstones.get
     val target  = tablePath(layer, table)
-    val raw     = spark.read.option("mergeSchema", "true").parquet(target)
+    val raw     = mergedRead(layer, table)
     val pcols   = partitionColumns(layer, table)
     val depth   = pcols.length
     val dvNames = dv.select("__dv_file").distinct().collect().map(_.getString(0)).toSet

@@ -46,7 +46,7 @@ private[sources] trait WarehouseTimeTravel { self: Warehouse =>
     // upper bound at the committed ledger version: ops write feed rows
     // BEFORE their swap commits, so a crashed op's phantom partition
     // (repaired away at the next op head) is invisible to readers too
-    spark.read.option("mergeSchema", "true").parquet(p)
+    feedRead(layer, table, p)
       .filter(col("_commit_part").cast("long") > sinceVersion &&
         col("_commit_part").cast("long") <= latestVersion(s"$layer.$table"))
       .drop("_commit_part")
@@ -74,11 +74,39 @@ private[sources] trait WarehouseTimeTravel { self: Warehouse =>
     require(fs.exists(new Path(p)), s"$layer.$table has no change feed (no merges recorded)")
     migrateLegacyFeed(p)
     val cap = math.min(toVersion, latestVersion(s"$layer.$table"))
-    spark.read.option("mergeSchema", "true").parquet(p)
+    feedRead(layer, table, p)
       .filter(col("_commit_part").cast("long") >= fromVersion &&
         col("_commit_part").cast("long") <= cap)
       .drop("_commit_part")
   }
+
+  /** Feed-sidecar scan through the version-keyed schema cache (r18):
+    * feed files only accrue with table commits, so a feed schema
+    * inferred at ledger version v stays exact until the next commit —
+    * a cache hit turns the plan-time footer-merge job the bare
+    * mergeSchema read paid per call into zero jobs. Same freshness
+    * argument as [[Warehouse.mergedSchemaOf]]; the file listing itself
+    * is still per-read.
+    */
+  private def feedRead(layer: String, table: String, p: String): DataFrame = {
+    val key = s"$layer.$table.__changes"
+    val ver = latestVersion(s"$layer.$table")
+    if (ver < 0) spark.read.option("mergeSchema", "true").parquet(p)
+    else {
+      val hit = feedSchemaCache.get(key)
+      val schema =
+        if (hit != null && hit._1 == ver) hit._2
+        else {
+          val s = spark.read.option("mergeSchema", "true").parquet(p).schema
+          feedSchemaCache.put(key, (ver, s))
+          s
+        }
+      spark.read.schema(schema).parquet(p)
+    }
+  }
+
+  private val feedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
 
   /** Net effect of a version range — the review surface over
     * [[changeFeedRange]]: a row inserted AND deleted inside the range
