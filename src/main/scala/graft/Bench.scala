@@ -227,6 +227,15 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       recordLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // THIS run's single-run per-query numbers, durably (r19): the
+    // record file above keeps minima across runs, and the single-run
+    // actuals previously lived only in the full stdout line — which
+    // tail-capture truncated in round 17 and blinded the per-query
+    // round-over-round comparison. One file per run closes that hole;
+    // stdout and the record file are unchanged.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile + ".single"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // compact totals-only record LAST: the full line above grows with
     // the query count and has overflowed the driver's stdout tail
     // buffer since round 5 ("parsed": null in BENCH_r5..r11) — a final

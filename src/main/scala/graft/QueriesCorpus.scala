@@ -2228,24 +2228,20 @@ object QueriesCorpus {
     * the selection rank orders by the ROUNDED weight + doc_id so the
     * cutoff is reproducible cross-engine.
     *
-    * The global selection rank is scale-adaptive (the Quantiles
-    * switch, off Catalyst's own size estimate for the documents scan):
-    * at oracle/gate scale it is the exact docs-sized window (top
-    * ⌊n/4⌋ by (weight desc, doc_id) — reproducible cross-engine);
-    * past [[dsirRankThresholdBytes]] that window is one reducer
-    * sorting the whole corpus's weight column, so the cutoff comes
-    * from `percentile_approx(weight, 0.75)` instead — one aggregate
-    * pass, no global window, `selected` = weight strictly above the
-    * cutoff (~n/4 by contract, approximate at the boundary — the DSIR
-    * resampling step tolerates an approximate quantile by design).
-    *
-    * The switch is RESULT-changing at the boundary, not just
-    * plan-changing, and it keys off Catalyst's size estimate — so the
-    * approximate branch announces itself with a WARN log line carrying
-    * both the estimate and the threshold: a stats/file-format change
-    * silently flipping gated data onto the ungated branch is
-    * detectable in the run log instead of surfacing as an unexplained
-    * oracle divergence.
+    * The global selection rank is scale-adaptive in PLAN SHAPE ONLY
+    * (r19 — the old `percentile_approx` fork, which changed the
+    * selection at the p75 boundary past the threshold, is retired): at
+    * oracle/gate scale it is the exact docs-sized window (top ⌊n/4⌋ by
+    * (weight desc, doc_id) — one in-task sort, reproducible
+    * cross-engine); past [[dsirRankThresholdBytes]] that window would
+    * be one reducer sorting the whole corpus, so the SAME exact rank
+    * comes from [[graft.operators.Ranks.withGlobalRowNumber]]'s
+    * bucketed two-pass form instead (bit-identical rank values,
+    * RanksSpec-pinned), with the doc count attached as a 1-row
+    * broadcast. `selected` is therefore exact at every scale — one
+    * result, two plans. The branch still announces itself with a log
+    * line carrying the estimate and the threshold, so a stats change
+    * flipping the plan is visible in the run log.
     */
   @volatile private[graft] var dsirRankThresholdBytes: Long = 8L << 20
 
@@ -2292,20 +2288,33 @@ object QueriesCorpus {
           ($"rn" <= expr("cnt div 4")).as("selected"))
         .orderBy($"doc_id")
     } else {
-      // approximate cutoff — no docs-sized single-partition window:
-      // one 1-row aggregate broadcasts back in. Announce the branch:
-      // it is result-changing at the p75 boundary and the DuckDB
-      // oracle only ever gates the exact branch.
-      org.slf4j.LoggerFactory.getLogger("graft.QueriesCorpus").warn(
+      // EXACT cutoff, distributed (r19): the docs-sized single-
+      // partition window is replaced by Ranks' bucketed two-pass rank —
+      // the same row_number values without a global sort (RanksSpec
+      // pins bit-equality of the two paths), so `selected` is exact
+      // here too and the old percentile_approx fork (result-changing at
+      // the p75 boundary) is gone. The doc count attaches as a 1-row
+      // broadcast, never a count-over-all window. perDoc materializes
+      // because the bucket path is eager (2-3 bounded passes) and the
+      // count aggregate is a second consumer.
+      org.slf4j.LoggerFactory.getLogger("graft.QueriesCorpus").info(
         s"q173_dsir_weights: documents size estimate $docsEst B > threshold " +
-          s"$dsirRankThresholdBytes B — taking the APPROXIMATE percentile_approx " +
-          "selection branch (exact top-n/4 below the threshold; boundary rows may differ)")
-      val cut = perDoc.agg(
-        percentile_approx($"avg_logratio", lit(0.75), lit(10000)).as("w75"))
-      perDoc
-        .crossJoin(broadcast(cut))
+          s"$dsirRankThresholdBytes B — selection rank via the distributed bucketed " +
+          "exact rank (plan-shape switch only; selected is exact on both branches)")
+      val perDocM = graft.operators.Materialize(perDoc)
+      val ranked = graft.operators.Ranks.withGlobalRowNumber(
+        perDocM,
+        sort = Seq($"avg_logratio".desc, $"doc_id"),
+        bucketKey = -$"avg_logratio",
+        outCol = "__rn",
+        // this branch IS the scale path — always take the bucketed form
+        sortThresholdBytes = -1L,
+        subBucketKey = Some($"doc_id"))
+      val cnt = broadcast(perDocM.agg(count(lit(1)).as("__cnt")))
+      ranked
+        .crossJoin(cnt)
         .select($"doc_id", $"n_tokens", $"avg_logratio",
-          ($"avg_logratio" > $"w75").as("selected"))
+          ($"__rn" <= expr("__cnt div 4")).as("selected"))
         .orderBy($"doc_id")
     }
   }

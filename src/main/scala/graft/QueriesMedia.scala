@@ -215,35 +215,15 @@ object QueriesMedia {
     * frame_share is a single IEEE division on both engines — no
     * rounding, per the oracle float discipline.
     */
-  def q209_frame_dedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import graft.operators.{Dedup, Materialize}
-    val docs = Tables.documents(spark, dir)
-    val reps = docs.select($"doc_id".as("rep_id"), $"text", $"n_chars")
-    val media = docs
-      .select($"doc_id".as("media_id"), ($"doc_id" - $"doc_id" % 5).as("rep_id"))
-      .join(reps, Seq("rep_id"))
-      .select($"media_id", $"text".as("txt"), ($"n_chars" * 7).cast("long").as("duration_ms"))
-    val sigs = frameSigs(media)
-    val framePairs = Dedup
-      .bitSigPairs(Materialize(sigs), "fid", "phash", maxHamming = 3, chunks = 4)
-      // aligned frames only: same grid offset on both sides (the
-      // composite key carries the offset, so this is a residue check)
-      .filter(pmod($"id_a", lit(1000000L)) === pmod($"id_b", lit(1000000L)))
-      .select(expr("id_a div 1000000").as("ma"), expr("id_b div 1000000").as("mb"))
-      .groupBy($"ma", $"mb")
-      .agg(count(lit(1)).as("matched_frames"))
-    val nf = frameCounts(media)
-    framePairs
-      .join(nf.select($"media_id".as("ma"), $"n_frames".as("n_frames_a")), Seq("ma"))
-      .join(nf.select($"media_id".as("mb"), $"n_frames".as("n_frames_b")), Seq("mb"))
-      .select($"ma".as("id_a"), $"mb".as("id_b"),
-        $"n_frames_a", $"n_frames_b", $"matched_frames",
-        ($"matched_frames".cast("double") /
-          greatest($"n_frames_a", $"n_frames_b")).as("frame_share"))
-      .filter($"frame_share" >= 0.8)
-      .orderBy($"id_a", $"id_b")
-  }
+  def q209_frame_dedup(spark: SparkSession, dir: String): DataFrame =
+    // r19: q209 now RUNS the collapse-first composition below — the
+    // uncollapsed direct form it measured against (banded matching over
+    // every frame, 5× the signature mass, quadratically more hamming-0
+    // collision mass per chunk bucket) lives in SCALE.md's history with
+    // its measured numbers; keeping it in every bench run forever was
+    // paying ~2.5× wall for a contrast already on record. Same rows,
+    // same brute-force oracle (the collapse is exact, not approximate).
+    frameDedupCollapsed(spark, dir)
 
   /** Collapse-first frame-sampled dedup — [[q209_frame_dedup]]'s
     * output through the composition that survives duplicate-heavy
@@ -259,7 +239,14 @@ object QueriesMedia {
     * every frame by construction. Exact, not approximate — same
     * brute-force oracle as q209, same rows.
     */
-  def q210_frame_dedup_collapsed(spark: SparkSession, dir: String): DataFrame = {
+  def q210_frame_dedup_collapsed(spark: SparkSession, dir: String): DataFrame =
+    frameDedupCollapsed(spark, dir)
+
+  /** Shared body of [[q209_frame_dedup]] and
+    * [[q210_frame_dedup_collapsed]] since r19 (same rows, same oracle —
+    * the EXACT-equality contract the two queries always shared).
+    */
+  private def frameDedupCollapsed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Dedup, Materialize}

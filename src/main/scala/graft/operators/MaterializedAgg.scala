@@ -73,36 +73,34 @@ object MaterializedAgg {
       valueCol: String
   ): Long = {
     val since = wh.readScalarLong(mvLayer, stateTable(mvTable))
-    // cache the tail: it is read twice (stats probe, then delta agg)
-    // and is O(delta) by construction — the one thing in this path
-    // that IS safe to hold in memory at any table size
-    val feed = wh.changeFeed(srcLayer, srcTable, since).cache()
-    try {
-      val stats = feed
-        .agg(count(lit(1)).as("n"), max(col("_commit_version")).as("v"))
-        .head()
-      val applied = stats.getLong(0)
-      if (applied == 0) return 0L
-      val newVersion = stats.getLong(1)
-      val sign = when(col("_change_type").isin("insert", "update_postimage"), 1)
-        .otherwise(-1) // update_preimage, delete
-      val delta = feed
-        .groupBy(keys.map(col): _*)
-        .agg(
-          sum((sign * col(valueCol)).cast(DecimalType(18, 2))).cast(Sum).as("d_sum"),
-          sum(sign.cast("long")).as("d_n"))
-      val merged = wh
-        .table(mvLayer, mvTable)
-        .join(delta, keys, "full_outer")
-        .select(
-          keys.map(col) ++ Seq(
-            (coalesce(col("sum_v"), lit(0).cast(Sum)) + coalesce(col("d_sum"), lit(0).cast(Sum)))
-              .cast(Sum).as("sum_v"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")): _*)
-        .filter(col("n") > 0) // fully-deleted keys leave the MV, like a real GROUP BY
-      wh.createOrReplace(mvLayer, mvTable, merged)
-      wh.writeScalarLong(mvLayer, stateTable(mvTable), "last_version", newVersion)
-      applied
-    } finally { feed.unpersist(); () }
+    // Feed-tail stats (row count to apply, newest version) come from
+    // the partitioned sidecar's directory names + parquet footers —
+    // driver-side, zero jobs (r19, guide §1.2). The old stats head was
+    // a count+max job over a cached copy of the tail; with it gone the
+    // tail is read exactly ONCE (by the merge write below), so the
+    // cache is gone too. The zero-row early exit is unchanged: a
+    // no-op refresh still never rewrites the MV or bumps its version.
+    val (applied, newVersion) = wh.changeFeedTailStats(srcLayer, srcTable, since)
+    if (applied == 0) return 0L
+    val feed = wh.changeFeed(srcLayer, srcTable, since)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1)
+      .otherwise(-1) // update_preimage, delete
+    val delta = feed
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum((sign * col(valueCol)).cast(DecimalType(18, 2))).cast(Sum).as("d_sum"),
+        sum(sign.cast("long")).as("d_n"))
+    val merged = wh
+      .table(mvLayer, mvTable)
+      .join(delta, keys, "full_outer")
+      .select(
+        keys.map(col) ++ Seq(
+          (coalesce(col("sum_v"), lit(0).cast(Sum)) + coalesce(col("d_sum"), lit(0).cast(Sum)))
+            .cast(Sum).as("sum_v"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")): _*)
+      .filter(col("n") > 0) // fully-deleted keys leave the MV, like a real GROUP BY
+    wh.createOrReplace(mvLayer, mvTable, merged)
+    wh.writeScalarLong(mvLayer, stateTable(mvTable), "last_version", newVersion)
+    applied
   }
 }

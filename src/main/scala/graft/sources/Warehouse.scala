@@ -241,6 +241,27 @@ final class Warehouse(
     }
   }
 
+  /** Prime the merged-schema cache with a schema the writer KNOWS the
+    * just-committed generation has (r19): a flat commit's post-state
+    * schema is exactly what it wrote (rewritten files carry it; carried
+    * files are column-subsets that null-backfill under it, the same
+    * contract as inference), so the next read's footer-inference job
+    * has nothing to add. UNPARTITIONED tables only: a hive read
+    * re-infers partition-column TYPES from the directory names (a
+    * digit-valued string column comes back int), so priming written
+    * types there could change what readers see — partitioned tables
+    * keep first-read inference. `asNullable` because read-back parquet
+    * schemas are always nullable. Must be called AFTER the commit's
+    * logOp (the cache keys on the committed version).
+    */
+  private[sources] def primeSchemaCache(layer: String, table: String, s: StructType): Unit = {
+    if (partitionColumns(layer, table).nonEmpty) return
+    val name = s"$layer.$table"
+    val ver  = latestVersion(name)
+    val nullable = StructType(s.fields.map(_.copy(nullable = true)))
+    if (ver >= 0) { mergedSchemaCache.put(name, (ver, nullable)); () }
+  }
+
   /** mergeSchema-equivalent scan of the live table dir through the
     * version-keyed schema cache — zero plan-time footer jobs after the
     * first read of a version. Every internal mergeSchema read of a
@@ -1010,6 +1031,107 @@ final class Warehouse(
           sfs, src, dfs, new Path(dir, src.getName), false, conf)
         ()
       }
+  }
+
+  // ---- staged-write-then-derive-feed (r19) ----
+  //
+  // A COW merge used to execute its join plan three times: the narrow
+  // metrics pass, the full-width staged result write, and the feed
+  // write (full-width again, filtered to the changed rows). The third
+  // pass is redundant by construction: stage the merge output
+  // hive-partitioned by its ACTION column — the action is a DIRECTORY,
+  // so the staged files are the next generation's data files unchanged,
+  // and the insert/update/delete directories ARE the changed rows'
+  // bytes. The feed then derives from O(changes) staged parquet instead
+  // of re-running the join over every touched row (guide §1.2/§2.4),
+  // and the action directories fold back into the table layout before
+  // the swap.
+
+  /** Write `df` (carrying `actionCol`) into `staging` partitioned by
+    * the table's partition columns plus the action; returns
+    * action value -> that action's staged data files.
+    */
+  private[sources] def stageByAction(
+      df: DataFrame,
+      staging: Path,
+      actionCol: String,
+      pcols: Seq[String]
+  ): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy((pcols :+ actionCol): _*).parquet(staging.toString)
+    leafPartitionDirs(staging, pcols.length + 1)
+      .groupBy { rel =>
+        ExternalCatalogUtils.unescapePathName(rel.split("/").last.split("=", 2)(1))
+      }
+      .map { case (action, rels) =>
+        action -> rels.flatMap { rel =>
+          fs.listStatus(new Path(staging, rel)).collect {
+            case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".") => s.getPath.toString
+          }
+        }
+      }
+  }
+
+  /** Fold the `keep` actions' staged files up one level (dropping the
+    * action directory) so the staging tree has the table's real layout
+    * for the swap; every other action's directory is removed. Files are
+    * renamed with the action as a prefix — two actions' files written
+    * by the same task share Spark's part name, and the flattened
+    * directory must stay collision-free.
+    */
+  private[sources] def promoteStagedActions(
+      staging: Path,
+      pcols: Seq[String],
+      keep: Set[String]
+  ): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val leaves = leafPartitionDirs(staging, pcols.length + 1)
+    leaves.foreach { rel =>
+      val action = ExternalCatalogUtils.unescapePathName(rel.split("/").last.split("=", 2)(1))
+      val dir    = new Path(staging, rel)
+      if (keep.contains(action)) {
+        fs.listStatus(dir)
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .foreach { s =>
+            val dst = new Path(dir.getParent, s"$action-${s.getPath.getName}")
+            if (!fs.rename(s.getPath, dst))
+              throw new java.io.IOException(s"rename ${s.getPath} -> $dst failed")
+          }
+      }
+      fs.delete(dir, true)
+      ()
+    }
+    // a partition whose staged rows were delete-only is now an EMPTY
+    // leaf dir — remove it, so the swap retires the live directory
+    // without replacement exactly as the plain staged write did
+    if (pcols.nonEmpty) {
+      leaves.map(rel => rel.substring(0, rel.lastIndexOf('/'))).distinct.foreach { prel =>
+        val pdir = new Path(staging, prel)
+        if (fs.exists(pdir) && fs.listStatus(pdir).isEmpty) { fs.delete(pdir, true); () }
+      }
+    }
+  }
+
+  /** A staged generation that ended up with ZERO data files (every row
+    * of a flat table deleted by a merge) must still carry its schema —
+    * the merged read infers from footers. One empty part file restores
+    * the invariant the plain (non-action-partitioned) staged write had.
+    */
+  private[sources] def ensureStagedSchema(staging: Path, schema: StructType): Unit = {
+    val hasData = fs.exists(staging) && fs.listStatus(staging).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(staging.toString)
+    }
   }
 
   /** Read exactly `files` of the table, aligned to the table's full

@@ -93,6 +93,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     swapPartitions(layer, table, staging, retireDirs, pcols.length)
     logOp(layer, table, "DELETE", inserted = 0, updated = 0,
       outputRows = keptRewritten + keptCarried, version = ver, deleted = deleted)
+    primeFeedSchemaCache(layer, table, df.schema)
     deleted
   }
 
@@ -171,6 +172,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     swapPartitions(layer, table, staging, retireDirs, pcols.length)
     logOp(layer, table, "UPDATE", inserted = 0, updated = updated,
       outputRows = rewrittenRows + carriedRows, version = ver)
+    primeFeedSchemaCache(layer, table, df.schema)
     updated
   }
 
@@ -281,36 +283,46 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       if (carryPairs.isEmpty) 0L
       else footerRowCount(carryPairs.map(_._1), Some(tablePath(layer, table)))
     try {
-      clusterStaged(mr.result, pcols, touched.length)
-        .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
+      // ONE full-width execution of the merge plan (r19, see
+      // [[Warehouse.stageByAction]]): the action rides as the innermost
+      // staging directory under the partition dirs, so the staged files
+      // are the slice's next generation unchanged and the feed's
+      // post-images read back as O(changes) staged bytes (basePath
+      // re-surfaces the partition columns) instead of re-running the
+      // slice join full-width a third time.
+      val byAction = stageByAction(
+        clusterStaged(mr.merged, pcols, touched.length), staging, Upsert.ActionCol, pcols)
       copyFilesInto(carryPairs, staging)
-      val post = mr.merged
-        .filter(col(Upsert.ActionCol) =!= "keep")
-        .withColumn("_change_type",
-          when(col(Upsert.ActionCol) === "insert", lit("insert"))
-            .otherwise(lit("update_postimage")))
-        .drop(Upsert.ActionCol)
-      val updatedKeys = mr.merged
-        .filter(col(Upsert.ActionCol) === "update")
-        .select(keys.map(col): _*)
-      val pre = touchedTgt
-        .join(updatedKeys,
-          keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
-        .select(unioned.fieldNames.map(n =>
-          if (tgt0.columns.contains(n)) col(n)
-          else lit(null).cast(unioned(n).dataType).as(n)): _*)
-        .withColumn("_change_type", lit("update_preimage"))
-      post.unionByName(pre)
-        .withColumn("_commit_version", lit(ver))
-        .withColumn("_commit_part", lit(f"$ver%010d"))
-        .write.mode(SaveMode.Append).partitionBy("_commit_part")
-        .parquet(tablePath(layer, table) + ".__changes")
+      def staged(action: String): Option[DataFrame] =
+        byAction.get(action).filter(_.nonEmpty)
+          .map(fls => readFilesAligned(fls, unioned, basePath = Some(staging.toString)))
+      val post = Seq(
+        staged("insert").map(_.withColumn("_change_type", lit("insert"))),
+        staged("update").map(_.withColumn("_change_type", lit("update_postimage")))).flatten
+      val pre = staged("update").map { u =>
+        val updatedKeys = u.select(keys.map(col): _*)
+        touchedTgt
+          .join(updatedKeys,
+            keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+          .select(unioned.fieldNames.map(n =>
+            if (tgt0.columns.contains(n)) col(n)
+            else lit(null).cast(unioned(n).dataType).as(n)): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+      }
+      (post ++ pre).reduceOption(_ unionByName _).foreach {
+        _.withColumn("_commit_version", lit(ver))
+          .withColumn("_commit_part", lit(f"$ver%010d"))
+          .write.mode(SaveMode.Append).partitionBy("_commit_part")
+          .parquet(tablePath(layer, table) + ".__changes")
+      }
+      promoteStagedActions(staging, pcols, Set("keep", "insert", "update"))
     } finally mr.unpersist()
     // retire = live dirs matching the touched tuples; the staged dirs
     // (what the merge actually wrote) are listed inside the swap itself
     swapPartitions(layer, table, staging, retireDirs, pcols.length)
     logOp(layer, table, "MERGE", m.inserted, m.updated,
       outputRows = m.outputRows + carried, version = ver)
+    primeFeedSchemaCache(layer, table, unioned)
     m
   }
 
@@ -439,38 +451,42 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     val carried =
       if (carryAll.isEmpty) 0L
       else footerRowCount(carryAll.map(_._1), Some(tablePath(layer, table)))
-    clusterStaged(merged.filter(col(Upsert.ActionCol) =!= "delete").drop(Upsert.ActionCol),
-        pcols, touchedAll.length)
-      .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(staging.toString)
+    // ONE full-width execution of the clause plan (r19, see
+    // [[Warehouse.stageByAction]]): delete-action rows land in their
+    // own innermost staged directory — they carry the target pre-image
+    // values, so the feed's delete rows read off the staged bytes too,
+    // and the directory is dropped before the swap (never promoted).
+    val byAction = stageByAction(
+      clusterStaged(merged, pcols, touchedAll.length), staging, Upsert.ActionCol, pcols)
     copyFilesInto(carryAll, staging)
-    val post = merged
-      .filter(col(Upsert.ActionCol).isin("insert", "update"))
-      .withColumn("_change_type",
-        when(col(Upsert.ActionCol) === "insert", lit("insert"))
-          .otherwise(lit("update_postimage")))
-      .drop(Upsert.ActionCol)
-    val updatedKeys = merged
-      .filter(col(Upsert.ActionCol) === "update")
-      .select(keys.map(col): _*)
-    val pre = touchedTgt
-      .join(updatedKeys,
-        keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
-      .select(unioned.fieldNames.map(n =>
-        if (tgt0.columns.contains(n)) col(n)
-        else lit(null).cast(unioned(n).dataType).as(n)): _*)
-      .withColumn("_change_type", lit("update_preimage"))
-    val delRows = merged
-      .filter(col(Upsert.ActionCol) === "delete")
-      .drop(Upsert.ActionCol)
-      .withColumn("_change_type", lit("delete"))
-    post.unionByName(pre).unionByName(delRows)
-      .withColumn("_commit_version", lit(ver))
-      .withColumn("_commit_part", lit(f"$ver%010d"))
-      .write.mode(SaveMode.Append).partitionBy("_commit_part")
-      .parquet(tablePath(layer, table) + ".__changes")
+    def staged(action: String): Option[DataFrame] =
+      byAction.get(action).filter(_.nonEmpty)
+        .map(fls => readFilesAligned(fls, unioned, basePath = Some(staging.toString)))
+    val post = Seq(
+      staged("insert").map(_.withColumn("_change_type", lit("insert"))),
+      staged("update").map(_.withColumn("_change_type", lit("update_postimage")))).flatten
+    val pre = staged("update").map { u =>
+      val updatedKeys = u.select(keys.map(col): _*)
+      touchedTgt
+        .join(updatedKeys,
+          keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+        .select(unioned.fieldNames.map(n =>
+          if (tgt0.columns.contains(n)) col(n)
+          else lit(null).cast(unioned(n).dataType).as(n)): _*)
+        .withColumn("_change_type", lit("update_preimage"))
+    }
+    val delRows = staged("delete").map(_.withColumn("_change_type", lit("delete")))
+    (post ++ pre ++ delRows).reduceOption(_ unionByName _).foreach {
+      _.withColumn("_commit_version", lit(ver))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(tablePath(layer, table) + ".__changes")
+    }
+    promoteStagedActions(staging, pcols, Set("keep", "insert", "update"))
     swapPartitions(layer, table, staging, retireAll, pcols.length)
     logOp(layer, table, "MERGE", ins, upd,
       outputRows = ins + upd + keptPlan + carried, version = ver, deleted = del)
+    primeFeedSchemaCache(layer, table, unioned)
     Upsert.MergeClauseMetrics(ins, upd, del, keptPlan + carried)
   }
 
@@ -503,6 +519,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     val rows = obs.get("n").asInstanceOf[Long]
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "CREATE OR REPLACE", inserted = rows, updated = 0, outputRows = rows)
+    primeSchemaCache(layer, table, df.schema)
     rows
   }
 
@@ -618,6 +635,8 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "DELETE", inserted = 0, updated = 0,
       outputRows = keptRewritten + keptCarried, version = ver, deleted = deleted)
+    primeSchemaCache(layer, table, df.schema)
+    primeFeedSchemaCache(layer, table, df.schema)
     deleted
   }
 
@@ -729,6 +748,8 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "UPDATE", inserted = 0, updated = updated,
       outputRows = rewrittenRows + carriedRows, version = ver)
+    primeSchemaCache(layer, table, df.schema)
+    primeFeedSchemaCache(layer, table, df.schema)
     updated
   }
 
@@ -890,41 +911,48 @@ private[sources] trait WarehouseDml { self: Warehouse =>
     val carried =
       if (untouched.isEmpty) 0L
       else footerRowCount(untouched)
-    merged.filter(col(Upsert.ActionCol) =!= "delete").drop(Upsert.ActionCol)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // ONE full-width execution of the clause plan (r19, see
+    // [[Warehouse.stageByAction]]): delete-action rows land in their
+    // own staged directory — they already carry the target pre-image
+    // values, so the feed's delete rows read straight off the staged
+    // bytes too; that directory is then dropped (never promoted into
+    // the table layout). The old feed write re-ran the clause join
+    // full-width a second time.
+    val byAction = stageByAction(merged, staging, Upsert.ActionCol, Seq.empty)
     copyFilesInto(untouched.map((_, "")), staging)
+    def staged(action: String): Option[DataFrame] =
+      byAction.get(action).filter(_.nonEmpty)
+        .map(fls => readFilesAligned(fls, unioned))
     // change feed: post-images for inserts/updates, pre-images for
     // updates (semi-join of the pre-merge touched files against the
-    // updated keys), and the deleted rows (which already carry the
-    // target pre-image values)
-    val post = merged
-      .filter(col(Upsert.ActionCol).isin("insert", "update"))
-      .withColumn("_change_type",
-        when(col(Upsert.ActionCol) === "insert", lit("insert"))
-          .otherwise(lit("update_postimage")))
-      .drop(Upsert.ActionCol)
-    val updatedKeys = merged
-      .filter(col(Upsert.ActionCol) === "update")
-      .select(keys.map(col): _*)
-    val pre = touchedTgt
-      .join(updatedKeys,
-        keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
-      .select(unioned.fieldNames.toSeq.map(n =>
-        if (tgt0.columns.contains(n)) col(n)
-        else lit(null).cast(unioned(n).dataType).as(n)): _*)
-      .withColumn("_change_type", lit("update_preimage"))
-    val delRows = merged
-      .filter(col(Upsert.ActionCol) === "delete")
-      .drop(Upsert.ActionCol)
-      .withColumn("_change_type", lit("delete"))
-    post.unionByName(pre).unionByName(delRows)
-      .withColumn("_commit_version", lit(ver))
-      .withColumn("_commit_part", lit(f"$ver%010d"))
-      .write.mode(SaveMode.Append).partitionBy("_commit_part")
-      .parquet(tablePath(layer, table) + ".__changes")
+    // staged updated keys), and the staged deleted rows
+    val post = Seq(
+      staged("insert").map(_.withColumn("_change_type", lit("insert"))),
+      staged("update").map(_.withColumn("_change_type", lit("update_postimage")))).flatten
+    val pre = staged("update").map { u =>
+      val updatedKeys = u.select(keys.map(col): _*)
+      touchedTgt
+        .join(updatedKeys,
+          keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+        .select(unioned.fieldNames.toSeq.map(n =>
+          if (tgt0.columns.contains(n)) col(n)
+          else lit(null).cast(unioned(n).dataType).as(n)): _*)
+        .withColumn("_change_type", lit("update_preimage"))
+    }
+    val delRows = staged("delete").map(_.withColumn("_change_type", lit("delete")))
+    (post ++ pre ++ delRows).reduceOption(_ unionByName _).foreach {
+      _.withColumn("_commit_version", lit(ver))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(tablePath(layer, table) + ".__changes")
+    }
+    promoteStagedActions(staging, Seq.empty, Set("keep", "insert", "update"))
+    ensureStagedSchema(staging, unioned)
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "MERGE", ins, upd,
       outputRows = ins + upd + keptPlan + carried, version = ver, deleted = del)
+    primeSchemaCache(layer, table, unioned)
+    primeFeedSchemaCache(layer, table, unioned)
     Upsert.MergeClauseMetrics(ins, upd, del, keptPlan + carried)
   }
 
@@ -996,53 +1024,62 @@ private[sources] trait WarehouseDml { self: Warehouse =>
         if (visible.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       } ++ Seq(col("__dv_f"), col("__dv_p")): _*)
+    // persist the O(delta) change set (r19): counts, tombstones, landed
+    // files and the three feed slices otherwise each re-run the
+    // full-outer join over the whole visible table — four executions of
+    // the heaviest plan in the op. Bounded by the batch (the MOR
+    // contract), same within-op persist as [[WarehouseMor.deleteMor]].
     val changes = Upsert.planMorChangesClauses(tgtAligned, srcAligned, keys,
       matched, notMatched, bySource, metaCols = Seq("__dv_f", "__dv_p"),
-      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet)
-    val counts = changes.groupBy(col(Upsert.ActionCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val inserted = counts.getOrElse("insert", 0L)
-    val updated  = counts.getOrElse("update", 0L)
-    val deleted  = counts.getOrElse("delete", 0L)
-    def visibleCount(): Long =
-      raw.count() - tombstoneRows.map(_.count()).getOrElse(0L)
-    if (inserted == 0 && updated == 0 && deleted == 0) {
-      logOp(layer, table, "MERGE_MOR", inserted = 0, updated = 0, outputRows = 0)
-      return Upsert.MergeClauseMetrics(0, 0, 0, visibleCount())
-    }
-    val kept = visibleCount() - updated - deleted
-    val ver  = nextVersion(s"$layer.$table")
-    val dataCols = unioned.fields.toSeq.map(f => col(f.name))
-    // 1. tombstones for the updated AND deleted rows' old positions
-    changes.filter(col(Upsert.ActionCol).isin("update", "delete"))
-      .select(col("__dv_f").as("file_name"), col("__dv_p").as("pos"))
-      .withColumn("_commit_part", lit(f"$ver%010d"))
-      .write.mode(SaveMode.Append).partitionBy("_commit_part")
-      .parquet(dvPath(layer, table).toString)
-    // 2. post-images + inserts land as new files (manifest rollback);
-    //    deletes land nothing — their tombstone IS the commit, so a
-    //    delete-only merge appends zero data files (like [[deleteMor]])
-    if (inserted + updated > 0)
-      morLandFiles(layer, table, ver,
-        changes.filter(col(Upsert.ActionCol).isin("insert", "update"))
-          .select(dataCols: _*))
-    // 3. feed: insert / update_preimage / update_postimage / delete
-    val ins = changes.filter(col(Upsert.ActionCol) === "insert")
-      .select(dataCols: _*).withColumn("_change_type", lit("insert"))
-    val preImg = changes.filter(col(Upsert.ActionCol).isin("update", "delete"))
-      .select(unioned.fields.toSeq.map(f => col(s"__pre_${f.name}").as(f.name)) :+
-        when(col(Upsert.ActionCol) === "update", lit("update_preimage"))
-          .otherwise(lit("delete")).as("_change_type"): _*)
-    val postImg = changes.filter(col(Upsert.ActionCol) === "update")
-      .select(dataCols: _*).withColumn("_change_type", lit("update_postimage"))
-    ins.unionByName(preImg).unionByName(postImg)
-      .withColumn("_commit_version", lit(ver))
-      .withColumn("_commit_part", lit(f"$ver%010d"))
-      .write.mode(SaveMode.Append).partitionBy("_commit_part")
-      .parquet(target + ".__changes")
-    logOp(layer, table, "MERGE_MOR", inserted = inserted, updated = updated,
-      outputRows = 0, version = ver, deleted = deleted)
-    Upsert.MergeClauseMetrics(inserted, updated, deleted, kept)
+      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet).persist()
+    try {
+      val counts = changes.groupBy(col(Upsert.ActionCol)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inserted = counts.getOrElse("insert", 0L)
+      val updated  = counts.getOrElse("update", 0L)
+      val deleted  = counts.getOrElse("delete", 0L)
+      def visibleCount(): Long =
+        raw.count() - tombstoneRows.map(_.count()).getOrElse(0L)
+      if (inserted == 0 && updated == 0 && deleted == 0) {
+        logOp(layer, table, "MERGE_MOR", inserted = 0, updated = 0, outputRows = 0)
+        return Upsert.MergeClauseMetrics(0, 0, 0, visibleCount())
+      }
+      val kept = visibleCount() - updated - deleted
+      val ver  = nextVersion(s"$layer.$table")
+      val dataCols = unioned.fields.toSeq.map(f => col(f.name))
+      // 1. tombstones for the updated AND deleted rows' old positions
+      changes.filter(col(Upsert.ActionCol).isin("update", "delete"))
+        .select(col("__dv_f").as("file_name"), col("__dv_p").as("pos"))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(dvPath(layer, table).toString)
+      // 2. post-images + inserts land as new files (manifest rollback);
+      //    deletes land nothing — their tombstone IS the commit, so a
+      //    delete-only merge appends zero data files (like [[deleteMor]])
+      if (inserted + updated > 0)
+        morLandFiles(layer, table, ver,
+          changes.filter(col(Upsert.ActionCol).isin("insert", "update"))
+            .select(dataCols: _*))
+      // 3. feed: insert / update_preimage / update_postimage / delete
+      val ins = changes.filter(col(Upsert.ActionCol) === "insert")
+        .select(dataCols: _*).withColumn("_change_type", lit("insert"))
+      val preImg = changes.filter(col(Upsert.ActionCol).isin("update", "delete"))
+        .select(unioned.fields.toSeq.map(f => col(s"__pre_${f.name}").as(f.name)) :+
+          when(col(Upsert.ActionCol) === "update", lit("update_preimage"))
+            .otherwise(lit("delete")).as("_change_type"): _*)
+      val postImg = changes.filter(col(Upsert.ActionCol) === "update")
+        .select(dataCols: _*).withColumn("_change_type", lit("update_postimage"))
+      ins.unionByName(preImg).unionByName(postImg)
+        .withColumn("_commit_version", lit(ver))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(target + ".__changes")
+      logOp(layer, table, "MERGE_MOR", inserted = inserted, updated = updated,
+        outputRows = 0, version = ver, deleted = deleted)
+      primeSchemaCache(layer, table, unioned)
+      primeFeedSchemaCache(layer, table, unioned)
+      Upsert.MergeClauseMetrics(inserted, updated, deleted, kept)
+    } finally { changes.unpersist(); () }
   }
 
   /** INSERT INTO ... SELECT (reference silver_google_scholar.py:148).
@@ -1077,6 +1114,7 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       .parquet(tablePath(layer, table))
     val n = obs.get("n").asInstanceOf[Long]
     logOp(layer, table, "APPEND", inserted = n, updated = 0, outputRows = n)
+    primeSchemaCache(layer, table, aligned.schema)
     n
   }
 
@@ -1194,39 +1232,49 @@ private[sources] trait WarehouseDml { self: Warehouse =>
       if (untouched.isEmpty) 0L
       else footerRowCount(untouched)
     try {
-      mr.result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // ONE full-width execution of the merge plan (r19): the output
+      // stages hive-partitioned by the action column — see the section
+      // note at [[Warehouse.stageByAction]]. The old feed write below
+      // re-ran the join full-width a third time just to drop the kept
+      // rows; the post-images now read back as O(changes) staged bytes.
+      val byAction = stageByAction(mr.merged, staging, Upsert.ActionCol, Seq.empty)
       copyFilesInto(untouched.map((_, "")), staging)
-      val post = mr.merged
-        .filter(col(Upsert.ActionCol) =!= "keep")
-        .withColumn("_change_type",
-          when(col(Upsert.ActionCol) === "insert", lit("insert"))
-            .otherwise(lit("update_postimage")))
-        .drop(Upsert.ActionCol)
+      def staged(action: String): Option[DataFrame] =
+        byAction.get(action).filter(_.nonEmpty)
+          .map(fls => readFilesAligned(fls, unioned))
+      val post = Seq(
+        staged("insert").map(_.withColumn("_change_type", lit("insert"))),
+        staged("update").map(_.withColumn("_change_type", lit("update_postimage")))).flatten
       // update_preimage (full Delta CDF semantics): the replaced
       // target rows, via a semi join of the pre-merge TOUCHED files
-      // against the updated keys (small by definition — it
-      // broadcasts; updated rows only live in touched files).
+      // against the updated keys — read from the staged update files
+      // (O(updated) rows, broadcast), not a filtered join re-run.
       // Without preimages a feed consumer cannot SUBTRACT an update,
       // which is what incremental aggregate maintenance needs.
-      val updatedKeys = mr.merged
-        .filter(col(Upsert.ActionCol) === "update")
-        .select(keys.map(col): _*)
-      val pre = touchedTgt
-        .join(updatedKeys,
-          keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
-        .select(unioned.fieldNames.map(n =>
-          if (tgt0.columns.contains(n)) col(n)
-          else lit(null).cast(unioned(n).dataType).as(n)): _*)
-        .withColumn("_change_type", lit("update_preimage"))
-      post.unionByName(pre)
-        .withColumn("_commit_version", lit(ver))
-        .withColumn("_commit_part", lit(f"$ver%010d"))
-        .write.mode(SaveMode.Append).partitionBy("_commit_part")
-        .parquet(tablePath(layer, table) + ".__changes")
+      val pre = staged("update").map { u =>
+        val updatedKeys = u.select(keys.map(col): _*)
+        touchedTgt
+          .join(updatedKeys,
+            keys.map(k => touchedTgt(k) <=> updatedKeys(k)).reduce(_ && _), "left_semi")
+          .select(unioned.fieldNames.map(n =>
+            if (tgt0.columns.contains(n)) col(n)
+            else lit(null).cast(unioned(n).dataType).as(n)): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+      }
+      (post ++ pre).reduceOption(_ unionByName _).foreach {
+        _.withColumn("_commit_version", lit(ver))
+          .withColumn("_commit_part", lit(f"$ver%010d"))
+          .write.mode(SaveMode.Append).partitionBy("_commit_part")
+          .parquet(tablePath(layer, table) + ".__changes")
+      }
+      promoteStagedActions(staging, Seq.empty, Set("keep", "insert", "update"))
+      ensureStagedSchema(staging, unioned)
     } finally mr.unpersist()
     retireAndSwap(layer, table, staging)
     logOp(layer, table, "MERGE", m.inserted, m.updated,
       outputRows = m.outputRows + carried, version = ver)
+    primeSchemaCache(layer, table, unioned)
+    primeFeedSchemaCache(layer, table, unioned)
     m
   }
 }

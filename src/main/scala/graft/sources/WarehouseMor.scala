@@ -397,6 +397,8 @@ private[sources] trait WarehouseMor { self: Warehouse =>
         .parquet(target + ".__changes")
       logOp(layer, table, "DELETE_MOR", inserted = 0, updated = 0,
         outputRows = 0, version = ver, deleted = deleted)
+      primeSchemaCache(layer, table, raw.schema)
+      primeFeedSchemaCache(layer, table, raw.schema)
       deleted
     } finally { m.unpersist(); () }
   }
@@ -492,6 +494,8 @@ private[sources] trait WarehouseMor { self: Warehouse =>
         .parquet(target + ".__changes")
       logOp(layer, table, "UPDATE_MOR", inserted = 0, updated = updated,
         outputRows = 0, version = ver)
+      primeSchemaCache(layer, table, raw.schema)
+      primeFeedSchemaCache(layer, table, raw.schema)
       updated
     } finally { m.unpersist(); () }
   }
@@ -559,50 +563,58 @@ private[sources] trait WarehouseMor { self: Warehouse =>
         if (visible.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       } ++ Seq(col("__dv_f"), col("__dv_p")): _*)
+    // persist the O(delta) change set (r19): every downstream pass —
+    // counts, tombstones, landed files, three feed slices — otherwise
+    // re-runs the full-outer join over the whole visible table. The
+    // frame is bounded by the batch (the MOR contract), so holding it
+    // is safe at any table size — the same within-op persist
+    // [[deleteMorMatched]]/[[updateMorImpl]] already use.
     val changes = Upsert.planMorChanges(tgtAligned, srcAligned, keys, versionCol,
       metaCols = Seq("__dv_f", "__dv_p"),
-      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet)
-    // metrics: one narrow O(delta) classification pass (Catalyst prunes
-    // the join to keys + version + marks, like the COW metrics pass)
-    val counts = changes.groupBy(col(Upsert.ActionCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val inserted = counts.getOrElse("insert", 0L)
-    val updated  = counts.getOrElse("update", 0L)
-    // kept from metadata only: physical rows minus applicable
-    // tombstones minus the rows this merge updates
-    def visibleCount(): Long =
-      raw.count() - tombstoneRows.map(_.count()).getOrElse(0L)
-    if (inserted == 0 && updated == 0) {
-      logOp(layer, table, "MERGE_MOR", inserted = 0, updated = 0, outputRows = 0)
-      return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = visibleCount())
-    }
-    val kept = visibleCount() - updated
-    val ver  = nextVersion(s"$layer.$table")
-    val dataCols = unioned.fields.toSeq.map(f => col(f.name))
-    // 1. tombstones for the updated rows' old positions
-    changes.filter(col(Upsert.ActionCol) === "update")
-      .select(col("__dv_f").as("file_name"), col("__dv_p").as("pos"))
-      .withColumn("_commit_part", lit(f"$ver%010d"))
-      .write.mode(SaveMode.Append).partitionBy("_commit_part")
-      .parquet(dvPath(layer, table).toString)
-    // 2. post-images + inserts land as new files (manifest rollback)
-    morLandFiles(layer, table, ver, changes.select(dataCols: _*))
-    // 3. feed: insert / update_preimage / update_postimage
-    val ins = changes.filter(col(Upsert.ActionCol) === "insert")
-      .select(dataCols: _*).withColumn("_change_type", lit("insert"))
-    val preImg = changes.filter(col(Upsert.ActionCol) === "update")
-      .select(unioned.fields.toSeq.map(f => col(s"__pre_${f.name}").as(f.name)): _*)
-      .withColumn("_change_type", lit("update_preimage"))
-    val postImg = changes.filter(col(Upsert.ActionCol) === "update")
-      .select(dataCols: _*).withColumn("_change_type", lit("update_postimage"))
-    ins.unionByName(preImg).unionByName(postImg)
-      .withColumn("_commit_version", lit(ver))
-      .withColumn("_commit_part", lit(f"$ver%010d"))
-      .write.mode(SaveMode.Append).partitionBy("_commit_part")
-      .parquet(target + ".__changes")
-    logOp(layer, table, "MERGE_MOR", inserted = inserted, updated = updated,
-      outputRows = 0, version = ver)
-    Upsert.WriteMetrics(inserted = inserted, updated = updated, kept = kept)
+      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet).persist()
+    try {
+      val counts = changes.groupBy(col(Upsert.ActionCol)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inserted = counts.getOrElse("insert", 0L)
+      val updated  = counts.getOrElse("update", 0L)
+      // kept from metadata only: physical rows minus applicable
+      // tombstones minus the rows this merge updates
+      def visibleCount(): Long =
+        raw.count() - tombstoneRows.map(_.count()).getOrElse(0L)
+      if (inserted == 0 && updated == 0) {
+        logOp(layer, table, "MERGE_MOR", inserted = 0, updated = 0, outputRows = 0)
+        return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = visibleCount())
+      }
+      val kept = visibleCount() - updated
+      val ver  = nextVersion(s"$layer.$table")
+      val dataCols = unioned.fields.toSeq.map(f => col(f.name))
+      // 1. tombstones for the updated rows' old positions
+      changes.filter(col(Upsert.ActionCol) === "update")
+        .select(col("__dv_f").as("file_name"), col("__dv_p").as("pos"))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(dvPath(layer, table).toString)
+      // 2. post-images + inserts land as new files (manifest rollback)
+      morLandFiles(layer, table, ver, changes.select(dataCols: _*))
+      // 3. feed: insert / update_preimage / update_postimage
+      val ins = changes.filter(col(Upsert.ActionCol) === "insert")
+        .select(dataCols: _*).withColumn("_change_type", lit("insert"))
+      val preImg = changes.filter(col(Upsert.ActionCol) === "update")
+        .select(unioned.fields.toSeq.map(f => col(s"__pre_${f.name}").as(f.name)): _*)
+        .withColumn("_change_type", lit("update_preimage"))
+      val postImg = changes.filter(col(Upsert.ActionCol) === "update")
+        .select(dataCols: _*).withColumn("_change_type", lit("update_postimage"))
+      ins.unionByName(preImg).unionByName(postImg)
+        .withColumn("_commit_version", lit(ver))
+        .withColumn("_commit_part", lit(f"$ver%010d"))
+        .write.mode(SaveMode.Append).partitionBy("_commit_part")
+        .parquet(target + ".__changes")
+      logOp(layer, table, "MERGE_MOR", inserted = inserted, updated = updated,
+        outputRows = 0, version = ver)
+      primeSchemaCache(layer, table, unioned)
+      primeFeedSchemaCache(layer, table, unioned)
+      Upsert.WriteMetrics(inserted = inserted, updated = updated, kept = kept)
+    } finally { changes.unpersist(); () }
   }
 
   /** Land a MOR commit's new row images as appended files: write to a

@@ -80,6 +80,45 @@ private[sources] trait WarehouseTimeTravel { self: Warehouse =>
       .drop("_commit_part")
   }
 
+  /** Driver-side stats of the feed tail in (sinceVersion, committed]:
+    * (row count, max committed version carrying rows) straight from the
+    * `_commit_part=` directory names and parquet footers — no Spark
+    * job. Once the feed is hive-partitioned by commit version, "how
+    * many rows since the cursor, and up to which version" are METADATA
+    * facts (guide §1.2: don't run a distributed pass for what a footer
+    * already knows); [[graft.operators.MaterializedAgg.refresh]] used
+    * to pay a count+max job over the cached feed tail for exactly
+    * these two numbers. Phantom partitions beyond the committed ledger
+    * head are excluded exactly like [[changeFeed]]; returns
+    * (0, sinceVersion) when nothing newer is committed.
+    */
+  def changeFeedTailStats(layer: String, table: String, sinceVersion: Long): (Long, Long) = {
+    val p = tablePath(layer, table) + ".__changes"
+    require(fs.exists(new Path(p)), s"$layer.$table has no change feed (no merges recorded)")
+    migrateLegacyFeed(p)
+    val cap = latestVersion(s"$layer.$table")
+    var rows = 0L
+    var maxV = sinceVersion
+    fs.listStatus(new Path(p))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_commit_part="))
+      .foreach { s =>
+        s.getPath.getName.stripPrefix("_commit_part=").toLongOption.foreach { v =>
+          if (v > sinceVersion && v <= cap) {
+            val files = fs.listStatus(s.getPath).collect {
+              case f if f.isFile && !f.getPath.getName.startsWith("_") &&
+                !f.getPath.getName.startsWith(".") => f.getPath.toString
+            }
+            val n = footerRowCount(files.toSeq)
+            if (n > 0) {
+              rows += n
+              if (v > maxV) maxV = v
+            }
+          }
+        }
+      }
+    (rows, maxV)
+  }
+
   /** Feed-sidecar scan through the version-keyed schema cache (r18):
     * feed files only accrue with table commits, so a feed schema
     * inferred at ledger version v stays exact until the next commit —
@@ -107,6 +146,35 @@ private[sources] trait WarehouseTimeTravel { self: Warehouse =>
 
   private val feedSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
+
+  /** Carry the feed-schema cache forward across a commit whose feed
+    * rows have exactly the columns the cached feed schema already
+    * holds (r19): merging identical per-file schemas cannot change the
+    * inference result, so the next feed read's footer-merge job has
+    * nothing to add — [[graft.operators.MaterializedAgg.refresh]] paid
+    * that job on every call because its own commit had just bumped the
+    * version. Any mismatch (evolution, first feed write, cold cache)
+    * leaves the cache cold and the next read re-infers as before.
+    * `dataSchema` = the op's data columns; every feed write appends
+    * `_change_type` (string) and `_commit_version` (long) on top, with
+    * `_commit_part` as the partition directory.
+    */
+  private[sources] def primeFeedSchemaCache(
+      layer: String,
+      table: String,
+      dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val key = s"$layer.$table.__changes"
+    val hit = feedSchemaCache.get(key)
+    if (hit == null) return
+    val cachedData = hit._2.fields
+      .filterNot(f => f.name == "_commit_part")
+      .map(f => (f.name, f.dataType)).toSet
+    val written = dataSchema.fields.map(f => (f.name, f.dataType)).toSet ++
+      Set(("_change_type", org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType),
+        ("_commit_version", org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType))
+    val ver = latestVersion(s"$layer.$table")
+    if (ver >= 0 && cachedData == written) { feedSchemaCache.put(key, (ver, hit._2)); () }
+  }
 
   /** Net effect of a version range — the review surface over
     * [[changeFeedRange]]: a row inserted AND deleted inside the range

@@ -853,18 +853,26 @@ class CorpusSpec extends SparkSpec {
     assert(rows(1L)._3 && !rows(2L)._3 && !rows(3L)._3 && !rows(4L)._3)
     assert(rows(1L)._1 == 2L && rows(2L)._1 == 2L)
 
-    // scale path (forced): the selection cutoff comes from
-    // percentile_approx — NO docs-sized single-partition window in the
-    // plan — and on this 4-doc fixture the approximate cutoff picks the
-    // same single top doc
+    // scale path (forced): since r19 the selection rank is the EXACT
+    // distributed bucket rank (Ranks.withGlobalRowNumber) — the old
+    // percentile_approx fork, which could differ at the p75 boundary,
+    // is retired. The forced path must produce the IDENTICAL rows
+    // (selection included) and never a percentile_approx aggregate;
+    // the no-unpartitioned-window property is enforced slate-wide by
+    // WindowLintSpec with this threshold forced to 0.
+    val exactRows = QueriesCorpus.q173_dsir_weights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
     val saved = QueriesCorpus.dsirRankThresholdBytes
     try {
       QueriesCorpus.dsirRankThresholdBytes = 0L
-      val approx = QueriesCorpus.q173_dsir_weights(spark, dir)
-      val plan   = approx.queryExecution.executedPlan.toString
-      assert(!plan.contains("Window"), s"approx path must not use a window:\n$plan")
-      val sel = approx.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
-      assert(sel(1L) && !sel(2L) && !sel(3L) && !sel(4L))
+      val scale = QueriesCorpus.q173_dsir_weights(spark, dir)
+      val plan  = scale.queryExecution.executedPlan.toString
+      assert(!plan.contains("percentile_approx"),
+        s"the approximate fork is retired; forced path must stay exact:\n$plan")
+      val scaleRows = scale.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+      assert(scaleRows == exactRows,
+        s"forced scale path must equal the gate-scale branch exactly:\n$scaleRows\nvs\n$exactRows")
     } finally QueriesCorpus.dsirRankThresholdBytes = saved
   }
 
