@@ -563,28 +563,32 @@ private[sources] trait WarehouseMor { self: Warehouse =>
         if (visible.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       } ++ Seq(col("__dv_f"), col("__dv_p")): _*)
-    // persist the O(delta) change set (r19): every downstream pass —
-    // counts, tombstones, landed files, three feed slices — otherwise
-    // re-runs the full-outer join over the whole visible table. The
-    // frame is bounded by the batch (the MOR contract), so holding it
-    // is safe at any table size — the same within-op persist
-    // [[deleteMorMatched]]/[[updateMorImpl]] already use.
-    val changes = Upsert.planMorChanges(tgtAligned, srcAligned, keys, versionCol,
+    val changesPlan = Upsert.planMorChanges(tgtAligned, srcAligned, keys, versionCol,
       metaCols = Seq("__dv_f", "__dv_p"),
-      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet).persist()
+      insertOnlyCols = identityColumns(layer, table).map(_._1).toSet)
+    // metrics FIRST, on the unpersisted plan: Catalyst prunes the join
+    // to keys + version + marks, so a zero-change re-run stays a
+    // narrow pass and exits before anything full-width materializes
+    val counts = changesPlan.groupBy(col(Upsert.ActionCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inserted = counts.getOrElse("insert", 0L)
+    val updated  = counts.getOrElse("update", 0L)
+    // kept from metadata only: physical rows minus applicable
+    // tombstones minus the rows this merge updates
+    def visibleCount(): Long =
+      raw.count() - tombstoneRows.map(_.count()).getOrElse(0L)
+    if (inserted == 0 && updated == 0) {
+      logOp(layer, table, "MERGE_MOR", inserted = 0, updated = 0, outputRows = 0)
+      return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = visibleCount())
+    }
+    // persist the O(delta) change set (r19): tombstones, landed files
+    // and the three feed slices otherwise each re-run the full-outer
+    // join over the whole visible table. Bounded by the batch (the MOR
+    // contract) — the same within-op persist [[deleteMorMatched]]/
+    // [[updateMorImpl]] already use; the first write below materializes
+    // it in one pass.
+    val changes = changesPlan.persist()
     try {
-      val counts = changes.groupBy(col(Upsert.ActionCol)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val inserted = counts.getOrElse("insert", 0L)
-      val updated  = counts.getOrElse("update", 0L)
-      // kept from metadata only: physical rows minus applicable
-      // tombstones minus the rows this merge updates
-      def visibleCount(): Long =
-        raw.count() - tombstoneRows.map(_.count()).getOrElse(0L)
-      if (inserted == 0 && updated == 0) {
-        logOp(layer, table, "MERGE_MOR", inserted = 0, updated = 0, outputRows = 0)
-        return Upsert.WriteMetrics(inserted = 0, updated = 0, kept = visibleCount())
-      }
       val kept = visibleCount() - updated
       val ver  = nextVersion(s"$layer.$table")
       val dataCols = unioned.fields.toSeq.map(f => col(f.name))

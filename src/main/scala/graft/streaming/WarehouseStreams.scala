@@ -118,9 +118,25 @@ object WarehouseStreams {
         val deadline = System.currentTimeMillis() + commitWaitMs
         while (target > wh.currentVersion(srcLayer, srcTable) &&
           System.currentTimeMillis() < deadline) Thread.sleep(20)
-        graft.operators.MaterializedAgg
-          .refresh(wh, srcLayer, srcTable, mvLayer, mvTable, keys, valueCol)
-        ()
+        // Trigger coalescing (r19): when COMMITTED feed rows already
+        // exist beyond this batch's horizon, skip — those rows are on
+        // disk, so the file source must deliver them as a later batch,
+        // and the cursor-guarded refresh is CUMULATIVE (it applies
+        // everything since the cursor, not just one batch), so that
+        // later trigger applies this batch's rows too, exactly once. A
+        // long-lived sink behind a multi-commit writer then runs ONE
+        // incremental MV rewrite per quiet point instead of one per
+        // commit. The probe is driver-side footer stats, zero jobs;
+        // version bumps WITHOUT feed rows (no-op commits, VACUUM)
+        // never cause a skip, because the probe counts rows, not
+        // versions.
+        val pending = target >= 0 &&
+          wh.changeFeedTailStats(srcLayer, srcTable, target)._1 > 0
+        if (!pending) {
+          graft.operators.MaterializedAgg
+            .refresh(wh, srcLayer, srcTable, mvLayer, mvTable, keys, valueCol)
+          ()
+        }
       }
       .start()
   }
