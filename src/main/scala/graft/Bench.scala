@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r19 (verdict item 4): the same join-strategy baseline as
+      // Engine.session — shuffled-hash when it fits (guide §3.1/§9),
+      // A/B'd in tools/JoinSweep (geomean 0.90 over the join-heavy
+      // slate, strategy-only, values unchanged). Declared in
+      // OPTIMIZATION_r19.md; methodology/timing/output are untouched.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

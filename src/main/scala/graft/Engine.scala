@@ -50,6 +50,16 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r19 join-strategy sweep (guide §3.1/§9, tools/JoinSweep): let
+      // the planner pick shuffled-hash over sort-merge when its size
+      // conditions hold, and let AQE rewrite SMJ→SHJ at runtime when
+      // every post-shuffle build partition is under 64 MB (a
+      // per-partition memory bound — scale-independent; default 0 = off).
+      // Measured geomean 0.90 over the 15 join-heaviest queries at
+      // sf0.1/32 (q33/q64/q213/q214 ≈ −22%), zero value changes
+      // (strategy only; auto-broadcast decisions are unaffected).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

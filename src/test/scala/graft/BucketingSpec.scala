@@ -36,9 +36,14 @@ class BucketingSpec extends SparkSpec {
 
     // disable auto-broadcast: at 100 TB neither side broadcasts — the
     // point is that the SortMergeJoin consumes the bucketed layout with
-    // no Exchange on either input.
+    // no Exchange on either input. Pin preferSortMergeJoin=true for
+    // this test (r19 sessions default it false): the contract pinned
+    // HERE is specifically SMJ-over-bucketed-layout; the shuffled-hash
+    // preference elsewhere is strategy-only and orthogonal.
     val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorPreferSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     val joined =
       try {
         val j = spark
@@ -52,6 +57,7 @@ class BucketingSpec extends SparkSpec {
 
     val plan = joined.queryExecution.executedPlan.toString()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", priorPreferSmj)
     assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
     val exchangesBeforeAgg = plan
       .linesIterator
